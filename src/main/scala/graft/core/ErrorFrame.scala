@@ -1,0 +1,231 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TryCapture
+
+/** DataFrame-level error capture: the Spark-first re-expression of the
+  * reference's `captureErrors(...)` topology pattern (README.md usage;
+  * ErrorCapturingKeyValueMapper.java).
+  *
+  * One projection computes `struct<value, error_class, error_message,
+  * stack_trace>` per output column; `values` / `errors` are cheap filters
+  * over it, and Catalyst prunes the unused half of the struct in each
+  * branch — no double computation, no RDD round-trip.
+  */
+final case class ErrorFrame private (
+    df: DataFrame,
+    resultNames: Seq[String],
+    inputCol: Column) {
+
+  import ErrorFrame._
+
+  private def anyError: Column =
+    resultNames.map(n => col(capturedCol(n))(ERROR_CLASS).isNotNull).reduce(_ || _)
+
+  private def firstError(field: String): Column =
+    resultNames.foldRight(lit(null).cast("string")) { (n, acc) =>
+      when(col(capturedCol(n))(ERROR_CLASS).isNotNull, col(capturedCol(n))(field)).otherwise(acc)
+    }
+
+  /** Successfully processed rows: original columns minus capture internals,
+    * plus the unwrapped result columns (ProcessedKeyValue::getValues).
+    */
+  def values: DataFrame = {
+    val unwrapped = resultNames.map(n => col(capturedCol(n))(VALUE).as(n))
+    val kept = df.columns.filterNot(_.startsWith(CAPTURE_PREFIX)).map(col).toSeq
+    df.filter(!anyError).select(kept ++ unwrapped: _*)
+  }
+
+  /** Failed rows: original columns plus error_class / error_message /
+    * stack_trace of the first failing output (ProcessedKeyValue::getErrors).
+    */
+  def errors: DataFrame = {
+    val kept = df.columns.filterNot(_.startsWith(CAPTURE_PREFIX)).map(col).toSeq
+    df.filter(anyError).select(kept ++ Seq(
+      firstError(ERROR_CLASS).as("error_class"),
+      firstError(ERROR_MESSAGE).as("error_message"),
+      firstError(STACK_TRACE).as("stack_trace")): _*)
+  }
+
+  /** Dead letters in the exact reference shape (DeadLetter.avsc /
+    * DeadLetterProcessor.java): input_value stringified, shared
+    * description, cause struct, source lineage if provided.
+    *
+    * Batch lineage analog of (topic, partition, offset): input file name,
+    * Spark partition id, and a per-partition monotone id, unless the
+    * caller supplies explicit lineage columns.
+    */
+  def deadLetters(
+      description: String,
+      timestampCol: Option[Column] = None,
+      withLineage: Boolean = false): DataFrame = {
+    val base = errors
+    val (topicC, partC, offC) =
+      if (withLineage)
+        (input_file_name().cast("string"), spark_partition_id(),
+          monotonically_increasing_id())
+      else
+        (lit(null).cast("string"), lit(null).cast("int"), lit(null).cast("bigint"))
+    base.select(
+      inputCol.cast("string").as("input_value"),
+      topicC.as("topic"),
+      partC.as("partition"),
+      offC.as("offset"),
+      lit(description).as("description"),
+      struct(
+        col("error_class"),
+        col("error_message").as("message"),
+        col("stack_trace")).as("cause"),
+      timestampCol.getOrElse(lit(null).cast("timestamp")).as("input_timestamp"))
+  }
+
+  /** Error-logging semantics (ErrorLoggingKeyValueMapper.java): log each
+    * failure on the executor, keep only the successes.
+    */
+  def valuesLoggingErrors(): DataFrame = {
+    val log = org.slf4j.LoggerFactory.getLogger("graft.ErrorLogging")
+    val err = errors.select(inputCol.cast("string"), col("error_class"), col("error_message"))
+    err.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      val plog = org.slf4j.LoggerFactory.getLogger("graft.ErrorLogging")
+      it.foreach(r => plog.error(s"Cannot process ('${r.get(0)}'): ${r.get(1)}: ${r.get(2)}"))
+    }
+    log.debug("logged error branch")
+    values
+  }
+
+  /** Original value + Kafka-sink-compatible error headers
+    * (`array<struct<key,value:binary>>`) under the reference's
+    * `__streams.errors.*` keys (ErrorHeaderProcessor.java).
+    */
+  def withErrorHeaders(description: String): DataFrame = {
+    def h(key: String, value: Column) =
+      struct(lit(key).as("key"), value.cast("binary").as("value"))
+    val kept = df.columns.filterNot(_.startsWith(CAPTURE_PREFIX)).map(col).toSeq
+    df.filter(anyError).select(kept :+ array(
+      h(ErrorHeaders.TOPIC, lit(null).cast("string")),
+      h(ErrorHeaders.PARTITION, lit(null).cast("string")),
+      h(ErrorHeaders.OFFSET, lit(null).cast("string")),
+      h(ErrorHeaders.EXCEPTION_CLASS_NAME, firstError(ERROR_CLASS)),
+      h(ErrorHeaders.EXCEPTION_MESSAGE, firstError(ERROR_MESSAGE)),
+      h(ErrorHeaders.EXCEPTION_STACK_TRACE, firstError(STACK_TRACE)),
+      h(ErrorHeaders.DESCRIPTION, lit(description))).as("headers"): _*)
+  }
+
+  /** Recoverability split (ErrorUtil.isRecoverable + ErrorFilter +
+    * FilteringProcessingExceptionHandler): recoverable errors are NOT
+    * dead-lettered — they fail the job so the runtime retries — while
+    * poison pills flow to the DLQ. `failOnRecoverable=false` returns the
+    * recoverable branch for inspection instead of throwing.
+    */
+  def filterRecoverable(
+      filter: ErrorClassifier = ErrorClassifier.default,
+      failOnRecoverable: Boolean = true): ErrorSplit = {
+    val e = errors
+    val isRec = filter.isRecoverableColumn(col("error_class"), col("error_message"))
+    if (failOnRecoverable) {
+      val n = e.filter(isRec).limit(1).count()
+      if (n > 0) throw new IllegalStateException(
+        "recoverable error encountered; failing for runtime retry")
+    }
+    ErrorSplit(values, e.filter(!isRec), e.filter(isRec))
+  }
+}
+
+final case class ErrorSplit(values: DataFrame, deadLettered: DataFrame, recoverable: DataFrame)
+
+object ErrorFrame {
+  val CAPTURE_PREFIX = "__graft_captured_"
+  val VALUE = "value"
+  val ERROR_CLASS = "error_class"
+  val ERROR_MESSAGE = "error_message"
+  val STACK_TRACE = "stack_trace"
+
+  def capturedCol(name: String): String = CAPTURE_PREFIX + name
+
+  /** Capture errors of one or more computed columns over `df`.
+    *
+    * `input` is the "record value" used for DLQ stringification
+    * (ErrorUtil.toString analog); defaults to a JSON rendering of the
+    * whole input row.
+    */
+  def captureErrors(df: DataFrame, results: Map[String, Column], input: Column): ErrorFrame = {
+    val withCaptured = results.foldLeft(df) { case (d, (name, c)) =>
+      d.withColumn(capturedCol(name), TryCapture(c))
+    }
+    ErrorFrame(withCaptured, results.keys.toSeq, input)
+  }
+
+  def captureErrors(df: DataFrame, results: Map[String, Column]): ErrorFrame =
+    captureErrors(df, results, to_json(struct(df.columns.map(col).toSeq: _*)))
+
+  /** Error-describing semantics (ErrorDescribingValueMapper.java): do not
+    * capture — let the task fail, but enrich the error with the input that
+    * caused it. Implemented as a wrapping expression that appends context.
+    */
+  def describeErrors(df: DataFrame, results: Map[String, Column], input: Column): DataFrame = {
+    val described = results.map { case (name, c) =>
+      val captured = TryCapture(c)
+      when(captured(ERROR_CLASS).isNotNull,
+        raise_error(concat(
+          lit("Cannot process ('"), input.cast("string"), lit("'): "),
+          captured(ERROR_CLASS), lit(": "), coalesce(captured(ERROR_MESSAGE), lit("")))))
+        .otherwise(captured(VALUE)).as(name)
+    }
+    df.select(df.columns.map(col).toSeq ++ described: _*)
+  }
+}
+
+/** Header keys — ErrorHeaderProcessor.java constants. */
+object ErrorHeaders {
+  val HEADER_PREFIX = "__streams.errors."
+  val TOPIC = HEADER_PREFIX + "topic"
+  val PARTITION = HEADER_PREFIX + "partition"
+  val OFFSET = HEADER_PREFIX + "offset"
+  val DESCRIPTION = HEADER_PREFIX + "description"
+  val EXCEPTION_PREFIX = HEADER_PREFIX + "exception."
+  val EXCEPTION_CLASS_NAME = EXCEPTION_PREFIX + "class.name"
+  val EXCEPTION_MESSAGE = EXCEPTION_PREFIX + "message"
+  val EXCEPTION_STACK_TRACE = EXCEPTION_PREFIX + "stack_trace"
+}
+
+/** Recoverability classification (ErrorUtil.isRecoverable,
+  * NothingIsRecoverableErrorFilter): the reference treats exceptions from
+  * the Kafka client packages as transient/retriable and everything else as
+  * poison pills. The Spark analog classifies by error class prefix —
+  * network/shuffle-fetch style failures are the retriable class.
+  */
+final case class ErrorClassifier(recoverablePrefixes: Seq[String], nonRecoverableClasses: Set[String]) {
+  def isRecoverable(errorClass: String): Boolean =
+    !nonRecoverableClasses.contains(errorClass) &&
+      recoverablePrefixes.exists(errorClass.startsWith)
+
+  def isRecoverableColumn(errorClass: Column, errorMessage: Column): Column = {
+    val byPrefix = recoverablePrefixes
+      .map(p => errorClass.startsWith(p))
+      .foldLeft(org.apache.spark.sql.functions.lit(false))(_ || _)
+    val excluded = nonRecoverableClasses
+      .map(c => errorClass === c)
+      .foldLeft(org.apache.spark.sql.functions.lit(false))(_ || _)
+    byPrefix && !excluded
+  }
+}
+
+object ErrorClassifier {
+  /** Mirrors ErrorUtil.RECOVERABLE_ERROR_PACKAGES + the
+    * RecordTooLargeException carve-out, with Spark-native equivalents.
+    */
+  val default: ErrorClassifier = ErrorClassifier(
+    recoverablePrefixes = Seq(
+      "java.net.",                       // transient connectivity
+      "java.util.concurrent.TimeoutException",
+      "org.apache.spark.shuffle.",       // fetch failures: runtime retries
+      "org.apache.spark.SparkTimeoutException"),
+    nonRecoverableClasses = Set(
+      // analog of RecordTooLargeException: size problems don't heal
+      "org.apache.spark.SparkRecordTooLargeException"))
+
+  /** NothingIsRecoverableErrorFilter.java */
+  val nothingIsRecoverable: ErrorClassifier = ErrorClassifier(Nil, Set.empty)
+}
