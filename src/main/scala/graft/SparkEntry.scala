@@ -77,6 +77,194 @@ object SparkEntry {
         count(lit(1)).as("n"))
   }
 
+  private def q4(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = t(s, dir, "orders")
+      .filter($"o_orderdate".cast("date") >= lit("1996-07-01")
+        && $"o_orderdate".cast("date") < lit("1996-10-01"))
+    val li = t(s, dir, "lineitem")
+    ord.join(li, $"o_orderkey" === $"l_orderkey" && $"l_shipdate" > $"o_orderdate", "leftsemi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private def q5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey")
+      .join(t(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .join(broadcast(t(s, dir, "supplier")),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(t(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+      .filter($"r_name" === "ASIA"
+        && $"o_orderdate".cast("date") >= lit("1996-01-01")
+        && $"o_orderdate".cast("date") < lit("1997-01-01"))
+      .groupBy($"n_name")
+      .agg(sum(($"l_extendedprice".cast(DEC) * (lit(1).cast(DEC) - $"l_discount".cast(DEC))))
+        .cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  private def q7(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey",
+        sum($"o_totalprice".cast(DEC)).over(w).cast("double").as("running_spend"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(countDistinct($"o_custkey").as("n_cust"), count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+  }
+
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .filter($"l_shipdate".cast("date") >= lit("1997-01-01")
+        && $"l_shipdate".cast("date") < lit("1998-01-01"))
+      .groupBy($"l_linestatus")
+      .agg(
+        sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("high_line_count"),
+        sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy($"l_linestatus")
+  }
+
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
+      .filter($"l_shipdate".cast("date") >= lit("1997-09-01")
+        && $"l_shipdate".cast("date") < lit("1997-10-01"))
+      .agg(
+        sum(when($"p_type" === "PROMO",
+          $"l_extendedprice".cast(DEC) * (lit(1).cast(DEC) - $"l_discount".cast(DEC)))
+          .otherwise(lit(0).cast(DEC))).cast("double").as("promo_revenue"),
+        sum(($"l_extendedprice".cast(DEC) * (lit(1).cast(DEC) - $"l_discount".cast(DEC))))
+          .cast("double").as("total_revenue"))
+  }
+
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rev = t(s, dir, "lineitem")
+      .filter($"l_shipdate".cast("date") >= lit("1996-01-01")
+        && $"l_shipdate".cast("date") < lit("1996-04-01"))
+      .groupBy($"l_suppkey")
+      .agg(sum(($"l_extendedprice".cast(DEC) * (lit(1).cast(DEC) - $"l_discount".cast(DEC))))
+        .as("total_rev"))
+    rev.withColumn("rnk", rank().over(Window.orderBy($"total_rev".desc)))
+      .filter($"rnk" === 1)
+      .join(broadcast(t(s, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"total_rev".cast("double").as("total_revenue"))
+      .orderBy($"s_suppkey")
+  }
+
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val recentOrders = t(s, dir, "orders")
+      .filter($"o_orderdate".cast("date") >= lit("2000-01-01"))
+    t(s, dir, "customer")
+      .join(recentOrders, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_inactive"))
+      .orderBy($"c_mktsegment")
+  }
+
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+    // per-part avg: sum of integral quantities in double is exact
+    val partAvg = li.groupBy($"l_partkey".as("ap_partkey"))
+      .agg((sum($"l_quantity") / count(lit(1))).as("avg_qty"))
+    li.join(partAvg, $"l_partkey" === $"ap_partkey")
+      .filter($"l_quantity" < $"avg_qty" * 0.2)
+      .agg(sum($"l_extendedprice".cast(DEC)).cast("double").as("total_price"),
+        count(lit(1)).as("n"))
+  }
+
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(sum($"l_quantity".cast(DEC)).cast("double").as("qty"), count(lit(1)).as("n"))
+      .select(coalesce($"l_returnflag", lit("ALL")).as("rf"),
+        coalesce($"l_linestatus", lit("ALL")).as("ls"), $"qty", $"n")
+      .orderBy($"rf", $"ls")
+  }
+
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n"), sum($"o_totalprice".cast(DEC)).cast("double").as("spend"))
+      .filter($"n" >= 15)
+      .orderBy($"o_custkey")
+  }
+
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .withColumn("hour", date_trunc("hour", timestamp_micros(expr("ts div 1000"))).cast("string"))
+      .groupBy($"hour", $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value".cast(DEC)).cast("double").as("sum_value"))
+      .orderBy($"hour", $"event_type")
+  }
+
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def cnt(tpe: String) = sum(when($"event_type" === tpe, 1L).otherwise(0L))
+    t(s, dir, "events")
+      .groupBy($"user_id")
+      .agg(cnt("click").as("clicks"), cnt("view").as("views"),
+        cnt("purchase").as("purchases"), cnt("signup").as("signups"),
+        cnt("error").as("errors"))
+      .orderBy($"user_id")
+  }
+
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = t(s, dir, "customer")
+    val threshold = cust.filter($"c_acctbal" > 0)
+      .agg((sum($"c_acctbal".cast(DEC)).cast("double") / count(lit(1))).as("thr"))
+    val recent = t(s, dir, "orders").filter($"o_orderdate".cast("date") >= lit("2000-06-01"))
+    cust.join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .crossJoin(broadcast(threshold))
+      .filter($"c_acctbal" > $"thr")
+      .groupBy(substring($"c_name", 10, 1).as("grp"))
+      .agg(count(lit(1)).as("n"), sum($"c_acctbal".cast(DEC)).cast("double").as("bal"))
+      .orderBy($"grp")
+  }
+
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer").select($"c_nationkey".as("nk"))
+      .union(t(s, dir, "supplier").select($"s_nationkey"))
+      .distinct()
+      .orderBy($"nk")
+  }
+
   // ---------------------------------------------------------------- e: error handling
 
   /** Shared failing transform: parse k out of events.props, compute an
@@ -107,6 +295,86 @@ object SparkEntry {
       .orderBy($"input_value")
   }
 
+  private def e1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ErrorFrame.captureErrors(
+      t(s, dir, "documents"),
+      Map("newkey" -> ($"doc_id" % 10), "ratio" -> expr("n_chars div (doc_id % 13)")),
+      input = $"doc_id".cast("string"))
+      .values
+      .select($"doc_id", $"newkey", $"ratio")
+      .orderBy($"doc_id")
+  }
+
+  private def e3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // flat-map with capture: rows with n_chars % 17 == 0 fail (ANSI
+    // out-of-bounds element_at), others emit their first 3 words.
+    val cap = ErrorFrame.captureErrors(
+      t(s, dir, "documents"),
+      Map("words" -> expr(
+        "case when n_chars % 17 = 0 then array(element_at(split(text, ' '), 999999)) " +
+          "else slice(split(text, ' '), 1, 3) end")),
+      input = $"doc_id".cast("string"))
+    cap.values
+      .select($"doc_id", posexplode($"words"))
+      .select($"doc_id", ($"pos" + 1).cast("int").as("pos"), $"col".as("word"))
+      .orderBy($"doc_id", $"pos")
+  }
+
+  private def e5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    eventsCaptured(s, dir).valuesLoggingErrors()
+      .agg(count(lit(1)).as("n_ok"), sum($"res").as("sum_res"))
+  }
+
+  private def e6(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .withColumn("k", regexp_extract($"props", "[0-9]+", 0).cast("int"))
+    ErrorFrame.describeErrors(ev, Map("res2" -> ($"k" * 2)), input = $"props")
+      .select($"event_id", $"res2".cast("int").as("res2"))
+      .orderBy($"event_id")
+  }
+
+  private def e7(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    eventsCaptured(s, dir)
+      .withErrorHeaders("events k-division pipeline")
+      .select($"event_id", explode($"headers").as("h"))
+      .select($"event_id", $"h.key".as("hkey"), $"h.value".cast("string").as("hval"))
+      .filter($"hkey".isin(core.ErrorHeaders.EXCEPTION_CLASS_NAME, core.ErrorHeaders.DESCRIPTION))
+      .orderBy($"event_id", $"hkey")
+  }
+
+  private def e8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .withColumn("k", regexp_extract($"props", "[0-9]+", 0).cast("int"))
+    val cap = ErrorFrame.captureErrors(
+      ev,
+      Map("res" -> expr(
+        "case when k % 11 = 0 then cast(concat('x', k) as int) else 100 div (k % 7) end")),
+      input = $"props")
+    val split = cap.filterRecoverable(
+      core.ErrorClassifier(Seq("org.apache.spark.SparkArithmetic"), Set.empty),
+      failOnRecoverable = false)
+    split.deadLettered.groupBy($"error_class").agg(count(lit(1)).as("n"))
+      .withColumn("branch", lit("dead_lettered"))
+      .union(split.recoverable.groupBy($"error_class").agg(count(lit(1)).as("n"))
+        .withColumn("branch", lit("recoverable")))
+      .select($"branch", $"error_class", $"n")
+      .orderBy($"branch", $"error_class")
+  }
+
+  private def e9(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dl = eventsCaptured(s, dir).deadLetters("events k-division pipeline")
+    dl.select(to_json(struct(
+      $"input_value", $"description", $"cause.error_class".as("error_class"))).as("value"))
+      .orderBy($"value")
+  }
+
   // ---------------------------------------------------------------- d/t: pipeline ops
 
   private def d1(s: SparkSession, dir: String): DataFrame = {
@@ -134,9 +402,32 @@ object SparkEntry {
     "q1_pricing_summary" -> (q1 _),
     "q2_top_orders" -> (q2 _),
     "q3_shipping_priority" -> (q3 _),
+    "q4_order_priority" -> (q4 _),
+    "q5_join5" -> (q5 _),
     "q6_filter_agg" -> (q6 _),
+    "q7_window_running" -> (q7 _),
+    "q11_distinct_agg" -> (q11 _),
+    "q12_shipmode_case" -> (q12 _),
+    "q13_cust_dist" -> (q13 _),
+    "q14_promo" -> (q14 _),
+    "q15_top_supplier" -> (q15 _),
+    "q16_anti_join" -> (q16 _),
+    "q17_small_qty" -> (q17 _),
+    "q18_rollup" -> (q18 _),
+    "q19_having" -> (q19 _),
+    "q20_hourly_events" -> (q20 _),
+    "q21_event_pivot" -> (q21 _),
+    "q22_phone_anti" -> (q22 _),
+    "q23_union" -> (q23 _),
+    "e1_capture_map" -> (e1 _),
     "e2_capture_values" -> (e2 _),
+    "e3_capture_flatmap" -> (e3 _),
     "e4_dead_letters" -> (e4 _),
+    "e5_error_logging" -> (e5 _),
+    "e6_error_describing" -> (e6 _),
+    "e7_error_headers" -> (e7 _),
+    "e8_error_filter" -> (e8 _),
+    "e9_dlq_serde" -> (e9 _),
     "d1_exact_dedup" -> (d1 _),
     "t3_tokens" -> (t3 _),
   )
@@ -191,5 +482,160 @@ object SparkEntry {
         | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS re_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-07-01'
+        | AND CAST(o_orderdate AS DATE) < DATE '1996-10-01'
+        | AND EXISTS (SELECT 1 FROM lineitem
+        |   WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q5_join5" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        | AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        | AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q7_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q11_distinct_agg" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q12_shipmode_case" ->
+      """SELECT l_linestatus,
+        | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        | AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q13_cust_dist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        | SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        | FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        | GROUP BY c_custkey) t
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q14_promo" ->
+      """SELECT
+        | CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |   THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))
+        |   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS total_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1997-09-01'
+        | AND CAST(l_shipdate AS DATE) < DATE '1997-10-01'""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        | SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_rev
+        | FROM lineitem
+        | WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+        | GROUP BY l_suppkey),
+        |ranked AS (SELECT *, RANK() OVER (ORDER BY total_rev DESC) AS rnk FROM rev)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM ranked JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rnk = 1 ORDER BY s_suppkey""".stripMargin,
+    "q16_anti_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_inactive
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q17_small_qty" ->
+      """SELECT
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+        | COUNT(*) AS n
+        |FROM lineitem l JOIN (
+        | SELECT l_partkey AS ap_partkey, SUM(l_quantity) / COUNT(*) AS avg_qty
+        | FROM lineitem GROUP BY l_partkey) a ON l.l_partkey = a.ap_partkey
+        |WHERE l.l_quantity < a.avg_qty * 0.2""".stripMargin,
+    "q18_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q19_having" ->
+      """SELECT o_custkey, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+        |ORDER BY o_custkey""".stripMargin,
+    "q20_hourly_events" ->
+      """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+        | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q21_event_pivot" ->
+      """SELECT user_id,
+        | CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+        | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+        | CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+        | CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signups,
+        | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q22_phone_anti" ->
+      """SELECT substring(c_name, 10, 1) AS grp, COUNT(*) AS n,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
+        |FROM customer
+        |WHERE c_acctbal > (
+        | SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+        | FROM customer WHERE c_acctbal > 0)
+        | AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |   AND CAST(o_orderdate AS DATE) >= DATE '2000-06-01')
+        |GROUP BY 1 ORDER BY grp""".stripMargin,
+    "q23_union" ->
+      """SELECT nk FROM (
+        | SELECT c_nationkey AS nk FROM customer
+        | UNION
+        | SELECT s_nationkey FROM supplier) t ORDER BY nk""".stripMargin,
+    "e1_capture_map" ->
+      """SELECT doc_id, doc_id % 10 AS newkey,
+        | CAST(n_chars // (doc_id % 13) AS BIGINT) AS ratio
+        |FROM documents WHERE doc_id % 13 <> 0 ORDER BY doc_id""".stripMargin,
+    "e3_capture_flatmap" ->
+      """SELECT doc_id, CAST(i AS INT) AS pos, words[i] AS word
+        |FROM (SELECT doc_id, list_slice(string_split(text, ' '), 1, 3) AS words
+        |      FROM documents WHERE n_chars % 17 <> 0) t,
+        | LATERAL (SELECT unnest(generate_series(1, len(words))) AS i) g
+        |ORDER BY doc_id, pos""".stripMargin,
+    "e5_error_logging" ->
+      """SELECT COUNT(*) AS n_ok, CAST(SUM(100 // (k % 7)) AS BIGINT) AS sum_res
+        |FROM (SELECT CAST(regexp_extract(props, '[0-9]+') AS INT) AS k FROM events)
+        |WHERE k % 7 <> 0""".stripMargin,
+    "e6_error_describing" ->
+      """SELECT event_id, CAST(k * 2 AS INT) AS res2
+        |FROM (SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS INT) AS k FROM events)
+        |ORDER BY event_id""".stripMargin,
+    "e7_error_headers" ->
+      """SELECT event_id, h.hkey, h.hval
+        |FROM (SELECT event_id FROM (SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS INT) AS k FROM events) WHERE k % 7 = 0) f
+        |CROSS JOIN (VALUES
+        |  ('__streams.errors.description', 'events k-division pipeline'),
+        |  ('__streams.errors.exception.class.name', 'org.apache.spark.SparkArithmeticException')) h(hkey, hval)
+        |ORDER BY event_id, hkey""".stripMargin,
+    "e8_error_filter" ->
+      """WITH errs AS (
+        | SELECT CASE WHEN k % 11 = 0 THEN 'org.apache.spark.SparkNumberFormatException'
+        |             ELSE 'org.apache.spark.SparkArithmeticException' END AS error_class,
+        |  CASE WHEN k % 11 = 0 THEN 'dead_lettered' ELSE 'recoverable' END AS branch
+        | FROM (SELECT CAST(regexp_extract(props, '[0-9]+') AS INT) AS k FROM events)
+        | WHERE k % 11 = 0 OR k % 7 = 0)
+        |SELECT branch, error_class, COUNT(*) AS n FROM errs
+        |GROUP BY branch, error_class ORDER BY branch, error_class""".stripMargin,
+    "e9_dlq_serde" ->
+      """SELECT to_json(struct_pack(
+        |  input_value := props,
+        |  description := 'events k-division pipeline',
+        |  error_class := 'org.apache.spark.SparkArithmeticException')) AS value
+        |FROM (SELECT props, CAST(regexp_extract(props, '[0-9]+') AS INT) AS k FROM events)
+        |WHERE k % 7 = 0 ORDER BY value""".stripMargin,
   )
 }
