@@ -396,6 +396,82 @@ object SparkEntry {
       .orderBy($"doc_id")
   }
 
+  private def d2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    operators.Dedup.minHashLsh(t(s, dir, "documents"), numHashes = 16, rowsPerBand = 4,
+      threshold = 0.9).orderBy($"da", $"db")
+  }
+
+  private def d3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    operators.Dedup.simHash(t(s, dir, "documents"), nBits = 32).orderBy($"doc_id")
+  }
+
+  private def d4(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    operators.Dedup.ngramJaccard(t(s, dir, "documents"), n = 2, blockCol = "source",
+      threshold = 0.1).orderBy($"da", $"db")
+  }
+
+  private def d5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    operators.Similarity.nearDupPairs(t(s, dir, "embeddings"), "label", 0.3)
+      .orderBy($"va", $"vb")
+  }
+
+  private def s1q(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val queries = broadcast(emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), operators.Similarity.toDoubleVec($"embedding").as("qv")))
+    operators.Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select($"qid", $"rank", $"vec_id", $"cosine")
+      .orderBy($"qid", $"rank")
+  }
+
+  private def s2q(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val queries = broadcast(emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"label".as("qlabel"),
+        operators.Similarity.toDoubleVec($"embedding").as("qv")))
+    operators.Similarity.partitionedTopK(emb, queries, k = 5)
+      .select($"qid", $"rank", $"vec_id", $"cosine")
+      .orderBy($"qid", $"rank")
+  }
+
+  private def t1q(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", operators.TextAnalysis.languageId($"text").as("predicted"), $"lang")
+      .withColumn("is_match", ($"predicted" === $"lang").cast("int"))
+      .orderBy($"doc_id")
+  }
+
+  private def t2q(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    operators.TextAnalysis.qualityMetrics(t(s, dir, "documents")).orderBy($"doc_id")
+  }
+
+  private def t4q(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    operators.TextAnalysis.fingerprints(t(s, dir, "documents")).orderBy($"doc_id")
+  }
+
+  private def m1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withBin = t(s, dir, "documents").withColumn("payload", $"text".cast("binary"))
+    operators.Multimodal.binaryMetadata(withBin, "payload", "doc_id").orderBy($"doc_id")
+  }
+
+  private def m2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withBin = t(s, dir, "documents").withColumn("payload", $"text".cast("binary"))
+    operators.Multimodal.batchFeatures(withBin, "payload", "doc_id")
+      .select($"doc_id", $"feat_dim", $"feat_l1")
+      .orderBy($"doc_id")
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -429,7 +505,18 @@ object SparkEntry {
     "e8_error_filter" -> (e8 _),
     "e9_dlq_serde" -> (e9 _),
     "d1_exact_dedup" -> (d1 _),
+    "d2_minhash_lsh" -> (d2 _),
+    "d3_simhash" -> (d3 _),
+    "d4_ngram_jaccard" -> (d4 _),
+    "d5_embed_neardup" -> (d5 _),
+    "s1_topk_bruteforce" -> (s1q _),
+    "s2_topk_ivf" -> (s2q _),
+    "t1_lang_id" -> (t1q _),
+    "t2_quality" -> (t2q _),
     "t3_tokens" -> (t3 _),
+    "t4_fingerprint" -> (t4q _),
+    "m1_binary_meta" -> (m1 _),
+    "m2_batch_features" -> (m2 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -637,5 +724,125 @@ object SparkEntry {
         |  error_class := 'org.apache.spark.SparkArithmeticException')) AS value
         |FROM (SELECT props, CAST(regexp_extract(props, '[0-9]+') AS INT) AS k FROM events)
         |WHERE k % 7 = 0 ORDER BY value""".stripMargin,
+    "d2_minhash_lsh" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents),
+        |seeds AS (SELECT unnest(range(16)) AS s),
+        |sigs AS (
+        |  SELECT doc_id, s, min(md5(s::VARCHAR || ':' || tok)) AS mh
+        |  FROM toks CROSS JOIN seeds GROUP BY doc_id, s),
+        |bands AS (
+        |  SELECT doc_id, s // 4 AS band, md5(string_agg(mh, '' ORDER BY s)) AS bandsig
+        |  FROM sigs GROUP BY doc_id, s // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id),
+        |tsets AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS ts FROM documents)
+        |SELECT da, db,
+        |  len(list_intersect(x.ts, y.ts))::DOUBLE /
+        |  (len(x.ts) + len(y.ts) - len(list_intersect(x.ts, y.ts))) AS jaccard
+        |FROM cand JOIN tsets x ON da = x.doc_id JOIN tsets y ON db = y.doc_id
+        |WHERE jaccard >= 0.9
+        |ORDER BY da, db""".stripMargin,
+    "d3_simhash" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents),
+        |bits AS (SELECT unnest(range(1, 33)) AS b),
+        |contrib AS (
+        |  SELECT doc_id, b,
+        |    SUM(CASE WHEN substr(md5(tok), b, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS sgn
+        |  FROM toks CROSS JOIN bits GROUP BY doc_id, b)
+        |SELECT doc_id, string_agg(CASE WHEN sgn > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+        |FROM contrib GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d4_ngram_jaccard" ->
+      """WITH g AS (SELECT doc_id, source,
+        |  list_distinct(list_transform(range(1, len(string_split(text,' '))),
+        |    i -> array_to_string(list_slice(string_split(text,' '), i, i+1), ' '))) AS ts
+        | FROM documents)
+        |SELECT a.doc_id AS da, b.doc_id AS db,
+        | len(list_intersect(a.ts,b.ts))::DOUBLE/(len(a.ts)+len(b.ts)-len(list_intersect(a.ts,b.ts))) AS jaccard
+        |FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE jaccard >= 0.1 ORDER BY da, db""".stripMargin,
+    "d5_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings)
+        |SELECT a.vec_id AS va, b.vec_id AS vb,
+        | list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]), (x,y) -> x+y) /
+        |  (sqrt(list_reduce(list_transform(a.v, x -> x*x), (x,y) -> x+y)) *
+        |   sqrt(list_reduce(list_transform(b.v, x -> x*x), (x,y) -> x+y))) AS cosine
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE cosine >= 0.3 ORDER BY va, vb""".stripMargin,
+    "s1_topk_bruteforce" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |scored AS (
+        | SELECT qid, vec_id,
+        |  list_reduce(list_transform(range(1, len(qv)+1), i -> qv[i]*v[i]), (x,y) -> x+y) /
+        |   (sqrt(list_reduce(list_transform(qv, x -> x*x), (x,y) -> x+y)) *
+        |    sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y))) AS cosine
+        | FROM q JOIN e ON qid <> vec_id),
+        |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank FROM scored)
+        |SELECT qid, rank, vec_id, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    "s2_topk_ivf" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e WHERE vec_id < 20),
+        |scored AS (
+        | SELECT qid, vec_id,
+        |  list_reduce(list_transform(range(1, len(qv)+1), i -> qv[i]*v[i]), (x,y) -> x+y) /
+        |   (sqrt(list_reduce(list_transform(qv, x -> x*x), (x,y) -> x+y)) *
+        |    sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y))) AS cosine
+        | FROM q JOIN e ON qlabel = label AND qid <> vec_id),
+        |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank FROM scored)
+        |SELECT qid, rank, vec_id, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    "t1_lang_id" ->
+      """WITH c AS (SELECT doc_id, lang,
+        |  len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('the','a','of','and','is'))) AS c_en,
+        |  len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('le','la','et','les','des'))) AS c_fr,
+        |  len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('der','die','und','das','ein'))) AS c_de,
+        |  len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('el','los','las','una','y'))) AS c_es
+        | FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN c_en >= 3 AND c_en = greatest(c_en,c_fr,c_de,c_es) THEN 'en'
+        |      WHEN c_fr >= 3 AND c_fr = greatest(c_en,c_fr,c_de,c_es) THEN 'fr'
+        |      WHEN c_de >= 3 AND c_de = greatest(c_en,c_fr,c_de,c_es) THEN 'de'
+        |      WHEN c_es >= 3 AND c_es = greatest(c_en,c_fr,c_de,c_es) THEN 'es'
+        |      ELSE 'unk' END AS predicted,
+        | lang,
+        | CAST(CASE WHEN (CASE WHEN c_en >= 3 AND c_en = greatest(c_en,c_fr,c_de,c_es) THEN 'en'
+        |      WHEN c_fr >= 3 AND c_fr = greatest(c_en,c_fr,c_de,c_es) THEN 'fr'
+        |      WHEN c_de >= 3 AND c_de = greatest(c_en,c_fr,c_de,c_es) THEN 'de'
+        |      WHEN c_es >= 3 AND c_es = greatest(c_en,c_fr,c_de,c_es) THEN 'es'
+        |      ELSE 'unk' END) = lang THEN 1 ELSE 0 END AS INT) AS is_match
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "t2_quality" ->
+      """WITH m AS (SELECT doc_id,
+        |  len(text)::DOUBLE AS n_chars,
+        |  len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS n_tokens,
+        |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE AS punct,
+        |  len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('the','a','of','and','is')))::DOUBLE AS stop
+        | FROM documents)
+        |SELECT doc_id, n_chars, n_tokens,
+        | (n_chars - n_tokens + 1.0) / n_tokens AS avg_word_len,
+        | punct / n_chars AS punct_ratio,
+        | stop / n_tokens AS stopword_ratio,
+        | (stop / n_tokens) * 2.0 +
+        |  (CASE WHEN (n_chars - n_tokens + 1.0) / n_tokens >= 3.0
+        |        AND (n_chars - n_tokens + 1.0) / n_tokens <= 8.0 THEN 0.5 ELSE 0.0 END) -
+        |  (punct / n_chars) * 3.0 AS quality_score
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+        | md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_md5,
+        | list_reduce(list_prepend('0', regexp_split_to_array(trim(text), '\s+')),
+        |   (h, tok) -> ((h::BIGINT * 131 + ascii(substr(tok,1,1))*31 + len(tok)) % 1000000007)::VARCHAR)::BIGINT AS rolling_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m1_binary_meta" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        | md5(text) AS content_md5,
+        | ascii(substr(text,1,1)) % 64 + 1 AS width,
+        | ascii(substr(text,2,1)) % 64 + 1 AS height,
+        | CAST(octet_length(encode(text)) // 1000 + 1 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora.
+  *
+  * Scale design: every op is a declarative plan — tokenize/explode,
+  * shuffle ONCE on the blocking key (band signature / source), then a
+  * co-partitioned self-join for verification. No driver-side loops; all
+  * hashing is md5 (codegen'd) so the same signatures are reproducible in
+  * any engine.
+  */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on content. One shuffle on md5(text). */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct-token set per doc (unigram shingles). */
+  private def tokenSets(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), array_distinct(split(col(textCol), " ")).as("ts"))
+
+  /** MinHash signatures: for each of `numHashes` seeds s, the minimum of
+    * md5(s + ":" + token) over the doc's token set — a bottom-1 MinHash
+    * per seeded hash family, reproducible across engines.
+    */
+  def minHashSignatures(docs: DataFrame, numHashes: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    tokenSets(docs, textCol, idCol)
+      .select(col("doc_id"), explode(col("ts")).as("tok"))
+      .withColumn("s", explode(sequence(lit(0), lit(numHashes - 1))))
+      .groupBy(col("doc_id"), col("s"))
+      .agg(min(md5(concat(col("s").cast("string"), lit(":"), col("tok")))).as("mh"))
+
+  /** LSH band signatures: group `rowsPerBand` consecutive minhashes and
+    * hash them into one band key. Docs sharing any band key are
+    * candidate near-duplicates.
+    */
+  def lshBands(sigs: DataFrame, rowsPerBand: Int): DataFrame =
+    sigs.groupBy(col("doc_id"), expr(s"s div $rowsPerBand").as("band"))
+      .agg(md5(array_join(
+        transform(array_sort(collect_list(struct(col("s"), col("mh")))), _.getField("mh")),
+        "")).as("bandsig"))
+
+  /** Full MinHash+LSH near-dup pipeline: shingle → minhash → band →
+    * bucket self-join → exact Jaccard verification at `threshold`.
+    * The self-join shuffles both sides on (band, bandsig) — co-located;
+    * verification joins token sets back on doc_id.
+    */
+  def minHashLsh(docs: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.9, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val bands = lshBands(minHashSignatures(docs, numHashes, textCol, idCol), rowsPerBand)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bandsig") === col("b.bandsig")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val tsets = tokenSets(docs, textCol, idCol)
+    verifyJaccard(cand, tsets, threshold)
+  }
+
+  /** Exact Jaccard over candidate pairs given per-doc token sets. */
+  def verifyJaccard(pairs: DataFrame, tokenSets: DataFrame, threshold: Double): DataFrame = {
+    val j = size(array_intersect(col("x.ts"), col("y.ts"))).cast("double") /
+      (size(col("x.ts")) + size(col("y.ts")) - size(array_intersect(col("x.ts"), col("y.ts"))))
+    pairs.join(tokenSets.as("x"), col("da") === col("x.doc_id"))
+      .join(tokenSets.as("y"), col("db") === col("y.doc_id"))
+      .select(col("da"), col("db"), j.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash fingerprint (bitsigns of per-bit hash-parity sums over the
+    * token set). `nBits` ≤ 32 — bit b is derived from the b-th hex digit
+    * of md5(token), so the fingerprint is engine-reproducible.
+    */
+  def simHash(docs: DataFrame, nBits: Int = 32,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    tokenSets(docs, textCol, idCol)
+      .select(col("doc_id"), explode(col("ts")).as("tok"))
+      .withColumn("b", explode(sequence(lit(1), lit(nBits))))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(when(expr("substr(md5(tok), b, 1)")
+        .isin("1", "3", "5", "7", "9", "b", "d", "f"), 1).otherwise(-1)).as("sgn"))
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("b"),
+          when(col("sgn") > 0, "1").otherwise("0").as("bit")))), _.getField("bit")),
+        "").as("simhash"))
+
+  /** N-gram Jaccard near-dup with blocking: pairs inside the same block
+    * (e.g. source) compared on word n-gram sets. Blocking bounds the
+    * quadratic term to per-block sizes — at 100 TB the block is the unit
+    * of shuffle, never the full corpus.
+    */
+  def ngramJaccard(docs: DataFrame, n: Int, blockCol: String, threshold: Double,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
+      array_distinct(transform(
+        sequence(lit(1), size(split(col(textCol), " ")) - (n - 1)),
+        i => concat_ws(" ", slice(split(col(textCol), " "), i, lit(n))))).as("ts"))
+    val j = size(array_intersect(col("x.ts"), col("y.ts"))).cast("double") /
+      (size(col("x.ts")) + size(col("y.ts")) - size(array_intersect(col("x.ts"), col("y.ts"))))
+    grams.as("x").join(grams.as("y"),
+        col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"), j.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: treat media payloads as opaque `binary`
+  * columns with typed metadata. The decode step is STUBBED (no image/
+  * audio codecs in this environment) with a deterministic fake — the
+  * Spark-side mechanics (schema, batching, partitioning) are real.
+  */
+object Multimodal {
+
+  /** Per-payload metadata via pure expressions: size, content hash, and a
+    * deterministic FAKE decode of (width, height, n_frames) from the
+    * first bytes — stands in for a real image/video header parse.
+    */
+  def binaryMetadata(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val b = col(binCol)
+    df.select(
+      col(idCol).as("doc_id"),
+      length(b).cast("long").as("byte_len"),
+      md5(b).as("content_md5"),
+      // STUB decode: width/height derived from leading byte values
+      (ascii(substring(b.cast("string"), 1, 1)) % 64 + 1).as("width"),
+      (ascii(substring(b.cast("string"), 2, 1)) % 64 + 1).as("height"),
+      (expr(s"cast(length($binCol) as bigint) div 1000") + 1L).as("n_frames"))
+  }
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("batch_size", IntegerType),
+    StructField("feat_dim", IntegerType),
+    StructField("feat_l1", LongType)))
+
+  /** Batched feature extraction over binary payloads — the Scala analog
+    * of `mapInPandas`: payloads are processed per-partition in fixed-size
+    * batches (the batch is where a real codec/model would amortize), and
+    * each row reports the batch shape it was processed in. The "feature"
+    * is a STUB: byte-histogram L1 mass over the first 256 bytes.
+    */
+  def batchFeatures(df: DataFrame, binCol: String, idCol: String, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(featureSchema)
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val bs = batch.size
+          batch.map { r =>
+            val id = r.getLong(0)
+            val bytes = r.getAs[Array[Byte]](1)
+            val head = bytes.take(256)
+            Row(id, bs, head.length, head.map(b => (b & 0xff).toLong).sum)
+          }
+        }
+      }(enc)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Cosine is computed as an explicit sequential left fold (`aggregate`
+  * over `zip_with`) in double precision — deterministic IEEE, identical
+  * in any engine that folds left-to-right, and fully codegen'd (no UDF).
+  */
+object Similarity {
+
+  /** array<float> → array<double>, exact element-wise widening. */
+  def toDoubleVec(c: Column): Column = transform(c, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k: every query vector against the full corpus.
+    * The query set is broadcast (small); the corpus side streams — one
+    * pass, no shuffle until the per-query top-k window.
+    */
+  def bruteForceTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val joined = queries.as("q").join(vectors.as("v"), col("q.qid") =!= col("v.vec_id"))
+      .select(col("q.qid"), col("v.vec_id"),
+        cosine(col("q.qv"), toDoubleVec(col("v.embedding"))).as("cosine"))
+    joined.withColumn("rank",
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF-style partitioned top-k: candidates restricted to the query's
+    * coarse partition (here: a precomputed cluster/label column). At
+    * scale this is the "probe one inverted list" path — the join key is
+    * the partition id, so each task only scans its own bucket.
+    */
+  def partitionedTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val joined = queries.as("q").join(vectors.as("v"),
+        col("q.qlabel") === col("v.label") && col("q.qid") =!= col("v.vec_id"))
+      .select(col("q.qid"), col("v.vec_id"),
+        cosine(col("q.qv"), toDoubleVec(col("v.embedding"))).as("cosine"))
+    joined.withColumn("rank",
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding near-duplicate pairs: same-partition blocking + cosine
+    * threshold. Quadratic only within a block.
+    */
+  def nearDupPairs(vectors: DataFrame, blockCol: String, threshold: Double): DataFrame = {
+    val e = vectors.select(col("vec_id"), col(blockCol).as("blk"),
+      toDoubleVec(col("embedding")).as("v"))
+    e.as("a").join(e.as("b"),
+        col("a.blk") === col("b.blk") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        cosine(col("a.v"), col("b.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

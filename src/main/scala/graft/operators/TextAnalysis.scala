@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting. All pure column
+  * expressions (codegen'd, no UDFs) over per-row data — embarrassingly
+  * parallel, no shuffle.
+  */
+object TextAnalysis {
+
+  private def tokens(textCol: Column): Column = split(trim(textCol), "\\s+")
+
+  /** Stopword-marker language ID: count marker tokens per language,
+    * argmax with a minimum-evidence floor. The marker lists are tiny
+    * n-gram/stopword heuristics (fastText-style signal, not a model).
+    */
+  val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "de" -> Seq("der", "die", "und", "das", "ein"),
+    "es" -> Seq("el", "los", "las", "una", "y"))
+
+  def markerCount(textCol: Column, words: Seq[String]): Column =
+    size(filter(tokens(textCol), t => words.map(w => t === w).reduce(_ || _)))
+
+  def languageId(textCol: Column, minEvidence: Int = 3): Column = {
+    val counts = Seq("en", "fr", "de", "es").map(l => (l, markerCount(textCol, markers(l))))
+    val best = greatest(counts.map(_._2): _*)
+    // argmax with deterministic tie-break: first language in declared order
+    counts.foldRight(lit("unk")) { case ((l, c), acc) =>
+      when(c >= minEvidence && c === best, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Quality metrics + a composite score. Per-row double arithmetic only
+    * (deterministic); aggregate consumers should use decimal sums.
+    */
+  def qualityMetrics(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val txt = col(textCol)
+    val nTok = size(tokens(txt)).cast("double")
+    val nChar = length(txt).cast("double")
+    val punct = size(regexp_extract_all(txt, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
+    val stop = markerCount(txt, markers("en")).cast("double")
+    docs.select(
+      col(idCol).as("doc_id"),
+      nChar.as("n_chars"),
+      nTok.as("n_tokens"),
+      ((nChar - nTok + lit(1.0)) / nTok).as("avg_word_len"),
+      (punct / nChar).as("punct_ratio"),
+      (stop / nTok).as("stopword_ratio"))
+      .withColumn("quality_score",
+        col("stopword_ratio") * 2.0 + when(col("avg_word_len") >= 3.0 && col("avg_word_len") <= 8.0, 0.5)
+          .otherwise(0.0) - col("punct_ratio") * 3.0)
+  }
+
+  /** Token counts: whitespace tokens and a BPE-ish regex segmentation
+    * (letter runs / digit runs / single non-alnum).
+    */
+  def tokenCounts(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      size(tokens(col(textCol))).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+        .cast("long").as("re_tokens"))
+
+  /** Document fingerprints: md5 of whitespace-normalized lowercase text,
+    * plus a polynomial rolling hash over (first-char, length) of each
+    * token — engine-reproducible integer math mod 1e9+7.
+    */
+  def fingerprints(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val norm = lower(regexp_replace(trim(col(textCol)), "\\s+", " "))
+    val roll = aggregate(
+      tokens(col(textCol)),
+      lit(0L),
+      (h, tok) => pmod(h * 131L + ascii(substring(tok, 1, 1)) * 31L + length(tok), lit(1000000007L)))
+    docs.select(col(idCol).as("doc_id"),
+      md5(norm).as("content_md5"),
+      roll.as("rolling_hash"))
+  }
+}
