@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{ErrorClassifier, ErrorFrame, ErrorHeaders}
+
+class ErrorFrameSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def captured = ErrorFrame.captureErrors(
+    Seq(("a", "1"), ("b", "zap"), ("c", "3")).toDF("id", "s"),
+    Map("v" -> expr("cast(s as int)")),
+    input = $"s")
+
+  test("values keeps successes with unwrapped result") {
+    val v = captured.values.orderBy($"id").collect()
+    assert(v.map(_.getString(0)).toSeq == Seq("a", "c"))
+    assert(v.map(_.getInt(2)).toSeq == Seq(1, 3))
+  }
+
+  test("errors keeps failures with error columns") {
+    val e = captured.errors.collect()
+    assert(e.length == 1)
+    assert(e.head.getAs[String]("id") == "b")
+    assert(e.head.getAs[String]("error_class") ==
+      "org.apache.spark.SparkNumberFormatException")
+  }
+
+  test("deadLetters matches the reference DeadLetter.avsc shape") {
+    val dl = captured.deadLetters("test pipeline")
+    assert(dl.schema.fieldNames.toSeq ==
+      Seq("input_value", "topic", "partition", "offset", "description", "cause",
+        "input_timestamp"))
+    val cause = dl.schema("cause").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(cause.fieldNames.toSeq == Seq("error_class", "message", "stack_trace"))
+    val r = dl.collect().head
+    assert(r.getAs[String]("input_value") == "zap")
+    assert(r.getAs[String]("description") == "test pipeline")
+  }
+
+  test("withErrorHeaders emits kafka-style headers with reference keys") {
+    val h = captured.withErrorHeaders("desc").select(explode($"headers").as("h"))
+      .select($"h.key", $"h.value".cast("string")).as[(String, String)].collect().toMap
+    assert(h.keySet == Set(ErrorHeaders.TOPIC, ErrorHeaders.PARTITION, ErrorHeaders.OFFSET,
+      ErrorHeaders.EXCEPTION_CLASS_NAME, ErrorHeaders.EXCEPTION_MESSAGE,
+      ErrorHeaders.EXCEPTION_STACK_TRACE, ErrorHeaders.DESCRIPTION))
+    assert(h(ErrorHeaders.EXCEPTION_CLASS_NAME) == "org.apache.spark.SparkNumberFormatException")
+    assert(h(ErrorHeaders.DESCRIPTION) == "desc")
+  }
+
+  test("filterRecoverable splits and can fail-fast on recoverable") {
+    val split = captured.filterRecoverable(ErrorClassifier.nothingIsRecoverable)
+    assert(split.deadLettered.count() == 1 && split.recoverable.count() == 0)
+
+    val allRecoverable = ErrorClassifier(Seq("org.apache.spark."), Set.empty)
+    assertThrows[IllegalStateException] {
+      captured.filterRecoverable(allRecoverable)
+    }
+    val s2 = captured.filterRecoverable(allRecoverable, failOnRecoverable = false)
+    assert(s2.recoverable.count() == 1 && s2.deadLettered.count() == 0)
+  }
+
+  test("recoverable carve-out: nonRecoverableClasses wins over prefix") {
+    val c = ErrorClassifier(Seq("org.apache.spark."),
+      Set("org.apache.spark.SparkNumberFormatException"))
+    assert(!c.isRecoverable("org.apache.spark.SparkNumberFormatException"))
+    assert(c.isRecoverable("org.apache.spark.SparkTimeoutException"))
+  }
+
+  test("describeErrors rethrows with input context") {
+    val ex = intercept[Exception] {
+      ErrorFrame.describeErrors(
+        Seq(("b", "zap")).toDF("id", "s"),
+        Map("v" -> expr("cast(s as int)")), input = $"s").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(m => m.contains("zap")))
+  }
+
+  test("valuesLoggingErrors drops failures") {
+    assert(captured.valuesLoggingErrors().count() == 2)
+  }
+}

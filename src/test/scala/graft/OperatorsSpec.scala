@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "s0"),
+    (1L, "the quick brown fox jumps over the lazy cat", "s0"),
+    (2L, "completely different words entirely here now", "s0"),
+    (3L, "the quick brown fox jumps over the lazy dog", "s1"))
+    .toDF("doc_id", "text", "source")
+
+  test("exact dedup collapses identical texts") {
+    val r = Dedup.exact(docs).collect()
+    assert(r.length == 3)
+    val dup = r.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("canonical_id") == 0L)
+  }
+
+  test("minhash LSH finds near-identical docs and not unrelated ones") {
+    val pairs = Dedup.minHashLsh(docs, numHashes = 16, rowsPerBand = 2, threshold = 0.5)
+      .select($"da", $"db").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L)))  // identical
+    assert(pairs.contains((0L, 1L)))  // one-token difference
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("simhash of identical docs is identical; differing docs differ") {
+    val fp = Dedup.simHash(docs).as[(Long, String)].collect().toMap
+    assert(fp(0L) == fp(3L))
+    assert(fp(0L).length == 32 && fp(0L).forall(c => c == '0' || c == '1'))
+    assert(fp(0L) != fp(2L))
+  }
+
+  test("ngram jaccard within block respects threshold and blocking") {
+    val pairs = Dedup.ngramJaccard(docs, n = 2, blockCol = "source", threshold = 0.5)
+      .select($"da", $"db").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 3L))) // different block despite identical text
+  }
+
+  test("cosine: identical vectors score 1.0, orthogonal 0.0") {
+    val df = Seq((1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f), 0)).toDF("vec_id", "embedding", "label")
+    val pairs = Similarity.nearDupPairs(df, "label", -1.0)
+      .as[(Long, Long, Double)].collect().map(r => ((r._1, r._2), r._3)).toMap
+    assert(math.abs(pairs((1L, 2L)) - 1.0) < 1e-12)
+    assert(math.abs(pairs((1L, 3L))) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by cosine desc") {
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val q = Seq((1L, Array(1.0, 0.0))).toDF("qid", "qv")
+    val top = Similarity.bruteForceTopK(vecs, q, 2)
+      .select($"rank", $"vec_id").as[(Int, Long)].collect().sorted
+    assert(top.toSeq == Seq((1, 2L), (2, 3L)))
+  }
+
+  test("language id picks marker-majority language with evidence floor") {
+    val df = Seq(
+      (1L, "the cat and the dog is a pet of the house"),
+      (2L, "le chat et la maison les arbres des fleurs"),
+      (3L, "xyzzy plugh")).toDF("doc_id", "text")
+    val out = df.select($"doc_id", TextAnalysis.languageId($"text").as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "en" && out(2L) == "fr" && out(3L) == "unk")
+  }
+
+  test("quality metrics compute deterministic per-row stats") {
+    val m = TextAnalysis.qualityMetrics(Seq((1L, "the cat sat!", "x"))
+      .toDF("doc_id", "text", "src")).collect().head
+    assert(m.getAs[Double]("n_tokens") == 3.0)
+    assert(m.getAs[Double]("n_chars") == 12.0)
+    assert(m.getAs[Double]("punct_ratio") > 0.0)
+  }
+
+  test("fingerprints: md5 invariant to whitespace/case normalization") {
+    val fp = TextAnalysis.fingerprints(Seq(
+      (1L, "Hello  World"), (2L, "hello world")).toDF("doc_id", "text"))
+      .select($"doc_id", $"content_md5").as[(Long, String)].collect().toMap
+    assert(fp(1L) == fp(2L))
+  }
+
+  test("multimodal metadata + batched features are deterministic") {
+    val withBin = docs.withColumn("payload", $"text".cast("binary"))
+    val meta = Multimodal.binaryMetadata(withBin, "payload", "doc_id").collect()
+    assert(meta.forall(r => r.getAs[Long]("byte_len") > 0))
+    assert(meta.forall(r => r.getAs[Int]("width") >= 1 && r.getAs[Int]("width") <= 64))
+    val feats = Multimodal.batchFeatures(withBin, "payload", "doc_id", batchSize = 2)
+      .collect()
+    assert(feats.length == 4)
+    assert(feats.forall(_.getAs[Int]("batch_size") <= 2))
+    assert(feats.forall(r => r.getAs[Long]("feat_l1") > 0))
+  }
+}

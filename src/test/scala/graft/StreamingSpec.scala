@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamErrorHandling
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("captureToDlq splits a stream into values and dead letters") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val tmp = Files.createTempDirectory("graft-stream").toString
+
+    val q = StreamErrorHandling.captureToDlq(
+      mem.toDF().withColumnRenamed("value", "s"),
+      Map("v" -> expr("cast(s as int)")),
+      input = col("s"),
+      description = "stream test",
+      valuesPath = s"$tmp/values",
+      dlqPath = s"$tmp/dlq",
+      checkpointPath = s"$tmp/ckpt")
+
+    mem.addData("1", "oops", "3")
+    q.processAllAvailable()
+    mem.addData("4", "bad")
+    q.processAllAvailable()
+    q.stop()
+
+    val values = spark.read.parquet(s"$tmp/values").select($"v").as[Int].collect().sorted
+    assert(values.toSeq == Seq(1, 3, 4))
+    val dlq = spark.read.parquet(s"$tmp/dlq")
+    assert(dlq.count() == 2)
+    assert(dlq.select($"description").distinct().as[String].collect().toSeq ==
+      Seq("stream test"))
+    assert(dlq.select($"cause.error_class").distinct().as[String].collect().head ==
+      "org.apache.spark.SparkNumberFormatException")
+  }
+
+  test("windowedCounts aggregates tumbling windows with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val counts = StreamErrorHandling.windowedCounts(
+      mem.toDF().toDF("ts", "kind"), "ts", "1 hour", "2 hours", "kind")
+
+    val q = counts.writeStream.format("memory").queryName("wc")
+      .outputMode("complete").start()
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
+    mem.addData((ts(0), "a"), (ts(0), "a"), (ts(1), "b"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wc").as[(String, String, Long)].collect().toSet
+    assert(rows == Set(("2024-01-01 00:00:00", "a", 2L), ("2024-01-01 01:00:00", "b", 1L)))
+  }
+
+  test("statefulCapture keeps per-key ok/failed counts across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val out = StreamErrorHandling.statefulCapture(mem.toDS(), v => v.toLong)
+
+    val q = out.writeStream.format("memory").queryName("sc")
+      .outputMode("append").start()
+    mem.addData(("k1", "10"), ("k1", "zap"), ("k2", "5"))
+    q.processAllAvailable()
+    mem.addData(("k1", "7"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("sc")
+      .as[StreamErrorHandling.StatefulOut].collect()
+    val k1Last = rows.filter(r => r.key == "k1" && r.value.contains(7L)).head
+    assert(k1Last.okSoFar == 2 && k1Last.failedSoFar == 1) // state survived batches
+    val failed = rows.filter(_.errorClass.isDefined)
+    assert(failed.length == 1 && failed.head.errorClass.get == "java.lang.NumberFormatException")
+  }
+}
