@@ -399,7 +399,7 @@ object SparkEntry {
   private def d2(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     operators.Dedup.minHashLsh(t(s, dir, "documents"), numHashes = 16, rowsPerBand = 4,
-      threshold = 0.9).orderBy($"da", $"db")
+      threshold = 0.5, shingleSize = 3).orderBy($"da", $"db")
   }
 
   private def d3(s: SparkSession, dir: String): DataFrame = {
@@ -725,8 +725,9 @@ object SparkEntry {
         |FROM (SELECT props, CAST(regexp_extract(props, '[0-9]+') AS INT) AS k FROM events)
         |WHERE k % 7 = 0 ORDER BY value""".stripMargin,
     "d2_minhash_lsh" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents),
+      """WITH sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |    i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' '))) AS ts FROM documents),
+        |toks AS (SELECT doc_id, unnest(ts) AS tok FROM sh),
         |seeds AS (SELECT unnest(range(16)) AS s),
         |sigs AS (
         |  SELECT doc_id, s, min(md5(s::VARCHAR || ':' || tok)) AS mh
@@ -736,13 +737,12 @@ object SparkEntry {
         |  FROM sigs GROUP BY doc_id, s // 4),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id),
-        |tsets AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS ts FROM documents)
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id)
         |SELECT da, db,
         |  len(list_intersect(x.ts, y.ts))::DOUBLE /
         |  (len(x.ts) + len(y.ts) - len(list_intersect(x.ts, y.ts))) AS jaccard
-        |FROM cand JOIN tsets x ON da = x.doc_id JOIN tsets y ON db = y.doc_id
-        |WHERE jaccard >= 0.9
+        |FROM cand JOIN sh x ON da = x.doc_id JOIN sh y ON db = y.doc_id
+        |WHERE jaccard >= 0.5
         |ORDER BY da, db""".stripMargin,
     "d3_simhash" ->
       """WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents),

@@ -18,17 +18,23 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct-token set per doc (unigram shingles). */
-  private def tokenSets(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"), array_distinct(split(col(textCol), " ")).as("ts"))
+  /** Distinct word-`n`-shingle set per doc (n=1 → unigram token set). */
+  def shingleSets(docs: DataFrame, n: Int, textCol: String, idCol: String): DataFrame =
+    if (n == 1)
+      docs.select(col(idCol).as("doc_id"), array_distinct(split(col(textCol), " ")).as("ts"))
+    else
+      docs.select(col(idCol).as("doc_id"),
+        array_distinct(transform(
+          sequence(lit(1), size(split(col(textCol), " ")) - (n - 1)),
+          i => concat_ws(" ", slice(split(col(textCol), " "), i, lit(n))))).as("ts"))
 
   /** MinHash signatures: for each of `numHashes` seeds s, the minimum of
-    * md5(s + ":" + token) over the doc's token set — a bottom-1 MinHash
-    * per seeded hash family, reproducible across engines.
+    * md5(s + ":" + shingle) over the doc's shingle set — a bottom-1
+    * MinHash per seeded hash family, reproducible across engines.
     */
-  def minHashSignatures(docs: DataFrame, numHashes: Int,
+  def minHashSignatures(docs: DataFrame, numHashes: Int, shingleSize: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    tokenSets(docs, textCol, idCol)
+    shingleSets(docs, shingleSize, textCol, idCol)
       .select(col("doc_id"), explode(col("ts")).as("tok"))
       .withColumn("s", explode(sequence(lit(0), lit(numHashes - 1))))
       .groupBy(col("doc_id"), col("s"))
@@ -50,24 +56,40 @@ object Dedup {
     * verification joins token sets back on doc_id.
     */
   def minHashLsh(docs: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 4,
-      threshold: Double = 0.9, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val bands = lshBands(minHashSignatures(docs, numHashes, textCol, idCol), rowsPerBand)
+      threshold: Double = 0.5, shingleSize: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val bands = lshBands(
+      minHashSignatures(docs, numHashes, shingleSize, textCol, idCol), rowsPerBand)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bandsig") === col("b.bandsig")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    val tsets = tokenSets(docs, textCol, idCol)
+    val tsets = shingleSets(docs, shingleSize, textCol, idCol)
     verifyJaccard(cand, tsets, threshold)
   }
 
-  /** Exact Jaccard over candidate pairs given per-doc token sets. */
+  /** Exact Jaccard over candidate pairs given per-doc token sets.
+    *
+    * Computed by a token-level join, not per-pair array intersection: the
+    * pair list is fanned out once per left-side token and matched against
+    * the right side on (doc, token), so intersection sizes come from a
+    * hash-aggregate — no quadratic re-scan of token arrays per pair, and
+    * every step is a shuffle-hash plan that survives 100× scale-up.
+    */
   def verifyJaccard(pairs: DataFrame, tokenSets: DataFrame, threshold: Double): DataFrame = {
-    val j = size(array_intersect(col("x.ts"), col("y.ts"))).cast("double") /
-      (size(col("x.ts")) + size(col("y.ts")) - size(array_intersect(col("x.ts"), col("y.ts"))))
-    pairs.join(tokenSets.as("x"), col("da") === col("x.doc_id"))
-      .join(tokenSets.as("y"), col("db") === col("y.doc_id"))
-      .select(col("da"), col("db"), j.as("jaccard"))
+    val toks = tokenSets.select(col("doc_id"), explode(col("ts")).as("tok"))
+    val sizes = tokenSets.select(col("doc_id"), size(col("ts")).as("n"))
+    val inter = pairs
+      .join(toks.as("ta"), col("da") === col("ta.doc_id"))
+      .join(toks.as("tb"), col("db") === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"),
+        (col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -77,7 +99,7 @@ object Dedup {
     */
   def simHash(docs: DataFrame, nBits: Int = 32,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    tokenSets(docs, textCol, idCol)
+    shingleSets(docs, 1, textCol, idCol)
       .select(col("doc_id"), explode(col("ts")).as("tok"))
       .withColumn("b", explode(sequence(lit(1), lit(nBits))))
       .groupBy(col("doc_id"), col("b"))
@@ -100,11 +122,20 @@ object Dedup {
       array_distinct(transform(
         sequence(lit(1), size(split(col(textCol), " ")) - (n - 1)),
         i => concat_ws(" ", slice(split(col(textCol), " "), i, lit(n))))).as("ts"))
-    val j = size(array_intersect(col("x.ts"), col("y.ts"))).cast("double") /
-      (size(col("x.ts")) + size(col("y.ts")) - size(array_intersect(col("x.ts"), col("y.ts"))))
-    grams.as("x").join(grams.as("y"),
-        col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"), j.as("jaccard"))
+    // token-join formulation (see verifyJaccard): one shuffle on
+    // (block, gram), pair counts from hash aggregation.
+    val toks = grams.select(col("doc_id"), col("blk"), explode(col("ts")).as("tok"))
+    val sizes = grams.select(col("doc_id"), size(col("ts")).as("n"))
+    val inter = toks.as("ta").join(toks.as("tb"),
+        col("ta.blk") === col("tb.blk") && col("ta.tok") === col("tb.tok")
+          && col("ta.doc_id") < col("tb.doc_id"))
+      .groupBy(col("ta.doc_id").as("da"), col("tb.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"),
+        (col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

@@ -27,9 +27,13 @@ object Similarity {
     * pass, no shuffle until the per-query top-k window.
     */
   def bruteForceTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val joined = queries.as("q").join(vectors.as("v"), col("q.qid") =!= col("v.vec_id"))
+    // norms computed once per vector/query, not once per pair
+    val v = vectors.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("vn", norm(col("v")))
+    val q = queries.select(col("qid"), col("qv")).withColumn("qn", norm(col("qv")))
+    val joined = q.as("q").join(v.as("v"), col("q.qid") =!= col("v.vec_id"))
       .select(col("q.qid"), col("v.vec_id"),
-        cosine(col("q.qv"), toDoubleVec(col("v.embedding"))).as("cosine"))
+        (dot(col("q.qv"), col("v.v")) / (col("q.qn") * col("v.vn"))).as("cosine"))
     joined.withColumn("rank",
         row_number().over(Window.partitionBy(col("qid"))
           .orderBy(col("cosine").desc, col("vec_id").asc)))
@@ -42,10 +46,14 @@ object Similarity {
     * the partition id, so each task only scans its own bucket.
     */
   def partitionedTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val joined = queries.as("q").join(vectors.as("v"),
+    val v = vectors.select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("vn", norm(col("v")))
+    val q = queries.select(col("qid"), col("qlabel"), col("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val joined = q.as("q").join(v.as("v"),
         col("q.qlabel") === col("v.label") && col("q.qid") =!= col("v.vec_id"))
       .select(col("q.qid"), col("v.vec_id"),
-        cosine(col("q.qv"), toDoubleVec(col("v.embedding"))).as("cosine"))
+        (dot(col("q.qv"), col("v.v")) / (col("q.qn") * col("v.vn"))).as("cosine"))
     joined.withColumn("rank",
         row_number().over(Window.partitionBy(col("qid"))
           .orderBy(col("cosine").desc, col("vec_id").asc)))
@@ -58,10 +66,11 @@ object Similarity {
   def nearDupPairs(vectors: DataFrame, blockCol: String, threshold: Double): DataFrame = {
     val e = vectors.select(col("vec_id"), col(blockCol).as("blk"),
       toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
     e.as("a").join(e.as("b"),
         col("a.blk") === col("b.blk") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-        cosine(col("a.v"), col("b.v")).as("cosine"))
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }
