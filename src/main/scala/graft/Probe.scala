@@ -18,7 +18,12 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     println("ENTRY_ROWS=" + SparkEntry.entry(spark).count())
-    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val dir = if (args.nonEmpty && !args(0).startsWith("explain:")) args(0)
+      else "/root/testdata/sf0.001"
+    args.filter(_.startsWith("explain:")).map(_.stripPrefix("explain:")).foreach { q =>
+      println(s"==== EXPLAIN $q")
+      SparkEntry.queries(q)(spark, dir).explain("formatted")
+    }
     val e2 = SparkEntry.queries("e2_capture_values")(spark, dir)
     println("E2_CODEGEN_ONLY_ROWS=" + e2.count())
     SparkEntry.queries("e4_dead_letters")(spark, dir).show(3, 60, vertical = false)

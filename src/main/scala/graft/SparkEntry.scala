@@ -119,6 +119,30 @@ object SparkEntry {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  private def q8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", year($"o_orderdate".cast("date")).as("yr"))
+      .agg(sum($"o_totalprice".cast(DEC)).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"r_name", $"yr")
+  }
+
+  private def q10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem").filter($"l_returnflag" === "R")
+      .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_custkey", $"c_name")
+      .agg(sum(($"l_extendedprice".cast(DEC) * (lit(1).cast(DEC) - $"l_discount".cast(DEC))))
+        .cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey".asc)
+      .limit(20)
+  }
+
   private def q11(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "orders")
@@ -482,6 +506,8 @@ object SparkEntry {
     "q5_join5" -> (q5 _),
     "q6_filter_agg" -> (q6 _),
     "q7_window_running" -> (q7 _),
+    "q8_region_yearly" -> (q8 _),
+    "q10_returned_customers" -> (q10 _),
     "q11_distinct_agg" -> (q11 _),
     "q12_shipmode_case" -> (q12 _),
     "q13_cust_dist" -> (q13 _),
@@ -595,6 +621,22 @@ object SparkEntry {
         |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q8_region_yearly" ->
+      """SELECT r_name, CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS INT) AS yr,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, yr ORDER BY r_name, yr""".stripMargin,
+    "q10_returned_customers" ->
+      """SELECT c_custkey, c_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
     "q11_distinct_agg" ->
       """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
