@@ -21,14 +21,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val selected =
+      if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
+      else SparkEntry.queries
+
     // JVM/codegen warmup on the smallest SF so per-query numbers measure
     // the plan, not JIT compilation.
-    SparkEntry.queries.values.foreach { fn =>
+    selected.values.foreach { fn =>
       try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case t: Throwable => System.err.println(s"[bench] $name failed: $t") }

@@ -60,10 +60,19 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val bands = lshBands(
       minHashSignatures(docs, numHashes, shingleSize, textCol, idCol), rowsPerBand)
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bandsig") === col("b.bandsig")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    // candidates via bucket grouping, not a self-join: one shuffle on
+    // (band, bandsig), pairs emitted inside each bucket — the signature
+    // pipeline runs ONCE (a self-join would compute it per side).
+    // Bucket sizes are the LSH skew unit; with proper shingling they stay
+    // small, and a giant bucket means the banding is mistuned.
+    val buckets = bands.groupBy(col("band"), col("bandsig"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val cand = buckets.select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS da, y AS db))))"))
+        .as("p"))
+      .select(col("p.da"), col("p.db"))
       .distinct()
     val tsets = shingleSets(docs, shingleSize, textCol, idCol)
     verifyJaccard(cand, tsets, threshold)
