@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for large joins.
+  *
+  * AQE's skew-join handles most cases at runtime; explicit salting is
+  * the deterministic fallback when one join key dominates (the classic
+  * hot-key problem at 100 TB: one user/document id owning a double-digit
+  * percentage of rows).
+  */
+object Skew {
+
+  /** Salted equi-join: the skewed (large) side gets a random-but-
+    * deterministic salt derived from a row fingerprint; the small side is
+    * replicated across all salt values. Key cardinality × `salts`
+    * partitions — hot keys split `salts` ways.
+    */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, key: String, salts: Int,
+      joinType: String = "inner"): DataFrame = {
+    val saltedLeft = skewed.withColumn("__salt",
+      pmod(hash(skewed.columns.map(col).toSeq: _*), lit(salts)))
+    val replicatedRight = other.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedLeft.join(replicatedRight,
+        saltedLeft("__salt") === replicatedRight("__salt")
+          && saltedLeft(key) === replicatedRight(key),
+        joinType)
+      .drop("__salt")
+  }
+
+  /** Key-frequency profile: the top-n heaviest join keys with their row
+    * share — the diagnostic that decides between AQE and salting.
+    */
+  def keyProfile(df: DataFrame, key: String, topN: Int = 20): DataFrame = {
+    val total = df.count().toDouble
+    df.groupBy(col(key)).agg(count(lit(1)).as("rows"))
+      .withColumn("share", col("rows") / total)
+      .orderBy(col("rows").desc)
+      .limit(topN)
+  }
+}

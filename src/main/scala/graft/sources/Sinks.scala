@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.ErrorFrame
+
+/** Sinks and source-side helpers.
+  *
+  * The reference's "sinks" are Kafka topics (`mapped.to(OUTPUT_TOPIC)`,
+  * `deadLetters.to(ERROR_TOPIC)` — README.md). The Spark analogs here:
+  *  - Kafka-sink-shaped frames (key/value/headers contract of the Spark
+  *    Kafka writer) so the same frame can go to a real Kafka sink
+  *    unchanged;
+  *  - date/class-partitioned parquet DLQ storage, the batch-queryable
+  *    dead-letter "topic": partition pruning makes "errors of class X on
+  *    day D" a metadata-only scan at 100 TB.
+  */
+object Sinks {
+
+  /** Shape a values/dead-letter frame into the Kafka writer contract:
+    * `key: binary, value: binary, headers: array<struct<key,value>>`.
+    */
+  def toKafkaRecords(df: DataFrame, keyCol: Column, valueCol: Column,
+      headersCol: Option[Column] = None): DataFrame = {
+    val base = df.select(
+      keyCol.cast("string").cast("binary").as("key"),
+      valueCol.cast("string").cast("binary").as("value"))
+    headersCol.fold(base)(h => df.select(
+      keyCol.cast("string").cast("binary").as("key"),
+      valueCol.cast("string").cast("binary").as("value"),
+      h.as("headers")))
+  }
+
+  /** Write dead letters partitioned by ingest date and error class —
+    * the layout that keeps DLQ triage queries partition-pruned.
+    */
+  def writeDeadLetters(deadLetters: DataFrame, path: String): Unit =
+    deadLetters
+      .withColumn("dlq_date", coalesce(to_date(col("input_timestamp")), lit("1970-01-01").cast("date")))
+      .withColumn("error_class", coalesce(col("cause.error_class"), lit("unknown")))
+      .write
+      .partitionBy("dlq_date", "error_class")
+      .mode("append")
+      .parquet(path)
+
+  /** Read a partitioned DLQ back (partition filters prune on
+    * dlq_date/error_class).
+    */
+  def readDeadLetters(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Reprocess dead letters: re-run a fixed transform over the DLQ's
+    * `input_value` and split again — the retry half of the DLQ lifecycle
+    * (in the reference this is "replay the error topic through the fixed
+    * topology"). Returns the recovered values and the still-failing
+    * letters (with the new error).
+    */
+  def reprocess(deadLetters: DataFrame, retry: Column, description: String): ErrorFrame =
+    ErrorFrame.captureErrors(
+      deadLetters.select(col("input_value")),
+      Map("retried" -> retry),
+      input = col("input_value"))
+}

@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.core.ErrorFrame
+import graft.operators.Skew
+import graft.sources.Sinks
+
+class SinksAndSkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("toKafkaRecords matches the Kafka sink contract") {
+    val df = Seq(("k1", "v1")).toDF("k", "v")
+    val rec = Sinks.toKafkaRecords(df, col("k"), col("v"))
+    assert(rec.schema("key").dataType.typeName == "binary")
+    assert(rec.schema("value").dataType.typeName == "binary")
+    val r = rec.as[(Array[Byte], Array[Byte])].collect().head
+    assert(new String(r._1) == "k1" && new String(r._2) == "v1")
+  }
+
+  test("partitioned DLQ write/read round-trips with pruneable layout") {
+    val tmp = Files.createTempDirectory("graft-dlq").toString
+    val dl = ErrorFrame.captureErrors(
+      Seq(("a", "1"), ("b", "x"), ("c", "y")).toDF("id", "s"),
+      Map("v" -> expr("cast(s as int)")), input = $"s")
+      .deadLetters("sink test")
+    Sinks.writeDeadLetters(dl, tmp)
+    val back = Sinks.readDeadLetters(spark, tmp)
+    assert(back.count() == 2)
+    // partition columns materialized for pruning
+    assert(back.columns.contains("dlq_date") && back.columns.contains("error_class"))
+    val pruned = back.filter($"error_class" === "org.apache.spark.SparkNumberFormatException")
+    assert(pruned.count() == 2)
+  }
+
+  test("reprocess recovers fixable dead letters and keeps the rest") {
+    val dl = ErrorFrame.captureErrors(
+      Seq("10", "x7", "zz").toDS().toDF("s"),
+      Map("v" -> expr("cast(s as int)")), input = $"s")
+      .deadLetters("first pass")   // x7, zz fail
+    // fixed parser strips a leading 'x' before casting
+    val retried = Sinks.reprocess(dl,
+      expr("cast(regexp_replace(input_value, '^x', '') as int)"), "retry pass")
+    assert(retried.values.select($"retried").as[Int].collect().toSeq == Seq(7))
+    assert(retried.errors.count() == 1) // zz still poisoned
+  }
+
+  test("saltedJoin equals the plain join on skewed data") {
+    val skewed = (1 to 1000).map(i => (if (i % 10 == 0) "cold" + i else "hot", i))
+      .toDF("k", "n")
+    val dimDf = Seq(("hot", "H"), ("cold10", "C")).toDF("k", "label")
+    val plain = skewed.join(dimDf, "k").select($"k", $"n", $"label")
+    val salted = Skew.saltedJoin(skewed, dimDf, "k", salts = 8)
+      .select(skewed("k"), $"n", $"label")
+    assert(salted.count() == plain.count())
+    assert(salted.as[(String, Int, String)].collect().toSet ==
+      plain.as[(String, Int, String)].collect().toSet)
+  }
+
+  test("keyProfile surfaces the hot key") {
+    val skewed = (1 to 100).map(i => (if (i % 10 == 0) "k" + i else "hot", i)).toDF("k", "n")
+    val top = Skew.keyProfile(skewed, "k", 1).collect().head
+    assert(top.getString(0) == "hot" && top.getAs[Double]("share") == 0.9)
+  }
+}
