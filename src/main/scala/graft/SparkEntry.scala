@@ -496,6 +496,35 @@ object SparkEntry {
       .orderBy($"doc_id")
   }
 
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // one order per (custkey, orderdate) — deterministic as-of matches
+    val r = t(s, dir, "orders")
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max($"o_orderkey").as("o_orderkey"),
+        max_by($"o_totalprice", $"o_orderkey").as("o_totalprice"))
+    val purchases = t(s, dir, "events")
+      .filter($"event_type" === "purchase")
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+    operators.AsOf.join(purchases, r,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = $"ets", rightTime = $"o_orderdate",
+        rightTieBreak = $"o_orderkey")
+      .select($"event_id", $"__match.o_orderkey".as("o_orderkey"),
+        $"__match.o_totalprice".as("o_totalprice"))
+      .orderBy($"event_id")
+  }
+
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -521,6 +550,8 @@ object SparkEntry {
     "q21_event_pivot" -> (q21 _),
     "q22_phone_anti" -> (q22 _),
     "q23_union" -> (q23 _),
+    "q24_asof_join" -> (q24 _),
+    "q25_quantiles" -> (q25 _),
     "e1_capture_map" -> (e1 _),
     "e2_capture_values" -> (e2 _),
     "e3_capture_flatmap" -> (e3 _),
@@ -725,6 +756,22 @@ object SparkEntry {
         | SELECT c_nationkey AS nk FROM customer
         | UNION
         | SELECT s_nationkey FROM supplier) t ORDER BY nk""".stripMargin,
+    "q24_asof_join" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+        |         max_by(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, r.o_orderkey, r.o_totalprice
+        |FROM events e
+        |ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        |WHERE e.event_type = 'purchase'
+        |ORDER BY e.event_id""".stripMargin,
+    "q25_quantiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_extendedprice, 0.5) AS p50,
+        | quantile_cont(l_extendedprice, 0.95) AS p95,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "e1_capture_map" ->
       """SELECT doc_id, doc_id % 10 AS newkey,
         | CAST(n_chars // (doc_id % 13) AS BIGINT) AS ratio
@@ -885,6 +932,12 @@ object SparkEntry {
         | ascii(substr(text,1,1)) % 64 + 1 AS width,
         | ascii(substr(text,2,1)) % 64 + 1 AS height,
         | CAST(octet_length(encode(text)) // 1000 + 1 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m2_batch_features" ->
+      """SELECT doc_id,
+        | CAST(LEAST(octet_length(encode(text)), 256) AS INT) AS feat_dim,
+        | CAST(list_sum(list_transform(range(1, LEAST(octet_length(encode(text)), 256) + 1),
+        |   i -> ascii(substr(text, i, 1)))) AS BIGINT) AS feat_l1
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }
