@@ -31,24 +31,29 @@ object Dedup {
   /** MinHash signatures: for each of `numHashes` seeds s, the minimum of
     * md5(s + ":" + shingle) over the doc's shingle set — a bottom-1
     * MinHash per seeded hash family, reproducible across engines.
+    *
+    * Computed by the native [[graft.functions.MinHashSig]] expression in
+    * one per-row pass: no token explode, no (doc, seed) shuffle — the
+    * signature stage is scan-bound at any scale.
     */
   def minHashSignatures(docs: DataFrame, numHashes: Int, shingleSize: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     shingleSets(docs, shingleSize, textCol, idCol)
-      .select(col("doc_id"), explode(col("ts")).as("tok"))
-      .withColumn("s", explode(sequence(lit(0), lit(numHashes - 1))))
-      .groupBy(col("doc_id"), col("s"))
-      .agg(min(md5(concat(col("s").cast("string"), lit(":"), col("tok")))).as("mh"))
+      .select(col("doc_id"),
+        graft.functions.MinHashSig(col("ts"), numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
 
-  /** LSH band signatures: group `rowsPerBand` consecutive minhashes and
-    * hash them into one band key. Docs sharing any band key are
+  /** LSH band signatures: hash `rowsPerBand` consecutive minhashes into
+    * one band key (numBands rows per doc). Docs sharing any band key are
     * candidate near-duplicates.
     */
   def lshBands(sigs: DataFrame, rowsPerBand: Int): DataFrame =
-    sigs.groupBy(col("doc_id"), expr(s"s div $rowsPerBand").as("band"))
-      .agg(md5(array_join(
-        transform(array_sort(collect_list(struct(col("s"), col("mh")))), _.getField("mh")),
-        "")).as("bandsig"))
+    sigs.select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, size(sig) div $rowsPerBand - 1),
+             |  b -> md5(array_join(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), '')))"""
+            .stripMargin)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bandsig"))
 
   /** Full MinHash+LSH near-dup pipeline: shingle → minhash → band →
     * bucket self-join → exact Jaccard verification at `threshold`.

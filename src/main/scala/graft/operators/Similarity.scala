@@ -15,10 +15,12 @@ object Similarity {
   /** array<float> → array<double>, exact element-wise widening. */
   def toDoubleVec(c: Column): Column = transform(c, _.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+  /** Codegen'd loop (graft.functions.VectorDot) — bit-identical to the
+    * sequential `aggregate(zip_with(...))` fold it replaces.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorDot(a, b)
 
-  def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  def norm(a: Column): Column = sqrt(graft.functions.VectorDot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
