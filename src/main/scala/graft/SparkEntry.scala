@@ -379,7 +379,8 @@ object SparkEntry {
       ev,
       Map("res" -> expr(
         "case when k % 11 = 0 then cast(concat('x', k) as int) else 100 div (k % 7) end")),
-      input = $"props")
+      input = $"props",
+      stackTraces = false) // classification reads only error_class
     val split = cap.filterRecoverable(
       core.ErrorClassifier(Seq("org.apache.spark.SparkArithmetic"), Set.empty),
       failOnRecoverable = false)

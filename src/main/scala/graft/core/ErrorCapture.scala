@@ -57,6 +57,13 @@ object ErrorCapture {
     new Captured[O](ds.mapPartitions(_.map(i => capture[I, O](i, f, (x: I) => String.valueOf(x)))))
   }
 
+  /** captureErrors(mapper with key) — ErrorCapturingValueMapperWithKey /
+    * ErrorCapturingKeyValueMapper: the key rides along and is available
+    * to the function.
+    */
+  def mapWithKey[K, V, O: TypeTag](ds: Dataset[(K, V)])(f: (K, V) => O): Captured[O] =
+    map(ds)(t => f(t._1, t._2))
+
   /** captureErrors(flat mapper) — 0..n outputs per input
     * (ErrorCapturingFlatValueMapper.java). A failure inside the returned
     * iterator is captured too (the reference materializes the iterable

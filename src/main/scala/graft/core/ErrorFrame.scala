@@ -150,9 +150,13 @@ object ErrorFrame {
     * (ErrorUtil.toString analog); defaults to a JSON rendering of the
     * whole input row.
     */
-  def captureErrors(df: DataFrame, results: Map[String, Column], input: Column): ErrorFrame = {
+  /** `stackTraces = false` skips stack-trace rendering per error — use
+    * when downstream only consumes class/message (cheaper hot path).
+    */
+  def captureErrors(df: DataFrame, results: Map[String, Column], input: Column,
+      stackTraces: Boolean = true): ErrorFrame = {
     val withCaptured = results.foldLeft(df) { case (d, (name, c)) =>
-      d.withColumn(capturedCol(name), TryCapture(c))
+      d.withColumn(capturedCol(name), TryCapture(c, stackTraces))
     }
     ErrorFrame(withCaptured, results.keys.toSeq, input)
   }

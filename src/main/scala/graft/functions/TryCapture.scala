@@ -21,7 +21,8 @@ import graft.core.{model, GraftErrors}
   * ErrorCapturingValueMapper.java:~63 (captureErrors) re-expressed as a
   * codegen'd expression so the happy path stays inside WholeStageCodegen.
   */
-case class TryCapture(child: Expression) extends UnaryExpression {
+case class TryCapture(child: Expression, withStackTrace: Boolean = true)
+    extends UnaryExpression {
 
   override def dataType: DataType = model.capturedStructType(child.dataType)
 
@@ -43,7 +44,8 @@ case class TryCapture(child: Expression) extends UnaryExpression {
           null,
           UTF8String.fromString(t.getClass.getName),
           Option(t.getMessage).map(UTF8String.fromString).orNull,
-          UTF8String.fromString(GraftErrors.stackTraceString(t))))
+          if (withStackTrace) UTF8String.fromString(GraftErrors.stackTraceString(t))
+          else null))
     }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -63,7 +65,7 @@ case class TryCapture(child: Expression) extends UnaryExpression {
           if ($errors.isFatal($t)) throw $errors.rethrow($t);
           $fields[1] = $utf8.fromString($t.getClass().getName());
           $fields[2] = $t.getMessage() == null ? null : $utf8.fromString($t.getMessage());
-          $fields[3] = $utf8.fromString($errors.stackTraceString($t));
+          $fields[3] = $withStackTrace ? $utf8.fromString($errors.stackTraceString($t)) : null;
         }
         final InternalRow ${ev.value} = new $rowClass($fields);
       """
@@ -77,7 +79,11 @@ case class TryCapture(child: Expression) extends UnaryExpression {
 object TryCapture {
   /** Column-level entry point: `tryCapture(expr)` →
     * `struct<value, error_class, error_message, stack_trace>`.
+    * `withStackTrace = false` skips stack-trace string rendering — the
+    * dominant per-error cost when downstream only reads class/message.
     */
-  def apply(c: Column): Column =
-    ColumnBridge.column(TryCapture(ColumnBridge.expression(c)))
+  def apply(c: Column): Column = apply(c, withStackTrace = true)
+
+  def apply(c: Column, withStackTrace: Boolean): Column =
+    ColumnBridge.column(TryCapture(ColumnBridge.expression(c), withStackTrace))
 }

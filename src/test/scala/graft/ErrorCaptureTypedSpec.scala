@@ -31,6 +31,14 @@ class ErrorCaptureTypedSpec extends SparkSpec {
     assert(dl.head.input_value.contains("x9"))
   }
 
+  test("mapWithKey exposes the key to the mapper") {
+    val cap = ErrorCapture.mapWithKey(Seq((10, "1"), (20, "x2")).toDS()) {
+      (k, v) => k + ErrorCaptureTypedSpec.parse(v)
+    }
+    assert(cap.values.collect().toSeq == Seq(11))
+    assert(cap.errors.collect().head.input.contains("(20,x2)"))
+  }
+
   test("flatMap captures failures of the whole expansion") {
     val cap = ErrorCapture.flatMap(Seq("2", "x1").toDS())(s => Seq.fill(parse(s))(s))
     assert(cap.values.collect().toSeq == Seq("2", "2"))

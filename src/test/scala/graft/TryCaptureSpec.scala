@@ -40,6 +40,29 @@ class TryCaptureSpec extends SparkSpec {
       viaFilterEval.map(r => (Option(r.get(0)), Option(r.get(1)))).toSeq)
   }
 
+  test("direct interpreted eval matches DataFrame (codegen) results") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.types.IntegerType
+    // interpreted path: eval() directly, no codegen involved
+    val ok = TryCapture(Cast(Literal("7"), IntegerType, ansiEnabled = true))
+      .eval(InternalRow.empty).asInstanceOf[InternalRow]
+    assert(ok.getInt(0) == 7 && ok.isNullAt(1))
+    val bad = TryCapture(Cast(Literal("nope"), IntegerType, ansiEnabled = true))
+      .eval(InternalRow.empty).asInstanceOf[InternalRow]
+    assert(bad.isNullAt(0))
+    assert(bad.getUTF8String(1).toString == "org.apache.spark.SparkNumberFormatException")
+    assert(bad.getUTF8String(3).toString.contains("at "))
+  }
+
+  test("withStackTrace=false leaves stack_trace null but keeps class/message") {
+    val df = Seq("boom").toDF("s")
+      .select(TryCapture(expr("cast(s as int)"), withStackTrace = false).as("c"))
+      .select($"c.error_class", $"c.stack_trace").collect().head
+    assert(df.getString(0) == "org.apache.spark.SparkNumberFormatException")
+    assert(df.isNullAt(1))
+  }
+
   test("null input propagates as null value, not error") {
     val df = Seq(Some("3"), None).toDF("s")
       .select(TryCapture(expr("cast(s as int)")).as("c"))
