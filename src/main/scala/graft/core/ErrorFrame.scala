@@ -99,18 +99,26 @@ final case class ErrorFrame private (
     * (`array<struct<key,value:binary>>`) under the reference's
     * `__streams.errors.*` keys (ErrorHeaderProcessor.java).
     */
-  def withErrorHeaders(description: String): DataFrame = {
+  /** `withTaskContext = true` adds the FilteringProcessingExceptionHandler
+    * headers (task/processor-node ids) using the Spark analogs: the
+    * partition id and stage context on the executor.
+    */
+  def withErrorHeaders(description: String, withTaskContext: Boolean = false): DataFrame = {
     def h(key: String, value: Column) =
       struct(lit(key).as("key"), value.cast("binary").as("value"))
     val kept = df.columns.filterNot(_.startsWith(CAPTURE_PREFIX)).map(col).toSeq
-    df.filter(anyError).select(kept :+ array(
+    val base = Seq(
       h(ErrorHeaders.TOPIC, lit(null).cast("string")),
       h(ErrorHeaders.PARTITION, lit(null).cast("string")),
       h(ErrorHeaders.OFFSET, lit(null).cast("string")),
       h(ErrorHeaders.EXCEPTION_CLASS_NAME, firstError(ERROR_CLASS)),
       h(ErrorHeaders.EXCEPTION_MESSAGE, firstError(ERROR_MESSAGE)),
       h(ErrorHeaders.EXCEPTION_STACK_TRACE, firstError(STACK_TRACE)),
-      h(ErrorHeaders.DESCRIPTION, lit(description))).as("headers"): _*)
+      h(ErrorHeaders.DESCRIPTION, lit(description)))
+    val ctx = if (withTaskContext) Seq(
+      h(ErrorHeaders.TASK_ID, spark_partition_id().cast("string")),
+      h(ErrorHeaders.PROCESSOR_NODE_ID, lit(description))) else Nil
+    df.filter(anyError).select(kept :+ array(base ++ ctx: _*).as("headers"): _*)
   }
 
   /** Recoverability split (ErrorUtil.isRecoverable + ErrorFilter +
@@ -192,6 +200,9 @@ object ErrorHeaders {
   val EXCEPTION_CLASS_NAME = EXCEPTION_PREFIX + "class.name"
   val EXCEPTION_MESSAGE = EXCEPTION_PREFIX + "message"
   val EXCEPTION_STACK_TRACE = EXCEPTION_PREFIX + "stack_trace"
+  // FilteringProcessingExceptionHandler.java DLQ-record headers
+  val PROCESSOR_NODE_ID = HEADER_PREFIX + "processor.node.id"
+  val TASK_ID = HEADER_PREFIX + "task.id"
 }
 
 /** Recoverability classification (ErrorUtil.isRecoverable,

@@ -61,6 +61,30 @@ object StreamErrorHandling {
       .select(col("window.start").cast("string").as("window_start"), col(keyCol),
         col("n"))
 
+  /** Streaming exact dedup: first-seen record per id wins, duplicates
+    * dropped within the watermark horizon (state is bounded by the
+    * watermark — the streaming twin of Dedup.exact).
+    */
+  def dedupStreaming(stream: DataFrame, idCol: String, tsCol: String,
+      watermarkDelay: String): DataFrame =
+    stream.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates(idCol, tsCol)
+
+  /** Stream-stream inner join within a time bound: right rows match left
+    * rows at most `window` older — state on both sides is pruned by the
+    * watermarks, the streaming analog of the as-of/interval join.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      watermarkDelay: String, window: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r, col(leftKey) === col(rightKey)
+      && col(rightTs) <= col(leftTs)
+      && col(rightTs) >= col(leftTs) - expr(s"INTERVAL $window"))
+  }
+
   /** Per-key stateful processing with error capture — the analog of
     * ErrorCapturingProcessor/ValueProcessor (stateful `Processor`s with a
     * state store): tracks a running per-key count of processed and failed

@@ -48,6 +48,12 @@ class ErrorFrameSpec extends SparkSpec {
     assert(h(ErrorHeaders.DESCRIPTION) == "desc")
   }
 
+  test("withTaskContext adds exception-handler task/node headers") {
+    val h = captured.withErrorHeaders("desc", withTaskContext = true)
+      .select(explode($"headers").as("h")).select($"h.key").as[String].collect().toSet
+    assert(h.contains(ErrorHeaders.TASK_ID) && h.contains(ErrorHeaders.PROCESSOR_NODE_ID))
+  }
+
   test("filterRecoverable splits and can fail-fast on recoverable") {
     val split = captured.filterRecoverable(ErrorClassifier.nothingIsRecoverable)
     assert(split.deadLettered.count() == 1 && split.recoverable.count() == 0)

@@ -56,6 +56,39 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set(("2024-01-01 00:00:00", "a", 2L), ("2024-01-01 01:00:00", "b", 1L)))
   }
 
+  test("dedupStreaming drops duplicate ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = StreamErrorHandling.dedupStreaming(
+      mem.toDF().toDF("id", "ts", "payload"), "id", "ts", "1 hour")
+    val q = out.writeStream.format("memory").queryName("dd").outputMode("append").start()
+    val t = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    mem.addData((1L, t, "a"), (1L, t, "a-dup"), (2L, t, "b"))
+    q.processAllAvailable()
+    mem.addData((1L, t, "a-again"))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dd").count() == 2) // one row per id within horizon
+  }
+
+  test("intervalJoin matches rights within the time bound only") {
+    implicit val sqlCtx = spark.sqlContext
+    val lmem = MemoryStream[(Long, java.sql.Timestamp)]
+    val rmem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val joined = StreamErrorHandling.intervalJoin(
+      lmem.toDF().toDF("uid", "lts"), rmem.toDF().toDF("ruid", "rts", "tag"),
+      "uid", "ruid", "lts", "rts", "2 hours", "1 hour")
+    val q = joined.writeStream.format("memory").queryName("ij").outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    rmem.addData((1L, ts("2024-01-01 09:30:00"), "in-window"),
+      (1L, ts("2024-01-01 07:00:00"), "too-old"))
+    lmem.addData((1L, ts("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val tags = spark.table("ij").select($"tag").as[String].collect().toSeq
+    assert(tags == Seq("in-window"))
+  }
+
   test("statefulCapture keeps per-key ok/failed counts across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String)]
