@@ -24,11 +24,18 @@ for name, sql in sorted(oracles.items()):
     spark_files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not spark_files:
         print(f"FAIL {name}: no spark output"); fails += 1; continue
-    sdf = pq.read_table(spark_files[0]).to_pandas()
+    stab = pq.read_table(spark_files[0])
+    sdf = stab.to_pandas()
     try:
-        odf = con.execute(sql).fetchdf()
+        otab = con.execute(sql).arrow()
+        odf = otab.to_pandas()
     except Exception as e:
         print(f"FAIL {name}: oracle error {e}"); fails += 1; continue
+    stypes = {f.name: str(f.type) for f in stab.schema}
+    otypes = {f.name: str(f.type) for f in otab.schema}
+    for c in set(stypes) & set(otypes):
+        if stypes[c] != otypes[c]:
+            print(f"WARN {name}: col {c} type spark={stypes[c]} oracle={otypes[c]}")
     # driver-style: sort columns by name, then compare values
     sdf = sdf.reindex(sorted(sdf.columns), axis=1)
     odf = odf.reindex(sorted(odf.columns), axis=1)

@@ -526,6 +526,25 @@ object SparkEntry {
       .orderBy($"l_returnflag")
   }
 
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // sessionize: a 4h silence starts a new session (ts is epoch nanos)
+    val byTime = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gapNs = 4L * 3600 * 1000000000L
+    val g = t(s, dir, "events")
+      .withColumn("brk",
+        when(lag($"ts", 1).over(byTime).isNull
+          || $"ts" - lag($"ts", 1).over(byTime) > gapNs, 1L).otherwise(0L))
+    val sess = g.withColumn("sid",
+      sum($"brk").over(byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.withColumn("cnt", count(lit(1)).over(Window.partitionBy($"user_id", $"sid")))
+      .groupBy($"user_id")
+      .agg(max($"sid").as("n_sessions"), count(lit(1)).as("n_events"),
+        max($"cnt").as("longest"))
+      .orderBy($"user_id")
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -553,6 +572,7 @@ object SparkEntry {
     "q23_union" -> (q23 _),
     "q24_asof_join" -> (q24 _),
     "q25_quantiles" -> (q25 _),
+    "q26_sessions" -> (q26 _),
     "e1_capture_map" -> (e1 _),
     "e2_capture_values" -> (e2 _),
     "e3_capture_flatmap" -> (e3 _),
@@ -773,6 +793,19 @@ object SparkEntry {
         | quantile_cont(l_extendedprice, 0.95) AS p95,
         | COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q26_sessions" ->
+      """WITH g AS (
+        | SELECT user_id, ts, event_id,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |       OR epoch_ns(ts) - epoch_ns(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 14400000000000
+        |       THEN 1 ELSE 0 END AS brk
+        | FROM events),
+        |s AS (SELECT user_id, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+        |c AS (SELECT user_id, sid, COUNT(*) OVER (PARTITION BY user_id, sid) AS cnt FROM s)
+        |SELECT user_id, CAST(MAX(sid) AS BIGINT) AS n_sessions, COUNT(*) AS n_events,
+        | CAST(MAX(cnt) AS BIGINT) AS longest
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
     "e1_capture_map" ->
       """SELECT doc_id, doc_id % 10 AS newkey,
         | CAST(n_chars // (doc_id % 13) AS BIGINT) AS ratio

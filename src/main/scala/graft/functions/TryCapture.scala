@@ -30,9 +30,11 @@ case class TryCapture(child: Expression, withStackTrace: Boolean = true)
 
   override def prettyName: String = "try_capture"
 
-  // The whole point is catching runtime eval errors, so eval must not be
-  // bypassed by constant folding of a throwing child: mark non-foldable.
-  override def foldable: Boolean = false
+  // Must be foldable whenever the child is: otherwise ConstantFolding
+  // evaluates the bare child at planning time and a throwing constant
+  // fails the query before capture applies. Folding TryCapture itself is
+  // safe — it goes through eval(), which catches.
+  override def foldable: Boolean = child.foldable
 
   override def eval(input: InternalRow): Any =
     try {

@@ -63,6 +63,16 @@ class TryCaptureSpec extends SparkSpec {
     assert(df.isNullAt(1))
   }
 
+  test("foldable failing child is captured, not thrown at planning time") {
+    Graft.register(spark)
+    // child is a constant-foldable expression that throws under ANSI:
+    // ConstantFolding must not evaluate it outside the capture.
+    val r = spark.sql("SELECT try_capture(cast('xx' as int)) AS c")
+      .select($"c.value", $"c.error_class").collect().head
+    assert(r.isNullAt(0))
+    assert(r.getString(1) == "org.apache.spark.SparkNumberFormatException")
+  }
+
   test("null input propagates as null value, not error") {
     val df = Seq(Some("3"), None).toDF("s")
       .select(TryCapture(expr("cast(s as int)")).as("c"))
