@@ -24,9 +24,15 @@ object Probe {
       println(s"==== EXPLAIN $q")
       SparkEntry.queries(q)(spark, dir).explain("formatted")
     }
-    val e2 = SparkEntry.queries("e2_capture_values")(spark, dir)
-    println("E2_CODEGEN_ONLY_ROWS=" + e2.count())
+    // every query must survive CODEGEN_ONLY (no silent interpreted fallback)
+    var bad = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try fn(spark, dir).write.format("noop").mode("overwrite").save()
+      catch { case t: Throwable => bad += 1; println(s"CODEGEN_FAIL $name: $t") }
+    }
+    println(s"CODEGEN_ONLY_FAILURES=$bad")
     SparkEntry.queries("e4_dead_letters")(spark, dir).show(3, 60, vertical = false)
     spark.stop()
+    if (bad > 0) sys.exit(1)
   }
 }
