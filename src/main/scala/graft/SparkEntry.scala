@@ -28,16 +28,19 @@ object SparkEntry {
 
   private def q1(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // factor precisions sized so the triple product stays exact (< 38
+    // digits) — at the precision cap Spark and DuckDB round differently
+    val ep = $"l_extendedprice".cast("decimal(12,2)")
+    val disc = lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(3,2)")
+    val tax = lit(1).cast("decimal(3,2)") + $"l_tax".cast("decimal(3,2)")
     t(s, dir, "lineitem")
       .filter($"l_shipdate".cast("date") <= lit("1998-09-02"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         sum($"l_quantity".cast(DEC)).cast("double").as("sum_qty"),
         sum($"l_extendedprice".cast(DEC)).cast("double").as("sum_base_price"),
-        sum(($"l_extendedprice".cast(DEC) * (lit(1).cast(DEC) - $"l_discount".cast(DEC))))
-          .cast("double").as("sum_disc_price"),
-        sum(($"l_extendedprice".cast(DEC) * (lit(1).cast(DEC) - $"l_discount".cast(DEC))
-          * (lit(1).cast(DEC) + $"l_tax".cast(DEC)))).cast("double").as("sum_charge"),
+        sum(ep * disc).cast("double").as("sum_disc_price"),
+        sum(ep * disc * tax).cast("double").as("sum_charge"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
@@ -602,8 +605,8 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
         | COUNT(*) AS count_order
         |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus

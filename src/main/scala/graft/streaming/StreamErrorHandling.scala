@@ -43,8 +43,13 @@ object StreamErrorHandling {
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val ef = ErrorFrame(batch.toDF(), captured.resultNames, input)
-        ef.values.write.mode("append").parquet(valuesPath)
-        ef.deadLetters(description).write.mode("append").parquet(dlqPath)
+        // exactly-once: each micro-batch owns a batch_id=N partition dir
+        // and overwrites it — replaying the batch after a crash is
+        // idempotent, readers see base-path partition discovery.
+        ef.values.write.mode("overwrite")
+          .parquet(s"$valuesPath/batch_id=$batchId")
+        ef.deadLetters(description).write.mode("overwrite")
+          .parquet(s"$dlqPath/batch_id=$batchId")
         ()
       }
       .start()

@@ -56,6 +56,30 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set(("2024-01-01 00:00:00", "a", 2L), ("2024-01-01 01:00:00", "b", 1L)))
   }
 
+  test("captureToDlq restart from checkpoint does not duplicate outputs") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-restart").toString
+    val mem = MemoryStream[String]
+    def start() = StreamErrorHandling.captureToDlq(
+      mem.toDF().withColumnRenamed("value", "s"),
+      Map("v" -> expr("cast(s as int)")), input = col("s"),
+      description = "restart test",
+      valuesPath = s"$tmp/values", dlqPath = s"$tmp/dlq",
+      checkpointPath = s"$tmp/ckpt")
+
+    val q1 = start()
+    mem.addData("1", "2")
+    q1.processAllAvailable()
+    q1.stop()
+    // restart against the same checkpoint; add more data
+    val q2 = start()
+    mem.addData("3")
+    q2.processAllAvailable()
+    q2.stop()
+    val vals = spark.read.parquet(s"$tmp/values").select($"v").as[Int].collect().sorted
+    assert(vals.toSeq == Seq(1, 2, 3)) // no batch replayed into duplicates
+  }
+
   test("dedupStreaming drops duplicate ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
