@@ -486,6 +486,20 @@ object SparkEntry {
     operators.TextAnalysis.fingerprints(t(s, dir, "documents")).orderBy($"doc_id")
   }
 
+  private def t5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    operators.TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), k = 3)
+      .orderBy($"doc_id", $"rank")
+  }
+
+  private def t6(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    operators.TextAnalysis.hashSample(t(s, dir, "documents"), $"doc_id", cutoffHex = "1a")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_sampled"), min($"doc_id").as("first_id"))
+      .orderBy($"lang")
+  }
+
   private def m1(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val withBin = t(s, dir, "documents").withColumn("payload", $"text".cast("binary"))
@@ -596,6 +610,8 @@ object SparkEntry {
     "t2_quality" -> (t2q _),
     "t3_tokens" -> (t3 _),
     "t4_fingerprint" -> (t4q _),
+    "t5_tfidf" -> (t5 _),
+    "t6_hash_sample" -> (t6 _),
     "m1_binary_meta" -> (m1 _),
     "m2_batch_features" -> (m2 _),
   )
@@ -962,6 +978,25 @@ object SparkEntry {
         | list_reduce(list_prepend('0', regexp_split_to_array(trim(text), '\s+')),
         |   (h, tok) -> ((h::BIGINT * 131 + ascii(substr(tok,1,1))*31 + len(tok)) % 1000000007)::VARCHAR)::BIGINT AS rolling_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t5_tfidf" ->
+      """WITH toks AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+        |dfreq AS (SELECT tok, COUNT(*) AS dfq FROM tf GROUP BY tok),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        | SELECT doc_id, tf.tok,
+        |  round(tf * ln((n_docs + 1.0) / (dfq + 1.0)), 6) AS tfidf
+        | FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN n),
+        |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (
+        |  PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS INT) AS rank FROM scored)
+        |SELECT doc_id, rank, tok, tfidf FROM ranked WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+    "t6_hash_sample" ->
+      """SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS first_id
+        |FROM documents
+        |WHERE md5('graft:' || CAST(doc_id AS VARCHAR)) < '1a'
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "m1_binary_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

@@ -64,6 +64,38 @@ object TextAnalysis {
       size(regexp_extract_all(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
         .cast("long").as("re_tokens"))
 
+  /** TF-IDF top terms per document. One shuffle for term counts, one
+    * broadcast of the (tiny) document-frequency table, one window for
+    * the per-doc top-k. `idf = ln((N+1)/(df+1))`.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("dfq"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = toks
+      .join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") *
+        log((col("n_docs") + lit(1.0)) / (col("dfq") + lit(1.0))), 6))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("tok").asc)))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("tok"), col("tfidf"))
+  }
+
+  /** Deterministic hash sampling: keep rows whose salted md5 falls under
+    * a hex-prefix cutoff — reproducible across engines and runs, the
+    * right way to cut a stable x% slice of a 100 TB corpus (no RNG
+    * state, re-runnable, stratifiable by any key).
+    */
+  def hashSample(df: DataFrame, keyCol: Column, cutoffHex: String, salt: String = "graft"): DataFrame =
+    df.filter(md5(concat(lit(salt), lit(":"), keyCol.cast("string"))) < lit(cutoffHex))
+
   /** Document fingerprints: md5 of whitespace-normalized lowercase text,
     * plus a polynomial rolling hash over (first-char, length) of each
     * token — engine-reproducible integer math mod 1e9+7.
