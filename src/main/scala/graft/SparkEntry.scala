@@ -535,11 +535,33 @@ object SparkEntry {
 
   private def q25(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "lineitem")
-      .groupBy($"l_returnflag")
-      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
-        expr("percentile(l_extendedprice, 0.95)").as("p95"),
+    import org.apache.spark.sql.expressions.Window
+    // exact interpolated quantiles via sort + window instead of the
+    // builtin percentile aggregate (whose per-partition value maps are
+    // the bottleneck): rank each value, keep the 2 boundary rows per
+    // quantile, interpolate with the same lo + frac*(hi-lo) formula.
+    val byVal = Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice")
+    val grp = Window.partitionBy($"l_returnflag")
+    val ranked = t(s, dir, "lineitem")
+      .select($"l_returnflag", $"l_extendedprice")
+      .withColumn("rn", row_number().over(byVal) - 1)
+      .withColumn("n", count(lit(1)).over(grp))
+    def bound(q: Double, which: String) = {
+      val pos = lit(q) * ($"n" - 1)
+      val idx = if (which == "lo") floor(pos) else ceil(pos)
+      max(when($"rn" === idx, $"l_extendedprice")).as(s"$which${(q * 100).toInt}")
+    }
+    def interp(q: Double, lo: Column, hi: Column) = {
+      val pos = lit(q) * ($"n" - 1)
+      lo + (pos - floor(pos)) * (hi - lo)
+    }
+    ranked.groupBy($"l_returnflag")
+      .agg(bound(0.5, "lo"), bound(0.5, "hi"), bound(0.95, "lo"), bound(0.95, "hi"),
         count(lit(1)).as("n"))
+      .select($"l_returnflag",
+        interp(0.5, $"lo50", $"hi50").as("p50"),
+        interp(0.95, $"lo95", $"hi95").as("p95"),
+        $"n")
       .orderBy($"l_returnflag")
   }
 
