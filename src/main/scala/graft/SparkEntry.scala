@@ -829,11 +829,24 @@ object SparkEntry {
         |WHERE e.event_type = 'purchase'
         |ORDER BY e.event_id""".stripMargin,
     "q25_quantiles" ->
-      """SELECT l_returnflag,
-        | quantile_cont(l_extendedprice, 0.5) AS p50,
-        | quantile_cont(l_extendedprice, 0.95) AS p95,
-        | COUNT(*) AS n
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      """WITH ranked AS (
+        | SELECT l_returnflag, l_extendedprice,
+        |  ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) - 1 AS rn,
+        |  COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        | FROM lineitem),
+        |b AS (
+        | SELECT l_returnflag,
+        |  MAX(CASE WHEN rn = floor(CAST(0.5 AS DOUBLE) * (n - 1)) THEN l_extendedprice END) AS lo50,
+        |  MAX(CASE WHEN rn = ceil(CAST(0.5 AS DOUBLE) * (n - 1)) THEN l_extendedprice END) AS hi50,
+        |  MAX(CASE WHEN rn = floor(CAST(0.95 AS DOUBLE) * (n - 1)) THEN l_extendedprice END) AS lo95,
+        |  MAX(CASE WHEN rn = ceil(CAST(0.95 AS DOUBLE) * (n - 1)) THEN l_extendedprice END) AS hi95,
+        |  COUNT(*) AS n
+        | FROM ranked GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        | lo50 + (CAST(0.5 AS DOUBLE) * (n - 1) - floor(CAST(0.5 AS DOUBLE) * (n - 1))) * (hi50 - lo50) AS p50,
+        | lo95 + (CAST(0.95 AS DOUBLE) * (n - 1) - floor(CAST(0.95 AS DOUBLE) * (n - 1))) * (hi95 - lo95) AS p95,
+        | n
+        |FROM b ORDER BY l_returnflag""".stripMargin,
     "q26_sessions" ->
       """WITH g AS (
         | SELECT user_id, ts, event_id,
