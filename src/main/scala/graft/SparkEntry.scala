@@ -669,7 +669,7 @@ object SparkEntry {
         |FROM lineitem
         |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
         | AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
-        | AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+        | AND l_discount >= CAST(0.03 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE) AND l_quantity < 24""".stripMargin,
     "e2_capture_values" ->
       """SELECT event_id, k, CAST(100 // (k % 7) AS BIGINT) AS res
         |FROM (SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS INT) AS k FROM events)
@@ -780,7 +780,7 @@ object SparkEntry {
         |FROM lineitem l JOIN (
         | SELECT l_partkey AS ap_partkey, SUM(l_quantity) / COUNT(*) AS avg_qty
         | FROM lineitem GROUP BY l_partkey) a ON l.l_partkey = a.ap_partkey
-        |WHERE l.l_quantity < a.avg_qty * 0.2""".stripMargin,
+        |WHERE l.l_quantity < a.avg_qty * CAST(0.2 AS DOUBLE)""".stripMargin,
     "q18_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty, COUNT(*) AS n
@@ -919,7 +919,7 @@ object SparkEntry {
         |  len(list_intersect(x.ts, y.ts))::DOUBLE /
         |  (len(x.ts) + len(y.ts) - len(list_intersect(x.ts, y.ts))) AS jaccard
         |FROM cand JOIN sh x ON da = x.doc_id JOIN sh y ON db = y.doc_id
-        |WHERE jaccard >= 0.5
+        |WHERE jaccard >= CAST(0.5 AS DOUBLE)
         |ORDER BY da, db""".stripMargin,
     "d3_simhash" ->
       """WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents),
@@ -938,7 +938,7 @@ object SparkEntry {
         |SELECT a.doc_id AS da, b.doc_id AS db,
         | len(list_intersect(a.ts,b.ts))::DOUBLE/(len(a.ts)+len(b.ts)-len(list_intersect(a.ts,b.ts))) AS jaccard
         |FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
-        |WHERE jaccard >= 0.1 ORDER BY da, db""".stripMargin,
+        |WHERE jaccard >= CAST(0.1 AS DOUBLE) ORDER BY da, db""".stripMargin,
     "d5_embed_neardup" ->
       """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings)
         |SELECT a.vec_id AS va, b.vec_id AS vb,
@@ -946,7 +946,7 @@ object SparkEntry {
         |  (sqrt(list_reduce(list_transform(a.v, x -> x*x), (x,y) -> x+y)) *
         |   sqrt(list_reduce(list_transform(b.v, x -> x*x), (x,y) -> x+y))) AS cosine
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE cosine >= 0.3 ORDER BY va, vb""".stripMargin,
+        |WHERE cosine >= CAST(0.3 AS DOUBLE) ORDER BY va, vb""".stripMargin,
     "s1_topk_bruteforce" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings),
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
