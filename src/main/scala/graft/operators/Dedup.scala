@@ -13,13 +13,25 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Fan a narrow input out to the cluster's parallelism before
+    * CPU-heavy per-row stages (hashing/shingling). A single-row-group
+    * parquet file arrives as ONE partition and would otherwise pin the
+    * whole signature computation to one core; at real scale inputs have
+    * ≥ defaultParallelism partitions and this is a no-op.
+    */
+  private[operators] def widen(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Exact dedup: hash-groupBy on content. One shuffle on md5(text). */
   def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
   /** Distinct word-`n`-shingle set per doc (n=1 → unigram token set). */
-  def shingleSets(docs: DataFrame, n: Int, textCol: String, idCol: String): DataFrame =
+  def shingleSets(docs0: DataFrame, n: Int, textCol: String, idCol: String): DataFrame = {
+    val docs = widen(docs0)
     if (n == 1)
       docs.select(col(idCol).as("doc_id"), array_distinct(split(col(textCol), " ")).as("ts"))
     else
@@ -27,6 +39,7 @@ object Dedup {
         array_distinct(transform(
           sequence(lit(1), size(split(col(textCol), " ")) - (n - 1)),
           i => concat_ws(" ", slice(split(col(textCol), " "), i, lit(n))))).as("ts"))
+  }
 
   /** MinHash signatures: for each of `numHashes` seeds s, the minimum of
     * md5(s + ":" + shingle) over the doc's shingle set — a bottom-1
@@ -130,8 +143,9 @@ object Dedup {
     * quadratic term to per-block sizes — at 100 TB the block is the unit
     * of shuffle, never the full corpus.
     */
-  def ngramJaccard(docs: DataFrame, n: Int, blockCol: String, threshold: Double,
+  def ngramJaccard(docs0: DataFrame, n: Int, blockCol: String, threshold: Double,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val docs = widen(docs0)
     val grams = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
       array_distinct(transform(
         sequence(lit(1), size(split(col(textCol), " ")) - (n - 1)),
