@@ -37,6 +37,8 @@ object Bench {
     // timings mix scheduler noise into the measurement; the min is the
     // steady-state cost of the plan.
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      System.gc() // settle heap between queries: measure the plan, not
+                  // the previous query's garbage
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -904,13 +904,18 @@ object SparkEntry {
     "d2_minhash_lsh" ->
       """WITH sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
         |    i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' '))) AS ts FROM documents),
-        |toks AS (SELECT doc_id, unnest(ts) AS tok FROM sh),
-        |seeds AS (SELECT unnest(range(16)) AS s),
+        |toks AS (SELECT doc_id,
+        |  list_reduce(list_transform(range(1, 8),
+        |    i -> CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1 AS BIGINT)),
+        |    (x, y) -> x * 16 + y) AS h
+        |  FROM (SELECT doc_id, unnest(ts) AS tok FROM sh) t),
+        |seeds AS (SELECT s, ((2*s + 1) * 2654435761) % 2147483647 AS a, s * 40503 + 1 AS b
+        |          FROM (SELECT unnest(range(16)) AS s)),
         |sigs AS (
-        |  SELECT doc_id, s, min(md5(s::VARCHAR || ':' || tok)) AS mh
+        |  SELECT doc_id, s, min((a * h + b) % 2147483647) AS mh
         |  FROM toks CROSS JOIN seeds GROUP BY doc_id, s),
         |bands AS (
-        |  SELECT doc_id, s // 4 AS band, md5(string_agg(mh, '' ORDER BY s)) AS bandsig
+        |  SELECT doc_id, s // 4 AS band, md5(string_agg(mh::VARCHAR, ',' ORDER BY s)) AS bandsig
         |  FROM sigs GROUP BY doc_id, s // 4),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db

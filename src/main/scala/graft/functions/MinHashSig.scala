@@ -4,76 +4,62 @@ import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
-/** Full MinHash signature of a shingle set in ONE per-row pass.
+/** Full MinHash signature of a shingle set in ONE per-row pass, using the
+  * standard universal-hash family: each shingle is hashed ONCE (first 28
+  * bits of its md5), then permuted per seed by `(a_s * h + b_s) mod p`
+  * with p = 2^31 - 1 — 16× less digest work than seeded re-hashing, and
+  * exactly reproducible in SQL engines (the 28-bit base hash is the
+  * fold of the first 7 lowercase-hex md5 chars).
   *
-  * For each seed s in [0, numHashes): min over shingles of the md5 hex of
-  * "s:shingle" — exactly the value of the exploded
-  * `min(md5(concat(s, ':', tok)))` formulation (hex lexicographic order ==
-  * unsigned byte order of the raw digest), but with no token explode and
-  * no (doc, seed) shuffle: at scale the signature stage becomes
-  * scan-bound. CodegenFallback is fine here — one call per row amortizes
-  * over |shingles| × numHashes digests.
+  * No token explode, no (doc, seed) shuffle: the signature stage is
+  * scan-bound at any scale. CodegenFallback is fine — one call per row
+  * amortizes over |shingles| digests.
   */
 case class MinHashSig(child: Expression, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
-
   override def nullable: Boolean = true
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    if (n == 0) return null // no shingles -> no signature (as in the exploded form)
+    if (n == 0) return null // no shingles -> no signature
     val md = MessageDigest.getInstance("MD5")
-    val mins = Array.fill[Array[Byte]](numHashes)(null)
+    // base 28-bit hash per shingle (== fold of first 7 hex chars)
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      md.update(arr.getUTF8String(i).getBytes)
+      val d = md.digest()
+      hs(i) = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+        ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >> 4)
+      i += 1
+    }
+    val mins = new Array[Any](numHashes)
     var s = 0
     while (s < numHashes) {
-      val prefix = (s.toString + ":").getBytes(StandardCharsets.UTF_8)
-      var i = 0
-      var min: Array[Byte] = null
-      while (i < n) {
-        md.reset()
-        md.update(prefix)
-        md.update(arr.getUTF8String(i).getBytes)
-        val d = md.digest()
-        if (min == null || compareUnsigned(d, min) < 0) min = d
-        i += 1
+      val a = MinHashSig.coeffA(s)
+      val b = MinHashSig.coeffB(s)
+      var min = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val v = (a * hs(j) + b) % MinHashSig.P
+        if (v < min) min = v
+        j += 1
       }
       mins(s) = min
       s += 1
     }
-    new GenericArrayData(mins.map(d => UTF8String.fromString(toHex(d)): Any))
-  }
-
-  private def compareUnsigned(a: Array[Byte], b: Array[Byte]): Int = {
-    var i = 0
-    while (i < a.length) {
-      val c = (a(i) & 0xff) - (b(i) & 0xff)
-      if (c != 0) return c
-      i += 1
-    }
-    0
-  }
-
-  private def toHex(d: Array[Byte]): String = {
-    val sb = new java.lang.StringBuilder(32)
-    var i = 0
-    while (i < d.length) {
-      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
-      sb.append(Character.forDigit(d(i) & 0xf, 16))
-      i += 1
-    }
-    sb.toString
+    new GenericArrayData(mins)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
@@ -81,6 +67,11 @@ case class MinHashSig(child: Expression, numHashes: Int)
 }
 
 object MinHashSig {
+  /** Mersenne prime 2^31 - 1; a*h stays well inside Long. */
+  val P: Long = 2147483647L
+  def coeffA(s: Int): Long = ((2L * s + 1L) * 2654435761L) % P
+  def coeffB(s: Int): Long = s.toLong * 40503L + 1L
+
   def apply(shingles: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), numHashes))
 }

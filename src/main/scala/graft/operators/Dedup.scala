@@ -64,7 +64,8 @@ object Dedup {
     sigs.select(col("doc_id"),
         posexplode(expr(
           s"""transform(sequence(0, size(sig) div $rowsPerBand - 1),
-             |  b -> md5(array_join(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), '')))"""
+             |  b -> md5(array_join(transform(slice(sig, b * $rowsPerBand + 1, $rowsPerBand),
+             |                                x -> cast(x as string)), ',')))"""
             .stripMargin)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bandsig"))
 
