@@ -430,6 +430,16 @@ object SparkEntry {
       threshold = 0.5, shingleSize = 3).orderBy($"da", $"db")
   }
 
+  private def d6(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val half = 250L // corpus = ids < 250 at every SF (docs table starts at 0)
+    operators.Dedup.minHashLshIncremental(
+        corpus = docs.filter($"doc_id" < half),
+        newDocs = docs.filter($"doc_id" >= half))
+      .orderBy($"da", $"db")
+  }
+
   private def d3(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     operators.Dedup.simHash(t(s, dir, "documents"), nBits = 32).orderBy($"doc_id")
@@ -626,6 +636,7 @@ object SparkEntry {
     "d3_simhash" -> (d3 _),
     "d4_ngram_jaccard" -> (d4 _),
     "d5_embed_neardup" -> (d5 _),
+    "d6_incremental_dedup" -> (d6 _),
     "s1_topk_bruteforce" -> (s1q _),
     "s2_topk_ivf" -> (s2q _),
     "t1_lang_id" -> (t1q _),
@@ -920,6 +931,32 @@ object SparkEntry {
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id)
+        |SELECT da, db,
+        |  len(list_intersect(x.ts, y.ts))::DOUBLE /
+        |  (len(x.ts) + len(y.ts) - len(list_intersect(x.ts, y.ts))) AS jaccard
+        |FROM cand JOIN sh x ON da = x.doc_id JOIN sh y ON db = y.doc_id
+        |WHERE jaccard >= CAST(0.5 AS DOUBLE)
+        |ORDER BY da, db""".stripMargin,
+    "d6_incremental_dedup" ->
+      """WITH sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |    i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' '))) AS ts FROM documents),
+        |toks AS (SELECT doc_id,
+        |  list_reduce(list_transform(range(1, 8),
+        |    i -> CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1 AS BIGINT)),
+        |    (x, y) -> x * 16 + y) AS h
+        |  FROM (SELECT doc_id, unnest(ts) AS tok FROM sh) t),
+        |seeds AS (SELECT s, ((2*s + 1) * 2654435761) % 2147483647 AS a, s * 40503 + 1 AS b
+        |          FROM (SELECT unnest(range(16)) AS s)),
+        |sigs AS (
+        |  SELECT doc_id, s, min((a * h + b) % 2147483647) AS mh
+        |  FROM toks CROSS JOIN seeds GROUP BY doc_id, s),
+        |bands AS (
+        |  SELECT doc_id, s // 4 AS band, md5(string_agg(mh::VARCHAR, ',' ORDER BY s)) AS bandsig
+        |  FROM sigs GROUP BY doc_id, s // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bandsig = b.bandsig
+        |  WHERE a.doc_id < 250 AND b.doc_id >= 250)
         |SELECT da, db,
         |  len(list_intersect(x.ts, y.ts))::DOUBLE /
         |  (len(x.ts) + len(y.ts) - len(list_intersect(x.ts, y.ts))) AS jaccard

@@ -97,6 +97,28 @@ object Dedup {
     verifyJaccard(cand, tsets, threshold)
   }
 
+  /** Incremental near-dup: which NEW docs duplicate the EXISTING corpus?
+    * The corpus side is banded once (in production: precomputed and
+    * stored); only the new batch is signed per run, then candidates are
+    * a bands-join restricted to (corpus, new) pairs — the daily-ingest
+    * shape of dedup at 100 TB, where re-comparing the whole corpus to
+    * itself every day is not an option.
+    */
+  def minHashLshIncremental(corpus: DataFrame, newDocs: DataFrame,
+      numHashes: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.5,
+      shingleSize: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val cb = lshBands(minHashSignatures(corpus, numHashes, shingleSize, textCol, idCol), rowsPerBand)
+    val nb = lshBands(minHashSignatures(newDocs, numHashes, shingleSize, textCol, idCol), rowsPerBand)
+    val cand = cb.as("a").join(nb.as("b"),
+        col("a.band") === col("b.band") && col("a.bandsig") === col("b.bandsig"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val tsets = shingleSets(corpus, shingleSize, textCol, idCol)
+      .union(shingleSets(newDocs, shingleSize, textCol, idCol))
+    verifyJaccard(cand, tsets, threshold)
+  }
+
   /** Exact Jaccard over candidate pairs given per-doc token sets.
     *
     * Computed by a token-level join, not per-pair array intersection: the
