@@ -10,8 +10,10 @@ import graft.functions.TryCapture
   * they are usable from SQL (`spark.sql.extensions=graft.GraftExtensions`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(Graft.tryCaptureFn)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+  }
 }
 
 object Graft {
@@ -21,9 +23,18 @@ object Graft {
     (children: Seq[Expression]) => TryCapture(children.head))
 
   /** Runtime registration for sessions built without the extensions conf. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "try_capture", tryCaptureFn._3, "built-in")
+    registerStrategies(spark)
+  }
+
+  /** Install graft's planner strategies (idempotent). */
+  def registerStrategies(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(graft.plans.TopKPerKeyStrategy))
+      spark.experimental.extraStrategies = cur :+ graft.plans.TopKPerKeyStrategy
+  }
 }
 
 /** Test-data table loaders. */

@@ -478,6 +478,15 @@ object SparkEntry {
       .orderBy($"qid", $"rank")
   }
 
+  private def s3q(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val queries = broadcast(emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), operators.Similarity.toDoubleVec($"embedding").as("qv")))
+    operators.Similarity.bruteForceTopKOperator(emb, queries, k = 5)
+      .orderBy($"qid", $"cosine".desc, $"vec_id")
+  }
+
   private def t1q(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "documents")
@@ -639,6 +648,7 @@ object SparkEntry {
     "d6_incremental_dedup" -> (d6 _),
     "s1_topk_bruteforce" -> (s1q _),
     "s2_topk_ivf" -> (s2q _),
+    "s3_topk_operator" -> (s3q _),
     "t1_lang_id" -> (t1q _),
     "t2_quality" -> (t2q _),
     "t3_tokens" -> (t3 _),
@@ -1013,6 +1023,18 @@ object SparkEntry {
         |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank FROM scored)
         |SELECT qid, rank, vec_id, cosine FROM ranked WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
+    "s3_topk_operator" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |scored AS (
+        | SELECT qid, vec_id,
+        |  list_reduce(list_transform(range(1, len(qv)+1), i -> qv[i]*v[i]), (x,y) -> x+y) /
+        |   (sqrt(list_reduce(list_transform(qv, x -> x*x), (x,y) -> x+y)) *
+        |    sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y))) AS cosine
+        | FROM q JOIN e ON qid <> vec_id),
+        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rn FROM scored)
+        |SELECT qid, vec_id, cosine FROM ranked WHERE rn <= 5
+        |ORDER BY qid, cosine DESC, vec_id""".stripMargin,
     "t1_lang_id" ->
       """WITH c AS (SELECT doc_id, lang,
         |  len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('the','a','of','and','is'))) AS c_en,

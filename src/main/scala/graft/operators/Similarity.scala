@@ -28,19 +28,33 @@ object Similarity {
     * The query set is broadcast (small); the corpus side streams — one
     * pass, no shuffle until the per-query top-k window.
     */
-  def bruteForceTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  /** All (query, vector) cosine pairs — the scored set behind top-k. */
+  def scoredPairs(vectors: DataFrame, queries: DataFrame): DataFrame = {
     // norms computed once per vector/query, not once per pair
     val v = vectors.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
       .withColumn("vn", norm(col("v")))
     val q = queries.select(col("qid"), col("qv")).withColumn("qn", norm(col("qv")))
-    val joined = q.as("q").join(v.as("v"), col("q.qid") =!= col("v.vec_id"))
+    q.as("q").join(v.as("v"), col("q.qid") =!= col("v.vec_id"))
       .select(col("q.qid"), col("v.vec_id"),
         (dot(col("q.qv"), col("v.v")) / (col("q.qn") * col("v.vn"))).as("cosine"))
+  }
+
+  def bruteForceTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val joined = scoredPairs(vectors, queries)
     joined.withColumn("rank",
         row_number().over(Window.partitionBy(col("qid"))
           .orderBy(col("cosine").desc, col("vec_id").asc)))
       .filter(col("rank") <= k)
   }
+
+  /** Brute-force top-k through the custom TopKPerKey whole-stage
+    * operator (bounded per-key heaps instead of a full window sort) —
+    * same results as [[bruteForceTopK]] minus the rank column.
+    */
+  def bruteForceTopKOperator(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    TopK.perKey(scoredPairs(vectors, queries),
+      keys = Seq("qid"),
+      orderBy = Seq(TopK.desc("cosine"), TopK.asc("vec_id")), k = k)
 
   /** IVF-style partitioned top-k: candidates restricted to the query's
     * coarse partition (here: a precomputed cluster/label column). At

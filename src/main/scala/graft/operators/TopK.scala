@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, SortOrder}
+import org.apache.spark.sql.graftshim.DatasetBridge
+
+import graft.plans.TopKPerKeyPlan
+
+/** Top-k rows per key via the custom TopKPerKey operator (bounded
+  * per-key heaps, no full window sort) — see graft.plans.TopKPerKey.
+  */
+object TopK {
+
+  /** Sort key for [[perKey]]: column name + direction. */
+  final case class Sort(column: String, descending: Boolean = false)
+  def desc(column: String): Sort = Sort(column, descending = true)
+  def asc(column: String): Sort = Sort(column)
+
+  /** Ties should be broken by a unique trailing sort column for
+    * deterministic output.
+    */
+  def perKey(df: DataFrame, keys: Seq[String], orderBy: Seq[Sort], k: Int): DataFrame = {
+    graft.Graft.registerStrategies(df.sparkSession)
+    val plan = DatasetBridge.logicalPlan(df)
+    def attr(name: String): Attribute = plan.output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
+    val order = orderBy.map(s =>
+      SortOrder(attr(s.column), if (s.descending) Descending else Ascending))
+    DatasetBridge.ofRows(df.sparkSession,
+      TopKPerKeyPlan(keys.map(attr), order, k, plan))
+  }
+}
