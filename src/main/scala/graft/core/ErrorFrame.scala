@@ -85,23 +85,19 @@ final case class ErrorFrame private (
     * failure on the executor, keep only the successes.
     */
   def valuesLoggingErrors(): DataFrame = {
-    val log = org.slf4j.LoggerFactory.getLogger("graft.ErrorLogging")
     val err = errors.select(inputCol.cast("string"), col("error_class"), col("error_message"))
     err.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       val plog = org.slf4j.LoggerFactory.getLogger("graft.ErrorLogging")
       it.foreach(r => plog.error(s"Cannot process ('${r.get(0)}'): ${r.get(1)}: ${r.get(2)}"))
     }
-    log.debug("logged error branch")
     values
   }
 
   /** Original value + Kafka-sink-compatible error headers
     * (`array<struct<key,value:binary>>`) under the reference's
     * `__streams.errors.*` keys (ErrorHeaderProcessor.java).
-    */
-  /** `withTaskContext = true` adds the FilteringProcessingExceptionHandler
-    * headers (task/processor-node ids) using the Spark analogs: the
-    * partition id and stage context on the executor.
+    * `withTaskContext = true` adds the FilteringProcessingExceptionHandler
+    * headers (task/processor-node ids) using the Spark analogs.
     */
   def withErrorHeaders(description: String, withTaskContext: Boolean = false): DataFrame = {
     def h(key: String, value: Column) =

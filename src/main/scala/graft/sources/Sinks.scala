@@ -53,10 +53,10 @@ object Sinks {
   /** Reprocess dead letters: re-run a fixed transform over the DLQ's
     * `input_value` and split again — the retry half of the DLQ lifecycle
     * (in the reference this is "replay the error topic through the fixed
-    * topology"). Returns the recovered values and the still-failing
-    * letters (with the new error).
+    * topology"). `.values` are the recovered rows; `.errors` /
+    * `.deadLetters(desc)` are the still-poisoned ones with the new error.
     */
-  def reprocess(deadLetters: DataFrame, retry: Column, description: String): ErrorFrame =
+  def reprocess(deadLetters: DataFrame, retry: Column): ErrorFrame =
     ErrorFrame.captureErrors(
       deadLetters.select(col("input_value")),
       Map("retried" -> retry),

@@ -42,7 +42,7 @@ class SinksAndSkewSpec extends SparkSpec {
       .deadLetters("first pass")   // x7, zz fail
     // fixed parser strips a leading 'x' before casting
     val retried = Sinks.reprocess(dl,
-      expr("cast(regexp_replace(input_value, '^x', '') as int)"), "retry pass")
+      expr("cast(regexp_replace(input_value, '^x', '') as int)"))
     assert(retried.values.select($"retried").as[Int].collect().toSeq == Seq(7))
     assert(retried.errors.count() == 1) // zz still poisoned
   }
