@@ -478,6 +478,16 @@ object SparkEntry {
       .orderBy($"qid", $"rank")
   }
 
+  private def d7(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = operators.Similarity.quantizeInt8(t(s, dir, "embeddings"))
+    operators.Similarity.dequantize(q)
+      .select($"vec_id", $"scale",
+        aggregate($"q", lit(0L), (acc, x) => acc + abs(x).cast("long")).as("q_l1"),
+        round(aggregate($"deq", lit(0.0), (acc, x) => acc + x), 6).as("deq_sum"))
+      .orderBy($"vec_id")
+  }
+
   private def s3q(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = t(s, dir, "embeddings")
@@ -646,6 +656,7 @@ object SparkEntry {
     "d4_ngram_jaccard" -> (d4 _),
     "d5_embed_neardup" -> (d5 _),
     "d6_incremental_dedup" -> (d6 _),
+    "d7_quantize_int8" -> (d7 _),
     "s1_topk_bruteforce" -> (s1q _),
     "s2_topk_ivf" -> (s2q _),
     "s3_topk_operator" -> (s3q _),
@@ -973,6 +984,20 @@ object SparkEntry {
         |FROM cand JOIN sh x ON da = x.doc_id JOIN sh y ON db = y.doc_id
         |WHERE jaccard >= CAST(0.5 AS DOUBLE)
         |ORDER BY da, db""".stripMargin,
+    "d7_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(v, x -> abs(x))),
+        |              (a, b) -> greatest(a, b)) AS scale FROM e),
+        |q AS (SELECT vec_id, scale,
+        |  list_transform(v, x -> CASE WHEN scale > 0
+        |    THEN CAST(floor(x / scale * 127.0 + 0.5) AS INT) ELSE 0 END) AS qv
+        | FROM s)
+        |SELECT vec_id, scale,
+        | CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+        | round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |   list_transform(qv, x -> x::DOUBLE * scale / 127.0)), (a, b) -> a + b), 6) AS deq_sum
+        |FROM q ORDER BY vec_id""".stripMargin,
     "d3_simhash" ->
       """WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents),
         |bits AS (SELECT unnest(range(1, 33)) AS b),

@@ -76,6 +76,29 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Symmetric int8 quantization of an embedding column: per-vector
+    * scale = max|x|, q_i = floor(x_i / scale * 127 + 0.5). Cuts vector
+    * storage 4× — at 100 TB the embeddings table is usually the widest
+    * thing on disk. All ops are per-row IEEE arithmetic, so quantized
+    * values are engine-reproducible.
+    */
+  def quantizeInt8(vectors: DataFrame, embCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val v = toDoubleVec(col(embCol))
+    val scale = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x)))
+    vectors.select(col(idCol), v.as("v"), scale.as("scale"))
+      .select(col(idCol), col("scale"),
+        transform(col("v"),
+          x => when(col("scale") > 0,
+            floor(x / col("scale") * 127.0 + 0.5).cast("int")).otherwise(0))
+          .as("q"))
+  }
+
+  /** Dequantize back to doubles: q_i * scale / 127. */
+  def dequantize(quantized: DataFrame): DataFrame =
+    quantized.withColumn("deq",
+      transform(col("q"), q => q.cast("double") * col("scale") / 127.0))
+
   /** Embedding near-duplicate pairs: same-partition blocking + cosine
     * threshold. Quadratic only within a block.
     */
