@@ -113,6 +113,26 @@ class StreamingSpec extends SparkSpec {
     assert(tags == Seq("in-window"))
   }
 
+  test("file-source stream: capture over parquet backfill splits values/DLQ") {
+    val tmp = Files.createTempDirectory("graft-filestream").toString
+    // stage a parquet "topic" directory
+    Seq(("1", 1L), ("nope", 2L), ("3", 3L)).toDF("s", "seq")
+      .write.parquet(s"$tmp/in")
+    val schema = spark.read.parquet(s"$tmp/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$tmp/in")
+    val q = StreamErrorHandling.captureToDlq(
+      stream, Map("v" -> expr("cast(s as int)")), input = col("s"),
+      description = "file backfill",
+      valuesPath = s"$tmp/values", dlqPath = s"$tmp/dlq",
+      checkpointPath = s"$tmp/ckpt")
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(s"$tmp/values").select($"v").as[Int].collect().sorted.toSeq
+      == Seq(1, 3))
+    assert(spark.read.parquet(s"$tmp/dlq").select($"input_value").as[String].collect().toSeq
+      == Seq("nope"))
+  }
+
   test("statefulCapture keeps per-key ok/failed counts across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String)]
