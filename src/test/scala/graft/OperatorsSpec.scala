@@ -86,6 +86,34 @@ class OperatorsSpec extends SparkSpec {
     assert(fp(1L) == fp(2L))
   }
 
+  test("incremental dedup flags only corpus-vs-new near-dups") {
+    val corpus = docs.filter($"doc_id" < 2)   // ids 0, 1
+    val fresh = docs.filter($"doc_id" >= 2)   // ids 2, 3 (3 == 0 verbatim)
+    val pairs = Dedup.minHashLshIncremental(corpus, fresh,
+        numHashes = 16, rowsPerBand = 2, threshold = 0.5)
+      .select($"da", $"db").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L)))          // new doc duplicating corpus
+    assert(pairs.forall { case (a, b) => a < 2 && b >= 2 }) // direction only
+  }
+
+  test("int8 quantization bounds values and dequantizes within 1/254 of scale") {
+    val vecs = Seq((1L, Array(0.5f, -1.0f, 0.25f)), (2L, Array(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(vecs)
+    val rows = Similarity.dequantize(q).collect()
+    val r1 = rows.find(_.getLong(0) == 1L).get
+    val qv = r1.getSeq[Int](r1.fieldIndex("q"))
+    assert(qv.forall(v => v >= -127 && v <= 127))
+    assert(qv(1) == -127) // max-abs element hits full range
+    val deq = r1.getSeq[Double](r1.fieldIndex("deq"))
+    val scale = r1.getDouble(r1.fieldIndex("scale"))
+    Seq(0.5, -1.0, 0.25).zip(deq).foreach { case (orig, d) =>
+      assert(math.abs(orig - d) <= scale / 254.0 + 1e-12)
+    }
+    val r2 = rows.find(_.getLong(0) == 2L).get // zero vector: scale 0, all q 0
+    assert(r2.getSeq[Int](r2.fieldIndex("q")).forall(_ == 0))
+  }
+
   test("multimodal metadata + batched features are deterministic") {
     val withBin = docs.withColumn("payload", $"text".cast("binary"))
     val meta = Multimodal.binaryMetadata(withBin, "payload", "doc_id").collect()

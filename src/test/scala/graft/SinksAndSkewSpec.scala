@@ -47,6 +47,20 @@ class SinksAndSkewSpec extends SparkSpec {
     assert(retried.errors.count() == 1) // zz still poisoned
   }
 
+  test("kafka-shaped records flow through a streaming sink unchanged") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val records = Sinks.toKafkaRecords(mem.toDF().toDF("k", "v"), col("k"), col("v"))
+    val q = records.writeStream.format("memory").queryName("kr")
+      .outputMode("append").start()
+    mem.addData(("key1", "payload1"))
+    q.processAllAvailable()
+    q.stop()
+    val r = spark.table("kr").as[(Array[Byte], Array[Byte])].collect().head
+    assert(new String(r._1) == "key1" && new String(r._2) == "payload1")
+  }
+
   test("saltedJoin equals the plain join on skewed data") {
     val skewed = (1 to 1000).map(i => (if (i % 10 == 0) "cold" + i else "hot", i))
       .toDF("k", "n")
