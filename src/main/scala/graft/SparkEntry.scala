@@ -597,20 +597,40 @@ object SparkEntry {
   private def q26(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    // sessionize: a 4h silence starts a new session (ts is epoch nanos)
-    val byTime = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val gapNs = 4L * 3600 * 1000000000L
+    // sessionize: a 4h silence starts a new session. Micros, not nanos:
+    // DuckDB truncates parquet ns-timestamps to micros on read.
+    val byTime = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    val gapUs = 4L * 3600 * 1000000L
     val g = t(s, dir, "events")
+      .withColumn("tus", expr("ts div 1000"))
       .withColumn("brk",
-        when(lag($"ts", 1).over(byTime).isNull
-          || $"ts" - lag($"ts", 1).over(byTime) > gapNs, 1L).otherwise(0L))
+        when(lag($"tus", 1).over(byTime).isNull
+          || $"tus" - lag($"tus", 1).over(byTime) > gapUs, 1L).otherwise(0L))
     val sess = g.withColumn("sid",
-      sum($"brk").over(byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sum($"brk").over(Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     sess.withColumn("cnt", count(lit(1)).over(Window.partitionBy($"user_id", $"sid")))
       .groupBy($"user_id")
       .agg(max($"sid").as("n_sessions"), count(lit(1)).as("n_events"),
         max($"cnt").as("longest"))
       .orderBy($"user_id")
+  }
+
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // signup -> purchase funnel. Exact integer math at MICROsecond
+    // precision: DuckDB truncates parquet ns-timestamps to micros on
+    // read, so the oracle can only see micros.
+    val ev = t(s, dir, "events").withColumn("tus", expr("ts div 1000"))
+    val signed = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"tus").as("s0"))
+    val converted = ev.filter($"event_type" === "purchase")
+      .join(signed, "user_id")
+      .filter($"tus" > $"s0")
+      .groupBy($"user_id", $"s0").agg(min($"tus").as("p0"))
+    signed.agg(count(lit(1)).as("n_signed")).crossJoin(
+      converted.agg(count(lit(1)).as("n_converted"),
+        sum($"p0" - $"s0").as("total_latency_us")))
   }
 
   // ---------------------------------------------------------------- registry
@@ -641,6 +661,7 @@ object SparkEntry {
     "q24_asof_join" -> (q24 _),
     "q25_quantiles" -> (q25 _),
     "q26_sessions" -> (q26 _),
+    "q27_funnel" -> (q27 _),
     "e1_capture_map" -> (e1 _),
     "e2_capture_values" -> (e2 _),
     "e3_capture_flatmap" -> (e3 _),
@@ -881,17 +902,29 @@ object SparkEntry {
         |FROM b ORDER BY l_returnflag""".stripMargin,
     "q26_sessions" ->
       """WITH g AS (
-        | SELECT user_id, ts, event_id,
-        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-        |       OR epoch_ns(ts) - epoch_ns(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 14400000000000
+        | SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |  CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+        |       OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 14400000000
         |       THEN 1 ELSE 0 END AS brk
         | FROM events),
-        |s AS (SELECT user_id, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |s AS (SELECT user_id, SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
         |        ROWS UNBOUNDED PRECEDING) AS sid FROM g),
         |c AS (SELECT user_id, sid, COUNT(*) OVER (PARTITION BY user_id, sid) AS cnt FROM s)
         |SELECT user_id, CAST(MAX(sid) AS BIGINT) AS n_sessions, COUNT(*) AS n_events,
         | CAST(MAX(cnt) AS BIGINT) AS longest
         |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q27_funnel" ->
+      """WITH signed AS (
+        | SELECT user_id, min(epoch_us(ts)) AS s0 FROM events
+        | WHERE event_type = 'signup' GROUP BY user_id),
+        |converted AS (
+        | SELECT e.user_id, s.s0, min(epoch_us(e.ts)) AS p0
+        | FROM events e JOIN signed s ON e.user_id = s.user_id
+        | WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s.s0
+        | GROUP BY e.user_id, s.s0)
+        |SELECT (SELECT COUNT(*) FROM signed) AS n_signed,
+        | (SELECT COUNT(*) FROM converted) AS n_converted,
+        | (SELECT CAST(SUM(p0 - s0) AS BIGINT) FROM converted) AS total_latency_us""".stripMargin,
     "e1_capture_map" ->
       """SELECT doc_id, doc_id % 10 AS newkey,
         | CAST(n_chars // (doc_id % 13) AS BIGINT) AS ratio
