@@ -194,15 +194,18 @@ object SparkEntry {
 
   private def q15(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
+    // "rank()=1 over everything" as a max-aggregate + join: a global
+    // unpartitioned window would drag every supplier aggregate onto ONE
+    // task; the 1-row max is broadcast instead. Ties (rank semantics) are
+    // preserved by the equality filter, exact because total_rev is DECIMAL.
     val rev = t(s, dir, "lineitem")
       .filter($"l_shipdate".cast("date") >= lit("1996-01-01")
         && $"l_shipdate".cast("date") < lit("1996-04-01"))
       .groupBy($"l_suppkey")
       .agg(sum(($"l_extendedprice".cast(DEC) * (lit(1).cast(DEC) - $"l_discount".cast(DEC))))
         .as("total_rev"))
-    rev.withColumn("rnk", rank().over(Window.orderBy($"total_rev".desc)))
-      .filter($"rnk" === 1)
+    rev.join(broadcast(rev.agg(max($"total_rev").as("max_rev"))),
+        $"total_rev" === $"max_rev")
       .join(broadcast(t(s, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
       .select($"s_suppkey", $"s_name", $"total_rev".cast("double").as("total_revenue"))
       .orderBy($"s_suppkey")
@@ -480,11 +483,14 @@ object SparkEntry {
 
   private def d7(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // deq_sum as the exact single expression sum(q)*scale/127: the integer
+    // sum is exact (BIGINT), so only ONE double multiply + divide happens —
+    // no round(), no -0.0-vs-0.0 zero-sign hazard between engines.
     val q = operators.Similarity.quantizeInt8(t(s, dir, "embeddings"))
-    operators.Similarity.dequantize(q)
-      .select($"vec_id", $"scale",
+    q.select($"vec_id", $"scale",
         aggregate($"q", lit(0L), (acc, x) => acc + abs(x).cast("long")).as("q_l1"),
-        round(aggregate($"deq", lit(0.0), (acc, x) => acc + x), 6).as("deq_sum"))
+        (aggregate($"q", lit(0L), (acc, x) => acc + x.cast("long")).cast("double")
+          * $"scale" / 127.0).as("deq_sum"))
       .orderBy($"vec_id")
   }
 
@@ -565,20 +571,27 @@ object SparkEntry {
   private def q25(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    // exact interpolated quantiles via sort + window instead of the
-    // builtin percentile aggregate (whose per-partition value maps are
-    // the bottleneck): rank each value, keep the 2 boundary rows per
-    // quantile, interpolate with the same lo + frac*(hi-lo) formula.
-    val byVal = Window.partitionBy($"l_returnflag").orderBy($"l_extendedprice")
+    // exact interpolated quantiles WITHOUT sorting the full table: first
+    // hash-aggregate lineitem down to distinct (flag, value, count) —
+    // orders of magnitude smaller than lineitem — then run the boundary
+    // window over that distinct-value table only. A row's 0-based rank
+    // range [cum-cnt, cum-1] comes from cumulative counts, so the
+    // full-table sort (3 tasks each sorting ⅓ of lineitem at scale)
+    // never happens; interpolation is the same lo + frac*(hi-lo).
     val grp = Window.partitionBy($"l_returnflag")
-    val ranked = t(s, dir, "lineitem")
-      .select($"l_returnflag", $"l_extendedprice")
-      .withColumn("rn", row_number().over(byVal) - 1)
-      .withColumn("n", count(lit(1)).over(grp))
+    val byVal = grp.orderBy($"l_extendedprice")
+    val vals = t(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_extendedprice")
+      .agg(count(lit(1)).as("cnt"))
+    val ranked = vals
+      .withColumn("cum",
+        sum($"cnt").over(byVal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum($"cnt").over(grp))
     def bound(q: Double, which: String) = {
       val pos = lit(q) * ($"n" - 1)
       val idx = if (which == "lo") floor(pos) else ceil(pos)
-      max(when($"rn" === idx, $"l_extendedprice")).as(s"$which${(q * 100).toInt}")
+      max(when(idx.between($"cum" - $"cnt", $"cum" - 1), $"l_extendedprice"))
+        .as(s"$which${(q * 100).toInt}")
     }
     def interp(q: Double, lo: Column, hi: Column) = {
       val pos = lit(q) * ($"n" - 1)
@@ -586,7 +599,7 @@ object SparkEntry {
     }
     ranked.groupBy($"l_returnflag")
       .agg(bound(0.5, "lo"), bound(0.5, "hi"), bound(0.95, "lo"), bound(0.95, "hi"),
-        count(lit(1)).as("n"))
+        max($"n").as("n"))
       .select($"l_returnflag",
         interp(0.5, $"lo50", $"hi50").as("p50"),
         interp(0.95, $"lo95", $"hi95").as("p95"),
@@ -1028,8 +1041,7 @@ object SparkEntry {
         | FROM s)
         |SELECT vec_id, scale,
         | CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
-        | round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |   list_transform(qv, x -> x::DOUBLE * scale / 127.0)), (a, b) -> a + b), 6) AS deq_sum
+        | CAST(list_sum(qv) AS BIGINT)::DOUBLE * scale / 127.0 AS deq_sum
         |FROM q ORDER BY vec_id""".stripMargin,
     "d3_simhash" ->
       """WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents),

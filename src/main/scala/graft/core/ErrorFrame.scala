@@ -83,14 +83,32 @@ final case class ErrorFrame private (
 
   /** Error-logging semantics (ErrorLoggingKeyValueMapper.java): log each
     * failure on the executor, keep only the successes.
+    *
+    * Logging happens INSIDE the scan that produces the returned values
+    * frame — lazily, when (and each time) the frame is consumed — so this
+    * method schedules no job of its own and composes with streaming
+    * frames. The log pass is a per-partition filter, not a separate
+    * action over the error branch.
     */
   def valuesLoggingErrors(): DataFrame = {
-    val err = errors.select(inputCol.cast("string"), col("error_class"), col("error_message"))
-    err.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-      val plog = org.slf4j.LoggerFactory.getLogger("graft.ErrorLogging")
-      it.foreach(r => plog.error(s"Cannot process ('${r.get(0)}'): ${r.get(1)}: ${r.get(2)}"))
-    }
-    values
+    val annotated = df
+      .withColumn(IS_ERR_COL, anyError)
+      .withColumn(LOG_COL, concat(
+        lit("Cannot process ('"), inputCol.cast("string"), lit("'): "),
+        coalesce(firstError(ERROR_CLASS), lit("")), lit(": "),
+        coalesce(firstError(ERROR_MESSAGE), lit(""))))
+    val schema = annotated.schema
+    val errIdx = schema.fieldIndex(IS_ERR_COL)
+    val logIdx = schema.fieldIndex(LOG_COL)
+    val logged = annotated.mapPartitions { it =>
+      lazy val plog = org.slf4j.LoggerFactory.getLogger("graft.ErrorLogging")
+      it.filter { r =>
+        val isErr = !r.isNullAt(errIdx) && r.getBoolean(errIdx)
+        if (isErr) plog.error(r.getString(logIdx))
+        !isErr
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+    ErrorFrame(logged.drop(IS_ERR_COL, LOG_COL), resultNames, inputCol).values
   }
 
   /** Original value + Kafka-sink-compatible error headers
@@ -129,11 +147,18 @@ final case class ErrorFrame private (
     val e = errors
     val isRec = filter.isRecoverableColumn(col("error_class"), col("error_message"))
     if (failOnRecoverable) {
-      val n = e.filter(isRec).limit(1).count()
-      if (n > 0) throw new IllegalStateException(
-        "recoverable error encountered; failing for runtime retry")
-    }
-    ErrorSplit(values, e.filter(!isRec), e.filter(isRec))
+      // In-expression fail-fast: a raise_error guard is the FIRST conjunct
+      // of the branch filters, so the task itself throws on the first
+      // recoverable row during the one real pass — no separate driver-side
+      // probe job scanning the error branch up front.
+      val isRecRow = anyError &&
+        filter.isRecoverableColumn(firstError(ERROR_CLASS), firstError(ERROR_MESSAGE))
+      val guard = !when(isRecRow,
+        raise_error(lit(RECOVERABLE_MSG)).cast("boolean")).otherwise(lit(false))
+      val guarded = ErrorFrame(df.filter(guard), resultNames, inputCol)
+      ErrorSplit(guarded.values, guarded.errors, e.filter(isRec))
+    } else
+      ErrorSplit(values, e.filter(!isRec), e.filter(isRec))
   }
 }
 
@@ -145,6 +170,9 @@ object ErrorFrame {
   val ERROR_CLASS = "error_class"
   val ERROR_MESSAGE = "error_message"
   val STACK_TRACE = "stack_trace"
+  val RECOVERABLE_MSG = "recoverable error encountered; failing for runtime retry"
+  private val IS_ERR_COL = CAPTURE_PREFIX + "is_err"
+  private val LOG_COL = CAPTURE_PREFIX + "log"
 
   def capturedCol(name: String): String = CAPTURE_PREFIX + name
 

@@ -20,14 +20,40 @@ object Dedup {
     * ≥ defaultParallelism partitions and this is a no-op.
     */
   private[operators] def widen(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    val spark = df.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    // Estimate the scan's split count from the file index (bytes /
+    // maxPartitionBytes) instead of df.rdd.getNumPartitions — reading the
+    // RDD would force physical planning + DAG construction just for a
+    // partition count. Non-file leaves (in-memory test frames) are assumed
+    // already wide.
+    val maxSplit = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+    val splits = df.queryExecution.optimizedPlan.collectLeaves().map {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.sizeInBytes / maxSplit + 1
+          case _ => p.toLong
+        }
+      case _ => p.toLong
+    }.sum
+    if (splits < p) df.repartition(p) else df
   }
 
   /** Exact dedup: hash-groupBy on content. One shuffle on md5(text). */
   def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** Shingle start indices 1..len-n+1, or empty when the doc has fewer
+    * than `n` tokens — unguarded, sequence(1, len-n+1) DESCENDS for short
+    * docs (Spark defaults step=-1 when start > stop) and slice() then
+    * throws on index 0. DuckDB's range() returns empty for the same
+    * input, so the guard is also what keeps the oracle in agreement.
+    */
+  private def shingleIdx(toks: Column, n: Int): Column =
+    when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
 
   /** Distinct word-`n`-shingle set per doc (n=1 → unigram token set). */
   def shingleSets(docs0: DataFrame, n: Int, textCol: String, idCol: String): DataFrame = {
@@ -37,7 +63,7 @@ object Dedup {
     else
       docs.select(col(idCol).as("doc_id"),
         array_distinct(transform(
-          sequence(lit(1), size(split(col(textCol), " ")) - (n - 1)),
+          shingleIdx(split(col(textCol), " "), n),
           i => concat_ws(" ", slice(split(col(textCol), " "), i, lit(n))))).as("ts"))
   }
 
@@ -76,17 +102,21 @@ object Dedup {
     */
   def minHashLsh(docs: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5, shingleSize: Int = 3,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      maxBucket: Int = 10000): DataFrame = {
     val bands = lshBands(
       minHashSignatures(docs, numHashes, shingleSize, textCol, idCol), rowsPerBand)
     // candidates via bucket grouping, not a self-join: one shuffle on
     // (band, bandsig), pairs emitted inside each bucket — the signature
     // pipeline runs ONCE (a self-join would compute it per side).
-    // Bucket sizes are the LSH skew unit; with proper shingling they stay
-    // small, and a giant bucket means the banding is mistuned.
+    // Bucket sizes are the LSH skew unit; `maxBucket` drops pathological
+    // buckets (a bucket of size m emits m²/2 pairs — one degenerate band
+    // value would otherwise pin a single task and flood the verify join).
+    // Dropped buckets are observable via [[oversizedLshBuckets]]; a giant
+    // bucket means the banding is mistuned for the corpus.
     val buckets = bands.groupBy(col("band"), col("bandsig"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
     val cand = buckets.select(explode(expr(
         "flatten(transform(ids, (x, i) -> " +
           "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS da, y AS db))))"))
@@ -96,6 +126,19 @@ object Dedup {
     val tsets = shingleSets(docs, shingleSize, textCol, idCol)
     verifyJaccard(cand, tsets, threshold)
   }
+
+  /** Monitoring twin of [[minHashLsh]]'s bucket cap: the (band, bandsig)
+    * buckets that exceed `maxBucket` docs and were therefore excluded
+    * from candidate generation. Run/log this alongside the dedup job to
+    * detect mistuned banding instead of silently skipping pairs.
+    */
+  def oversizedLshBuckets(docs: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 4,
+      shingleSize: Int = 3, textCol: String = "text", idCol: String = "doc_id",
+      maxBucket: Int = 10000): DataFrame =
+    lshBands(minHashSignatures(docs, numHashes, shingleSize, textCol, idCol), rowsPerBand)
+      .groupBy(col("band"), col("bandsig"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucket)
 
   /** Incremental near-dup: which NEW docs duplicate the EXISTING corpus?
     * The corpus side is banded once (in production: precomputed and
@@ -171,7 +214,7 @@ object Dedup {
     val docs = widen(docs0)
     val grams = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
       array_distinct(transform(
-        sequence(lit(1), size(split(col(textCol), " ")) - (n - 1)),
+        shingleIdx(split(col(textCol), " "), n),
         i => concat_ws(" ", slice(split(col(textCol), " "), i, lit(n))))).as("ts"))
     // token-join formulation (see verifyJaccard): one shuffle on
     // (block, gram), pair counts from hash aggregation.

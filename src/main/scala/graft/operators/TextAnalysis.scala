@@ -76,6 +76,10 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("dfq"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
+    // round(,6) here is zero-sign-safe: tf>=1 and df<=N so idf>=0, and the
+    // idf=0 case is ln(exactly 1.0) = +0.0 in both JVM Math.log and libm —
+    // a negative zero can never reach the round. Kept because it absorbs
+    // last-ulp ln() differences between engines.
     val scored = toks
       .join(broadcast(dfreq), "tok")
       .crossJoin(broadcast(n))

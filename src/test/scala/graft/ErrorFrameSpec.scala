@@ -58,10 +58,16 @@ class ErrorFrameSpec extends SparkSpec {
     val split = captured.filterRecoverable(ErrorClassifier.nothingIsRecoverable)
     assert(split.deadLettered.count() == 1 && split.recoverable.count() == 0)
 
+    // fail-fast is lazy and in-expression: constructing the split is free;
+    // the raise_error guard fires inside the task on first consumption.
     val allRecoverable = ErrorClassifier(Seq("org.apache.spark."), Set.empty)
-    assertThrows[IllegalStateException] {
-      captured.filterRecoverable(allRecoverable)
-    }
+    val failing = captured.filterRecoverable(allRecoverable)
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val exV = intercept[Exception] { failing.values.count() }
+    assert(msgs(exV).exists(_.contains("recoverable error encountered")))
+    val exD = intercept[Exception] { failing.deadLettered.count() }
+    assert(msgs(exD).exists(_.contains("recoverable error encountered")))
     val s2 = captured.filterRecoverable(allRecoverable, failOnRecoverable = false)
     assert(s2.recoverable.count() == 1 && s2.deadLettered.count() == 0)
   }

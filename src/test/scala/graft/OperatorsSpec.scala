@@ -29,6 +29,29 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("shingle-based ops survive docs shorter than the shingle size") {
+    // unguarded, sequence(1, len-n+1) descends for len<n and slice() throws
+    val short = docs.union(Seq(
+      (4L, "tiny", "s0"), (5L, "", "s0"), (6L, "two words", "s0"))
+      .toDF("doc_id", "text", "source"))
+    val lsh = Dedup.minHashLsh(short, numHashes = 16, rowsPerBand = 2, threshold = 0.5)
+      .select($"da", $"db").as[(Long, Long)].collect().toSet
+    assert(lsh.contains((0L, 3L)) && !lsh.exists(p => p._1 >= 4L || p._2 >= 4L))
+    val ng = Dedup.ngramJaccard(short, n = 3, blockCol = "source", threshold = 0.5)
+      .select($"da", $"db").as[(Long, Long)].collect().toSet
+    assert(ng.contains((0L, 1L)) && !ng.exists(p => p._1 >= 4L || p._2 >= 4L))
+  }
+
+  test("LSH bucket cap drops pathological buckets; monitor surfaces them") {
+    // every doc identical -> one bucket of 4 per band; cap at 3 kills all pairs
+    val same = (0L to 3L).map(i => (i, "alpha beta gamma delta epsilon", "s0"))
+      .toDF("doc_id", "text", "source")
+    assert(Dedup.minHashLsh(same, numHashes = 16, rowsPerBand = 2, maxBucket = 3).count() == 0)
+    assert(Dedup.minHashLsh(same, numHashes = 16, rowsPerBand = 2, maxBucket = 4).count() == 6)
+    val over = Dedup.oversizedLshBuckets(same, numHashes = 16, rowsPerBand = 2, maxBucket = 3)
+    assert(over.count() == 8 && over.select(max($"n_docs")).as[Long].head() == 4L)
+  }
+
   test("simhash of identical docs is identical; differing docs differ") {
     val fp = Dedup.simHash(docs).as[(Long, String)].collect().toMap
     assert(fp(0L) == fp(3L))
