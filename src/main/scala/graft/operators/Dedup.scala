@@ -80,7 +80,11 @@ object Dedup {
     shingleSets(docs, shingleSize, textCol, idCol)
       .select(col("doc_id"),
         graft.functions.MinHashSig(col("ts"), numHashes).as("sig"))
-      .filter(col("sig").isNotNull)
+    // No isNotNull filter here: a filter on sig gets predicate-pushed BELOW
+    // widen()'s repartition, recomputing the whole MinHashSig pass
+    // single-threaded on the unwidened scan partition (measured 5-10× on
+    // d2). Null sigs (docs with no shingles) cost nothing downstream:
+    // posexplode(null) in lshBands generates zero band rows.
 
   /** LSH band signatures: hash `rowsPerBand` consecutive minhashes into
     * one band key (numBands rows per doc). Docs sharing any band key are
@@ -173,9 +177,15 @@ object Dedup {
   def verifyJaccard(pairs: DataFrame, tokenSets: DataFrame, threshold: Double): DataFrame = {
     val toks = tokenSets.select(col("doc_id"), explode(col("ts")).as("tok"))
     val sizes = tokenSets.select(col("doc_id"), size(col("ts")).as("n"))
+    // token×token join is SHUFFLE_HASH by hint: Catalyst's size estimate
+    // for the exploded token table sits under the broadcast threshold, but
+    // the real in-memory HashedRelation is the whole corpus' shingles —
+    // driver-built, GC-heavy (the round-1 d2 bench variance), and a
+    // non-starter at real scale. The pair list IS broadcast-able.
     val inter = pairs
       .join(toks.as("ta"), col("da") === col("ta.doc_id"))
-      .join(toks.as("tb"), col("db") === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
+      .join(toks.as("tb").hint("shuffle_hash"),
+        col("db") === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
       .groupBy(col("da"), col("db"))
       .agg(count(lit(1)).as("i"))
     inter
@@ -220,7 +230,9 @@ object Dedup {
     // (block, gram), pair counts from hash aggregation.
     val toks = grams.select(col("doc_id"), col("blk"), explode(col("ts")).as("tok"))
     val sizes = grams.select(col("doc_id"), size(col("ts")).as("n"))
-    val inter = toks.as("ta").join(toks.as("tb"),
+    // same shuffle-hash forcing as verifyJaccard: never broadcast the
+    // exploded gram table on a misleading size estimate
+    val inter = toks.as("ta").join(toks.as("tb").hint("shuffle_hash"),
         col("ta.blk") === col("tb.blk") && col("ta.tok") === col("tb.tok")
           && col("ta.doc_id") < col("tb.doc_id"))
       .groupBy(col("ta.doc_id").as("da"), col("tb.doc_id").as("db"))
