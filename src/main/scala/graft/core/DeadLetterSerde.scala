@@ -48,7 +48,9 @@ object DeadLetterSerde {
       $"cause.error_class".as("cause_error_class"),
       $"cause.message".as("cause_message"),
       $"cause.stack_trace".as("cause_stack_trace"),
-      $"input_timestamp".cast("long").as("input_epoch_sec"))
+      // the schema field is timestamp-millis: unix_millis keeps sub-second
+      // precision (cast-to-long would truncate to whole seconds)
+      unix_millis($"input_timestamp").as("input_epoch_ms"))
       .as[(Option[String], Option[String], Option[Int], Option[Long], String,
         Option[String], Option[String], Option[String], Option[Long])]
       .mapPartitions { it =>
@@ -69,7 +71,7 @@ object DeadLetterSerde {
           rec.put("offset", off.map(Long.box).orNull)
           rec.put("description", desc)
           rec.put("cause", cause)
-          rec.put("input_timestamp", ts.map(s => Long.box(s * 1000L)).orNull)
+          rec.put("input_timestamp", ts.map(Long.box).orNull)
           out.reset()
           val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, encoder)
           writer.write(rec, enc)
@@ -91,7 +93,10 @@ object DeadLetterSerde {
     deadLetters.select(
       $"input_value", $"topic", $"partition", $"offset", $"description",
       $"cause.error_class".as("ec"), $"cause.message".as("msg"), $"cause.stack_trace".as("st"),
-      $"input_timestamp".cast("long").as("epoch_sec"))
+      // proto Timestamp carries seconds+nanos (the reference converter uses
+      // Instant.getEpochSecond/getNano): unix_micros is the full precision
+      // a Spark timestamp has
+      unix_micros($"input_timestamp").as("epoch_us"))
       .as[(Option[String], Option[String], Option[Int], Option[Long], String,
         Option[String], Option[String], Option[String], Option[Long])]
       .map { case (iv, topic, part, off, desc, ec, msg, st, ts) =>
@@ -133,7 +138,7 @@ object ProtoWire {
       description: String,
       causeMessage: Option[String], causeStackTrace: Option[String], causeErrorClass: Option[String],
       inputValue: Option[String], topic: Option[String],
-      partition: Option[Int], offset: Option[Long], epochSec: Option[Long]): Array[Byte] = {
+      partition: Option[Int], offset: Option[Long], epochMicros: Option[Long]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     if (description.nonEmpty) stringField(out, 1, description)
     val cause = new java.io.ByteArrayOutputStream()
@@ -145,9 +150,15 @@ object ProtoWire {
     topic.foreach(t => bytesField(out, 4, stringValue(t)))
     partition.foreach(p => bytesField(out, 5, int64Value(p.toLong)))
     offset.foreach(o => bytesField(out, 6, int64Value(o)))
-    epochSec.foreach { s =>
+    epochMicros.foreach { us =>
+      // google.protobuf.Timestamp { int64 seconds = 1; int32 nanos = 2; }
+      // with nanos in [0, 1e9): floorDiv/floorMod keep that invariant for
+      // pre-epoch instants, matching protobuf-java's Timestamps.fromMicros
+      val secs = Math.floorDiv(us, 1000000L)
+      val nanos = Math.floorMod(us, 1000000L) * 1000L
       val tsOut = new java.io.ByteArrayOutputStream()
-      if (s != 0) { tag(tsOut, 1, 0); varint(tsOut, s) }
+      if (secs != 0) { tag(tsOut, 1, 0); varint(tsOut, secs) }
+      if (nanos != 0) { tag(tsOut, 2, 0); varint(tsOut, nanos) }
       bytesField(out, 7, tsOut.toByteArray)
     }
     out.toByteArray
