@@ -251,7 +251,60 @@ final case class ErrorClassifier(recoverablePrefixes: Seq[String], nonRecoverabl
   }
 }
 
+/** SPI for config-driven classification — the analog of ErrorFilter.java:
+  * implement with a no-arg constructor and name the class in
+  * `error.handling.filter` (FilteringProcessingExceptionHandlerConfig's
+  * FILTER_CONFIG pattern re-expressed for Spark conf).
+  */
+trait ErrorFilterProvider {
+  def classifier: ErrorClassifier
+}
+
 object ErrorClassifier {
+  /** Config keys, mirroring FilteringProcessingExceptionHandlerConfig's
+    * `error.handling.filter` (a class name). The two inline-list keys are
+    * a Spark-conf convenience so simple deployments need no class.
+    */
+  val PREFIX = "error.handling."
+  val FILTER_CONFIG: String = PREFIX + "filter"
+  val RECOVERABLE_PREFIXES_CONFIG: String = PREFIX + "recoverable.prefixes"
+  val NON_RECOVERABLE_CLASSES_CONFIG: String = PREFIX + "non.recoverable.classes"
+  /** Spark session conf namespace for the same keys. */
+  val SPARK_CONF_PREFIX = "spark.graft."
+
+  /** Build a classifier from config, the deployment story of the
+    * reference's FilteringProcessingExceptionHandlerConfig:
+    *  - `error.handling.filter` = "default" | "nothing" | FQCN of an
+    *    [[ErrorFilterProvider]] with a no-arg constructor;
+    *  - else `error.handling.recoverable.prefixes` (comma-separated) and
+    *    `error.handling.non.recoverable.classes` assemble one inline;
+    *  - no keys at all → [[nothingIsRecoverable]] (the reference default:
+    *    every exception dead-letters).
+    */
+  def fromConf(conf: Map[String, String]): ErrorClassifier =
+    conf.get(FILTER_CONFIG) match {
+      case Some("default") => default
+      case Some("nothing") => nothingIsRecoverable
+      case Some(className) =>
+        Class.forName(className).getDeclaredConstructor().newInstance()
+          .asInstanceOf[ErrorFilterProvider].classifier
+      case None
+          if conf.contains(RECOVERABLE_PREFIXES_CONFIG)
+            || conf.contains(NON_RECOVERABLE_CLASSES_CONFIG) =>
+        def list(k: String) = conf.getOrElse(k, "")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        ErrorClassifier(list(RECOVERABLE_PREFIXES_CONFIG),
+          list(NON_RECOVERABLE_CLASSES_CONFIG).toSet)
+      case None => nothingIsRecoverable
+    }
+
+  /** Same, from the session's runtime conf under `spark.graft.`. */
+  def fromSession(spark: org.apache.spark.sql.SparkSession): ErrorClassifier = {
+    val keys = Seq(FILTER_CONFIG, RECOVERABLE_PREFIXES_CONFIG, NON_RECOVERABLE_CLASSES_CONFIG)
+    fromConf(keys.flatMap(k =>
+      spark.conf.getOption(SPARK_CONF_PREFIX + k).map(k -> _)).toMap)
+  }
+
   /** Mirrors ErrorUtil.RECOVERABLE_ERROR_PACKAGES + the
     * RecordTooLargeException carve-out, with Spark-native equivalents.
     */

@@ -12,13 +12,25 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Join types where replicating the non-skewed side is sound: the
+    * skewed (left) side carries ONE salt per row, so left-preserving
+    * semantics hold, but an unmatched RIGHT row exists once per replica —
+    * right_outer/full would emit it `salts` times.
+    */
+  private val SafeJoinTypes =
+    Set("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti")
+
   /** Salted equi-join: the skewed (large) side gets a random-but-
     * deterministic salt derived from a row fingerprint; the small side is
     * replicated across all salt values. Key cardinality × `salts`
-    * partitions — hot keys split `salts` ways.
+    * partitions — hot keys split `salts` ways. Right-preserving join
+    * types are rejected (see [[SafeJoinTypes]]).
     */
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String, salts: Int,
       joinType: String = "inner"): DataFrame = {
+    require(SafeJoinTypes.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left/semi/anti join types only; '$joinType' would " +
+        "duplicate unmatched rows of the replicated side")
     val saltedLeft = skewed.withColumn("__salt",
       pmod(hash(skewed.columns.map(col).toSeq: _*), lit(salts)))
     val replicatedRight = other.withColumn("__salt",

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, Spar
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
-import graft.core.{ErrorFrame, model}
+import graft.core.{ErrorClassifier, ErrorFrame, model}
 
 /** Structured Streaming parity of the reference's Kafka Streams surface:
   * the same capture projection (TryCapture) applied to an unbounded
@@ -55,6 +55,81 @@ object StreamErrorHandling {
       .start()
   }
 
+  /** [[captureToDlq]] with runtime-retry semantics for RECOVERABLE errors
+    * — the Structured-Streaming analog of the reference's
+    * FilteringProcessingExceptionHandler hook, where transient failures
+    * retry without failing the job and only poison pills dead-letter.
+    *
+    * Per micro-batch: non-recoverable errors go straight to the DLQ;
+    * the recoverable branch is re-computed (results re-applied to the
+    * original input rows) up to `maxRetries` times with exponential
+    * backoff inside foreachBatch. Rows still failing after the budget are
+    * dead-lettered with a "retries exhausted" description — bounded work,
+    * no unbounded job restart loop, checkpoint untouched by retries.
+    */
+  def captureToDlqWithRetry(
+      stream: DataFrame,
+      results: Map[String, Column],
+      input: Column,
+      description: String,
+      valuesPath: String,
+      dlqPath: String,
+      checkpointPath: String,
+      classifier: ErrorClassifier = ErrorClassifier.default,
+      maxRetries: Int = 3,
+      backoffMs: Long = 1000L): StreamingQuery = {
+    val captured = capture(stream, results, input)
+    captured.df.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        def deadLetterize(errRows: DataFrame, desc: String): DataFrame =
+          errRows.select(
+            input.cast("string").as("input_value"),
+            lit(null).cast("string").as("topic"),
+            lit(null).cast("int").as("partition"),
+            lit(null).cast("bigint").as("offset"),
+            lit(desc).as("description"),
+            struct(col("error_class"), col("error_message").as("message"),
+              col("stack_trace")).as("cause"),
+            lit(null).cast("timestamp").as("input_timestamp"))
+        // persist each pass so every retry evaluates the user computation
+        // exactly once per row (branches below share the materialization)
+        var cached = List(batch.toDF().persist())
+        try {
+          val first = ErrorFrame(cached.head, captured.resultNames, input)
+            .filterRecoverable(classifier, failOnRecoverable = false)
+          first.values.write.mode("overwrite")
+            .parquet(s"$valuesPath/batch_id=$batchId")
+          var dead = deadLetterize(first.deadLettered, description)
+          var pending = first.recoverable
+            .drop("error_class", "error_message", "stack_trace")
+          var attempt = 0
+          while (attempt < maxRetries && !pending.isEmpty) {
+            Thread.sleep(backoffMs << attempt)
+            val recap = ErrorFrame.captureErrors(pending, results, input)
+            cached ::= recap.df.persist()
+            val split = ErrorFrame(cached.head, recap.resultNames, input)
+              .filterRecoverable(classifier, failOnRecoverable = false)
+            split.values.write.mode("append")
+              .parquet(s"$valuesPath/batch_id=$batchId")
+            dead = dead.union(deadLetterize(split.deadLettered, description))
+            pending = split.recoverable
+              .drop("error_class", "error_message", "stack_trace")
+            attempt += 1
+          }
+          if (!pending.isEmpty) {
+            val last = ErrorFrame(cached.head, captured.resultNames, input)
+              .filterRecoverable(classifier, failOnRecoverable = false)
+            dead = dead.union(
+              deadLetterize(last.recoverable, s"$description (retries exhausted)"))
+          }
+          dead.write.mode("overwrite").parquet(s"$dlqPath/batch_id=$batchId")
+        } finally cached.foreach(_.unpersist())
+        ()
+      }
+      .start()
+  }
+
   /** Watermarked tumbling-window counts — the streaming twin of the
     * batch q20 query (same semantics on a bounded input).
     */
@@ -69,11 +144,16 @@ object StreamErrorHandling {
   /** Streaming exact dedup: first-seen record per id wins, duplicates
     * dropped within the watermark horizon (state is bounded by the
     * watermark — the streaming twin of Dedup.exact).
+    *
+    * dropDuplicatesWithinWatermark keys state on `idCol` ALONE — two
+    * records with the same id but different timestamps are still one
+    * id (plain dropDuplicates(id, ts) would keep both), and expired
+    * state is evicted once the watermark passes the first sighting.
     */
   def dedupStreaming(stream: DataFrame, idCol: String, tsCol: String,
       watermarkDelay: String): DataFrame =
     stream.withWatermark(tsCol, watermarkDelay)
-      .dropDuplicates(idCol, tsCol)
+      .dropDuplicatesWithinWatermark(idCol)
 
   /** Stream-stream inner join within a time bound: right rows match left
     * rows at most `window` older — state on both sides is pruned by the

@@ -4,6 +4,12 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{ErrorClassifier, ErrorFrame, ErrorHeaders}
 
+/** No-arg-constructible provider for the config-driven classifier test. */
+class TestFilterProvider extends graft.core.ErrorFilterProvider {
+  override def classifier: ErrorClassifier =
+    ErrorClassifier(Seq("org.example.custom."), Set.empty)
+}
+
 class ErrorFrameSpec extends SparkSpec {
   import spark.implicits._
 
@@ -77,6 +83,23 @@ class ErrorFrameSpec extends SparkSpec {
       Set("org.apache.spark.SparkNumberFormatException"))
     assert(!c.isRecoverable("org.apache.spark.SparkNumberFormatException"))
     assert(c.isRecoverable("org.apache.spark.SparkTimeoutException"))
+  }
+
+  test("classifier builds from config: named, inline, class, and default") {
+    import ErrorClassifier._
+    assert(fromConf(Map(FILTER_CONFIG -> "default")) == ErrorClassifier.default)
+    assert(fromConf(Map.empty) == ErrorClassifier.nothingIsRecoverable)
+    val inline = fromConf(Map(
+      RECOVERABLE_PREFIXES_CONFIG -> "java.net., org.example.Transient",
+      NON_RECOVERABLE_CLASSES_CONFIG -> "java.net.UnknownHostException"))
+    assert(inline.isRecoverable("java.net.SocketTimeoutException"))
+    assert(!inline.isRecoverable("java.net.UnknownHostException"))
+    val viaClass = fromConf(Map(FILTER_CONFIG -> classOf[TestFilterProvider].getName))
+    assert(viaClass.isRecoverable("org.example.custom.Boom"))
+    // session-conf wiring under the spark.graft. namespace
+    spark.conf.set(SPARK_CONF_PREFIX + FILTER_CONFIG, classOf[TestFilterProvider].getName)
+    try assert(ErrorClassifier.fromSession(spark).isRecoverable("org.example.custom.Boom"))
+    finally spark.conf.unset(SPARK_CONF_PREFIX + FILTER_CONFIG)
   }
 
   test("describeErrors rethrows with input context") {

@@ -73,6 +73,21 @@ class SinksAndSkewSpec extends SparkSpec {
       plain.as[(String, Int, String)].collect().toSet)
   }
 
+  test("saltedJoin preserves left-outer rows and rejects right-preserving types") {
+    val skewed = Seq(("hot", 1), ("lonely", 2)).toDF("k", "n")
+    val dimDf = Seq(("hot", "H"), ("unmatched", "U")).toDF("k", "label")
+    val lo = Skew.saltedJoin(skewed, dimDf, "k", salts = 4, joinType = "left")
+      .select(skewed("k"), $"label").as[(String, String)].collect().toSet
+    assert(lo == Set(("hot", "H"), ("lonely", null)))
+    // replicating the right side would emit unmatched right rows `salts` times
+    assertThrows[IllegalArgumentException] {
+      Skew.saltedJoin(skewed, dimDf, "k", salts = 4, joinType = "right_outer")
+    }
+    assertThrows[IllegalArgumentException] {
+      Skew.saltedJoin(skewed, dimDf, "k", salts = 4, joinType = "full")
+    }
+  }
+
   test("keyProfile surfaces the hot key") {
     val skewed = (1 to 100).map(i => (if (i % 10 == 0) "k" + i else "hot", i)).toDF("k", "n")
     val top = Skew.keyProfile(skewed, "k", 1).collect().head

@@ -7,6 +7,13 @@ import org.apache.spark.sql.functions._
 
 import graft.streaming.StreamErrorHandling
 
+/** Cross-invocation state for the flaky-UDF retry test (single local JVM). */
+object FlakyState {
+  val attempts = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicInteger]()
+  def reset(): Unit = attempts.clear()
+}
+
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
@@ -87,12 +94,60 @@ class StreamingSpec extends SparkSpec {
       mem.toDF().toDF("id", "ts", "payload"), "id", "ts", "1 hour")
     val q = out.writeStream.format("memory").queryName("dd").outputMode("append").start()
     val t = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
-    mem.addData((1L, t, "a"), (1L, t, "a-dup"), (2L, t, "b"))
+    val t2 = java.sql.Timestamp.valueOf("2024-01-01 10:30:00")
+    // same id at a DIFFERENT timestamp is still a duplicate: state keys on id
+    mem.addData((1L, t, "a"), (1L, t2, "a-later"), (2L, t, "b"))
     q.processAllAvailable()
     mem.addData((1L, t, "a-again"))
     q.processAllAvailable()
     q.stop()
     assert(spark.table("dd").count() == 2) // one row per id within horizon
+  }
+
+  test("captureToDlqWithRetry: transient errors retry into values, poison pills DLQ") {
+    implicit val sqlCtx = spark.sqlContext
+    FlakyState.reset()
+    spark.udf.register("graft_flaky", (s: String) => {
+      val n = FlakyState.attempts
+        .computeIfAbsent(s, _ => new java.util.concurrent.atomic.AtomicInteger)
+        .incrementAndGet()
+      if (s.startsWith("flaky") && n <= 2)
+        throw new IllegalStateException(s"transient failure for $s (attempt $n)")
+      if (s.startsWith("always"))
+        throw new IllegalStateException(s"permanent transient-looking failure for $s")
+      s.length.toLong
+    })
+    val mem = MemoryStream[String]
+    val tmp = Files.createTempDirectory("graft-retry").toString
+    val classifier = graft.core.ErrorClassifier(
+      recoverablePrefixes =
+        Seq("java.lang.IllegalStateException", "org.apache.spark.SparkException"),
+      nonRecoverableClasses = Set("org.apache.spark.SparkNumberFormatException"))
+    val q = StreamErrorHandling.captureToDlqWithRetry(
+      mem.toDF().withColumnRenamed("value", "s"),
+      Map("v" -> expr(
+        "case when s = 'poison' then cast(concat('x', s) as bigint) else graft_flaky(s) end")),
+      input = col("s"),
+      description = "retry test",
+      valuesPath = s"$tmp/values", dlqPath = s"$tmp/dlq",
+      checkpointPath = s"$tmp/ckpt",
+      classifier = classifier, maxRetries = 3, backoffMs = 1L)
+    mem.addData("good", "flaky-row", "poison", "always-fails")
+    q.processAllAvailable()
+    q.stop()
+
+    // transient record succeeded on a retry; poison never got retried
+    val values = spark.read.parquet(s"$tmp/values")
+      .select($"s", $"v").as[(String, Long)].collect().toMap
+    assert(values.keySet == Set("good", "flaky-row"))
+    assert(values("flaky-row") == "flaky-row".length.toLong)
+    val dlq = spark.read.parquet(s"$tmp/dlq")
+      .select($"input_value", $"description").as[(String, String)].collect().toMap
+    assert(dlq.keySet == Set("poison", "always-fails"))
+    assert(dlq("poison") == "retry test")
+    assert(dlq("always-fails") == "retry test (retries exhausted)")
+    // the transient record was attempted exactly 3 times (initial + 2 retries)
+    assert(FlakyState.attempts.get("flaky-row").get() == 3)
   }
 
   test("intervalJoin matches rights within the time bound only") {
