@@ -570,35 +570,24 @@ object SparkEntry {
 
   private def q25(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    // exact interpolated quantiles WITHOUT sorting the full table: first
-    // hash-aggregate lineitem down to distinct (flag, value, count) —
-    // orders of magnitude smaller than lineitem — then run the boundary
-    // window over that distinct-value table only. A row's 0-based rank
-    // range [cum-cnt, cum-1] comes from cumulative counts, so the
-    // full-table sort (3 tasks each sorting ⅓ of lineitem at scale)
-    // never happens; interpolation is the same lo + frac*(hi-lo).
-    val grp = Window.partitionBy($"l_returnflag")
-    val byVal = grp.orderBy($"l_extendedprice")
-    val vals = t(s, dir, "lineitem")
-      .groupBy($"l_returnflag", $"l_extendedprice")
-      .agg(count(lit(1)).as("cnt"))
-    val ranked = vals
-      .withColumn("cum",
-        sum($"cnt").over(byVal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("n", sum($"cnt").over(grp))
-    def bound(q: Double, which: String) = {
-      val pos = lit(q) * ($"n" - 1)
-      val idx = if (which == "lo") floor(pos) else ceil(pos)
-      max(when(idx.between($"cum" - $"cnt", $"cum" - 1), $"l_extendedprice"))
-        .as(s"$which${(q * 100).toInt}")
-    }
+    // exact interpolated quantiles via the bucketed-selection operator:
+    // two aggregate passes + a local sort of ONLY the buckets holding the
+    // boundary indices — no per-key full-table sort anywhere (see
+    // operators.Quantiles). Interpolation is the same lo + frac*(hi-lo)
+    // double arithmetic as the oracle.
+    val qb = operators.Quantiles.boundaries(
+      t(s, dir, "lineitem").select($"l_returnflag", $"l_extendedprice"),
+      keyCol = "l_returnflag", valCol = "l_extendedprice", qs = Seq(0.5, 0.95))
     def interp(q: Double, lo: Column, hi: Column) = {
       val pos = lit(q) * ($"n" - 1)
       lo + (pos - floor(pos)) * (hi - lo)
     }
-    ranked.groupBy($"l_returnflag")
-      .agg(bound(0.5, "lo"), bound(0.5, "hi"), bound(0.95, "lo"), bound(0.95, "hi"),
+    qb.groupBy($"l_returnflag")
+      .agg(
+        max(when($"q" === 0.5, $"lo")).as("lo50"),
+        max(when($"q" === 0.5, $"hi")).as("hi50"),
+        max(when($"q" === 0.95, $"lo")).as("lo95"),
+        max(when($"q" === 0.95, $"hi")).as("hi95"),
         max($"n").as("n"))
       .select($"l_returnflag",
         interp(0.5, $"lo50", $"hi50").as("p50"),

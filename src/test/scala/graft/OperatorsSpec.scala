@@ -66,6 +66,28 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.contains((0L, 3L))) // different block despite identical text
   }
 
+  test("Quantiles.boundaries matches brute-force order statistics") {
+    import operators.Quantiles
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 997).map(_ => ("a", rnd.nextDouble() * 100)) ++
+      (1 to 313).map(_ => ("b", math.floor(rnd.nextDouble() * 10))) ++ // heavy ties
+      Seq(("c", 5.0)) ++                                               // n = 1
+      (1 to 50).map(_ => ("d", 42.0))                                  // all equal
+    val df = rows.toDF("k", "v").repartition(8)
+    val qs = Seq(0.0, 0.25, 0.5, 0.95, 1.0)
+    val got = Quantiles.boundaries(df, "k", "v", qs, buckets = 16)
+      .as[(String, Double, Double, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    val byKey = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    for ((k, sorted) <- byKey; q <- qs) {
+      val pos = q * (sorted.size - 1)
+      val expect = (sorted(math.floor(pos).toInt), sorted(math.ceil(pos).toInt),
+        sorted.size.toLong)
+      assert(got((k, q)) == expect, s"key=$k q=$q")
+    }
+    assert(got.size == byKey.size * qs.size)
+  }
+
   test("cosine: identical vectors score 1.0, orthogonal 0.0") {
     val df = Seq((1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
       (3L, Array(0.0f, 1.0f), 0)).toDF("vec_id", "embedding", "label")
