@@ -549,6 +549,52 @@ object SparkEntry {
       .orderBy($"doc_id")
   }
 
+  private def p1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the synthetic corpus carries no PII, so embed a deterministic
+    // email + phone per doc; the operator under test is the scrub.
+    val raw = t(s, dir, "documents").withColumn("raw",
+      concat($"text", lit(" contact user"), $"doc_id".cast("string"),
+        lit("@example.com or +1-555-"),
+        lpad(pmod($"doc_id", lit(10000)).cast("string"), 4, "0")))
+    operators.Pipeline.redactPii(raw, "raw", Seq(
+        "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+        "phone" -> "\\+1-555-[0-9]{4}"))
+      .select($"doc_id", $"n_email", $"n_phone", md5($"redacted").as("redacted_md5"))
+      .orderBy($"doc_id")
+  }
+
+  private def p2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    operators.Pipeline.repetitionStats(t(s, dir, "documents"),
+        dupFracMax = 0.5, topFracMax = 0.1)
+      .orderBy($"doc_id")
+  }
+
+  private def p3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    operators.Pipeline.packSequences(t(s, dir, "documents"), budget = 512)
+      .groupBy($"shard", $"seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("seq_tokens"))
+      .withColumn("fill", $"seq_tokens".cast("double") / 512)
+      .orderBy($"shard", $"seq_id")
+  }
+
+  private def p4(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val ev = docs.filter(pmod($"doc_id", lit(97)) === 0)
+    val tr = docs.filter(pmod($"doc_id", lit(97)) =!= 0)
+    operators.Pipeline.contamination(tr, ev, n = 4).orderBy($"doc_id")
+  }
+
+  private def p5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    operators.Pipeline.stratifiedSample(t(s, dir, "documents"), "lang", $"doc_id",
+        cutoffs = Map("en" -> "0d"), defaultCutoff = "33")
+      .orderBy($"lang")
+  }
+
   private def q24(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // one order per (custkey, orderdate) — deterministic as-of matches
@@ -691,6 +737,11 @@ object SparkEntry {
     "t6_hash_sample" -> (t6 _),
     "m1_binary_meta" -> (m1 _),
     "m2_batch_features" -> (m2 _),
+    "p1_pii_redact" -> (p1 _),
+    "p2_repetition" -> (p2 _),
+    "p3_token_pack" -> (p3 _),
+    "p4_contamination" -> (p4 _),
+    "p5_stratified_sample" -> (p5 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1169,5 +1220,59 @@ object SparkEntry {
         | CAST(list_sum(list_transform(range(1, LEAST(octet_length(encode(text)), 256) + 1),
         |   i -> ascii(substr(text, i, 1)))) AS BIGINT) AS feat_l1
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "p1_pii_redact" ->
+      """WITH r AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-'
+        |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        | CAST(len(regexp_extract_all(raw, '\+1-555-[0-9]{4}')) AS INT) AS n_phone,
+        | md5(regexp_replace(
+        |   regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "p2_repetition" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |pt AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY doc_id, tok),
+        |m AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        |  COUNT(*) AS n_distinct, MAX(cnt) AS top_cnt FROM pt GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        | CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens AS dup_frac,
+        | CAST(top_cnt AS DOUBLE) / n_tokens AS top_frac,
+        | CAST(CASE WHEN CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens > CAST(0.5 AS DOUBLE)
+        |   OR CAST(top_cnt AS DOUBLE) / n_tokens > CAST(0.1 AS DOUBLE)
+        |  THEN 1 ELSE 0 END AS INT) AS flagged
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "p3_token_pack" ->
+      """WITH d AS (SELECT source AS shard, doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents),
+        |c AS (SELECT shard, doc_id, toks,
+        |  CAST(SUM(toks) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM d),
+        |b AS (SELECT shard, CAST((cum - toks) // 512 AS BIGINT) AS seq_id, toks FROM c)
+        |SELECT shard, seq_id, COUNT(*) AS n_docs,
+        | CAST(SUM(toks) AS BIGINT) AS seq_tokens,
+        | CAST(SUM(toks) AS BIGINT)::DOUBLE / 512 AS fill
+        |FROM b GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin,
+    "p4_contamination" ->
+      """WITH g AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 2),
+        |    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 3), ' '))) AS gs
+        | FROM documents),
+        |ev AS (SELECT DISTINCT unnest(gs) AS g FROM g WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id, unnest(gs) AS g FROM g WHERE doc_id % 97 <> 0)
+        |SELECT doc_id, COUNT(*) AS n_shared FROM tr JOIN ev USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "p5_stratified_sample" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |  md5('graft:' || CAST(doc_id AS VARCHAR))
+        |    < (CASE WHEN lang = 'en' THEN '0d' ELSE '33' END) AS keep
+        | FROM documents)
+        |SELECT lang, COUNT(*) AS n_total,
+        | CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        | MIN(CASE WHEN keep THEN doc_id END) AS first_key,
+        | CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE / COUNT(*) AS rate
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

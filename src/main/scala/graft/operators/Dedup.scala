@@ -45,26 +45,16 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** Shingle start indices 1..len-n+1, or empty when the doc has fewer
-    * than `n` tokens — unguarded, sequence(1, len-n+1) DESCENDS for short
-    * docs (Spark defaults step=-1 when start > stop) and slice() then
-    * throws on index 0. DuckDB's range() returns empty for the same
-    * input, so the guard is also what keeps the oracle in agreement.
+  /** Distinct word-`n`-shingle set per doc (n=1 → unigram token set).
+    * Single-pass native expression (functions.WordNGrams) — same output
+    * as the guarded `array_distinct(transform(sequence..., slice...))`
+    * HOF formulation (short docs → empty set), none of its
+    * interpreted-lambda cost.
     */
-  private def shingleIdx(toks: Column, n: Int): Column =
-    when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
-      .otherwise(array().cast("array<int>"))
-
-  /** Distinct word-`n`-shingle set per doc (n=1 → unigram token set). */
   def shingleSets(docs0: DataFrame, n: Int, textCol: String, idCol: String): DataFrame = {
     val docs = widen(docs0)
-    if (n == 1)
-      docs.select(col(idCol).as("doc_id"), array_distinct(split(col(textCol), " ")).as("ts"))
-    else
-      docs.select(col(idCol).as("doc_id"),
-        array_distinct(transform(
-          shingleIdx(split(col(textCol), " "), n),
-          i => concat_ws(" ", slice(split(col(textCol), " "), i, lit(n))))).as("ts"))
+    docs.select(col(idCol).as("doc_id"),
+      graft.functions.WordNGrams(col(textCol), n).as("ts"))
   }
 
   /** MinHash signatures: for each of `numHashes` seeds s, the minimum of
@@ -223,9 +213,7 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val docs = widen(docs0)
     val grams = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
-      array_distinct(transform(
-        shingleIdx(split(col(textCol), " "), n),
-        i => concat_ws(" ", slice(split(col(textCol), " "), i, lit(n))))).as("ts"))
+      graft.functions.WordNGrams(col(textCol), n).as("ts"))
     // token-join formulation (see verifyJaccard): one shuffle on
     // (block, gram), pair counts from hash aggregation.
     val toks = grams.select(col("doc_id"), col("blk"), explode(col("ts")).as("tok"))

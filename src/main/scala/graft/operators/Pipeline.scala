@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a large-scale training-data pipeline
+  * needs beyond dedup/similarity: PII scrubbing, repetition filtering,
+  * sequence packing, benchmark-contamination checks, stratified
+  * sampling. All are pure DataFrame declarations — codegen'd column
+  * expressions plus hash aggregates — so Catalyst keeps pushdown/pruning
+  * and every shuffle is on an explicit, scale-sane key.
+  */
+object Pipeline {
+
+  /** Redact every match of each (name, regex) pattern with
+    * `<NAME>` and count the matches per pattern. Purely per-row
+    * (embarrassingly parallel, no shuffle); regexes are Java-syntax and
+    * should stay in the RE2-compatible subset for cross-engine parity.
+    * Returns the input plus `n_<name>` counts and a `redacted` column.
+    */
+  def redactPii(df: DataFrame, textCol: String,
+      patterns: Seq[(String, String)]): DataFrame = {
+    val counted = patterns.foldLeft(df) { case (d, (name, re)) =>
+      d.withColumn(s"n_$name", regexp_count(col(textCol), lit(re)))
+    }
+    val redacted = patterns.foldLeft(col(textCol)) { case (c, (name, re)) =>
+      regexp_replace(c, re, s"<${name.toUpperCase}>")
+    }
+    counted.withColumn("redacted", redacted)
+  }
+
+  /** Per-document repetition statistics (C4/Gopher-style filters):
+    * duplicate-word fraction `1 - distinct/total` and most-frequent-word
+    * fraction `max(count)/total`, with a `flagged` verdict. One shuffle
+    * on (doc, token) — the token explode is map-side, the re-aggregate
+    * to doc grain is a partial-agg-friendly hash aggregate.
+    */
+  def repetitionStats(docs: DataFrame, dupFracMax: Double, topFracMax: Double,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val perTok = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+    perTok.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_cnt"))
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
+          .as("dup_frac"),
+        (col("top_cnt").cast("double") / col("n_tokens")).as("top_frac"))
+      .withColumn("flagged",
+        (col("dup_frac") > dupFracMax || col("top_frac") > topFracMax).cast("int"))
+  }
+
+  /** Pack documents into fixed-token-budget training sequences by
+    * cumulative token count, independently per shard. The window is
+    * partitioned by the SHARD key (a file/source granule, thousands of
+    * values at corpus scale) — never a global or low-cardinality window
+    * — so each task packs one shard's worth of rows. A document is
+    * assigned to the sequence its first token lands in (concat-and-chop
+    * semantics; the straddling doc makes a sequence overfill rather
+    * than split).
+    */
+  def packSequences(docs: DataFrame, budget: Int,
+      shardCol: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(shardCol).as("shard"), col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("toks"))
+      .withColumn("cum", sum(col("toks")).over(w))
+      // exclusive cumsum DIV budget = sequence index — integer `div`, not
+      // `/`: fractional division would round-trip a >2^53 corpus-scale
+      // cumulative count through a lossy double
+      .withColumn("seq_id", expr(s"(cum - toks) div $budget"))
+  }
+
+  /** Benchmark-contamination check: which training documents share any
+    * word-`n`-gram with the (small) eval set? The eval side collapses to
+    * DISTINCT grams and is BROADCAST — the pattern that scales to 100 TB
+    * of training text, since the benchmark suite stays tiny. Returns one
+    * row per contaminated training doc with the shared-gram count.
+    */
+  def contamination(train: DataFrame, evalSet: DataFrame, n: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val evalGrams = Dedup.shingleSets(evalSet, n, textCol, idCol)
+      .select(explode(col("ts")).as("g")).distinct()
+    val trainGrams = Dedup.shingleSets(train, n, textCol, idCol)
+      .select(col("doc_id"), explode(col("ts")).as("g"))
+    trainGrams.join(broadcast(evalGrams), "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared")) // grams are distinct per doc already
+  }
+
+  /** Stratified deterministic sampling: one hex-prefix md5 cutoff per
+    * stratum (e.g. language), defaulting to `defaultCutoff`. Single
+    * aggregate pass — per-stratum totals, sampled counts and first
+    * sampled id come out of one hash aggregate, no join, no RNG state.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: Column,
+      cutoffs: Map[String, String], defaultCutoff: String,
+      salt: String = "graft"): DataFrame = {
+    val cutoff = cutoffs.toSeq.sortBy(_._1).foldRight(lit(defaultCutoff)) {
+      case ((k, v), acc) => when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    val keep = md5(concat(lit(salt), lit(":"), keyCol.cast("string"))) < cutoff
+    df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_total"),
+        sum(keep.cast("long")).as("n_sampled"),
+        min(when(keep, keyCol)).as("first_key"))
+      .withColumn("rate", col("n_sampled").cast("double") / col("n_total"))
+  }
+}

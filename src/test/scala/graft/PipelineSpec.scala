@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.Pipeline
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redactPii replaces every pattern match and counts them") {
+    val df = Seq(
+      (1L, "mail a@b.com and c.d+x@e.org, call +1-555-0199"),
+      (2L, "no pii here"),
+      (3L, "+1-555-0000 +1-555-1111")).toDF("id", "text")
+    val out = Pipeline.redactPii(df, "text", Seq(
+        "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+        "phone" -> "\\+1-555-[0-9]{4}"))
+      .select($"id", $"n_email", $"n_phone", $"redacted")
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 2, 1, "mail <EMAIL> and <EMAIL>, call <PHONE>")))
+    assert(out(1) == ((2L, 0, 0, "no pii here")))
+    assert(out(2) == ((3L, 0, 2, "<PHONE> <PHONE>")))
+  }
+
+  test("repetitionStats flags repetitive docs only") {
+    val df = Seq(
+      (1L, "a a a a a a a a a b"),       // dup_frac 0.8, top 0.9 -> flagged
+      (2L, "one two three four five")).toDF("doc_id", "text") // all distinct
+    val out = Pipeline.repetitionStats(df, 0.5, 0.5)
+      .as[(Long, Long, Double, Double, Int)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 10L, 0.8, 0.9, 1)))
+    assert(out(1) == ((2L, 5L, 0.0, 0.2, 0)))
+  }
+
+  test("packSequences chops per-shard cumulative tokens into budgeted bins") {
+    // shard A: docs of 3,3,3 tokens, budget 5 -> start offsets 0,3,6 -> seqs 0,0,1
+    val df = Seq(
+      ("A", 1L, "x x x"), ("A", 2L, "y y y"), ("A", 3L, "z z z"),
+      ("B", 4L, "w w w w w w")).toDF("source", "doc_id", "text")
+    val out = Pipeline.packSequences(df, budget = 5)
+      .select($"shard", $"doc_id", $"seq_id")
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    assert(out.toSeq == Seq(("A", 1L, 0L), ("A", 2L, 0L), ("A", 3L, 1L), ("B", 4L, 0L)))
+  }
+
+  test("contamination finds train docs sharing an n-gram with the eval set") {
+    val ev = Seq((100L, "alpha beta gamma delta end")).toDF("doc_id", "text")
+    val tr = Seq(
+      (1L, "xx alpha beta gamma delta end"), // shares 2 distinct 4-grams
+      (2L, "alpha beta zz gamma delta"),     // no shared 4-gram
+      (3L, "short")).toDF("doc_id", "text")  // < n tokens: no grams, no crash
+    val out = Pipeline.contamination(tr, ev, n = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L))
+  }
+
+  test("WordNGrams matches the split/slice/concat_ws HOF formulation") {
+    import graft.functions.WordNGrams
+    val docs = Seq("a b c d", "a a a", "x", "", "a  b c", "one two one two one")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3)) {
+      val hof = docs.select($"doc_id", array_distinct(transform(
+          when(size(split($"text", " ")) >= n,
+            sequence(lit(1), size(split($"text", " ")) - (n - 1)))
+            .otherwise(array().cast("array<int>")),
+          i => concat_ws(" ", slice(split($"text", " "), i, lit(n))))).as("ts"))
+        .as[(Long, Seq[String])].collect().toMap
+      val native = docs.select($"doc_id", WordNGrams($"text", n).as("ts"))
+        .as[(Long, Seq[String])].collect().toMap
+      assert(native == hof, s"n=$n")
+    }
+  }
+
+  test("stratifiedSample applies per-stratum cutoffs in one pass") {
+    val df = (0L until 1000L).map(i => (if (i % 2 == 0) "en" else "de", i))
+      .toDF("lang", "doc_id")
+    val out = Pipeline.stratifiedSample(df, "lang", $"doc_id",
+        cutoffs = Map("en" -> "10"), defaultCutoff = "80")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, enTotal, enSampled, _, enRate) = out("en")
+    val (_, deTotal, deSampled, _, deRate) = out("de")
+    assert(enTotal == 500 && deTotal == 500)
+    // '10'/'80' hex prefixes ~ 6%/50% expected rates
+    assert(enSampled > 0 && enSampled < deSampled)
+    assert(enRate == enSampled.toDouble / 500 && deRate == deSampled.toDouble / 500)
+    // deterministic: rerun yields identical counts
+    val again = Pipeline.stratifiedSample(df, "lang", $"doc_id",
+        cutoffs = Map("en" -> "10"), defaultCutoff = "80")
+      .as[(String, Long, Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(again == Map("en" -> enSampled, "de" -> deSampled))
+  }
+}
