@@ -187,8 +187,12 @@ object ErrorFrame {
     */
   def captureErrors(df: DataFrame, results: Map[String, Column], input: Column,
       stackTraces: Boolean = true): ErrorFrame = {
+    // The Fence pins each capture struct to ONE evaluation per row:
+    // without it, predicate pushdown inlines try_capture into downstream
+    // branch filters (and header/generate-inferred filters), re-throwing
+    // and re-rendering every error multiple times per scan.
     val withCaptured = results.foldLeft(df) { case (d, (name, c)) =>
-      d.withColumn(capturedCol(name), TryCapture(c, stackTraces))
+      d.withColumn(capturedCol(name), graft.functions.Fence(TryCapture(c, stackTraces)))
     }
     ErrorFrame(withCaptured, results.keys.toSeq, input)
   }
