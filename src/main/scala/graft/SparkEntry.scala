@@ -595,6 +595,69 @@ object SparkEntry {
       .orderBy($"lang")
   }
 
+  private def d8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // pairs → clusters: connected components over the blocked-Jaccard
+    // near-dup graph (operators.Components: min-label propagation with
+    // pointer jumping, O(log diameter) rounds, localCheckpoint'ed).
+    val pairs = operators.Dedup.ngramJaccard(t(s, dir, "documents"), n = 2,
+      blockCol = "source", threshold = 0.1)
+    val cc = operators.Components.connected(pairs, "da", "db")
+    val sizes = cc.groupBy($"component").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "component")
+      .select($"v".as("doc_id"), $"component".as("cluster_id"), $"cluster_size")
+      .orderBy($"doc_id")
+  }
+
+  private def j1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // ingest-boundary dead letters: events.props is JSON; deterministically
+    // mangle every 13th record (strip the closing brace) and parse the rest
+    // through from_json(FAILFAST) under capture.
+    val ev = t(s, dir, "events").withColumn("raw",
+      when(pmod($"event_id", lit(13)) === 0, regexp_replace($"props", "\\}", ""))
+        .otherwise($"props"))
+    val ef = sources.JsonIngest.parseCaptured(ev, "raw", "k INT")
+    val ok = ef.values.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_ok"), sum($"parsed.k".cast("long")).as("sum_k"))
+    val bad = ef.errors.groupBy($"event_type").agg(count(lit(1)).as("n_bad"))
+    ok.join(bad, "event_type")
+      .select($"event_type", $"n_ok", $"n_bad", $"sum_k")
+      .orderBy($"event_type")
+  }
+
+  private def t7(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // corpus card: per-language doc/token totals + exact token-count
+    // quantiles via the bucketed-selection operator (no per-key sort).
+    val docs = t(s, dir, "documents")
+      .select($"lang", $"n_chars",
+        size(split($"text", " ")).cast("long").as("n_toks"))
+    val totals = docs.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_tokens"),
+        sum($"n_chars").as("sum_chars"))
+    val qb = operators.Quantiles.boundaries(docs, "lang", "n_toks", Seq(0.5, 0.9))
+    def interp(q: Double, lo: Column, hi: Column) = {
+      val pos = lit(q) * ($"n" - 1)
+      lo.cast("double") + (pos - floor(pos)) * (hi.cast("double") - lo.cast("double"))
+    }
+    val quants = qb.groupBy($"lang")
+      .agg(
+        max(when($"q" === 0.5, $"lo")).as("lo50"),
+        max(when($"q" === 0.5, $"hi")).as("hi50"),
+        max(when($"q" === 0.9, $"lo")).as("lo90"),
+        max(when($"q" === 0.9, $"hi")).as("hi90"),
+        max($"n").as("n"))
+      .select($"lang",
+        interp(0.5, $"lo50", $"hi50").as("p50_toks"),
+        interp(0.9, $"lo90", $"hi90").as("p90_toks"))
+    totals.join(quants, "lang")
+      .select($"lang", $"n_docs", $"n_tokens",
+        ($"sum_chars".cast("double") / $"n_docs").as("avg_chars"),
+        $"p50_toks", $"p90_toks")
+      .orderBy($"lang")
+  }
+
   private def q24(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // one order per (custkey, orderdate) — deterministic as-of matches
@@ -742,6 +805,9 @@ object SparkEntry {
     "p3_token_pack" -> (p3 _),
     "p4_contamination" -> (p4 _),
     "p5_stratified_sample" -> (p5 _),
+    "d8_dedup_clusters" -> (d8 _),
+    "j1_json_ingest" -> (j1 _),
+    "t7_corpus_stats" -> (t7 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1274,5 +1340,58 @@ object SparkEntry {
         | MIN(CASE WHEN keep THEN doc_id END) AS first_key,
         | CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE / COUNT(*) AS rate
         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "d8_dedup_clusters" ->
+      """WITH RECURSIVE g AS (SELECT doc_id, source,
+        |  list_distinct(list_transform(range(1, len(string_split(text,' '))),
+        |    i -> array_to_string(list_slice(string_split(text,' '), i, i+1), ' '))) AS ts
+        | FROM documents),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |  len(list_intersect(a.ts,b.ts))::DOUBLE/(len(a.ts)+len(b.ts)-len(list_intersect(a.ts,b.ts))) AS jaccard
+        | FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+        | WHERE jaccard >= CAST(0.1 AS DOUBLE)),
+        |e AS (SELECT da AS a, db AS b FROM p UNION SELECT db, da FROM p),
+        |r AS (
+        | SELECT DISTINCT a AS node, a AS reach FROM e
+        | UNION
+        | SELECT r.node, e.b AS reach FROM r JOIN e ON r.reach = e.a),
+        |c AS (SELECT node AS doc_id, MIN(reach) AS cluster_id FROM r GROUP BY node)
+        |SELECT doc_id, cluster_id,
+        | COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "j1_json_ingest" ->
+      """WITH r AS (SELECT event_type,
+        |  CASE WHEN event_id % 13 = 0 THEN regexp_replace(props, '\}', '', 'g')
+        |   ELSE props END AS raw
+        | FROM events)
+        |SELECT event_type,
+        | CAST(SUM(CASE WHEN json_valid(raw) THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+        | CAST(SUM(CASE WHEN json_valid(raw) THEN 0 ELSE 1 END) AS BIGINT) AS n_bad,
+        | CAST(SUM(CASE WHEN json_valid(raw)
+        |   THEN CAST(json_extract_string(raw, '$.k') AS INT) END) AS BIGINT) AS sum_k
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "t7_corpus_stats" ->
+      """WITH d AS (SELECT lang, n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks FROM documents),
+        |ranked AS (SELECT lang, n_toks,
+        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_toks) - 1 AS rn,
+        |  COUNT(*) OVER (PARTITION BY lang) AS n
+        | FROM d),
+        |b AS (SELECT lang,
+        |  MAX(CASE WHEN rn = floor(CAST(0.5 AS DOUBLE) * (n - 1)) THEN n_toks END) AS lo50,
+        |  MAX(CASE WHEN rn = ceil(CAST(0.5 AS DOUBLE) * (n - 1)) THEN n_toks END) AS hi50,
+        |  MAX(CASE WHEN rn = floor(CAST(0.9 AS DOUBLE) * (n - 1)) THEN n_toks END) AS lo90,
+        |  MAX(CASE WHEN rn = ceil(CAST(0.9 AS DOUBLE) * (n - 1)) THEN n_toks END) AS hi90,
+        |  COUNT(*) AS n
+        | FROM ranked GROUP BY lang),
+        |t AS (SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        | FROM d GROUP BY lang)
+        |SELECT t.lang, t.n_docs, t.n_tokens,
+        | CAST(t.sum_chars AS DOUBLE) / t.n_docs AS avg_chars,
+        | CAST(b.lo50 AS DOUBLE) + (CAST(0.5 AS DOUBLE) * (b.n - 1) - floor(CAST(0.5 AS DOUBLE) * (b.n - 1)))
+        |   * (CAST(b.hi50 AS DOUBLE) - CAST(b.lo50 AS DOUBLE)) AS p50_toks,
+        | CAST(b.lo90 AS DOUBLE) + (CAST(0.9 AS DOUBLE) * (b.n - 1) - floor(CAST(0.9 AS DOUBLE) * (b.n - 1)))
+        |   * (CAST(b.hi90 AS DOUBLE) - CAST(b.lo90 AS DOUBLE)) AS p90_toks
+        |FROM t JOIN b ON t.lang = b.lang ORDER BY t.lang""".stripMargin,
   )
 }

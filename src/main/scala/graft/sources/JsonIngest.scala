@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.core.ErrorFrame
+
+/** JSON ingestion with PER-RECORD error capture — the reference's
+  * dead-letter pattern applied at the ingest boundary.
+  *
+  * `spark.read.json` offers only all-or-nothing modes: PERMISSIVE
+  * silently nulls malformed records (losing them), FAILFAST kills the
+  * whole job on the first bad line. Routing `from_json(FAILFAST)`
+  * through the capture expression instead gives the Kafka
+  * dead-letter-queue semantics batch-side: well-formed records parse
+  * into a typed struct, malformed ones carry their parse error + raw
+  * input to the DLQ, and the job always completes.
+  */
+object JsonIngest {
+
+  /** Parse a JSON string column against a DDL schema with per-record
+    * capture. Returns an [[ErrorFrame]]: `.values` has the `parsed`
+    * struct, `.deadLetters(...)` the malformed records in the reference
+    * dead-letter shape with the raw line as `input_value`.
+    */
+  def parseCaptured(df: DataFrame, jsonCol: String, ddl: String,
+      options: Map[String, String] = Map.empty): ErrorFrame =
+    ErrorFrame.captureErrors(df,
+      Map("parsed" -> from_json(col(jsonCol), StructType.fromDDL(ddl),
+        options + ("mode" -> "FAILFAST"))),
+      input = col(jsonCol))
+
+  /** Read a line-delimited JSON corpus as raw text lines, then parse
+    * with capture. Line splitting never fails; only per-line parses can,
+    * and those dead-letter individually.
+    */
+  def readJsonl(spark: SparkSession, path: String, ddl: String): ErrorFrame =
+    parseCaptured(spark.read.text(path).withColumnRenamed("value", "raw"),
+      "raw", ddl)
+}

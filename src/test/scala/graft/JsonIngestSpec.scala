@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.JsonIngest
+
+class JsonIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("parseCaptured: good records parse, malformed ones dead-letter with the raw line") {
+    val df = Seq(
+      """{"k": 1, "s": "a"}""",
+      """{"k": 2}""",
+      """{"k": 3""", // unterminated — malformed
+      """not json at all""").toDF("raw")
+    val ef = JsonIngest.parseCaptured(df, "raw", "k INT, s STRING")
+
+    val ok = ef.values.select($"parsed.k").as[Int].collect().sorted
+    assert(ok.toSeq === Seq(1, 2))
+
+    val dl = ef.deadLetters("jsonl ingest")
+      .select($"input_value", $"cause.error_class").as[(String, String)]
+      .collect().toMap
+    assert(dl.keySet === Set("""{"k": 3""", "not json at all"))
+    assert(dl.values.forall(_.nonEmpty))
+  }
+
+  test("parseCaptured: schema-type mismatch is captured per record, not per job") {
+    val df = Seq("""{"k": "notanint"}""", """{"k": 7}""").toDF("raw")
+    val ef = JsonIngest.parseCaptured(df, "raw", "k INT")
+    // PERMISSIVE would null the field; FAILFAST-under-capture must route
+    // the record to errors instead
+    assert(ef.values.count() === 1L)
+    assert(ef.errors.count() === 1L)
+  }
+
+  test("readJsonl: file round-trip splits values and dead letters") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
+    val p = java.nio.file.Paths.get(dir, "part.jsonl")
+    java.nio.file.Files.write(p,
+      java.util.Arrays.asList("""{"k": 10}""", """broken{"""))
+    val ef = JsonIngest.readJsonl(spark, dir, "k INT")
+    assert(ef.values.select($"parsed.k").as[Int].collect().toSeq === Seq(10))
+    assert(ef.errors.count() === 1L)
+  }
+}
