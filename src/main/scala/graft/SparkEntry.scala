@@ -658,6 +658,14 @@ object SparkEntry {
       .orderBy($"lang")
   }
 
+  private def s4(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // IVF coarse-quantizer training step: nearest-centroid assignment
+    // against k deterministic seeds, centroids broadcast, corpus streamed
+    operators.Similarity.kmeansAssign(t(s, dir, "embeddings"), k = 8)
+      .orderBy($"vec_id")
+  }
+
   private def q24(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // one order per (custkey, orderdate) — deterministic as-of matches
@@ -808,6 +816,7 @@ object SparkEntry {
     "d8_dedup_clusters" -> (d8 _),
     "j1_json_ingest" -> (j1 _),
     "t7_corpus_stats" -> (t7 _),
+    "s4_kmeans_assign" -> (s4 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1393,5 +1402,18 @@ object SparkEntry {
         | CAST(b.lo90 AS DOUBLE) + (CAST(0.9 AS DOUBLE) * (b.n - 1) - floor(CAST(0.9 AS DOUBLE) * (b.n - 1)))
         |   * (CAST(b.hi90 AS DOUBLE) - CAST(b.lo90 AS DOUBLE)) AS p90_toks
         |FROM t JOIN b ON t.lang = b.lang ORDER BY t.lang""".stripMargin,
+    "s4_kmeans_assign" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  list_reduce(list_transform(range(1, len(v)+1), i -> v[i]*v[i]), (x,y) -> x+y) AS vv
+        | FROM e),
+        |s AS (SELECT vec_id AS cid, v AS c, vv AS cc FROM n ORDER BY vec_id LIMIT 8),
+        |d AS (SELECT n.vec_id, s.cid,
+        |  n.vv + s.cc - 2 * list_reduce(list_transform(range(1, len(n.v)+1),
+        |    i -> n.v[i]*s.c[i]), (x,y) -> x+y) AS dist2
+        | FROM n CROSS JOIN s),
+        |r AS (SELECT vec_id, cid, dist2,
+        |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM d)
+        |SELECT vec_id, cid AS cluster_id, dist2 FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
   )
 }

@@ -99,6 +99,44 @@ object Similarity {
     quantized.withColumn("deq",
       transform(col("q"), q => q.cast("double") * col("scale") / 127.0))
 
+  /** Nearest-centroid assignment — the IVF coarse-quantizer training
+    * primitive. Seeds are the `k` lowest-id vectors (deterministic, no
+    * RNG state to reproduce across engines); the centroid set is
+    * BROADCAST and the corpus streams once, so the only shuffle is the
+    * caller's. Squared L2 via `‖v‖² + ‖c‖² − 2·v·c` — three codegen'd
+    * VectorDot folds per pair, with the vector's own norm computed once
+    * per row, not once per centroid.
+    */
+  def kmeansAssign(vectors: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val v = vectors.select(col(idCol).as("vec_id"), toDoubleVec(col(embCol)).as("v"))
+      .withColumn("vv", dot(col("v"), col("v")))
+    val seeds = v.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("v").as("c"), col("vv").as("cc"))
+    v.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("cid"),
+        (col("vv") + col("cc") - lit(2.0) * dot(col("v"), col("c"))).as("dist2"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist2"), col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cluster_id"), col("dist2"))
+  }
+
+  /** One Lloyd update over an assignment: element-wise mean of each
+    * cluster's vectors via posexplode + per-(cluster, position) hash
+    * aggregation — map-side partial sums, one shuffle on (cluster, pos),
+    * never a whole-vector reduce on a single task.
+    */
+  def lloydStep(assigned: DataFrame, clusterCol: String = "cluster_id",
+      vecCol: String = "v"): DataFrame =
+    assigned.select(col(clusterCol).as("cluster_id"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("cluster_id"), col("pos"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .groupBy(col("cluster_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), (col("sx") / col("n")).as("m")))),
+        e => e("m")).as("centroid"), max(col("n")).as("n_assigned"))
+
   /** Embedding near-duplicate pairs: same-partition blocking + cosine
     * threshold. Quadratic only within a block.
     */

@@ -155,6 +155,22 @@ object StreamErrorHandling {
     stream.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Gap-based sessionization — the streaming twin of the batch q26
+    * query: a key's session closes after `gap` of silence. Uses the
+    * native `session_window` aggregate (merging windows inside the
+    * state store) rather than a hand-rolled flatMapGroupsWithState;
+    * state is evicted once the watermark passes a closed session.
+    */
+  def sessionize(stream: DataFrame, tsCol: String, keyCol: String,
+      gap: String, watermarkDelay: String): DataFrame =
+    stream.withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").cast("string").as("session_start"),
+        col("session_window.end").cast("string").as("session_end"),
+        col("n_events"))
+
   /** Stream-stream inner join within a time bound: right rows match left
     * rows at most `window` older — state on both sides is pruned by the
     * watermarks, the streaming analog of the as-of/interval join.

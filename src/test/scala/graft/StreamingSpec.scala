@@ -63,6 +63,28 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set(("2024-01-01 00:00:00", "a", 2L), ("2024-01-01 01:00:00", "b", 1L)))
   }
 
+  test("sessionize groups events by silence gap per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val sessions = StreamErrorHandling.sessionize(
+      mem.toDF().toDF("ts", "user"), "ts", "user",
+      gap = "30 minutes", watermarkDelay = "2 hours")
+
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("complete").start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // u1: two events 10 min apart (one session), then one 2h later (new
+    // session); u2: a single event
+    mem.addData((ts(0, 0), "u1"), (ts(0, 10), "u1"), (ts(2, 30), "u1"), (ts(1, 0), "u2"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess").as[(String, String, String, Long)].collect().toSet
+    assert(rows == Set(
+      ("u1", "2024-01-01 00:00:00", "2024-01-01 00:40:00", 2L),
+      ("u1", "2024-01-01 02:30:00", "2024-01-01 03:00:00", 1L),
+      ("u2", "2024-01-01 01:00:00", "2024-01-01 01:30:00", 1L)))
+  }
+
   test("captureToDlq restart from checkpoint does not duplicate outputs") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = Files.createTempDirectory("graft-restart").toString
