@@ -6,6 +6,43 @@ import graft.operators.Components
 class ComponentsSpec extends SparkSpec {
   import spark.implicits._
 
+  private def bfsComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+    edges.foreach { case (a, b) =>
+      adj(a) = b :: adj.getOrElse(a, Nil); adj(b) = a :: adj.getOrElse(b, Nil)
+    }
+    val label = scala.collection.mutable.Map.empty[Long, Long]
+    adj.keys.toSeq.sorted.foreach { start =>
+      if (!label.contains(start)) {
+        var frontier = List(start)
+        while (frontier.nonEmpty) {
+          val next = frontier.flatMap { v =>
+            if (label.contains(v)) Nil else { label(v) = start; adj(v) }
+          }
+          frontier = next
+        }
+      }
+    }
+    label.toMap
+  }
+
+  test("connected agrees with brute-force BFS on random graphs (both paths)") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 8) {
+      val nV = 2 + rnd.nextInt(30)
+      val nE = 1 + rnd.nextInt(40)
+      val edges = Seq.fill(nE)((rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong))
+      val expected = bfsComponents(edges)
+      // distributed path is slow per-run; exercise it on a subset
+      val caps = if (trial < 2) Seq(Long.MaxValue, 0L) else Seq(Long.MaxValue)
+      for (cap <- caps) {
+        val got = Components.connected(edges.toDF("a", "b"), "a", "b",
+          driverSolveMaxEdges = cap).as[(Long, Long)].collect().toMap
+        assert(got === expected, s"trial=$trial cap=$cap edges=$edges")
+      }
+    }
+  }
+
   // driverSolveMaxEdges = 0 forces the distributed propagation path;
   // the default exercises driver union-find — both must agree.
   for ((mode, cap) <- Seq(("driver", Long.MaxValue), ("distributed", 0L))) {

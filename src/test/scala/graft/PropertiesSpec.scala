@@ -44,4 +44,26 @@ object PropertiesSpec extends Properties("graft.primitives") {
   property("minhash multipliers distinct across seeds") =
     Prop(
       (0 until 64).map(MinHashSig.coeffA).distinct.size == 64)
+
+  // the substring-based native eval must equal the split/sliding/distinct
+  // reference on arbitrary strings — multi-spaces, leading/trailing
+  // spaces and empty tokens included (split(" ", -1) semantics)
+  private def refNGrams(s: String, n: Int): Seq[String] =
+    s.split(" ", -1).toSeq.sliding(n, 1).filter(_.length == n)
+      .map(_.mkString(" ")).distinct.toSeq
+
+  private val textGen =
+    Gen.listOf(Gen.oneOf(Gen.oneOf(' ', ' ', 'a'), Gen.alphaNumChar)).map(_.mkString)
+
+  property("WordNGrams equals split/sliding/distinct reference") =
+    Prop.forAll(textGen, Gen.chooseNum(1, 4)) { (s, n) =>
+      import org.apache.spark.unsafe.types.UTF8String
+      val expr = graft.functions.WordNGrams(
+        org.apache.spark.sql.catalyst.expressions.Literal(UTF8String.fromString(s)), n)
+      val got = expr.eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+      got == refNGrams(s, n)
+    }
 }
