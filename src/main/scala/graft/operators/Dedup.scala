@@ -232,4 +232,31 @@ object Dedup {
         (col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Bloom-filter prefilter for incremental exact dedup: gate the new
+    * batch on a corpus-key Bloom filter BEFORE any join — at 100 TB the
+    * daily batch is mostly novel content, so the cheap
+    * no-false-negative membership test drops the bulk of it without
+    * shuffling the corpus. Survivors (true dups + fpp false positives)
+    * go through the exact join as usual.
+    *
+    * The filter is built by one corpus aggregation (`stat.bloomFilter`),
+    * shipped as broadcast BYTES, and deserialized once per partition —
+    * a mapPartitions pass (one of the few justified ones: there is no
+    * Catalyst expression for an arbitrary broadcast sketch probe).
+    */
+  def bloomPrefilter(newBatch: DataFrame, corpus: DataFrame, keyCol: String,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = corpus.stat.bloomFilter(keyCol, expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val bytes = newBatch.sparkSession.sparkContext.broadcast(bos.toByteArray)
+    val idx = newBatch.schema.fieldIndex(keyCol)
+    val schema = newBatch.schema
+    newBatch.mapPartitions { it =>
+      val local = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes.value))
+      it.filter(r => !r.isNullAt(idx) && local.mightContain(r.get(idx)))
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
 }

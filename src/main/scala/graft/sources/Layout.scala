@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scan-efficient table layout — at 100 TB the WRITE side decides the
+  * read side's fate: partition directories give metadata-only pruning,
+  * within-file sort gives parquet min/max row-group skipping and better
+  * encodings, and file-size caps keep one task from producing a
+  * monolith (or thousands of slivers) per partition.
+  */
+object Layout {
+
+  /** Write `df` partitioned by `partitionCols`, clustered so each
+    * partition directory is produced by a bounded number of tasks
+    * (`filesPerPartition`), rows sorted by `sortCols` inside each file,
+    * and at most `maxRecordsPerFile` rows per file.
+    *
+    * `repartition(partitionCols…, salt)` aligns tasks with output
+    * directories — without it every task can hold rows of EVERY
+    * partition value and a P-partition write fans out T×P files. The
+    * salt bounds skew: a hot partition value still spreads over
+    * `filesPerPartition` tasks.
+    */
+  def writeOptimized(df: DataFrame, path: String, partitionCols: Seq[String],
+      sortCols: Seq[String], filesPerPartition: Int = 4,
+      maxRecordsPerFile: Long = 1L << 22): Unit = {
+    val salt = pmod(hash(sortCols.map(col): _*), lit(filesPerPartition))
+    df.repartition(partitionCols.map(col) :+ salt: _*)
+      .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      .write
+      .partitionBy(partitionCols: _*)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite")
+      .parquet(path)
+  }
+
+  /** Partition filters of the frame's file scan — non-empty means the
+    * read is metadata-pruned to the matching directories (NOTE:
+    * `inputFiles` is NOT this; it lists the whole relation unpruned).
+    */
+  def partitionFilters(reader: DataFrame): Seq[String] =
+    reader.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.partitionFilters.map(_.sql)
+    }.flatten
+}

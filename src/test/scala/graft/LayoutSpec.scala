@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.sources.Layout
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("writeOptimized: partition dirs, pruned reads, file-size cap") {
+    val dir = java.nio.file.Files.createTempDirectory("layout").toString
+    val df = (0 until 1000)
+      .map(i => (i.toLong, if (i % 3 == 0) "en" else "de", s"doc $i"))
+      .toDF("doc_id", "lang", "text")
+    Layout.writeOptimized(df, dir, partitionCols = Seq("lang"),
+      sortCols = Seq("doc_id"), filesPerPartition = 2, maxRecordsPerFile = 100)
+
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 1000L)
+    // the filtered scan carries a partition filter -> directory pruning
+    assert(Layout.partitionFilters(back.filter($"lang" === "en"))
+      .exists(_.contains("lang")))
+    // layout on disk: one dir per value; 667 'de' rows with a 100-row
+    // cap -> at least 7 files, and no single file exceeds the cap
+    def files(lang: String) = {
+      val d = java.nio.file.Paths.get(dir, s"lang=$lang")
+      val s = java.nio.file.Files.list(d).iterator()
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (s.hasNext) { val p = s.next().toString; if (p.endsWith(".parquet")) out += p }
+      out.toSeq
+    }
+    assert(files("de").size >= 7)
+    assert(files("de").forall(f => spark.read.parquet(f).count() <= 100L))
+    // round-trip preserves data
+    assert(back.agg(sum($"doc_id")).head.getLong(0) === (0L until 1000L).sum)
+  }
+
+  test("bloomPrefilter: no false negatives, most non-members dropped") {
+    val corpus = (0 until 2000).map(i => s"hash$i").toDF("text_hash")
+    val newBatch = ((1500 until 2500) ++ (10000 until 11000))
+      .map(i => s"hash$i").toDF("text_hash")
+    val kept = Dedup.bloomPrefilter(newBatch, corpus, "text_hash",
+        expectedItems = 2000, fpp = 0.01)
+      .as[String].collect().toSet
+    // every true member survives (Bloom filters cannot false-negative)
+    assert((1500 until 2000).forall(i => kept.contains(s"hash$i")))
+    // non-members (hash2000.., hash10000..) are mostly dropped: 1500
+    // non-members at fpp=0.01 -> expect ~15 leaks, allow generous slack
+    val leaks = kept.size - 500
+    assert(leaks >= 0 && leaks < 100, s"leaks=$leaks")
+  }
+}
