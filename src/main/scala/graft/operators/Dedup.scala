@@ -54,7 +54,7 @@ object Dedup {
   def shingleSets(docs0: DataFrame, n: Int, textCol: String, idCol: String): DataFrame = {
     val docs = widen(docs0)
     docs.select(col(idCol).as("doc_id"),
-      graft.functions.WordNGrams(col(textCol), n).as("ts"))
+      graft.functions.Fence(graft.functions.WordNGrams(col(textCol), n)).as("ts"))
   }
 
   /** MinHash signatures: for each of `numHashes` seeds s, the minimum of
@@ -69,7 +69,7 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     shingleSets(docs, shingleSize, textCol, idCol)
       .select(col("doc_id"),
-        graft.functions.MinHashSig(col("ts"), numHashes).as("sig"))
+        graft.functions.Fence(graft.functions.MinHashSig(col("ts"), numHashes)).as("sig"))
     // No isNotNull filter here: a filter on sig gets predicate-pushed BELOW
     // widen()'s repartition, recomputing the whole MinHashSig pass
     // single-threaded on the unwidened scan partition (measured 5-10× on
@@ -213,7 +213,7 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val docs = widen(docs0)
     val grams = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
-      graft.functions.WordNGrams(col(textCol), n).as("ts"))
+      graft.functions.Fence(graft.functions.WordNGrams(col(textCol), n)).as("ts"))
     // token-join formulation (see verifyJaccard): one shuffle on
     // (block, gram), pair counts from hash aggregation.
     val toks = grams.select(col("doc_id"), col("blk"), explode(col("ts")).as("tok"))
