@@ -658,6 +658,27 @@ object SparkEntry {
       .orderBy($"lang")
   }
 
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_linestatus"), Seq()),
+        $"l_returnflag", $"l_linestatus")
+      .agg(sum($"l_quantity".cast(DEC)).cast("double").as("qty"),
+        count(lit(1)).as("n"), grouping_id().cast("long").as("gid"))
+      .select(coalesce($"l_returnflag", lit("ALL")).as("rf"),
+        coalesce($"l_linestatus", lit("ALL")).as("sm"), $"gid", $"qty", $"n")
+      .orderBy($"rf", $"sm", $"gid")
+  }
+
+  private def p6(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    operators.Pipeline.weightedSample(t(s, dir, "documents"),
+        $"doc_id", $"n_chars", n = 50)
+      .select($"key".as("doc_id"), $"w", $"priority")
+      .orderBy($"priority", $"doc_id")
+  }
+
   private def s4(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // IVF coarse-quantizer training step: nearest-centroid assignment
@@ -817,6 +838,8 @@ object SparkEntry {
     "j1_json_ingest" -> (j1 _),
     "t7_corpus_stats" -> (t7 _),
     "s4_kmeans_assign" -> (s4 _),
+    "q28_grouping_sets" -> (q28 _),
+    "p6_weighted_sample" -> (p6 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1415,5 +1438,19 @@ object SparkEntry {
         |r AS (SELECT vec_id, cid, dist2,
         |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM d)
         |SELECT vec_id, cid AS cluster_id, dist2 FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "q28_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS sm,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty, COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY rf, sm, gid""".stripMargin,
+    "p6_weighted_sample" ->
+      """WITH d AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+        |  (('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT::DOUBLE + CAST(1.0 AS DOUBLE))
+        |    / 4294967297.0 AS u
+        | FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, w, round((CAST(0.0 AS DOUBLE) - ln(u)) / w, 9) AS priority
+        |FROM d ORDER BY priority, doc_id LIMIT 50""".stripMargin,
   )
 }

@@ -94,6 +94,27 @@ object Pipeline {
       .agg(count(lit(1)).as("n_shared")) // grams are distinct per doc already
   }
 
+  /** Deterministic weighted sampling without replacement (Efraimidis–
+    * Spiridakis): priority = −ln(u)/w with `u` a salted-hash uniform in
+    * (0,1); the `n` SMALLEST priorities are the sample, so inclusion
+    * probability scales with weight and the same (salt, corpus) always
+    * draws the same sample. Executes as TakeOrderedAndProject —
+    * per-partition top-n, no global sort. `round(·, 9)` absorbs
+    * last-ulp libm differences between engines (u is bounded away from
+    * 0 and 1); ties are broken by key.
+    */
+  def weightedSample(df: DataFrame, keyCol: Column, weightCol: Column,
+      n: Int, salt: String = "graft"): DataFrame = {
+    val x = conv(substring(md5(concat(lit(salt), lit(":"), col("key").cast("string"))), 1, 8),
+      16, 10).cast("long")
+    val u = (x.cast("double") + 1.0) / 4294967297.0
+    df.select(keyCol.as("key"), weightCol.cast("double").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("priority", round((lit(0.0) - log(u)) / col("w"), 9))
+      .orderBy(col("priority"), col("key"))
+      .limit(n)
+  }
+
   /** Stratified deterministic sampling: one hex-prefix md5 cutoff per
     * stratum (e.g. language), defaulting to `defaultCutoff`. Single
     * aggregate pass — per-stratum totals, sampled counts and first

@@ -89,4 +89,24 @@ class PipelineSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
     assert(again == Map("en" -> enSampled, "de" -> deSampled))
   }
+
+  test("weightedSample: deterministic, weight-biased, excludes w<=0") {
+    // half the keys carry 100x the weight — they must dominate the sample
+    val df = (0L until 2000L).map(i => (i, if (i < 1000) 100.0 else 1.0))
+      .toDF("id", "wt")
+    val sample = Pipeline.weightedSample(df, $"id", $"wt", n = 100)
+      .as[(Long, Double, Double)].collect()
+    assert(sample.length === 100)
+    val heavy = sample.count(_._1 < 1000)
+    assert(heavy > 80, s"heavy=$heavy of 100")
+    // repeatable draw
+    val again = Pipeline.weightedSample(df, $"id", $"wt", n = 100)
+      .as[(Long, Double, Double)].collect()
+    assert(sample.map(_._1).toSeq === again.map(_._1).toSeq)
+    // zero/negative weights never sampled
+    val withZero = Pipeline.weightedSample(
+      df.withColumn("wt", when($"id" >= 10, lit(0.0)).otherwise($"wt")),
+      $"id", $"wt", n = 100).as[(Long, Double, Double)].collect()
+    assert(withZero.forall(_._1 < 10) && withZero.length === 10)
+  }
 }
