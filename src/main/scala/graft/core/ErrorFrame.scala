@@ -160,6 +160,20 @@ final case class ErrorFrame private (
     } else
       ErrorSplit(values, e.filter(!isRec), e.filter(isRec))
   }
+
+  /** One-pass pipeline telemetry via `Dataset.observe`: the SAME action
+    * that consumes any branch of this frame also reports total rows,
+    * error count and error rate — no second job over the error branch
+    * (the Spark analog of the reference's Kafka Streams metrics).
+    * `Observation.get` blocks until the first action completes.
+    */
+  def observed(name: String): (ErrorFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val annotated = df.observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(anyError.cast("long")).as("n_errors"))
+    (ErrorFrame(annotated, resultNames, inputCol), obs)
+  }
 }
 
 final case class ErrorSplit(values: DataFrame, deadLettered: DataFrame, recoverable: DataFrame)

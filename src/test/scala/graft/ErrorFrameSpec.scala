@@ -24,6 +24,15 @@ class ErrorFrameSpec extends SparkSpec {
     assert(v.map(_.getInt(2)).toSeq == Seq(1, 3))
   }
 
+  test("observed: one action yields data AND error telemetry") {
+    val (ef, obs) = captured.observed("ingest")
+    // the values action alone must populate the metrics (no extra job
+    // over the error branch)
+    assert(ef.values.count() === 2L)
+    val m = obs.get
+    assert(m("n_rows") === 3L && m("n_errors") === 1L)
+  }
+
   test("errors keeps failures with error columns") {
     val e = captured.errors.collect()
     assert(e.length == 1)
