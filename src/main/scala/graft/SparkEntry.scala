@@ -549,6 +549,13 @@ object SparkEntry {
       .orderBy($"doc_id")
   }
 
+  private def m3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withBin = t(s, dir, "documents").withColumn("payload", $"text".cast("binary"))
+    operators.Multimodal.frameSample(withBin, "payload", "doc_id", stride = 4)
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
   private def p1(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // the synthetic corpus carries no PII, so embed a deterministic
@@ -840,6 +847,7 @@ object SparkEntry {
     "s4_kmeans_assign" -> (s4 _),
     "q28_grouping_sets" -> (q28 _),
     "p6_weighted_sample" -> (p6 _),
+    "m3_frame_sample" -> (m3 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1452,5 +1460,15 @@ object SparkEntry {
         | FROM documents WHERE n_chars > 0)
         |SELECT doc_id, w, round((CAST(0.0 AS DOUBLE) - ln(u)) / w, 9) AS priority
         |FROM d ORDER BY priority, doc_id LIMIT 50""".stripMargin,
+    "m3_frame_sample" ->
+      """WITH m AS (SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  CAST(octet_length(encode(text)) // 1000 + 1 AS BIGINT) AS n_frames
+        | FROM documents),
+        |f AS (SELECT doc_id, byte_len, n_frames,
+        |  unnest(range(0, n_frames, 4)) AS fi FROM m)
+        |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+        | CAST(fi * (byte_len // n_frames) AS BIGINT) AS byte_offset
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

@@ -27,6 +27,22 @@ object Multimodal {
       (expr(s"cast(length($binCol) as bigint) div 1000") + 1L).as("n_frames"))
   }
 
+  /** Deterministic frame sampling over a (fake-decoded) video payload:
+    * every `stride`-th frame index with its byte offset, via pure
+    * expressions (sequence + explode) — no codec touched. At scale the
+    * (doc, offset) rows feed the batched extraction stage, which seeks
+    * into the payload instead of decoding whole files.
+    */
+  def frameSample(df: DataFrame, binCol: String, idCol: String, stride: Int): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1: $stride")
+    binaryMetadata(df, binCol, idCol)
+      .select(col("doc_id"), col("byte_len"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1L, lit(stride.toLong)))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * expr("byte_len div n_frames")).as("byte_offset"))
+  }
+
   val featureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("batch_size", IntegerType),
