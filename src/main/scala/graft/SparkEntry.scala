@@ -1316,8 +1316,8 @@ object SparkEntry {
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         | md5(text) AS content_md5,
-        | ascii(substr(text,1,1)) % 64 + 1 AS width,
-        | ascii(substr(text,2,1)) % 64 + 1 AS height,
+        | COALESCE(TRY_CAST('0x' || substr(hex(encode(text)),1,2) AS INT), 0) % 64 + 1 AS width,
+        | COALESCE(TRY_CAST('0x' || substr(hex(encode(text)),3,2) AS INT), 0) % 64 + 1 AS height,
         | CAST(octet_length(encode(text)) // 1000 + 1 AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
     "m2_batch_features" ->

@@ -1,0 +1,73 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SimHash fingerprint of a token set in ONE per-row pass.
+  *
+  * Bit b (1-indexed, b ≤ 32) is derived from the b-th lowercase-hex digit
+  * of md5(token): the digit's parity (odd → +1, even → −1) is summed over
+  * the token set and the fingerprint bit is '1' iff the sum is positive —
+  * the same engine-reproducible derivation as the SQL formulation
+  * (`substr(md5(tok), b, 1) IN ('1','3',…,'f')`), so DuckDB computes the
+  * identical string.
+  *
+  * Replaces the token × bit explode plan (32× row amplification + two
+  * shuffles on (doc_id, bit)): one digest per token, counters in a local
+  * array, no shuffle — the fingerprint stage is scan-bound at any scale.
+  * CodegenFallback is fine — one call per row amortizes over |tokens|
+  * digests.
+  */
+case class SimHashSig(child: Expression, nBits: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(nBits >= 1 && nBits <= 32, s"nBits must be in [1, 32], got $nBits")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "simhash_sig"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null // no tokens -> no fingerprint
+    val md = MessageDigest.getInstance("MD5")
+    val sums = new Array[Int](nBits)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      md.update(arr.getUTF8String(i).getBytes)
+      val d = md.digest()
+      var b = 0
+      while (b < nBits) {
+        // hex digit b+1 of the md5 string: high nibble of byte b/2 when b
+        // is even, low nibble when odd; digit parity == nibble low bit
+        val nibble = if ((b & 1) == 0) (d(b >> 1) >> 4) & 0xf else d(b >> 1) & 0xf
+        sums(b) += (if ((nibble & 1) == 1) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    val out = new Array[Byte](nBits)
+    var b = 0
+    while (b < nBits) {
+      out(b) = if (sums(b) > 0) '1' else '0'
+      b += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSig =
+    copy(child = newChild)
+}
+
+object SimHashSig {
+  def apply(tokens: Column, nBits: Int): Column =
+    ColumnBridge.column(SimHashSig(ColumnBridge.expression(tokens), nBits))
+}

@@ -189,20 +189,20 @@ object Dedup {
   /** SimHash fingerprint (bitsigns of per-bit hash-parity sums over the
     * token set). `nBits` ≤ 32 — bit b is derived from the b-th hex digit
     * of md5(token), so the fingerprint is engine-reproducible.
+    *
+    * One native per-row pass ([[graft.functions.SimHashSig]]) — no
+    * token × bit explode, no shuffle: scan-bound at any scale. Docs with
+    * an empty token set produce a null fingerprint and are dropped (the
+    * explode/unnest formulations never emit them either); the filter sits
+    * ABOVE the non-deterministic Fence so it cannot be pushed below
+    * widen() and recompute the signature pass single-threaded.
     */
   def simHash(docs: DataFrame, nBits: Int = 32,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     shingleSets(docs, 1, textCol, idCol)
-      .select(col("doc_id"), explode(col("ts")).as("tok"))
-      .withColumn("b", explode(sequence(lit(1), lit(nBits))))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(when(expr("substr(md5(tok), b, 1)")
-        .isin("1", "3", "5", "7", "9", "b", "d", "f"), 1).otherwise(-1)).as("sgn"))
-      .groupBy(col("doc_id"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("b"),
-          when(col("sgn") > 0, "1").otherwise("0").as("bit")))), _.getField("bit")),
-        "").as("simhash"))
+      .select(col("doc_id"),
+        graft.functions.Fence(graft.functions.SimHashSig(col("ts"), nBits)).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** N-gram Jaccard near-dup with blocking: pairs inside the same block
     * (e.g. source) compared on word n-gram sets. Blocking bounds the

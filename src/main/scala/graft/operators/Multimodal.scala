@@ -17,13 +17,18 @@ object Multimodal {
     */
   def binaryMetadata(df: DataFrame, binCol: String, idCol: String): DataFrame = {
     val b = col(binCol)
+    // unsigned value of byte `n` via the hex dump — byte-level access that
+    // survives arbitrary (non-UTF-8) media payloads, unlike a
+    // binary→string cast, whose charset replacement mangles real bytes
+    def byteAt(n: Int): org.apache.spark.sql.Column =
+      coalesce(conv(substring(hex(b), 2 * n - 1, 2), 16, 10).cast("int"), lit(0))
     df.select(
       col(idCol).as("doc_id"),
       length(b).cast("long").as("byte_len"),
       md5(b).as("content_md5"),
       // STUB decode: width/height derived from leading byte values
-      (ascii(substring(b.cast("string"), 1, 1)) % 64 + 1).as("width"),
-      (ascii(substring(b.cast("string"), 2, 1)) % 64 + 1).as("height"),
+      (byteAt(1) % 64 + 1).as("width"),
+      (byteAt(2) % 64 + 1).as("height"),
       (expr(s"cast(length($binCol) as bigint) div 1000") + 1L).as("n_frames"))
   }
 

@@ -34,14 +34,23 @@ object Quantiles {
     *
     * `keyCol` is expected to be low-cardinality (a report dimension):
     * stats/bucket frames are ~`keys × buckets` rows and get broadcast.
+    *
+    * NULL values are excluded from ranks and counts (SQL quantile
+    * semantics); a key whose values are ALL null yields no output rows.
     */
   def boundaries(df0: DataFrame, keyCol: String, valCol: String,
       qs: Seq[Double], buckets: Int = 1024): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantiles must be in [0,1]: $qs")
+    // NULL values carry no rank: drop them up front and count only
+    // non-null rows (DuckDB/SQL quantile semantics). Without this,
+    // bucketOf(null) -> least(null, ...) skips the null and lands the row
+    // in the LAST bucket while __n still counts it — silently wrong
+    // quantiles on any column with nulls.
     val df = df0.select(col(keyCol).as("__k"), col(valCol).as("__v"))
+      .filter(col("__v").isNotNull)
 
-    // pass 1: per-key count/min/max
+    // pass 1: per-key count/min/max over non-null values
     val stats = df.groupBy(col("__k"))
       .agg(count(lit(1)).as("__n"), min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
 

@@ -45,10 +45,19 @@ object Skew {
   /** Key-frequency profile: the top-n heaviest join keys with their row
     * share — the diagnostic that decides between AQE and salting.
     */
+  /** Key-frequency profile: the top-n heaviest join keys with their row
+    * share. ONE scan: the total is a 1-row re-aggregate of the per-key
+    * counts, crossJoin'ed back in — both branches share the identical
+    * groupBy subtree, so the per-key shuffle is planned once and the
+    * second branch is a ReusedExchange, never a second pass over `df`
+    * (which is, by construction, the biggest table in the house).
+    */
   def keyProfile(df: DataFrame, key: String, topN: Int = 20): DataFrame = {
-    val total = df.count().toDouble
-    df.groupBy(col(key)).agg(count(lit(1)).as("rows"))
-      .withColumn("share", col("rows") / total)
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("rows"))
+    val total = counts.agg(sum(col("rows")).cast("double").as("__total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share", col("rows") / col("__total"))
+      .drop("__total")
       .orderBy(col("rows").desc)
       .limit(topN)
   }

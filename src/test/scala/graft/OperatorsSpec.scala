@@ -59,6 +59,31 @@ class OperatorsSpec extends SparkSpec {
     assert(fp(0L) != fp(2L))
   }
 
+  test("native SimHashSig matches the explode/SQL formulation bit-for-bit") {
+    // the SQL twin: token x bit explode, per-bit parity sums over
+    // substr(md5(tok), b, 1) — the oracle's derivation
+    val short = docs.union(Seq((4L, "", "s0"), (5L, "one", "s1"))
+      .toDF("doc_id", "text", "source"))
+    // NB: split("", " ") = [""] — the empty doc hashes one empty token,
+    // exactly like DuckDB's string_split; no token filter on either side
+    val sqlFp = short
+      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("tok"))
+      .withColumn("b", explode(sequence(lit(1), lit(32))))
+      .groupBy($"doc_id", $"b")
+      .agg(sum(when(expr("substr(md5(tok), b, 1)")
+        .isin("1", "3", "5", "7", "9", "b", "d", "f"), 1).otherwise(-1)).as("sgn"))
+      .groupBy($"doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct($"b",
+        when($"sgn" > 0, "1").otherwise("0").as("bit")))), _.getField("bit")), "")
+        .as("simhash"))
+      .as[(Long, String)].collect().toMap
+    val native = Dedup.simHash(short).as[(Long, String)].collect().toMap
+    assert(native == sqlFp)
+    // nBits < 32 prefixes the 32-bit fingerprint
+    val fp8 = Dedup.simHash(short, nBits = 8).as[(Long, String)].collect().toMap
+    assert(fp8.forall { case (id, s) => s == native(id).take(8) })
+  }
+
   test("ngram jaccard within block respects threshold and blocking") {
     val pairs = Dedup.ngramJaccard(docs, n = 2, blockCol = "source", threshold = 0.5)
       .select($"da", $"db").as[(Long, Long)].collect().toSet
@@ -86,6 +111,30 @@ class OperatorsSpec extends SparkSpec {
       assert(got((k, q)) == expect, s"key=$k q=$q")
     }
     assert(got.size == byKey.size * qs.size)
+  }
+
+  test("Quantiles.boundaries ignores NULL values (SQL quantile semantics)") {
+    import operators.Quantiles
+    val rnd = new scala.util.Random(11)
+    val vals = (1 to 200).map(_ => rnd.nextDouble() * 50)
+    // key "a": values interleaved with nulls; key "z": ALL null
+    val rows = vals.map(v => ("a", Option(v))) ++
+      (1 to 73).map(_ => ("a", Option.empty[Double])) ++
+      (1 to 9).map(_ => ("z", Option.empty[Double]))
+    val df = rows.toDF("k", "v").repartition(8)
+    val qs = Seq(0.0, 0.5, 0.9, 1.0)
+    val got = Quantiles.boundaries(df, "k", "v", qs, buckets = 8)
+      .as[(String, Double, Double, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // parity with nulls-excluded brute force (== DuckDB quantile_cont inputs)
+    val sorted = vals.sorted.toIndexedSeq
+    for (q <- qs) {
+      val pos = q * (sorted.size - 1)
+      assert(got(("a", q)) == ((sorted(math.floor(pos).toInt),
+        sorted(math.ceil(pos).toInt), sorted.size.toLong)), s"q=$q")
+    }
+    // all-null key yields no rows rather than a garbage boundary
+    assert(got.size == qs.size && !got.keySet.exists(_._1 == "z"))
   }
 
   test("cosine: identical vectors score 1.0, orthogonal 0.0") {

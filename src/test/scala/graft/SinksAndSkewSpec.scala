@@ -93,4 +93,20 @@ class SinksAndSkewSpec extends SparkSpec {
     val top = Skew.keyProfile(skewed, "k", 1).collect().head
     assert(top.getString(0) == "hot" && top.getAs[Double]("share") == 0.9)
   }
+
+  test("keyProfile scans its input once (total via reused exchange, no count action)") {
+    val skewed = (1 to 100).map(i => ("k" + i % 7, i)).toDF("k", "n")
+    val prof = Skew.keyProfile(skewed, "k", 3)
+    // lazy: building the profile must not fire an eager count() job
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val prof2 = Skew.keyProfile(skewed, "k", 3)
+    assert(spark.sparkContext.statusTracker.getJobIdsForGroup(null).length == before)
+    // single-scan: the total branch reuses the per-key aggregate's exchange,
+    // so the input leaf appears ONCE in the executed plan
+    prof.collect()
+    val full = prof.queryExecution.executedPlan.toString
+    val plan = full.split("== Initial Plan ==")(0) // AQE-finalized section only
+    assert(plan.contains("ReusedExchange"), s"no exchange reuse in:\n$plan")
+    assert(plan.linesIterator.count(_.contains("LocalTableScan")) == 1, plan)
+  }
 }
