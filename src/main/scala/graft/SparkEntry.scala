@@ -602,18 +602,56 @@ object SparkEntry {
       .orderBy($"lang")
   }
 
-  private def d8(s: SparkSession, dir: String): DataFrame = {
+  private def clusters(s: SparkSession, dir: String, driverSolveMaxEdges: Long): DataFrame = {
     import s.implicits._
     // pairs → clusters: connected components over the blocked-Jaccard
     // near-dup graph (operators.Components: min-label propagation with
     // pointer jumping, O(log diameter) rounds, localCheckpoint'ed).
     val pairs = operators.Dedup.ngramJaccard(t(s, dir, "documents"), n = 2,
       blockCol = "source", threshold = 0.1)
-    val cc = operators.Components.connected(pairs, "da", "db")
+    val cc = operators.Components.connected(pairs, "da", "db",
+      driverSolveMaxEdges = driverSolveMaxEdges)
     val sizes = cc.groupBy($"component").agg(count(lit(1)).as("cluster_size"))
     cc.join(sizes, "component")
       .select($"v".as("doc_id"), $"component".as("cluster_id"), $"cluster_size")
       .orderBy($"doc_id")
+  }
+
+  private def d8(s: SparkSession, dir: String): DataFrame =
+    clusters(s, dir, driverSolveMaxEdges = 1L << 22)
+
+  // same pipeline forced onto the distributed pointer-jumping path — the
+  // regime that matters at 100 TB gets its own oracle row, not just
+  // property tests (Components.propagate).
+  private def d9(s: SparkSession, dir: String): DataFrame =
+    clusters(s, dir, driverSolveMaxEdges = 0L)
+
+  private def x1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // salted join output must equal the plain join: oracle is the
+    // unsalted SQL. The dim side is replicated `salts` ways; the skewed
+    // fact side gets a deterministic per-row salt.
+    val ev = t(s, dir, "events").select($"user_id", $"event_type")
+    val dim = ev.groupBy($"user_id").agg(count(lit(1)).as("n_user_events"))
+    operators.Skew.saltedJoin(ev, dim, "user_id", salts = 8)
+      .groupBy($"event_type")
+      .agg(sum($"n_user_events").as("sum_n"), count(lit(1)).as("n_rows"))
+      .orderBy($"event_type")
+  }
+
+  private def x3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Bloom prefilter (no false negatives) then exact semi-join: false
+    // positives are culled by the join, so output equals the plain
+    // semi-join — the daily-ingest "which new rows hit the corpus" gate.
+    val ev = t(s, dir, "events").select($"event_id", $"user_id")
+    val corpus = ev.filter(pmod($"event_id", lit(2)) === 0)
+    val newBatch = ev.filter(pmod($"event_id", lit(2)) =!= 0)
+    val survivors = operators.Dedup.bloomPrefilter(newBatch, corpus, "user_id",
+      expectedItems = 200000L)
+    survivors.join(corpus.select($"user_id").distinct(), Seq("user_id"), "left_semi")
+      .select($"event_id", $"user_id")
+      .orderBy($"event_id")
   }
 
   private def j1(s: SparkSession, dir: String): DataFrame = {
@@ -692,6 +730,24 @@ object SparkEntry {
     // against k deterministic seeds, centroids broadcast, corpus streamed
     operators.Similarity.kmeansAssign(t(s, dir, "embeddings"), k = 8)
       .orderBy($"vec_id")
+  }
+
+  private def s5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the closed IVF loop: train the coarse quantizer (kmeansAssign),
+    // label the corpus with TRAINED clusters, then probe each query's own
+    // inverted list — s2's probe against a precomputed label, end-to-end.
+    val emb = t(s, dir, "embeddings")
+    val assigned = operators.Similarity.kmeansAssign(emb, k = 8)
+      .select($"vec_id", $"cluster_id")
+    val trained = emb.join(assigned, "vec_id")
+      .select($"vec_id", $"cluster_id".as("label"), $"embedding")
+    val queries = broadcast(trained.filter($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"label".as("qlabel"),
+        operators.Similarity.toDoubleVec($"embedding").as("qv")))
+    operators.Similarity.partitionedTopK(trained, queries, k = 5)
+      .select($"qid", $"rank", $"vec_id", $"cosine")
+      .orderBy($"qid", $"rank")
   }
 
   private def q24(s: SparkSession, dir: String): DataFrame = {
@@ -848,6 +904,10 @@ object SparkEntry {
     "q28_grouping_sets" -> (q28 _),
     "p6_weighted_sample" -> (p6 _),
     "m3_frame_sample" -> (m3 _),
+    "d9_clusters_distributed" -> (d9 _),
+    "x1_salted_join" -> (x1 _),
+    "x3_bloom_dedup" -> (x3 _),
+    "s5_topk_ivf_trained" -> (s5 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1470,5 +1530,58 @@ object SparkEntry {
         |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
         | CAST(fi * (byte_len // n_frames) AS BIGINT) AS byte_offset
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "d9_clusters_distributed" ->
+      """WITH RECURSIVE g AS (SELECT doc_id, source,
+        |  list_distinct(list_transform(range(1, len(string_split(text,' '))),
+        |    i -> array_to_string(list_slice(string_split(text,' '), i, i+1), ' '))) AS ts
+        | FROM documents),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |  len(list_intersect(a.ts,b.ts))::DOUBLE/(len(a.ts)+len(b.ts)-len(list_intersect(a.ts,b.ts))) AS jaccard
+        | FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+        | WHERE jaccard >= CAST(0.1 AS DOUBLE)),
+        |e AS (SELECT da AS a, db AS b FROM p UNION SELECT db, da FROM p),
+        |r AS (
+        | SELECT DISTINCT a AS node, a AS reach FROM e
+        | UNION
+        | SELECT r.node, e.b AS reach FROM r JOIN e ON r.reach = e.a),
+        |c AS (SELECT node AS doc_id, MIN(reach) AS cluster_id FROM r GROUP BY node)
+        |SELECT doc_id, cluster_id,
+        | COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "x1_salted_join" ->
+      """WITH dim AS (SELECT user_id, COUNT(*) AS n_user_events FROM events GROUP BY user_id)
+        |SELECT e.event_type, CAST(SUM(d.n_user_events) AS BIGINT) AS sum_n,
+        | COUNT(*) AS n_rows
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "x3_bloom_dedup" ->
+      """SELECT n.event_id, n.user_id FROM events n
+        |WHERE n.event_id % 2 <> 0 AND EXISTS (
+        |  SELECT 1 FROM events c WHERE c.event_id % 2 = 0 AND c.user_id = n.user_id)
+        |ORDER BY n.event_id""".stripMargin,
+    "s5_topk_ivf_trained" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  list_reduce(list_transform(range(1, len(v)+1), i -> v[i]*v[i]), (x,y) -> x+y) AS vv
+        | FROM e),
+        |s AS (SELECT vec_id AS cid, v AS c, vv AS cc FROM n ORDER BY vec_id LIMIT 8),
+        |d AS (SELECT n.vec_id, s.cid,
+        |  n.vv + s.cc - 2 * list_reduce(list_transform(range(1, len(n.v)+1),
+        |    i -> n.v[i]*s.c[i]), (x,y) -> x+y) AS dist2
+        | FROM n CROSS JOIN s),
+        |a AS (SELECT vec_id, cid AS label FROM (
+        |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        |  FROM d) WHERE rn = 1),
+        |t AS (SELECT n.vec_id, a.label, n.v FROM n JOIN a USING (vec_id)),
+        |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM t WHERE vec_id < 20),
+        |scored AS (
+        | SELECT qid, t.vec_id,
+        |  list_reduce(list_transform(range(1, len(qv)+1), i -> qv[i]*t.v[i]), (x,y) -> x+y) /
+        |   (sqrt(list_reduce(list_transform(qv, x -> x*x), (x,y) -> x+y)) *
+        |    sqrt(list_reduce(list_transform(t.v, x -> x*x), (x,y) -> x+y))) AS cosine
+        | FROM q JOIN t ON qlabel = t.label AND qid <> t.vec_id),
+        |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank FROM scored)
+        |SELECT qid, rank, vec_id, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
   )
 }

@@ -29,6 +29,19 @@ final case class ErrorFrame private (
       when(col(capturedCol(n))(ERROR_CLASS).isNotNull, col(capturedCol(n))(field)).otherwise(acc)
     }
 
+  /** Record lineage, the analog of the reference's live record context
+    * (ErrorHeaderProcessor.java:54–76 reads topic/partition/offset off the
+    * record being processed): a frame read from the Spark Kafka source —
+    * or round-tripped through a Kafka-shaped sink — carries `topic`,
+    * `partition`, `offset` columns, and those ARE the record context.
+    * Present iff all three columns exist on the input frame.
+    */
+  private def sourceLineage: Option[(Column, Column, Column)] =
+    if (Seq("topic", "partition", "offset").forall(df.columns.contains))
+      Some((col("topic").cast("string"), col("partition").cast("int"),
+        col("offset").cast("bigint")))
+    else None
+
   /** Successfully processed rows: original columns minus capture internals,
     * plus the unwrapped result columns (ProcessedKeyValue::getValues).
     */
@@ -53,21 +66,23 @@ final case class ErrorFrame private (
     * DeadLetterProcessor.java): input_value stringified, shared
     * description, cause struct, source lineage if provided.
     *
-    * Batch lineage analog of (topic, partition, offset): input file name,
-    * Spark partition id, and a per-partition monotone id, unless the
-    * caller supplies explicit lineage columns.
+    * Lineage precedence: a Kafka-shaped input's own topic/partition/offset
+    * columns (the record context, see [[sourceLineage]]) always win; else
+    * `withLineage = true` fills the batch analog — input file name, Spark
+    * partition id, and a per-partition monotone id; else nulls.
     */
   def deadLetters(
       description: String,
       timestampCol: Option[Column] = None,
       withLineage: Boolean = false): DataFrame = {
     val base = errors
-    val (topicC, partC, offC) =
+    val (topicC, partC, offC) = sourceLineage.getOrElse {
       if (withLineage)
         (input_file_name().cast("string"), spark_partition_id(),
           monotonically_increasing_id())
       else
         (lit(null).cast("string"), lit(null).cast("int"), lit(null).cast("bigint"))
+    }
     base.select(
       inputCol.cast("string").as("input_value"),
       topicC.as("topic"),
@@ -116,15 +131,28 @@ final case class ErrorFrame private (
     * `__streams.errors.*` keys (ErrorHeaderProcessor.java).
     * `withTaskContext = true` adds the FilteringProcessingExceptionHandler
     * headers (task/processor-node ids) using the Spark analogs.
+    *
+    * The topic/partition/offset headers carry the record context when the
+    * input is Kafka-shaped ([[sourceLineage]] — ErrorHeaderProcessor.java
+    * :54–76 fills them from the live record); on a batch frame with
+    * `withLineage = true` they carry the file-lineage analog, else null.
     */
-  def withErrorHeaders(description: String, withTaskContext: Boolean = false): DataFrame = {
+  def withErrorHeaders(description: String, withTaskContext: Boolean = false,
+      withLineage: Boolean = false): DataFrame = {
     def h(key: String, value: Column) =
       struct(lit(key).as("key"), value.cast("binary").as("value"))
     val kept = df.columns.filterNot(_.startsWith(CAPTURE_PREFIX)).map(col).toSeq
+    val (topicC, partC, offC) = sourceLineage.getOrElse {
+      if (withLineage)
+        (input_file_name().cast("string"), spark_partition_id(),
+          monotonically_increasing_id())
+      else
+        (lit(null).cast("string"), lit(null).cast("int"), lit(null).cast("bigint"))
+    }
     val base = Seq(
-      h(ErrorHeaders.TOPIC, lit(null).cast("string")),
-      h(ErrorHeaders.PARTITION, lit(null).cast("string")),
-      h(ErrorHeaders.OFFSET, lit(null).cast("string")),
+      h(ErrorHeaders.TOPIC, topicC.cast("string")),
+      h(ErrorHeaders.PARTITION, partC.cast("string")),
+      h(ErrorHeaders.OFFSET, offC.cast("string")),
       h(ErrorHeaders.EXCEPTION_CLASS_NAME, firstError(ERROR_CLASS)),
       h(ErrorHeaders.EXCEPTION_MESSAGE, firstError(ERROR_MESSAGE)),
       h(ErrorHeaders.EXCEPTION_STACK_TRACE, firstError(STACK_TRACE)),

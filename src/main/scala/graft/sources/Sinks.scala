@@ -19,17 +19,19 @@ import graft.core.ErrorFrame
 object Sinks {
 
   /** Shape a values/dead-letter frame into the Kafka writer contract:
-    * `key: binary, value: binary, headers: array<struct<key,value>>`.
+    * `key: binary, value: binary, headers: array<struct<key,value>>`,
+    * plus an optional per-row `topic` column (the Spark Kafka writer
+    * routes on it when no fixed topic option is set — the analog of the
+    * reference's `deadLetters.to(ERROR_TOPIC)` with a dynamic topic).
     */
   def toKafkaRecords(df: DataFrame, keyCol: Column, valueCol: Column,
-      headersCol: Option[Column] = None): DataFrame = {
-    val base = df.select(
+      headersCol: Option[Column] = None, topicCol: Option[Column] = None): DataFrame = {
+    val cols = Seq(
       keyCol.cast("string").cast("binary").as("key"),
-      valueCol.cast("string").cast("binary").as("value"))
-    headersCol.fold(base)(h => df.select(
-      keyCol.cast("string").cast("binary").as("key"),
-      valueCol.cast("string").cast("binary").as("value"),
-      h.as("headers")))
+      valueCol.cast("string").cast("binary").as("value")) ++
+      headersCol.map(_.as("headers")) ++
+      topicCol.map(_.cast("string").as("topic"))
+    df.select(cols: _*)
   }
 
   /** Write dead letters partitioned by ingest date and error class —

@@ -63,6 +63,40 @@ class ErrorFrameSpec extends SparkSpec {
     assert(h(ErrorHeaders.DESCRIPTION) == "desc")
   }
 
+  test("kafka-shaped input: record lineage flows into headers and dead letters") {
+    // the Spark Kafka source schema carries topic/partition/offset — the
+    // record context of ErrorHeaderProcessor.java:54-76
+    val kafkaShaped = Seq(
+      ("events", 3, 41L, "7"), ("events", 3, 42L, "zap"), ("other", 0, 9L, "1"))
+      .toDF("topic", "partition", "offset", "value")
+    val ef = ErrorFrame.captureErrors(kafkaShaped,
+      Map("v" -> expr("cast(value as int)")), input = $"value")
+    val h = ef.withErrorHeaders("desc").select(explode($"headers").as("h"))
+      .select($"h.key", $"h.value".cast("string")).as[(String, String)].collect().toMap
+    assert(h(ErrorHeaders.TOPIC) == "events")
+    assert(h(ErrorHeaders.PARTITION) == "3")
+    assert(h(ErrorHeaders.OFFSET) == "42")
+    val dl = ef.deadLetters("desc").collect().head
+    assert(dl.getAs[String]("topic") == "events")
+    assert(dl.getAs[Int]("partition") == 3)
+    assert(dl.getAs[Long]("offset") == 42L)
+    // round-trip: a Kafka-shaped DLQ record keeps the origin topic routing
+    val rec = graft.sources.Sinks.toKafkaRecords(ef.deadLetters("desc"),
+      keyCol = col("topic"), valueCol = col("input_value"),
+      topicCol = Some(concat(col("topic"), lit("-dlq")))).collect().head
+    assert(rec.getAs[String]("topic") == "events-dlq")
+    assert(new String(rec.getAs[Array[Byte]]("value")) == "zap")
+  }
+
+  test("batch lineage: withLineage headers carry file/partition analogs") {
+    val h = captured.withErrorHeaders("desc", withLineage = true)
+      .select(explode($"headers").as("h"))
+      .select($"h.key", $"h.value".cast("string")).as[(String, String)].collect().toMap
+    // local Seq frame: no file name (empty string), but partition/offset
+    // analogs are concrete values, not nulls
+    assert(h(ErrorHeaders.PARTITION) != null && h(ErrorHeaders.OFFSET) != null)
+  }
+
   test("withTaskContext adds exception-handler task/node headers") {
     val h = captured.withErrorHeaders("desc", withTaskContext = true)
       .select(explode($"headers").as("h")).select($"h.key").as[String].collect().toSet
