@@ -31,13 +31,17 @@ object Skew {
     require(SafeJoinTypes.contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports inner/left/semi/anti join types only; '$joinType' would " +
         "duplicate unmatched rows of the replicated side")
+    // explicit aliases: when both sides derive from the SAME parent frame
+    // (e.g. a dim aggregated out of the fact table), bare df(col) apply
+    // resolves to identical attribute ids — Spark warns "trivially true
+    // equals predicate" and leans on self-join disambiguation heuristics.
     val saltedLeft = skewed.withColumn("__salt",
-      pmod(hash(skewed.columns.map(col).toSeq: _*), lit(salts)))
+      pmod(hash(skewed.columns.map(col).toSeq: _*), lit(salts))).as("__sj_l")
     val replicatedRight = other.withColumn("__salt",
-      explode(sequence(lit(0), lit(salts - 1))))
+      explode(sequence(lit(0), lit(salts - 1)))).as("__sj_r")
     saltedLeft.join(replicatedRight,
-        saltedLeft("__salt") === replicatedRight("__salt")
-          && saltedLeft(key) === replicatedRight(key),
+        col("__sj_l.__salt") === col("__sj_r.__salt")
+          && col(s"__sj_l.`$key`") === col(s"__sj_r.`$key`"),
         joinType)
       .drop("__salt")
   }

@@ -27,6 +27,26 @@ class KMeansSpec extends SparkSpec {
     assert(seeds === Map(0L -> 0.0, 1L -> 0.0))
   }
 
+  test("kmeansTrain: converges to the true cluster means and stops early") {
+    val trained = Similarity.kmeansTrain(vecs, k = 2, maxIters = 10)
+      .select($"cluster_id", $"centroid", $"n_assigned")
+      .as[(Long, Seq[Double], Long)].collect()
+      .map { case (c, m, n) => c -> ((m, n)) }.toMap
+    // fixed point after round 1: means of {(0,0),(0.5,0),(0,1)} and {(10,10),(9,10)}
+    assert(trained(0L)._1 === Seq(0.5 / 3, 1.0 / 3) && trained(0L)._2 === 3L)
+    assert(trained(1L)._1 === Seq(9.5, 10.0) && trained(1L)._2 === 2L)
+  }
+
+  test("kmeansTrain: one iteration equals seed-assignment Lloyd means") {
+    val oneRound = Similarity.kmeansTrain(vecs, k = 2, maxIters = 1)
+      .select($"cluster_id", $"centroid").as[(Long, Seq[Double])].collect().toMap
+    val manual = Similarity.lloydStep(
+      Similarity.kmeansAssign(vecs, k = 2).join(vecs, "vec_id")
+        .select($"cluster_id", Similarity.toDoubleVec($"embedding").as("v")))
+      .select($"cluster_id", $"centroid").as[(Long, Seq[Double])].collect().toMap
+    assert(oneRound === manual)
+  }
+
   test("lloydStep: per-cluster element-wise means") {
     val assigned = Similarity.kmeansAssign(vecs, k = 2)
       .join(vecs, "vec_id")
