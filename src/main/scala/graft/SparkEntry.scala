@@ -406,6 +406,40 @@ object SparkEntry {
       .orderBy($"value")
   }
 
+  private def e12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the replay half of the DLQ lifecycle: dead letters re-run through a
+    // FIXED transform (k % 14 instead of k % 7 — half the poison heals);
+    // recovered rows and still-poisoned rows are both accounted for.
+    val dl = eventsCaptured(s, dir).deadLetters("events k-division pipeline")
+    val retried = sources.Sinks.reprocess(dl,
+      retry = expr("100 div (cast(regexp_extract(input_value, '[0-9]+', 0) as int) % 14)"))
+    val ok = retried.values.select(lit("recovered").as("outcome"), lit("ok").as("detail"),
+      $"retried".cast("long").as("val"))
+    val bad = retried.errors.select(lit("still_failed").as("outcome"),
+      $"error_class".as("detail"), lit(null).cast("long").as("val"))
+    ok.union(bad).groupBy($"outcome", $"detail")
+      .agg(count(lit(1)).as("n"), sum($"val").as("sum_val"))
+      .orderBy($"outcome", $"detail")
+  }
+
+  private def x2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // layout round trip: writeOptimized (partition dirs + in-file sort +
+    // file caps) must be content-lossless — the read-back aggregate,
+    // including a text content fingerprint, equals the same aggregate
+    // over the source table (the oracle computes it from the original).
+    val tmp = "/tmp/graft_x2_layout_" + java.lang.Integer.toHexString(dir.hashCode)
+    sources.Layout.writeOptimized(t(s, dir, "documents"), tmp,
+      partitionCols = Seq("lang"), sortCols = Seq("doc_id"))
+    s.read.parquet(tmp).groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"),
+        min($"doc_id").as("min_id"), max($"doc_id").as("max_id"),
+        sum(conv(substring(md5($"text"), 1, 8), 16, 10).cast("long")).as("text_sig"))
+      .orderBy($"lang")
+  }
+
   // ---------------------------------------------------------------- d/t: pipeline ops
 
   private def d1(s: SparkSession, dir: String): DataFrame = {
@@ -908,6 +942,8 @@ object SparkEntry {
     "x1_salted_join" -> (x1 _),
     "x3_bloom_dedup" -> (x3 _),
     "s5_topk_ivf_trained" -> (s5 _),
+    "e12_dlq_replay" -> (e12 _),
+    "x2_layout_roundtrip" -> (x2 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1559,6 +1595,21 @@ object SparkEntry {
         |WHERE n.event_id % 2 <> 0 AND EXISTS (
         |  SELECT 1 FROM events c WHERE c.event_id % 2 = 0 AND c.user_id = n.user_id)
         |ORDER BY n.event_id""".stripMargin,
+    "e12_dlq_replay" ->
+      """WITH ev AS (SELECT props, CAST(regexp_extract(props, '[0-9]+', 0) AS INT) AS k FROM events),
+        |dl AS (SELECT props, k FROM ev WHERE k % 7 = 0),
+        |rec AS (SELECT 'recovered' AS outcome, 'ok' AS detail, COUNT(*) AS n,
+        |  CAST(SUM(100 // (k % 14)) AS BIGINT) AS sum_val FROM dl WHERE k % 14 <> 0),
+        |bad AS (SELECT 'still_failed' AS outcome,
+        |  'org.apache.spark.SparkArithmeticException' AS detail,
+        |  COUNT(*) AS n, CAST(NULL AS BIGINT) AS sum_val FROM dl WHERE k % 14 = 0)
+        |SELECT * FROM rec UNION ALL SELECT * FROM bad ORDER BY outcome, detail""".stripMargin,
+    "x2_layout_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        | CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        | MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+        | CAST(SUM(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS text_sig
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "s5_topk_ivf_trained" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
         |n AS (SELECT vec_id, v,
