@@ -11,21 +11,50 @@ import graft.functions.TryCapture
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(Graft.tryCaptureFn)
+    Graft.allFns.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }
 
 object Graft {
-  val tryCaptureFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("try_capture"),
-    new ExpressionInfo(classOf[TryCapture].getName, "try_capture"),
-    (children: Seq[Expression]) => TryCapture(children.head))
+  private type FnReg = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def fn(name: String, clazz: Class[_])(
+      builder: Seq[Expression] => Expression): FnReg =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder)
+
+  /** SQL literal-int argument of a function call (`simhash_sig(ts, 32)`). */
+  private def litInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got: $other")
+  }
+
+  val tryCaptureFn: FnReg =
+    fn("try_capture", classOf[TryCapture])(children => TryCapture(children.head))
+
+  /** Every native graft expression, SQL-callable: capture, the hashing/
+    * shingling primitives behind dedup, the cosine fold, and the
+    * evaluate-once fence.
+    */
+  val allFns: Seq[FnReg] = Seq(
+    tryCaptureFn,
+    fn("fence", classOf[graft.functions.Fence])(c => graft.functions.Fence(c.head)),
+    fn("word_ngrams", classOf[graft.functions.WordNGrams])(c =>
+      graft.functions.WordNGrams(c(0), litInt(c(1), "word_ngrams n"))),
+    fn("minhash_sig", classOf[graft.functions.MinHashSig])(c =>
+      graft.functions.MinHashSig(c(0), litInt(c(1), "minhash_sig numHashes"))),
+    fn("simhash_sig", classOf[graft.functions.SimHashSig])(c =>
+      graft.functions.SimHashSig(c(0), litInt(c(1), "simhash_sig nBits"))),
+    fn("vector_dot", classOf[graft.functions.VectorDot])(c =>
+      graft.functions.VectorDot(c(0), c(1))))
 
   /** Runtime registration for sessions built without the extensions conf. */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "try_capture", tryCaptureFn._3, "built-in")
+    allFns.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        id.funcName, builder, "built-in")
+    }
     registerStrategies(spark)
   }
 

@@ -16,4 +16,31 @@ class GraftExtensionsSpec extends SparkSpec {
     val bad = rows.find(_.getString(0) == "junk").get
     assert(bad.isNullAt(1) && bad.getString(2) == "org.apache.spark.SparkNumberFormatException")
   }
+
+  test("native dedup/similarity functions are callable from SQL") {
+    Graft.register(spark)
+    Seq(("a b c a", Array(1.0, 2.0), Array(3.0, 4.0)))
+      .toDF("txt", "va", "vb").createOrReplaceTempView("fn_input")
+    val r = spark.sql(
+      """SELECT word_ngrams(txt, 2) AS grams,
+        |       size(minhash_sig(word_ngrams(txt, 1), 4)) AS n_minhash,
+        |       length(simhash_sig(word_ngrams(txt, 1), 16)) AS n_bits,
+        |       vector_dot(va, vb) AS dot,
+        |       fence(txt) AS fenced
+        |FROM fn_input""".stripMargin).collect().head
+    assert(r.getAs[scala.collection.Seq[String]]("grams").toSeq == Seq("a b", "b c", "c a"))
+    assert(r.getAs[Int]("n_minhash") == 4)
+    assert(r.getAs[Int]("n_bits") == 16)
+    assert(r.getAs[Double]("dot") == 11.0)
+    assert(r.getAs[String]("fenced") == "a b c a")
+  }
+
+  test("non-literal size arguments are rejected with a clear message") {
+    Graft.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT simhash_sig(array('a'), 1 + 1)").collect()
+    }
+    assert(e.getMessage.contains("integer literal") ||
+      Option(e.getCause).exists(_.getMessage.contains("integer literal")))
+  }
 }

@@ -47,6 +47,27 @@ class StreamingSpec extends SparkSpec {
       "org.apache.spark.SparkNumberFormatException")
   }
 
+  test("kafka-shaped stream: record lineage reaches the streaming DLQ") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Int, Long, String)]
+    val tmp = Files.createTempDirectory("graft-stream-lineage").toString
+    val q = StreamErrorHandling.captureToDlq(
+      mem.toDF().toDF("topic", "partition", "offset", "s"),
+      Map("v" -> expr("cast(s as int)")),
+      input = col("s"),
+      description = "lineage test",
+      valuesPath = s"$tmp/values",
+      dlqPath = s"$tmp/dlq",
+      checkpointPath = s"$tmp/ckpt")
+    mem.addData(("in-topic", 2, 100L, "7"), ("in-topic", 2, 101L, "zap"))
+    q.processAllAvailable()
+    q.stop()
+    val dlq = spark.read.parquet(s"$tmp/dlq")
+      .select($"topic", $"partition", $"offset", $"input_value")
+      .as[(String, Int, Long, String)].collect()
+    assert(dlq.toSeq == Seq(("in-topic", 2, 101L, "zap")))
+  }
+
   test("windowedCounts aggregates tumbling windows with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
