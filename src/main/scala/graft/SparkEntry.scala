@@ -414,11 +414,14 @@ object SparkEntry {
     val dl = eventsCaptured(s, dir).deadLetters("events k-division pipeline")
     val retried = sources.Sinks.reprocess(dl,
       retry = expr("100 div (cast(regexp_extract(input_value, '[0-9]+', 0) as int) % 14)"))
-    val ok = retried.values.select(lit("recovered").as("outcome"), lit("ok").as("detail"),
-      $"retried".cast("long").as("val"))
-    val bad = retried.errors.select(lit("still_failed").as("outcome"),
-      $"error_class".as("detail"), lit(null).cast("long").as("val"))
-    ok.union(bad).groupBy($"outcome", $"detail")
+    // one-pass accounting over both retry outcomes (ErrorFrame.annotated):
+    // a values/errors union would re-plan the replay capture per branch
+    retried.annotated
+      .select(
+        when($"is_error", lit("still_failed")).otherwise(lit("recovered")).as("outcome"),
+        when($"is_error", $"error_class").otherwise(lit("ok")).as("detail"),
+        when(!$"is_error", $"retried".cast("long")).as("val"))
+      .groupBy($"outcome", $"detail")
       .agg(count(lit(1)).as("n"), sum($"val").as("sum_val"))
       .orderBy($"outcome", $"detail")
   }
@@ -697,10 +700,14 @@ object SparkEntry {
       when(pmod($"event_id", lit(13)) === 0, regexp_replace($"props", "\\}", ""))
         .otherwise($"props"))
     val ef = sources.JsonIngest.parseCaptured(ev, "raw", "k INT")
-    val ok = ef.values.groupBy($"event_type")
-      .agg(count(lit(1)).as("n_ok"), sum($"parsed.k".cast("long")).as("sum_k"))
-    val bad = ef.errors.groupBy($"event_type").agg(count(lit(1)).as("n_bad"))
-    ok.join(bad, "event_type")
+    // ONE pass over both branches (ErrorFrame.annotated): the former
+    // ok-join-bad formulation planned the parse/capture pipeline twice.
+    // The n_ok/n_bad > 0 filter preserves the inner-join semantics.
+    ef.annotated.groupBy($"event_type")
+      .agg(count(when(!$"is_error", lit(1))).as("n_ok"),
+        count(when($"is_error", lit(1))).as("n_bad"),
+        sum(when(!$"is_error", $"parsed.k".cast("long"))).as("sum_k"))
+      .filter($"n_ok" > 0 && $"n_bad" > 0)
       .select($"event_type", $"n_ok", $"n_bad", $"sum_k")
       .orderBy($"event_type")
   }

@@ -96,6 +96,23 @@ final case class ErrorFrame private (
       timestampCol.getOrElse(lit(null).cast("timestamp")).as("input_timestamp"))
   }
 
+  /** Both branches in ONE frame: original columns, unwrapped result
+    * columns (null on error rows), a boolean `is_error` flag and the
+    * first error's class/message. For aggregations that need values AND
+    * errors together (success/failure counts per key, DLQ replay
+    * accounting) this is one scan — a `values.union(errors)` or
+    * ok-join-bad formulation plans the whole capture pipeline once per
+    * branch.
+    */
+  def annotated: DataFrame = {
+    val kept = df.columns.filterNot(_.startsWith(CAPTURE_PREFIX)).map(col).toSeq
+    val unwrapped = resultNames.map(n => col(capturedCol(n))(VALUE).as(n))
+    df.select(kept ++ unwrapped ++ Seq(
+      anyError.as("is_error"),
+      firstError(ERROR_CLASS).as("error_class"),
+      firstError(ERROR_MESSAGE).as("error_message")): _*)
+  }
+
   /** Error-logging semantics (ErrorLoggingKeyValueMapper.java): log each
     * failure on the executor, keep only the successes.
     *

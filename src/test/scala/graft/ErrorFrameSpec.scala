@@ -41,6 +41,17 @@ class ErrorFrameSpec extends SparkSpec {
       "org.apache.spark.SparkNumberFormatException")
   }
 
+  test("annotated: both branches in one frame, one scan") {
+    val ann = captured.annotated.orderBy($"id").collect()
+    assert(ann.map(_.getAs[String]("id")).toSeq == Seq("a", "b", "c"))
+    assert(ann.map(_.getAs[Boolean]("is_error")).toSeq == Seq(false, true, false))
+    assert(ann.filter(!_.getAs[Boolean]("is_error")).map(_.getAs[Int]("v")).toSeq == Seq(1, 3))
+    assert(ann.find(_.getAs[Boolean]("is_error")).get.getAs[String]("error_class") ==
+      "org.apache.spark.SparkNumberFormatException")
+    // single scan: exactly one relation leaf in the plan
+    assert(captured.annotated.queryExecution.optimizedPlan.collectLeaves().size == 1)
+  }
+
   test("deadLetters matches the reference DeadLetter.avsc shape") {
     val dl = captured.deadLetters("test pipeline")
     assert(dl.schema.fieldNames.toSeq ==
