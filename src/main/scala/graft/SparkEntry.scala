@@ -663,6 +663,18 @@ object SparkEntry {
   private def d9(s: SparkSession, dir: String): DataFrame =
     clusters(s, dir, driverSolveMaxEdges = 0L)
 
+  private def d10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the apply step of dedup: corpus minus every doc with a smaller-id
+    // near-dup neighbor (deterministic keep-earliest policy)
+    val docs = t(s, dir, "documents")
+    val pairs = operators.Dedup.ngramJaccard(docs, n = 2, blockCol = "source",
+      threshold = 0.1)
+    operators.Dedup.dropLaterDuplicates(docs, pairs)
+      .select($"doc_id", $"lang", $"source")
+      .orderBy($"doc_id")
+  }
+
   private def x1(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // salted join output must equal the plain join: oracle is the
@@ -951,6 +963,7 @@ object SparkEntry {
     "s5_topk_ivf_trained" -> (s5 _),
     "e12_dlq_replay" -> (e12 _),
     "x2_layout_roundtrip" -> (x2 _),
+    "d10_dedup_apply" -> (d10 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1602,6 +1615,18 @@ object SparkEntry {
         |WHERE n.event_id % 2 <> 0 AND EXISTS (
         |  SELECT 1 FROM events c WHERE c.event_id % 2 = 0 AND c.user_id = n.user_id)
         |ORDER BY n.event_id""".stripMargin,
+    "d10_dedup_apply" ->
+      """WITH g AS (SELECT doc_id, source,
+        |  list_distinct(list_transform(range(1, len(string_split(text,' '))),
+        |    i -> array_to_string(list_slice(string_split(text,' '), i, i+1), ' '))) AS ts
+        | FROM documents),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |  len(list_intersect(a.ts,b.ts))::DOUBLE/(len(a.ts)+len(b.ts)-len(list_intersect(a.ts,b.ts))) AS jaccard
+        | FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+        | WHERE jaccard >= CAST(0.1 AS DOUBLE))
+        |SELECT d.doc_id, d.lang, d.source FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.db = d.doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "e12_dlq_replay" ->
       """WITH ev AS (SELECT props, CAST(regexp_extract(props, '[0-9]+', 0) AS INT) AS k FROM events),
         |dl AS (SELECT props, k FROM ev WHERE k % 7 = 0),

@@ -233,6 +233,18 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Apply a near-dup pair list to the corpus with the deterministic
+    * "keep the earliest" policy: any document having a smaller-id
+    * near-duplicate neighbor is dropped (pairs are emitted as
+    * `da < db`, so the drop set is exactly `distinct(db)`). One
+    * anti-join on the id — the pair list is orders of magnitude smaller
+    * than the corpus and broadcast-eligible at any realistic dup rate.
+    */
+  def dropLaterDuplicates(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    docs.join(pairs.select(col("db")).distinct(),
+      docs(idCol) === col("db"), "left_anti")
+
   /** Bloom-filter prefilter for incremental exact dedup: gate the new
     * batch on a corpus-key Bloom filter BEFORE any join — at 100 TB the
     * daily batch is mostly novel content, so the cheap
