@@ -110,70 +110,67 @@ object Similarity {
   def kmeansAssign(vectors: DataFrame, k: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val v = vectors.select(col(idCol).as("vec_id"), toDoubleVec(col(embCol)).as("v"))
-      .withColumn("vv", dot(col("v"), col("v")))
-    val seeds = v.orderBy(col("vec_id")).limit(k)
-      .select(col("vec_id").as("cid"), col("v").as("c"))
-    assignTo(v, seeds).select(col("vec_id"), col("cluster_id"), col("dist2"))
+    assignTo(v, seedCentroids(v, k)).select(col("vec_id"), col("cluster_id"), col("dist2"))
   }
 
-  /** Nearest-centroid argmin against a broadcast centroid frame
-    * `(cid, c)`. The argmin is a `min_by` HASH aggregate keyed on the
-    * vector id — partial aggregation does the per-vector argmin map-side,
-    * so the shuffle carries N rows (one per vector), not k×N, and there
-    * is no per-key window sort. Ties break on (dist2, cid) — identical
-    * to `row_number() ... ORDER BY dist2, cid`.
+  /** The k lowest-id vectors as driver-side centroid values (deterministic
+    * seeding, no RNG state). Bounded-driver-state by construction —
+    * k × dim doubles, the same reasoning as a broadcast join side.
     */
-  private[operators] def assignTo(v: DataFrame, centroids: DataFrame): DataFrame = {
-    val cents = centroids.withColumn("cc", dot(col("c"), col("c")))
-    v.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("cid"),
-        (col("vv") + col("cc") - lit(2.0) * dot(col("v"), col("c"))).as("dist2"))
-      .groupBy(col("vec_id"))
-      .agg(min_by(struct(col("cid"), col("dist2"), col("v")),
-        struct(col("dist2"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cluster_id"),
-        col("m.dist2").as("dist2"), col("m.v").as("v"))
+  private def seedCentroids(v: DataFrame, k: Int): Seq[(Long, Seq[Double])] =
+    v.orderBy(col("vec_id")).limit(k).select(col("vec_id").cast("long"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+
+  /** Nearest-centroid assignment via the [[graft.functions.NearestCentroid]]
+    * per-row expression over driver-embedded centroids: the assignment
+    * stage is scan-bound — no crossJoin row amplification, no aggregate,
+    * no shuffle (min_by/window formulations either sort-aggregate — a
+    * struct buffer disqualifies HashAggregate — or shuffle k×N rows).
+    */
+  private[operators] def assignTo(v: DataFrame,
+      centroids: Seq[(Long, Seq[Double])]): DataFrame = {
+    val sorted = centroids.sortBy(_._1)
+    v.select(col("vec_id"), col("v"),
+        graft.functions.NearestCentroid(col("v"), sorted.map(_._1), sorted.map(_._2)).as("m"))
+      .select(col("vec_id"), col("m.cluster_id").as("cluster_id"),
+        col("m.dist2").as("dist2"), col("v"))
   }
 
   /** Full Lloyd training: assign → recompute means, up to `maxIters`
-    * rounds, stopping early at a fixed point (Σ‖c_new − c_old‖² = 0 over
-    * the k-row centroid frame — a cheap driver-side signal, no second
-    * pass over the corpus). The iterative-Spark discipline: the corpus
-    * projection is persisted ONCE and re-scanned per round; only the
-    * k-row centroid frame is localCheckpoint'ed per round (cutting
-    * lineage that would otherwise re-plan every previous round each
-    * action). Returns `(cluster_id, centroid, n_assigned)` of the final
-    * round.
+    * rounds, stopping early at a fixed point (new centroids == old, an
+    * exact driver-side comparison of k × dim doubles). Per round exactly
+    * ONE Spark job: the per-row assignment expression feeds lloydStep's
+    * (cluster, position) partial aggregation and the k-row result is
+    * collected — centroid state lives on the driver (bounded, the
+    * broadcast-join reasoning), so there is no iterative lineage to
+    * checkpoint at all. The corpus projection is persisted once and
+    * re-scanned per round. Returns `(cluster_id, centroid, n_assigned)`
+    * of the final round.
     */
   def kmeansTrain(vectors: DataFrame, k: Int, maxIters: Int = 10,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     require(maxIters >= 1, s"maxIters must be >= 1: $maxIters")
+    val spark = vectors.sparkSession
     val v = vectors.select(col(idCol).as("vec_id"), toDoubleVec(col(embCol)).as("v"))
-      .withColumn("vv", dot(col("v"), col("v")))
       .persist()
     try {
-      var centroids = v.orderBy(col("vec_id")).limit(k)
-        .select(col("vec_id").cast("long").as("cid"), col("v").as("c"))
-        .localCheckpoint()
+      var centroids = seedCentroids(v, k)
       var i = 0
       var stop = false
       while (i < maxIters && !stop) {
-        val assigned = assignTo(v, centroids)
-        val next = lloydStep(assigned)
-          .select(col("cluster_id").cast("long").as("cid"), col("centroid").as("c"))
-          .localCheckpoint() // one action materializes this round's k rows
-        val delta = next.as("n").join(centroids.as("o"), col("n.cid") === col("o.cid"))
-          .agg(coalesce(sum(graft.functions.VectorDot(
-            expr("zip_with(n.c, o.c, (a, b) -> a - b)"),
-            expr("zip_with(n.c, o.c, (a, b) -> a - b)"))), lit(0.0)))
-          .head.getDouble(0)
+        val next = lloydStep(assignTo(v, centroids))
+          .select(col("cluster_id").cast("long"), col("centroid"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1)))
+          .sortBy(_._1).toSeq
+        stop = next == centroids
         centroids = next
-        stop = delta == 0.0 || delta.isNaN
         i += 1
       }
+      import spark.implicits._
       val counts = assignTo(v, centroids)
         .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_assigned"))
-      centroids.select(col("cid").as("cluster_id"), col("c").as("centroid"))
+      centroids.toDF("cluster_id", "centroid")
         .join(counts, Seq("cluster_id"), "left")
         .select(col("cluster_id"), col("centroid"),
           coalesce(col("n_assigned"), lit(0L)).as("n_assigned"))
