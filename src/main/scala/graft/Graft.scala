@@ -47,7 +47,9 @@ object Graft {
     fn("simhash_sig", classOf[graft.functions.SimHashSig])(c =>
       graft.functions.SimHashSig(c(0), litInt(c(1), "simhash_sig nBits"))),
     fn("vector_dot", classOf[graft.functions.VectorDot])(c =>
-      graft.functions.VectorDot(c(0), c(1))))
+      graft.functions.VectorDot(c(0), c(1))),
+    fn("count_by_value", classOf[graft.functions.CountByValue])(c =>
+      graft.functions.CountByValue(c.head).toAggregateExpression()))
 
   /** Runtime registration for sessions built without the extensions conf. */
   def register(spark: SparkSession): Unit = {

@@ -426,21 +426,49 @@ object SparkEntry {
       .orderBy($"outcome", $"detail")
   }
 
+  private def e13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // bounded multi-round DLQ replay: round r divides by k % (7·(r+1)) —
+    // round 1 (k % 14) heals half the poison, round 2 (k % 21) heals the
+    // 14-but-not-21 multiples, k ≡ 0 (mod 42) stays dead. Fixed-point
+    // accounting per (outcome, round) equals the SQL twin.
+    val dl = eventsCaptured(s, dir).deadLetters("events k-division pipeline")
+    val out = sources.Sinks.reprocessLoop(dl,
+      retry = r => expr(
+        s"100 div (cast(regexp_extract(input_value, '[0-9]+', 0) as int) % ${7 * (r + 1)})"),
+      maxRounds = 2)
+    out.groupBy($"outcome", $"round")
+      .agg(count(lit(1)).as("n"), sum($"retried".cast("long")).as("sum_val"))
+      .orderBy($"outcome", $"round")
+  }
+
   private def x2(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // layout round trip: writeOptimized (partition dirs + in-file sort +
     // file caps) must be content-lossless — the read-back aggregate,
     // including a text content fingerprint, equals the same aggregate
     // over the source table (the oracle computes it from the original).
-    val tmp = "/tmp/graft_x2_layout_" + java.lang.Integer.toHexString(dir.hashCode)
-    sources.Layout.writeOptimized(t(s, dir, "documents"), tmp,
-      partitionCols = Seq("lang"), sortCols = Seq("doc_id"))
-    s.read.parquet(tmp).groupBy($"lang")
-      .agg(count(lit(1)).as("n_docs"),
-        sum($"n_chars").as("sum_chars"),
-        min($"doc_id").as("min_id"), max($"doc_id").as("max_id"),
-        sum(conv(substring(md5($"text"), 1, 8), 16, 10).cast("long")).as("text_sig"))
-      .orderBy($"lang")
+    // Per-run unique dir: concurrent runs over the same data dir (e.g.
+    // Verify and Bench at once) must not race on one path; the tiny
+    // aggregate is pinned (localCheckpoint) so the dir can be deleted
+    // before the frame is consumed.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_x2_layout_").toString
+    try {
+      sources.Layout.writeOptimized(t(s, dir, "documents"), tmp,
+        partitionCols = Seq("lang"), sortCols = Seq("doc_id"))
+      s.read.parquet(tmp).groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("sum_chars"),
+          min($"doc_id").as("min_id"), max($"doc_id").as("max_id"),
+          sum(conv(substring(md5($"text"), 1, 8), 16, 10).cast("long")).as("text_sig"))
+        .orderBy($"lang")
+        .localCheckpoint()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(tmp)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   // ---------------------------------------------------------------- d/t: pipeline ops
@@ -803,6 +831,25 @@ object SparkEntry {
       .orderBy($"qid", $"rank")
   }
 
+  private def s6(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // multi-probe IVF: same trained labels as s5, but each query probes
+    // its TWO nearest cells (NearestCentroids expression) — the recall
+    // fix for cell-boundary queries. Oracle = exact top-k restricted to
+    // the probed cells.
+    val emb = t(s, dir, "embeddings")
+    val cents = operators.Similarity.seeds(emb, 8)
+    val assigned = operators.Similarity.kmeansAssign(emb, k = 8)
+      .select($"vec_id", $"cluster_id")
+    val trained = emb.join(assigned, "vec_id")
+      .select($"vec_id", $"cluster_id".as("label"), $"embedding")
+    val queries = broadcast(emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("qid"), operators.Similarity.toDoubleVec($"embedding").as("qv")))
+    operators.Similarity.multiProbeTopK(trained, queries, cents, nprobe = 2, k = 5)
+      .select($"qid", $"rank", $"vec_id", $"cosine")
+      .orderBy($"qid", $"rank")
+  }
+
   private def q24(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // one order per (custkey, orderdate) — deterministic as-of matches
@@ -961,7 +1008,9 @@ object SparkEntry {
     "x1_salted_join" -> (x1 _),
     "x3_bloom_dedup" -> (x3 _),
     "s5_topk_ivf_trained" -> (s5 _),
+    "s6_topk_multiprobe" -> (s6 _),
     "e12_dlq_replay" -> (e12 _),
+    "e13_dlq_retry_loop" -> (e13 _),
     "x2_layout_roundtrip" -> (x2 _),
     "d10_dedup_apply" -> (d10 _),
   )
@@ -1636,6 +1685,20 @@ object SparkEntry {
         |  'org.apache.spark.SparkArithmeticException' AS detail,
         |  COUNT(*) AS n, CAST(NULL AS BIGINT) AS sum_val FROM dl WHERE k % 14 = 0)
         |SELECT * FROM rec UNION ALL SELECT * FROM bad ORDER BY outcome, detail""".stripMargin,
+    "e13_dlq_retry_loop" ->
+      """WITH ev AS (SELECT props, CAST(regexp_extract(props, '[0-9]+', 0) AS INT) AS k FROM events),
+        |dl AS (SELECT props, k FROM ev WHERE k % 7 = 0),
+        |r1 AS (SELECT 'recovered' AS outcome, CAST(1 AS INT) AS round, COUNT(*) AS n,
+        |  CAST(SUM(100 // (k % 14)) AS BIGINT) AS sum_val FROM dl WHERE k % 14 <> 0
+        |  HAVING COUNT(*) > 0),
+        |r2 AS (SELECT 'recovered' AS outcome, CAST(2 AS INT) AS round, COUNT(*) AS n,
+        |  CAST(SUM(100 // (k % 21)) AS BIGINT) AS sum_val FROM dl
+        |  WHERE k % 14 = 0 AND k % 21 <> 0 HAVING COUNT(*) > 0),
+        |sf AS (SELECT 'still_failed' AS outcome, CAST(2 AS INT) AS round, COUNT(*) AS n,
+        |  CAST(NULL AS BIGINT) AS sum_val FROM dl WHERE k % 14 = 0 AND k % 21 = 0
+        |  HAVING COUNT(*) > 0)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM sf
+        |ORDER BY outcome, round""".stripMargin,
     "x2_layout_roundtrip" ->
       """SELECT lang, COUNT(*) AS n_docs,
         | CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
@@ -1663,6 +1726,34 @@ object SparkEntry {
         |   (sqrt(list_reduce(list_transform(qv, x -> x*x), (x,y) -> x+y)) *
         |    sqrt(list_reduce(list_transform(t.v, x -> x*x), (x,y) -> x+y))) AS cosine
         | FROM q JOIN t ON qlabel = t.label AND qid <> t.vec_id),
+        |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank FROM scored)
+        |SELECT qid, rank, vec_id, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    "s6_topk_multiprobe" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  list_reduce(list_transform(range(1, len(v)+1), i -> v[i]*v[i]), (x,y) -> x+y) AS vv
+        | FROM e),
+        |s AS (SELECT vec_id AS cid, v AS c, vv AS cc FROM n ORDER BY vec_id LIMIT 8),
+        |d AS (SELECT n.vec_id, s.cid,
+        |  n.vv + s.cc - 2 * list_reduce(list_transform(range(1, len(n.v)+1),
+        |    i -> n.v[i]*s.c[i]), (x,y) -> x+y) AS dist2
+        | FROM n CROSS JOIN s),
+        |a AS (SELECT vec_id, cid AS label FROM (
+        |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        |  FROM d) WHERE rn = 1),
+        |pr AS (SELECT vec_id AS qid, cid AS plabel FROM (
+        |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        |  FROM d WHERE vec_id < 20) WHERE rn <= 2),
+        |t AS (SELECT n.vec_id, a.label, n.v FROM n JOIN a USING (vec_id)),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM n WHERE vec_id < 20),
+        |scored AS (
+        | SELECT q.qid, t.vec_id,
+        |  list_reduce(list_transform(range(1, len(qv)+1), i -> qv[i]*t.v[i]), (x,y) -> x+y) /
+        |   (sqrt(list_reduce(list_transform(qv, x -> x*x), (x,y) -> x+y)) *
+        |    sqrt(list_reduce(list_transform(t.v, x -> x*x), (x,y) -> x+y))) AS cosine
+        | FROM q JOIN pr ON q.qid = pr.qid
+        |  JOIN t ON t.label = pr.plabel AND q.qid <> t.vec_id),
         |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank FROM scored)
         |SELECT qid, rank, vec_id, cosine FROM ranked WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,

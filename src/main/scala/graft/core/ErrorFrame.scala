@@ -34,13 +34,32 @@ final case class ErrorFrame private (
     * record being processed): a frame read from the Spark Kafka source —
     * or round-tripped through a Kafka-shaped sink — carries `topic`,
     * `partition`, `offset` columns, and those ARE the record context.
-    * Present iff all three columns exist on the input frame.
+    * Present iff all three columns exist on the input frame. Casts are
+    * try_cast — an unrelated column that merely shares a name degrades to
+    * null lineage instead of an ANSI runtime failure.
     */
   private def sourceLineage: Option[(Column, Column, Column)] =
     if (Seq("topic", "partition", "offset").forall(df.columns.contains))
-      Some((col("topic").cast("string"), col("partition").cast("int"),
-        col("offset").cast("bigint")))
+      Some((col("topic").cast("string"), expr("try_cast(`partition` AS int)"),
+        expr("try_cast(`offset` AS bigint)")))
     else None
+
+  /** Lineage precedence: caller-supplied `lineageCols` always win; then
+    * `withLineage = true` forces the batch analog (input file name, Spark
+    * partition id, per-partition monotone id); then the Kafka-shaped name
+    * heuristic ([[sourceLineage]]); else nulls. Explicit beats heuristic —
+    * a frame with unrelated topic/partition/offset columns can opt out via
+    * either explicit form.
+    */
+  private def lineageOf(withLineage: Boolean,
+      lineageCols: Option[(Column, Column, Column)]): (Column, Column, Column) =
+    lineageCols.orElse {
+      if (withLineage)
+        Some((input_file_name().cast("string"), spark_partition_id(),
+          monotonically_increasing_id()))
+      else sourceLineage
+    }.getOrElse(
+      (lit(null).cast("string"), lit(null).cast("int"), lit(null).cast("bigint")))
 
   /** Successfully processed rows: original columns minus capture internals,
     * plus the unwrapped result columns (ProcessedKeyValue::getValues).
@@ -64,25 +83,17 @@ final case class ErrorFrame private (
 
   /** Dead letters in the exact reference shape (DeadLetter.avsc /
     * DeadLetterProcessor.java): input_value stringified, shared
-    * description, cause struct, source lineage if provided.
-    *
-    * Lineage precedence: a Kafka-shaped input's own topic/partition/offset
-    * columns (the record context, see [[sourceLineage]]) always win; else
-    * `withLineage = true` fills the batch analog — input file name, Spark
-    * partition id, and a per-partition monotone id; else nulls.
+    * description, cause struct, source lineage per [[lineageOf]]
+    * (`lineageCols` > `withLineage` batch analog > Kafka-shaped column
+    * heuristic > nulls).
     */
   def deadLetters(
       description: String,
       timestampCol: Option[Column] = None,
-      withLineage: Boolean = false): DataFrame = {
+      withLineage: Boolean = false,
+      lineageCols: Option[(Column, Column, Column)] = None): DataFrame = {
     val base = errors
-    val (topicC, partC, offC) = sourceLineage.getOrElse {
-      if (withLineage)
-        (input_file_name().cast("string"), spark_partition_id(),
-          monotonically_increasing_id())
-      else
-        (lit(null).cast("string"), lit(null).cast("int"), lit(null).cast("bigint"))
-    }
+    val (topicC, partC, offC) = lineageOf(withLineage, lineageCols)
     base.select(
       inputCol.cast("string").as("input_value"),
       topicC.as("topic"),
@@ -149,23 +160,19 @@ final case class ErrorFrame private (
     * `withTaskContext = true` adds the FilteringProcessingExceptionHandler
     * headers (task/processor-node ids) using the Spark analogs.
     *
-    * The topic/partition/offset headers carry the record context when the
-    * input is Kafka-shaped ([[sourceLineage]] — ErrorHeaderProcessor.java
-    * :54–76 fills them from the live record); on a batch frame with
-    * `withLineage = true` they carry the file-lineage analog, else null.
+    * The topic/partition/offset headers carry the record context per
+    * [[lineageOf]] — explicit `lineageCols`, else `withLineage = true`'s
+    * file-lineage analog, else the Kafka-shaped column heuristic
+    * (ErrorHeaderProcessor.java:54–76 fills them from the live record),
+    * else null.
     */
   def withErrorHeaders(description: String, withTaskContext: Boolean = false,
-      withLineage: Boolean = false): DataFrame = {
+      withLineage: Boolean = false,
+      lineageCols: Option[(Column, Column, Column)] = None): DataFrame = {
     def h(key: String, value: Column) =
       struct(lit(key).as("key"), value.cast("binary").as("value"))
     val kept = df.columns.filterNot(_.startsWith(CAPTURE_PREFIX)).map(col).toSeq
-    val (topicC, partC, offC) = sourceLineage.getOrElse {
-      if (withLineage)
-        (input_file_name().cast("string"), spark_partition_id(),
-          monotonically_increasing_id())
-      else
-        (lit(null).cast("string"), lit(null).cast("int"), lit(null).cast("bigint"))
-    }
+    val (topicC, partC, offC) = lineageOf(withLineage, lineageCols)
     val base = Seq(
       h(ErrorHeaders.TOPIC, topicC.cast("string")),
       h(ErrorHeaders.PARTITION, partC.cast("string")),
@@ -208,7 +215,9 @@ final case class ErrorFrame private (
 
   /** One-pass pipeline telemetry via `Dataset.observe`: the SAME action
     * that consumes any branch of this frame also reports total rows,
-    * error count and error rate — no second job over the error branch
+    * error count, and a per-error-class count map (`errors_by_class`,
+    * [[graft.functions.CountByValue]]) — a DLQ spike is diagnosable down
+    * to the class from one pass, no second job over the error branch
     * (the Spark analog of the reference's Kafka Streams metrics).
     * `Observation.get` blocks until the first action completes.
     */
@@ -216,7 +225,8 @@ final case class ErrorFrame private (
     val obs = org.apache.spark.sql.Observation(name)
     val annotated = df.observe(obs,
       count(lit(1)).as("n_rows"),
-      sum(anyError.cast("long")).as("n_errors"))
+      sum(anyError.cast("long")).as("n_errors"),
+      graft.functions.CountByValue(firstError(ERROR_CLASS)).as("errors_by_class"))
     (ErrorFrame(annotated, resultNames, inputCol), obs)
   }
 }

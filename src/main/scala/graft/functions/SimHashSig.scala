@@ -36,24 +36,30 @@ case class SimHashSig(child: Expression, nBits: Int)
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    if (n == 0) return null // no tokens -> no fingerprint
     val md = MessageDigest.getInstance("MD5")
     val sums = new Array[Int](nBits)
     var i = 0
+    var tokens = 0
     while (i < n) {
-      md.reset()
-      md.update(arr.getUTF8String(i).getBytes)
-      val d = md.digest()
-      var b = 0
-      while (b < nBits) {
-        // hex digit b+1 of the md5 string: high nibble of byte b/2 when b
-        // is even, low nibble when odd; digit parity == nibble low bit
-        val nibble = if ((b & 1) == 0) (d(b >> 1) >> 4) & 0xf else d(b >> 1) & 0xf
-        sums(b) += (if ((nibble & 1) == 1) 1 else -1)
-        b += 1
+      // SQL callers can pass arrays with null elements (graft's own
+      // shingleSets never does): skip them instead of NPE-ing
+      if (!arr.isNullAt(i)) {
+        tokens += 1
+        md.reset()
+        md.update(arr.getUTF8String(i).getBytes)
+        val d = md.digest()
+        var b = 0
+        while (b < nBits) {
+          // hex digit b+1 of the md5 string: high nibble of byte b/2 when b
+          // is even, low nibble when odd; digit parity == nibble low bit
+          val nibble = if ((b & 1) == 0) (d(b >> 1) >> 4) & 0xf else d(b >> 1) & 0xf
+          sums(b) += (if ((nibble & 1) == 1) 1 else -1)
+          b += 1
+        }
       }
       i += 1
     }
+    if (tokens == 0) return null // no (non-null) tokens -> no fingerprint
     val out = new Array[Byte](nBits)
     var b = 0
     while (b < nBits) {

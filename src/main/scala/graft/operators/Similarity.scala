@@ -76,6 +76,41 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Multi-probe IVF top-k: each query probes its `nprobe` NEAREST
+    * inverted lists instead of only the owning cell — the standard fix
+    * for nprobe=1's recall ceiling (a query near a cell boundary has
+    * true neighbors in the adjacent cell). Probe assignment is the
+    * [[graft.functions.NearestCentroids]] per-row expression over
+    * driver-embedded centroids — scan-bound, works at ANY query
+    * cardinality (no crossJoin, no window over q×k rows) — exploded to
+    * (query, probe-label) pairs; candidates come from ONE join on the
+    * label, and the global top-k ranks the union of all probed lists.
+    * `nprobe = centroids.size` degrades gracefully to exact brute force.
+    *
+    * `vectors` carries (vec_id, label, embedding); `queries` carries
+    * (qid, qv) with qv already double-widened.
+    */
+  def multiProbeTopK(vectors: DataFrame, queries: DataFrame,
+      centroids: Seq[(Long, Seq[Double])], nprobe: Int, k: Int): DataFrame = {
+    val sorted = centroids.sortBy(_._1)
+    val probes = queries.select(col("qid"), col("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .select(col("qid"), col("qv"), col("qn"),
+        explode(graft.functions.NearestCentroids(
+          col("qv"), sorted.map(_._1), sorted.map(_._2), nprobe)).as("p"))
+      .select(col("qid"), col("qv"), col("qn"), col("p.cluster_id").as("probe_label"))
+    val v = vectors.select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("vn", norm(col("v")))
+    val joined = probes.as("q").join(v.as("v"),
+        col("q.probe_label") === col("v.label") && col("q.qid") =!= col("v.vec_id"))
+      .select(col("q.qid"), col("v.vec_id"),
+        (dot(col("q.qv"), col("v.v")) / (col("q.qn") * col("v.vn"))).as("cosine"))
+    joined.withColumn("rank",
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+  }
+
   /** Symmetric int8 quantization of an embedding column: per-vector
     * scale = max|x|, q_i = floor(x_i / scale * 127 + 0.5). Cuts vector
     * storage 4× — at 100 TB the embeddings table is usually the widest
@@ -113,6 +148,16 @@ object Similarity {
     assignTo(v, seedCentroids(v, k)).select(col("vec_id"), col("cluster_id"), col("dist2"))
   }
 
+  /** The k lowest-id seed centroids of a raw embeddings frame, as
+    * driver-side values — the shared coarse-quantizer seeding for
+    * kmeansAssign / multiProbeTopK callers that need the centroid set
+    * itself.
+    */
+  def seeds(vectors: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): Seq[(Long, Seq[Double])] =
+    seedCentroids(
+      vectors.select(col(idCol).as("vec_id"), toDoubleVec(col(embCol)).as("v")), k)
+
   /** The k lowest-id vectors as driver-side centroid values (deterministic
     * seeding, no RNG state). Bounded-driver-state by construction —
     * k × dim doubles, the same reasoning as a broadcast join side.
@@ -121,13 +166,49 @@ object Similarity {
     v.orderBy(col("vec_id")).limit(k).select(col("vec_id").cast("long"), col("v"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
 
+  /** Deterministic k-means++ (D²) seeding: first seed = lowest id, each
+    * next seed drawn ∝ dist² to the nearest chosen seed via
+    * Efraimidis–Spiridakis hash-weighted sampling (priority
+    * −ln(u)/dist², u an md5-hash uniform of the id — no RNG state, same
+    * derivation as Pipeline.weightedSample). Fixes lowest-id seeding's
+    * degenerate case: when the k lowest-id vectors happen to sit in one
+    * tight region, Lloyd splits that region and merges real clusters;
+    * D² seeding spreads the seeds. One TakeOrdered job per seed (k−1
+    * rounds, k = coarse-quantizer cells — small), driver state stays
+    * k × dim. Stops early (fewer seeds) if the corpus has fewer than k
+    * distinct positions.
+    */
+  def seedsPP(vectors: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): Seq[(Long, Seq[Double])] = {
+    val v = vectors.select(col(idCol).as("vec_id"), toDoubleVec(col(embCol)).as("v"))
+      .persist()
+    try {
+      var chosen = seedCentroids(v, 1).toList
+      var exhausted = false
+      while (chosen.size < k && !exhausted) {
+        val u = (conv(substring(md5(concat(lit("graftpp:"), col("vec_id").cast("string"))),
+          1, 8), 16, 10).cast("double") + 1.0) / 4294967297.0
+        val next = assignTo(v, chosen)
+          .filter(col("dist2") > 0)
+          .select(col("vec_id").cast("long").as("vec_id"), col("v"),
+            (-log(u) / col("dist2")).as("priority"))
+          .orderBy(col("priority"), col("vec_id"))
+          .limit(1)
+          .collect()
+        if (next.isEmpty) exhausted = true
+        else chosen = (next.head.getLong(0), next.head.getSeq[Double](1)) :: chosen
+      }
+      chosen.sortBy(_._1)
+    } finally { v.unpersist(); () }
+  }
+
   /** Nearest-centroid assignment via the [[graft.functions.NearestCentroid]]
     * per-row expression over driver-embedded centroids: the assignment
     * stage is scan-bound — no crossJoin row amplification, no aggregate,
     * no shuffle (min_by/window formulations either sort-aggregate — a
     * struct buffer disqualifies HashAggregate — or shuffle k×N rows).
     */
-  private[operators] def assignTo(v: DataFrame,
+  private[graft] def assignTo(v: DataFrame,
       centroids: Seq[(Long, Seq[Double])]): DataFrame = {
     val sorted = centroids.sortBy(_._1)
     v.select(col("vec_id"), col("v"),
@@ -146,23 +227,31 @@ object Similarity {
     * checkpoint at all. The corpus projection is persisted once and
     * re-scanned per round. Returns `(cluster_id, centroid, n_assigned)`
     * of the final round.
+    *
+    * A cluster that empties in some round RETAINS its previous centroid
+    * (and surfaces n_assigned = 0) instead of silently vanishing — the
+    * model always trains with exactly the seeded k. `seeds` overrides
+    * the default lowest-id seeding (pass [[seedsPP]] for D² seeding).
     */
   def kmeansTrain(vectors: DataFrame, k: Int, maxIters: Int = 10,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      seeds: Option[Seq[(Long, Seq[Double])]] = None): DataFrame = {
     require(maxIters >= 1, s"maxIters must be >= 1: $maxIters")
     val spark = vectors.sparkSession
     val v = vectors.select(col(idCol).as("vec_id"), toDoubleVec(col(embCol)).as("v"))
       .persist()
     try {
-      var centroids = seedCentroids(v, k)
+      var centroids = seeds.map(_.sortBy(_._1)).getOrElse(seedCentroids(v, k))
       var i = 0
       var stop = false
       while (i < maxIters && !stop) {
-        val next = lloydStep(assignTo(v, centroids))
+        val updated = lloydStep(assignTo(v, centroids))
           .select(col("cluster_id").cast("long"), col("centroid"))
           .collect()
           .map(r => (r.getLong(0), r.getSeq[Double](1)))
-          .sortBy(_._1).toSeq
+          .toMap
+        // empty clusters keep their previous centroid
+        val next = centroids.map { case (cid, c) => (cid, updated.getOrElse(cid, c)) }
         stop = next == centroids
         centroids = next
         i += 1

@@ -20,11 +20,22 @@ object Skew {
   private val SafeJoinTypes =
     Set("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti")
 
-  /** Salted equi-join: the skewed (large) side gets a random-but-
-    * deterministic salt derived from a row fingerprint; the small side is
-    * replicated across all salt values. Key cardinality × `salts`
-    * partitions — hot keys split `salts` ways. Right-preserving join
-    * types are rejected (see [[SafeJoinTypes]]).
+  /** Per-row salt in [0, salts): position-derived, NOT content-derived —
+    * fully identical duplicate rows of one hot key (the pathological case
+    * salting exists for) still land in different buckets, because the salt
+    * hashes the row's partition-local id, not its columns. Deterministic
+    * per run (same input partitioning → same ids), and the nondeterminism
+    * flag on monotonically_increasing_id pins it to ONE evaluation — the
+    * optimizer can't duplicate it below a filter and desync the join.
+    */
+  private[graft] def saltColumn(salts: Int): Column =
+    pmod(hash(monotonically_increasing_id()), lit(salts))
+
+  /** Salted equi-join: each row of the skewed (large) side gets a
+    * position-derived salt ([[saltColumn]]); the small side is replicated
+    * across all salt values. Key cardinality × `salts` partitions — hot
+    * keys split `salts` ways, even when the hot key's rows are identical.
+    * Right-preserving join types are rejected (see [[SafeJoinTypes]]).
     */
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String, salts: Int,
       joinType: String = "inner"): DataFrame = {
@@ -35,8 +46,7 @@ object Skew {
     // (e.g. a dim aggregated out of the fact table), bare df(col) apply
     // resolves to identical attribute ids — Spark warns "trivially true
     // equals predicate" and leans on self-join disambiguation heuristics.
-    val saltedLeft = skewed.withColumn("__salt",
-      pmod(hash(skewed.columns.map(col).toSeq: _*), lit(salts))).as("__sj_l")
+    val saltedLeft = skewed.withColumn("__salt", saltColumn(salts)).as("__sj_l")
     val replicatedRight = other.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1)))).as("__sj_r")
     saltedLeft.join(replicatedRight,
@@ -46,9 +56,6 @@ object Skew {
       .drop("__salt")
   }
 
-  /** Key-frequency profile: the top-n heaviest join keys with their row
-    * share — the diagnostic that decides between AQE and salting.
-    */
   /** Key-frequency profile: the top-n heaviest join keys with their row
     * share. ONE scan: the total is a 1-row re-aggregate of the per-key
     * counts, crossJoin'ed back in — both branches share the identical

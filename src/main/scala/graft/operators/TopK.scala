@@ -18,6 +18,11 @@ object TopK {
 
   /** Ties should be broken by a unique trailing sort column for
     * deterministic output.
+    *
+    * Per-partition heap memory is bounded by
+    * `spark.graft.topk.maxHeapBytes` (default 64 MB); a partition whose
+    * key cardinality blows the budget falls back to a spillable
+    * external sort — see [[graft.plans.TopKPerKeyExec]].
     */
   def perKey(df: DataFrame, keys: Seq[String], orderBy: Seq[Sort], k: Int): DataFrame = {
     graft.Graft.registerStrategies(df.sparkSession)
@@ -27,7 +32,10 @@ object TopK {
         s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
     val order = orderBy.map(s =>
       SortOrder(attr(s.column), if (s.descending) Descending else Ascending))
+    val maxHeapBytes = df.sparkSession.conf
+      .getOption(TopKPerKeyPlan.MaxHeapBytesConf).map(_.toLong)
+      .getOrElse(TopKPerKeyPlan.DefaultMaxHeapBytes)
     DatasetBridge.ofRows(df.sparkSession,
-      TopKPerKeyPlan(keys.map(attr), order, k, plan))
+      TopKPerKeyPlan(keys.map(attr), order, k, plan, maxHeapBytes))
   }
 }

@@ -63,4 +63,47 @@ object Sinks {
       deadLetters.select(col("input_value")),
       Map("retried" -> retry),
       input = col("input_value"))
+
+  /** Bounded multi-round DLQ replay — the batch packaging of the
+    * reference's handler-level retry (FilteringProcessingExceptionHandler
+    * retries without failing the job): round r re-runs the rows still
+    * failing through `retry(r)`; recovered rows accumulate tagged with
+    * the round that healed them, and rows failing every round
+    * re-dead-letter as `still_failed` with the final round count — a
+    * complete fixed-point accounting of the DLQ's lifecycle in one frame:
+    * `(input_value, outcome, round, retried, error_class)`.
+    *
+    * Each round's capture is pinned (localCheckpoint) before its two
+    * consumers split it: the recovered/failed branches would otherwise
+    * re-run the capture scan per action, and the per-round lineage would
+    * stack across rounds (the iterative-Spark trap). Pending shrinks
+    * monotonically, so total work is bounded by maxRounds × |DLQ|.
+    */
+  def reprocessLoop(deadLetters: DataFrame, retry: Int => Column,
+      maxRounds: Int): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    var pending = deadLetters.select(col("input_value"))
+    var acc: DataFrame = null
+    var round = 1
+    while (round <= maxRounds) {
+      val ann = ErrorFrame.captureErrors(pending,
+          Map("retried" -> retry(round)), input = col("input_value"))
+        .annotated
+        .localCheckpoint()
+      val retriedType = ann.schema("retried").dataType
+      val recovered = ann.filter(!col("is_error"))
+        .select(col("input_value"), lit("recovered").as("outcome"),
+          lit(round).as("round"), col("retried"),
+          lit(null).cast("string").as("error_class"))
+      acc = if (acc == null) recovered else acc.unionByName(recovered)
+      val failed = ann.filter(col("is_error"))
+      if (round == maxRounds)
+        acc = acc.unionByName(failed.select(col("input_value"),
+          lit("still_failed").as("outcome"), lit(round).as("round"),
+          lit(null).cast(retriedType).as("retried"), col("error_class")))
+      pending = failed.select(col("input_value"))
+      round += 1
+    }
+    acc
+  }
 }

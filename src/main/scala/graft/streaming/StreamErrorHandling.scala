@@ -55,17 +55,36 @@ object StreamErrorHandling {
       .start()
   }
 
+  /** Column names of the retry carry-over state (not CAPTURE_PREFIX'd:
+    * they must survive ErrorFrame.values/errors projections).
+    */
+  val RetryCountCol = "__graft_retry_count"
+  val NextAttemptTsCol = "__graft_next_attempt_ts"
+
   /** [[captureToDlq]] with runtime-retry semantics for RECOVERABLE errors
     * — the Structured-Streaming analog of the reference's
     * FilteringProcessingExceptionHandler hook, where transient failures
     * retry without failing the job and only poison pills dead-letter.
     *
-    * Per micro-batch: non-recoverable errors go straight to the DLQ;
-    * the recoverable branch is re-computed (results re-applied to the
-    * original input rows) up to `maxRetries` times with exponential
-    * backoff inside foreachBatch. Rows still failing after the budget are
-    * dead-lettered with a "retries exhausted" description — bounded work,
-    * no unbounded job restart loop, checkpoint untouched by retries.
+    * NON-BLOCKING carry-over design: a recoverable failure never sleeps
+    * inside the trigger (a driver backoff would stall every unrelated
+    * micro-batch for the whole backoff budget). Instead the failing rows
+    * are persisted to a pending store with `retry_count` and
+    * `next_attempt_ts = now + backoffMs·2^(retry_count−1)`, and each
+    * subsequent trigger re-ingests the DUE pending rows alongside its own
+    * new data — exponential backoff in wall-clock terms, zero blocked
+    * triggers. Rows whose retry budget is exhausted dead-letter with a
+    * "retries exhausted" description; a row is attempted at most
+    * `1 + maxRetries` times (initial + retries), matching the reference's
+    * bounded-retry contract. Non-recoverable errors dead-letter
+    * immediately.
+    *
+    * The pending store (`<checkpointPath>/graft-pending` unless
+    * `pendingPath` overrides it) is read-then-overwritten per trigger
+    * with the read pinned first; it is not transactional with the
+    * streaming checkpoint, so retried rows are at-least-once across a
+    * crash — the same guarantee the DLQ side already has. Rows still
+    * pending when the stream stops remain in the store for the next run.
     */
   def captureToDlqWithRetry(
       stream: DataFrame,
@@ -77,11 +96,15 @@ object StreamErrorHandling {
       checkpointPath: String,
       classifier: ErrorClassifier = ErrorClassifier.default,
       maxRetries: Int = 3,
-      backoffMs: Long = 1000L): StreamingQuery = {
+      backoffMs: Long = 1000L,
+      pendingPath: String = null): StreamingQuery = {
+    val pPath = Option(pendingPath).getOrElse(s"$checkpointPath/graft-pending")
     val captured = capture(stream, results, input)
     captured.df.writeStream
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val now = System.currentTimeMillis()
         def deadLetterize(errRows: DataFrame, desc: String): DataFrame =
           errRows.select(
             input.cast("string").as("input_value"),
@@ -92,39 +115,43 @@ object StreamErrorHandling {
             struct(col("error_class"), col("error_message").as("message"),
               col("stack_trace")).as("cause"),
             lit(null).cast("timestamp").as("input_timestamp"))
-        // persist each pass so every retry evaluates the user computation
-        // exactly once per row (branches below share the materialization)
-        var cached = List(batch.toDF().persist())
+        // pending rows from earlier triggers, pinned (localCheckpoint)
+        // because the store is overwritten at the end of this trigger
+        val pending =
+          try spark.read.parquet(pPath).localCheckpoint()
+          catch { case _: org.apache.spark.sql.AnalysisException => null }
+        val due = if (pending == null) null else pending.filter(col(NextAttemptTsCol) <= now)
+        val notDue = if (pending == null) null else pending.filter(col(NextAttemptTsCol) > now)
+        // arriving rows enter at retry_count 0; due rows re-run the user
+        // computation carrying their count. ONE persisted pass feeds the
+        // three writes below — the user expression runs once per row per
+        // attempt, never once per branch.
+        val fresh = batch.toDF().withColumn(RetryCountCol, lit(0))
+        val all =
+          if (due == null) fresh
+          else fresh.unionByName(
+            ErrorFrame.captureErrors(due.drop(NextAttemptTsCol), results, input).df)
+        val cachedAll = all.persist()
         try {
-          val first = ErrorFrame(cached.head, captured.resultNames, input)
+          val split = ErrorFrame(cachedAll, captured.resultNames, input)
             .filterRecoverable(classifier, failOnRecoverable = false)
-          first.values.write.mode("overwrite")
+          split.values.drop(RetryCountCol).write.mode("overwrite")
             .parquet(s"$valuesPath/batch_id=$batchId")
-          var dead = deadLetterize(first.deadLettered, description)
-          var pending = first.recoverable
+          val rec = split.recoverable
+          val exhausted = rec.filter(col(RetryCountCol) + 1 > maxRetries)
+          deadLetterize(split.deadLettered, description)
+            .union(deadLetterize(exhausted, s"$description (retries exhausted)"))
+            .write.mode("overwrite").parquet(s"$dlqPath/batch_id=$batchId")
+          val retryable = rec.filter(col(RetryCountCol) + 1 <= maxRetries)
             .drop("error_class", "error_message", "stack_trace")
-          var attempt = 0
-          while (attempt < maxRetries && !pending.isEmpty) {
-            Thread.sleep(backoffMs << attempt)
-            val recap = ErrorFrame.captureErrors(pending, results, input)
-            cached ::= recap.df.persist()
-            val split = ErrorFrame(cached.head, recap.resultNames, input)
-              .filterRecoverable(classifier, failOnRecoverable = false)
-            split.values.write.mode("append")
-              .parquet(s"$valuesPath/batch_id=$batchId")
-            dead = dead.union(deadLetterize(split.deadLettered, description))
-            pending = split.recoverable
-              .drop("error_class", "error_message", "stack_trace")
-            attempt += 1
-          }
-          if (!pending.isEmpty) {
-            val last = ErrorFrame(cached.head, captured.resultNames, input)
-              .filterRecoverable(classifier, failOnRecoverable = false)
-            dead = dead.union(
-              deadLetterize(last.recoverable, s"$description (retries exhausted)"))
-          }
-          dead.write.mode("overwrite").parquet(s"$dlqPath/batch_id=$batchId")
-        } finally cached.foreach(_.unpersist())
+            .withColumn(RetryCountCol, col(RetryCountCol) + 1)
+            .withColumn(NextAttemptTsCol,
+              (lit(now) + lit(backoffMs.toDouble) *
+                pow(lit(2.0), col(RetryCountCol) - 1)).cast("long"))
+          val newPending =
+            if (notDue == null) retryable else notDue.unionByName(retryable)
+          newPending.write.mode("overwrite").parquet(pPath)
+        } finally { cachedAll.unpersist(); () }
         ()
       }
       .start()

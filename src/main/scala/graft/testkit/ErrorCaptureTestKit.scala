@@ -97,30 +97,50 @@ object ErrorCaptureTestKit {
     when(failWhen, raise_error(concat(lit("testkit poison: "), failWhen.cast("string"))))
       .otherwise(otherwise)
 
-  /** Run a STREAMING capture topology over in-memory batches and return
-    * the values/DLQ parquet outputs — the TestTopology.start()/stop()
-    * lifecycle analog. Each element of `batches` is processed to
-    * completion before the next is added.
+  /** Run a caller-provided STREAMING frame through a capture topology to
+    * parquet values/DLQ sinks — the TestTopology.start()/stop() lifecycle
+    * analog for any public streaming source (file, rate, kafka). `feed`
+    * receives the started query: produce source data there and call
+    * `q.processAllAvailable()` between batches. Returns the values/DLQ
+    * frames read back.
+    *
+    * Only public Spark API: no internal MemoryStream dependency, so the
+    * fixture survives Spark package moves.
     */
-  def runStreamingCapture(spark: SparkSession, batches: Seq[Seq[String]],
-      results: Map[String, Column], description: String = "testkit-stream")
+  def runStreamingCapture(stream: DataFrame, inputCol: Column,
+      results: Map[String, Column], description: String)(
+      feed: org.apache.spark.sql.streaming.StreamingQuery => Unit)
       : (DataFrame, DataFrame) = {
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    import spark.implicits._
-    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val spark = stream.sparkSession
     val tmp = java.nio.file.Files.createTempDirectory("graft-testkit-stream").toString
     val q = graft.streaming.StreamErrorHandling.captureToDlq(
-      mem.toDF().withColumnRenamed("value", "s"),
-      results, input = col("s"), description = description,
+      stream, results, input = inputCol, description = description,
       valuesPath = s"$tmp/values", dlqPath = s"$tmp/dlq",
       checkpointPath = s"$tmp/ckpt")
-    try {
-      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
-    } finally q.stop()
+    try feed(q) finally q.stop()
     def readOrEmpty(path: String, fallback: DataFrame) =
       try spark.read.parquet(path)
       catch { case _: org.apache.spark.sql.AnalysisException => fallback.limit(0) }
     (readOrEmpty(s"$tmp/values", spark.emptyDataFrame),
       readOrEmpty(s"$tmp/dlq", spark.emptyDataFrame))
+  }
+
+  /** Convenience: run a streaming capture over string batches, fed
+    * through a temp-dir FILE source (public API; one text file per batch,
+    * each processed to completion before the next lands). The input
+    * column is `s`.
+    */
+  def runStreamingCapture(spark: SparkSession, batches: Seq[Seq[String]],
+      results: Map[String, Column], description: String = "testkit-stream")
+      : (DataFrame, DataFrame) = {
+    val src = java.nio.file.Files.createTempDirectory("graft-testkit-src")
+    val stream = spark.readStream.text(src.toString).withColumnRenamed("value", "s")
+    runStreamingCapture(stream, col("s"), results, description) { q =>
+      batches.zipWithIndex.foreach { case (b, i) =>
+        java.nio.file.Files.write(src.resolve(s"batch-$i.txt"),
+          b.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        q.processAllAvailable()
+      }
+    }
   }
 }

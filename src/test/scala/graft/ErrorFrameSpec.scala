@@ -31,6 +31,22 @@ class ErrorFrameSpec extends SparkSpec {
     assert(ef.values.count() === 2L)
     val m = obs.get
     assert(m("n_rows") === 3L && m("n_errors") === 1L)
+    assert(m("errors_by_class").asInstanceOf[Map[String, Long]] ==
+      Map("org.apache.spark.SparkNumberFormatException" -> 1L))
+  }
+
+  test("observed per-class counts equal the errors-branch groupBy") {
+    // two distinct error classes in one frame: cast failure + division
+    val ef0 = ErrorFrame.captureErrors(
+      Seq(("a", "1", 1), ("b", "zap", 1), ("c", "3", 0), ("d", "junk", 1), ("e", "4", 0))
+        .toDF("id", "s", "d"),
+      Map("v" -> expr("cast(s as int) div d")),
+      input = $"s")
+    val expected = ef0.errors.groupBy($"error_class").count()
+      .as[(String, Long)].collect().toMap
+    val (ef, obs) = ef0.observed("classes")
+    ef.annotated.count()
+    assert(obs.get("errors_by_class").asInstanceOf[Map[String, Long]] == expected)
   }
 
   test("errors keeps failures with error columns") {

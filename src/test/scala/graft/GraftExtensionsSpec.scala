@@ -35,6 +35,20 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getAs[String]("fenced") == "a b c a")
   }
 
+  test("simhash_sig tolerates null array elements from SQL callers") {
+    Graft.register(spark)
+    val r = spark.sql(
+      """SELECT simhash_sig(array('a', CAST(NULL AS STRING), 'b'), 8) AS mixed,
+        |       simhash_sig(array('a', 'b'), 8) AS clean,
+        |       simhash_sig(array(CAST(NULL AS STRING)), 8) AS all_null,
+        |       simhash_sig(CAST(NULL AS ARRAY<STRING>), 8) AS null_arr""".stripMargin)
+      .collect().head
+    // null elements are skipped, so mixed == clean; all-null degrades to
+    // null (no fingerprint) instead of throwing
+    assert(r.getString(0) == r.getString(1))
+    assert(r.isNullAt(2) && r.isNullAt(3))
+  }
+
   test("non-literal size arguments are rejected with a clear message") {
     Graft.register(spark)
     val e = intercept[Exception] {

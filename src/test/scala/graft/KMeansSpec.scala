@@ -47,6 +47,66 @@ class KMeansSpec extends SparkSpec {
     assert(oneRound === manual)
   }
 
+  test("kmeansTrain retains an emptied cluster's centroid with n_assigned=0") {
+    // both seeds sit left of all the mass; after round 1 every point
+    // belongs to the nearer survivor and the other cluster empties
+    val clumped = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(0.1f, 0.0f)),
+      (2L, Array(100.0f, 0.0f)), (3L, Array(100.0f, 0.1f)), (4L, Array(100.1f, 0.0f)),
+      (5L, Array(100.0f, 100.0f)), (6L, Array(100.1f, 100.0f))
+    ).toDF("vec_id", "embedding")
+    val trained = Similarity.kmeansTrain(clumped, k = 2, maxIters = 10)
+      .select($"cluster_id", $"n_assigned").as[(Long, Long)].collect().toMap
+    assert(trained.size == 2, s"cluster must not vanish: $trained")
+    assert(trained.values.sum == 7L)
+  }
+
+  test("kmeans++ seeding beats lowest-id seeding on an adversarial layout") {
+    // three tight, well-separated clusters; the 3 lowest ids all sit in
+    // the first — lowest-id seeding splits it and merges the real ones
+    val pts = (0 until 10).map(i => (i.toLong, Array(i * 0.01f, 0.0f))) ++
+      (10 until 20).map(i => (i.toLong, Array(100.0f + i * 0.01f, 100.0f))) ++
+      (20 until 30).map(i => (i.toLong, Array(200.0f + i * 0.01f, 0.0f)))
+    val df = pts.toDF("vec_id", "embedding")
+    def cost(seeds: Option[Seq[(Long, Seq[Double])]]): Double = {
+      val cents = Similarity.kmeansTrain(df, k = 3, maxIters = 10, seeds = seeds)
+        .select($"cluster_id", $"centroid").as[(Long, Seq[Double])].collect()
+      val v = df.select($"vec_id", Similarity.toDoubleVec($"embedding").as("v"))
+      Similarity.assignTo(v, cents.sortBy(_._1).toSeq)
+        .agg(sum($"dist2")).head.getDouble(0)
+    }
+    val ppSeeds = Similarity.seedsPP(df, 3)
+    assert(ppSeeds.size == 3)
+    val costPP = cost(Some(ppSeeds))
+    val costLowest = cost(None)
+    assert(costPP < costLowest,
+      s"expected D² seeding to win: pp=$costPP lowest=$costLowest")
+    // D² must have picked one seed per real cluster
+    assert(ppSeeds.map(_._1 / 10).toSet == Set(0L, 1L, 2L))
+  }
+
+  test("multi-probe IVF: recall@k rises with nprobe; nprobe=k is exact") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val k = 8
+    val cents = Similarity.seeds(emb, k)
+    val assigned = Similarity.kmeansAssign(emb, k).select($"vec_id", $"cluster_id")
+    val trained = emb.join(assigned, "vec_id")
+      .select($"vec_id", $"cluster_id".as("label"), $"embedding")
+    val queries = broadcast(emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), Similarity.toDoubleVec($"embedding").as("qv")))
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    def found(nprobe: Int): Set[(Long, Long)] =
+      Similarity.multiProbeTopK(trained, queries, cents, nprobe, 5)
+        .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val recalls = Seq(1, 2, 4, 8).map(np =>
+      (found(np) intersect exact).size.toDouble / exact.size)
+    // monotone non-decreasing, and probing every cell IS brute force
+    assert(recalls.sliding(2).forall(p => p(0) <= p(1)), s"recall not monotone: $recalls")
+    assert(recalls.last == 1.0, s"nprobe=k must be exact: $recalls")
+    assert(found(8) == exact)
+  }
+
   test("lloydStep: per-cluster element-wise means") {
     val assigned = Similarity.kmeansAssign(vecs, k = 2)
       .join(vecs, "vec_id")

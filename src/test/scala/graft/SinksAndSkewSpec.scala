@@ -88,6 +88,36 @@ class SinksAndSkewSpec extends SparkSpec {
     }
   }
 
+  test("reprocessLoop: per-round recovery accounting reaches a fixed point") {
+    // dead letters "2","3","4","6": round 1 divides by (v % 2) — heals
+    // odd v; round 2 divides by (v % 3) — heals non-multiples of 3;
+    // v ∈ {6, 12, ...} (≡ 0 mod 6) never heals
+    val dl = Seq("2", "3", "4", "6").toDF("input_value")
+    val out = Sinks.reprocessLoop(dl,
+      retry = r => expr(s"10 div (cast(input_value as int) % ${r + 1})"),
+      maxRounds = 2)
+      .select($"input_value", $"outcome", $"round", $"retried".cast("long"))
+      .as[(String, String, Int, Option[Long])].collect().toSet
+    assert(out == Set(
+      ("3", "recovered", 1, Some(10L)),     // 3 % 2 = 1
+      ("2", "recovered", 2, Some(5L)),      // 2 % 3 = 2
+      ("4", "recovered", 2, Some(10L)),     // 4 % 3 = 1
+      ("6", "still_failed", 2, None)))      // 6 % 2 = 6 % 3 = 0
+  }
+
+  test("identical duplicate rows of a hot key spread across all salt buckets") {
+    // the pathological case salting exists for: a hot key whose rows are
+    // fully identical — a content-derived salt would put them ALL in one
+    // bucket and the skew would survive salting
+    val salts = 8
+    val hot = spark.range(800).select(lit("hot").as("k"), lit(1).as("n"))
+      .repartition(4)
+    val buckets = hot.withColumn("b", Skew.saltColumn(salts))
+      .groupBy($"b").count().collect()
+    assert(buckets.length == salts,
+      s"expected all $salts buckets populated, got ${buckets.length}")
+  }
+
   test("keyProfile surfaces the hot key") {
     val skewed = (1 to 100).map(i => (if (i % 10 == 0) "k" + i else "hot", i)).toDF("k", "n")
     val top = Skew.keyProfile(skewed, "k", 1).collect().head

@@ -147,7 +147,7 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dd").count() == 2) // one row per id within horizon
   }
 
-  test("captureToDlqWithRetry: transient errors retry into values, poison pills DLQ") {
+  test("captureToDlqWithRetry: non-blocking carry-over retries across triggers") {
     implicit val sqlCtx = spark.sqlContext
     FlakyState.reset()
     spark.udf.register("graft_flaky", (s: String) => {
@@ -174,23 +174,38 @@ class StreamingSpec extends SparkSpec {
       description = "retry test",
       valuesPath = s"$tmp/values", dlqPath = s"$tmp/dlq",
       checkpointPath = s"$tmp/ckpt",
-      classifier = classifier, maxRetries = 3, backoffMs = 1L)
+      classifier = classifier, maxRetries = 3, backoffMs = 0L)
+    def values() = spark.read.parquet(s"$tmp/values")
+      .select($"s", $"v").as[(String, Long)].collect().toMap
+    // trigger 1: poison dead-letters immediately; flaky + always carry over
     mem.addData("good", "flaky-row", "poison", "always-fails")
     q.processAllAvailable()
+    assert(spark.read.parquet(s"$tmp/ckpt/graft-pending").count() == 2)
+    // trigger 2: an UNRELATED micro-batch processes while retries are
+    // pending — the old in-trigger sleep design would have blocked it
+    mem.addData("tick1")
+    q.processAllAvailable()
+    assert(values().keySet == Set("good", "tick1"))
+    assert(spark.read.parquet(s"$tmp/ckpt/graft-pending").count() == 2)
+    // trigger 3: flaky-row's 3rd attempt succeeds into values
+    mem.addData("tick2")
+    q.processAllAvailable()
+    assert(values().keySet == Set("good", "tick1", "tick2", "flaky-row"))
+    // trigger 4: always-fails exhausts its budget (initial + 3 retries)
+    mem.addData("tick3")
+    q.processAllAvailable()
     q.stop()
-
-    // transient record succeeded on a retry; poison never got retried
-    val values = spark.read.parquet(s"$tmp/values")
-      .select($"s", $"v").as[(String, Long)].collect().toMap
-    assert(values.keySet == Set("good", "flaky-row"))
-    assert(values("flaky-row") == "flaky-row".length.toLong)
+    assert(values()("flaky-row") == "flaky-row".length.toLong)
     val dlq = spark.read.parquet(s"$tmp/dlq")
       .select($"input_value", $"description").as[(String, String)].collect().toMap
     assert(dlq.keySet == Set("poison", "always-fails"))
     assert(dlq("poison") == "retry test")
     assert(dlq("always-fails") == "retry test (retries exhausted)")
-    // the transient record was attempted exactly 3 times (initial + 2 retries)
+    assert(spark.read.parquet(s"$tmp/ckpt/graft-pending").count() == 0)
+    // exact bounded attempt counts: flaky healed on attempt 3; always
+    // was attempted 1 + maxRetries times
     assert(FlakyState.attempts.get("flaky-row").get() == 3)
+    assert(FlakyState.attempts.get("always-fails").get() == 4)
   }
 
   test("intervalJoin matches rights within the time bound only") {
