@@ -831,6 +831,46 @@ object SparkEntry {
       .orderBy($"qid", $"rank")
   }
 
+  private def t8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // vocabulary builder through the custom TopKPerKey operator: the
+    // Zipfian tail is never sorted, just streamed through bounded heaps
+    operators.TextAnalysis.vocabulary(t(s, dir, "documents"), k = 10)
+      .select($"grp".as("lang"), $"token", $"n")
+      .orderBy($"lang", $"n".desc, $"token")
+  }
+
+  private def d11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // snapshot diff: yesterday = corpus minus the 7-multiples; today =
+    // corpus minus the 5-multiples with 11-multiples edited. md5 computed
+    // below the full-outer join, so only hashes shuffle.
+    val docs = t(s, dir, "documents")
+    val snapA = docs.filter(pmod($"doc_id", lit(7)) =!= 0).select($"doc_id", $"text")
+    val snapB = docs.filter(pmod($"doc_id", lit(5)) =!= 0)
+      .select($"doc_id",
+        when(pmod($"doc_id", lit(11)) === 0, concat($"text", lit(" v2")))
+          .otherwise($"text").as("text"))
+    operators.Pipeline.snapshotDiff(snapA, snapB)
+      .filter($"status" =!= "unchanged")
+      .orderBy($"doc_id")
+  }
+
+  private def p7(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // composite quality gate with per-rule drop accounting, one pass
+    val g = operators.Pipeline.qualityGate(t(s, dir, "documents"),
+      minTokens = 8.0, maxAvgWordLen = 8.0, maxPunctRatio = 0.05, minStopRatio = 0.02)
+    g.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"keep".cast("long")).as("n_kept"),
+        sum((!$"r_tokens").cast("long")).as("fail_tokens"),
+        sum((!$"r_word_len").cast("long")).as("fail_word_len"),
+        sum((!$"r_punct").cast("long")).as("fail_punct"),
+        sum((!$"r_stop").cast("long")).as("fail_stop"))
+      .orderBy($"lang")
+  }
+
   private def s6(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // multi-probe IVF: same trained labels as s5, but each query probes
@@ -1013,6 +1053,9 @@ object SparkEntry {
     "e13_dlq_retry_loop" -> (e13 _),
     "x2_layout_roundtrip" -> (x2 _),
     "d10_dedup_apply" -> (d10 _),
+    "t8_vocab_topk" -> (t8 _),
+    "d11_snapshot_diff" -> (d11 _),
+    "p7_quality_gate" -> (p7 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1757,5 +1800,45 @@ object SparkEntry {
         |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank FROM scored)
         |SELECT qid, rank, vec_id, cosine FROM ranked WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
+    "t8_vocab_topk" ->
+      """WITH tok AS (SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |c AS (SELECT lang, token, COUNT(*) AS n FROM tok GROUP BY lang, token),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rn
+        |  FROM c)
+        |SELECT lang, token, n FROM r WHERE rn <= 10 ORDER BY lang, n DESC, token""".stripMargin,
+    "d11_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 <> 0),
+        |b AS (SELECT doc_id, md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT doc_id, status FROM (
+        |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |    CASE WHEN a.doc_id IS NULL THEN 'added'
+        |         WHEN b.doc_id IS NULL THEN 'removed'
+        |         WHEN a.h <> b.h THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |WHERE status <> 'unchanged' ORDER BY doc_id""".stripMargin,
+    "p7_quality_gate" ->
+      """WITH m AS (SELECT lang,
+        |  len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS n_tokens,
+        |  len(text)::DOUBLE AS n_chars,
+        |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE AS punct,
+        |  len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    t -> t IN ('the','a','of','and','is')))::DOUBLE AS stop
+        | FROM documents),
+        |r AS (SELECT lang,
+        |  (n_tokens >= CAST(8.0 AS DOUBLE) AND n_tokens <= CAST(100000.0 AS DOUBLE)) AS r_tokens,
+        |  ((n_chars - n_tokens + CAST(1.0 AS DOUBLE)) / n_tokens <= CAST(8.0 AS DOUBLE)) AS r_word_len,
+        |  (punct / n_chars <= CAST(0.05 AS DOUBLE)) AS r_punct,
+        |  (stop / n_tokens >= CAST(0.02 AS DOUBLE)) AS r_stop
+        | FROM m)
+        |SELECT lang, COUNT(*) AS n_docs,
+        | CAST(SUM(CASE WHEN r_tokens AND r_word_len AND r_punct AND r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | CAST(SUM(CASE WHEN NOT r_tokens THEN 1 ELSE 0 END) AS BIGINT) AS fail_tokens,
+        | CAST(SUM(CASE WHEN NOT r_word_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_len,
+        | CAST(SUM(CASE WHEN NOT r_punct THEN 1 ELSE 0 END) AS BIGINT) AS fail_punct,
+        | CAST(SUM(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -115,6 +115,51 @@ object Pipeline {
       .limit(n)
   }
 
+  /** Corpus snapshot diff — the daily-refresh accounting step: which
+    * documents were added, removed or changed between two corpus
+    * versions. Content equality goes through md5 computed BEFORE the
+    * join, so only (id, 32-char hash) crosses the full-outer shuffle —
+    * the wide text column never moves. One shuffle on the id.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      idCol: String = "doc_id", contentCol: String = "text"): DataFrame = {
+    val a = oldSnap.select(col(idCol).as("id"), md5(col(contentCol)).as("__old_md5"))
+    val b = newSnap.select(col(idCol).as("id"), md5(col(contentCol)).as("__new_md5"))
+    a.join(b, Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("__old_md5").isNull, lit("added"))
+          .when(col("__new_md5").isNull, lit("removed"))
+          .when(col("__old_md5") =!= col("__new_md5"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
+  /** C4/Gopher-style composite quality gate: the individual signals
+    * (token count, average word length, punctuation ratio, stopword
+    * evidence — the same formulas as TextAnalysis.qualityMetrics) become
+    * per-rule booleans plus one `keep` verdict, kept as COLUMNS so the
+    * drop reasons aggregate into an audit table (what fraction failed
+    * which rule, per stratum) in the same single pass that filters.
+    * Purely per-row, no shuffle.
+    */
+  def qualityGate(docs: DataFrame, textCol: String = "text",
+      minTokens: Double = 5.0, maxTokens: Double = 100000.0,
+      maxAvgWordLen: Double = 15.0, maxPunctRatio: Double = 0.3,
+      minStopRatio: Double = 0.0): DataFrame = {
+    val txt = col(textCol)
+    val toks = split(trim(txt), "\\s+")
+    val nTok = size(toks).cast("double")
+    val nChar = length(txt).cast("double")
+    val punct = size(regexp_extract_all(txt, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
+    val stop = TextAnalysis.markerCount(txt, TextAnalysis.markers("en")).cast("double")
+    docs
+      .withColumn("r_tokens", nTok >= minTokens && nTok <= maxTokens)
+      .withColumn("r_word_len", (nChar - nTok + lit(1.0)) / nTok <= maxAvgWordLen)
+      .withColumn("r_punct", punct / nChar <= maxPunctRatio)
+      .withColumn("r_stop", stop / nTok >= minStopRatio)
+      .withColumn("keep",
+        col("r_tokens") && col("r_word_len") && col("r_punct") && col("r_stop"))
+  }
+
   /** Stratified deterministic sampling: one hex-prefix md5 cutoff per
     * stratum (e.g. language), defaulting to `defaultCutoff`. Single
     * aggregate pass — per-stratum totals, sampled counts and first

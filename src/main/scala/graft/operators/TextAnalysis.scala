@@ -92,6 +92,24 @@ object TextAnalysis {
       .select(col("doc_id"), col("rank"), col("tok"), col("tfidf"))
   }
 
+  /** Corpus vocabulary: top-k tokens per group by frequency — the
+    * tokenizer-training precursor (what a BPE trainer consumes). The
+    * count is ONE hash aggregate on (group, token) with map-side
+    * partials; the per-group top-k then runs through the custom
+    * TopKPerKey operator — bounded heaps instead of sorting the whole
+    * vocabulary tail, and at 100 TB the tail IS the table (natural
+    * language is Zipfian: most tokens are hapaxes that a window sort
+    * would buffer and sort for nothing).
+    */
+  def vocabulary(docs: DataFrame, k: Int, groupCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("grp"), col("token")).agg(count(lit(1)).as("n"))
+    TopK.perKey(counts, keys = Seq("grp"),
+      orderBy = Seq(TopK.desc("n"), TopK.asc("token")), k = k)
+  }
+
   /** Deterministic hash sampling: keep rows whose salted md5 falls under
     * a hex-prefix cutoff — reproducible across engines and runs, the
     * right way to cut a stable x% slice of a 100 TB corpus (no RNG

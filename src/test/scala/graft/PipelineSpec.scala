@@ -1,4 +1,5 @@
 package graft
+// round-5 additions: snapshotDiff + qualityGate specs below
 
 import graft.operators.Pipeline
 import org.apache.spark.sql.functions._
@@ -108,5 +109,38 @@ class PipelineSpec extends SparkSpec {
       df.withColumn("wt", when($"id" >= 10, lit(0.0)).otherwise($"wt")),
       $"id", $"wt", n = 100).as[(Long, Double, Double)].collect()
     assert(withZero.forall(_._1 < 10) && withZero.length === 10)
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val a = Seq((1L, "same"), (2L, "old text"), (3L, "gone")).toDF("doc_id", "text")
+    val b = Seq((1L, "same"), (2L, "new text"), (4L, "fresh")).toDF("doc_id", "text")
+    val got = Pipeline.snapshotDiff(a, b)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
+  test("qualityGate: per-rule verdicts and composite keep") {
+    val docs = Seq(
+      (1L, "the cat sat on a mat and it is fine today"),  // passes all
+      (2L, "tiny"),                                        // fails min tokens
+      (3L, "the !!! of ??? and ### is %%% a ,,, the cat") // fails punct
+    ).toDF("doc_id", "text")
+    val g = Pipeline.qualityGate(docs, minTokens = 5.0, maxPunctRatio = 0.1,
+        minStopRatio = 0.01)
+      .select($"doc_id", $"r_tokens", $"r_punct", $"keep")
+      .as[(Long, Boolean, Boolean, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(g(1L)._4, "doc 1 must pass")
+    assert(!g(2L)._2 && !g(2L)._4, "doc 2 fails token floor")
+    assert(!g(3L)._3 && !g(3L)._4, "doc 3 fails punct ratio")
+  }
+
+  test("vocabulary: top-k tokens per group via the TopK operator") {
+    val docs = Seq(
+      ("en", "a a a b b c"),
+      ("en", "b d"),
+      ("fr", "x y x")).toDF("lang", "text")
+    val v = operators.TextAnalysis.vocabulary(docs, k = 2)
+      .as[(String, String, Long)].collect().toSet
+    assert(v == Set(("en", "a", 3L), ("en", "b", 3L), ("fr", "x", 2L), ("fr", "y", 1L)))
   }
 }
