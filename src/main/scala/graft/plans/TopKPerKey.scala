@@ -59,14 +59,24 @@ case class TopKPerKeyExec(
     order: Seq[SortOrder],
     k: Int,
     maxHeapBytes: Long,
+    partial: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
-  // declare co-location on the key; EnsureRequirements inserts the
-  // exchange (or elides it when the child is already clustered)
+  // Two-phase like partial aggregation: the PARTIAL instance runs on
+  // whatever partitioning the child has and cuts each upstream
+  // partition to ≤ k rows per key (top-k of a union is the top-k of
+  // per-chunk top-ks), so the exchange moves ≤ keys×k rows per input
+  // partition instead of every row. The FINAL instance declares
+  // co-location on the key; EnsureRequirements inserts the exchange
+  // between the two (or elides it when the child is already clustered).
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(keys) :: Nil
+
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKey"
 
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
@@ -179,11 +189,16 @@ case class TopKPerKeyExec(
     copy(child = newChild)
 }
 
-/** Planner strategy: logical TopKPerKeyPlan → TopKPerKeyExec. */
+/** Planner strategy: logical TopKPerKeyPlan → partial + final
+  * TopKPerKeyExec pair (the partial-aggregation shape: local top-k
+  * before the key exchange, exact top-k after).
+  */
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyPlan(keys, order, k, child, maxHeapBytes) =>
-      TopKPerKeyExec(keys, order, k, maxHeapBytes, planLater(child)) :: Nil
+      TopKPerKeyExec(keys, order, k, maxHeapBytes, partial = false,
+        TopKPerKeyExec(keys, order, k, maxHeapBytes, partial = true,
+          planLater(child))) :: Nil
     case _ => Nil
   }
 }

@@ -40,10 +40,13 @@ class TopKSpec extends SparkSpec {
     assert(viaOperator == Set(("a", 1L), ("a", 3L), ("b", 6L), ("b", 5L), ("c", 7L)))
   }
 
-  test("the plan contains TopKPerKeyExec, not a window sort") {
+  test("the plan is a partial+final TopKPerKey pair, not a window sort") {
     val df = TopK.perKey(scores, Seq("k"), Seq(TopK.desc("score")), 1)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerKey"))
+    // map-side partial before the key exchange: the shuffle moves at
+    // most k rows per key per upstream partition, not every row
+    assert(plan.contains("TopKPerKeyPartial"))
     assert(!plan.contains("Window"))
   }
 
