@@ -223,12 +223,24 @@ final case class ErrorFrame private (
     */
   def observed(name: String): (ErrorFrame, org.apache.spark.sql.Observation) = {
     val obs = org.apache.spark.sql.Observation(name)
-    val annotated = df.observe(obs,
-      count(lit(1)).as("n_rows"),
-      sum(anyError.cast("long")).as("n_errors"),
-      graft.functions.CountByValue(firstError(ERROR_CLASS)).as("errors_by_class"))
+    val annotated = df.observe(obs, telemetryMetrics.head, telemetryMetrics.tail: _*)
     (ErrorFrame(annotated, resultNames, inputCol), obs)
   }
+
+  /** Named-observe variant that works on STREAMING frames too
+    * (`Observation` only supports batch): the same one-pass telemetry
+    * lands in every micro-batch's
+    * `StreamingQueryProgress.observedMetrics(name)` — per-trigger row/
+    * error counts and the per-class breakdown with zero extra jobs.
+    */
+  def observedNamed(name: String): ErrorFrame =
+    ErrorFrame(df.observe(name, telemetryMetrics.head, telemetryMetrics.tail: _*),
+      resultNames, inputCol)
+
+  private def telemetryMetrics: Seq[Column] = Seq(
+    count(lit(1)).as("n_rows"),
+    sum(anyError.cast("long")).as("n_errors"),
+    graft.functions.CountByValue(firstError(ERROR_CLASS)).as("errors_by_class"))
 }
 
 final case class ErrorSplit(values: DataFrame, deadLettered: DataFrame, recoverable: DataFrame)

@@ -27,8 +27,26 @@ object StreamErrorHandling {
   def capture(stream: DataFrame, results: Map[String, Column], input: Column): ErrorFrame =
     ErrorFrame.captureErrors(stream, results, input)
 
+  /** Name under which capture telemetry (n_rows / n_errors /
+    * errors_by_class) appears in StreamingQueryProgress.observedMetrics.
+    */
+  val TelemetryName = "graft_capture"
+
+  /** Per-micro-batch capture telemetry from a progress event, if the
+    * trigger processed data: `(n_rows, n_errors, per-class counts)` —
+    * the streaming read side of ErrorFrame.observedNamed.
+    */
+  def captureTelemetry(progress: org.apache.spark.sql.streaming.StreamingQueryProgress)
+      : Option[(Long, Long, Map[String, Long])] =
+    Option(progress.observedMetrics.get(TelemetryName)).map { row =>
+      (row.getAs[Long]("n_rows"), row.getAs[Long]("n_errors"),
+        row.getAs[Map[String, Long]]("errors_by_class"))
+    }
+
   /** Run the stream, splitting each micro-batch into a values sink and a
     * dead-letter sink (both parquet paths here; any batch writer works).
+    * Every micro-batch also reports one-pass capture telemetry under
+    * [[TelemetryName]] in its progress event ([[captureTelemetry]]).
     */
   def captureToDlq(
       stream: DataFrame,
@@ -38,18 +56,24 @@ object StreamErrorHandling {
       valuesPath: String,
       dlqPath: String,
       checkpointPath: String): StreamingQuery = {
-    val captured = capture(stream, results, input)
+    val captured = capture(stream, results, input).observedNamed(TelemetryName)
     captured.df.writeStream
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val ef = ErrorFrame(batch.toDF(), captured.resultNames, input)
-        // exactly-once: each micro-batch owns a batch_id=N partition dir
-        // and overwrites it — replaying the batch after a crash is
-        // idempotent, readers see base-path partition discovery.
-        ef.values.write.mode("overwrite")
-          .parquet(s"$valuesPath/batch_id=$batchId")
-        ef.deadLetters(description).write.mode("overwrite")
-          .parquet(s"$dlqPath/batch_id=$batchId")
+        // persist: the two sink writes below would otherwise each re-run
+        // the whole micro-batch plan — paying the capture scan twice AND
+        // double-counting the observe telemetry accumulators
+        val cached = batch.toDF().persist()
+        try {
+          val ef = ErrorFrame(cached, captured.resultNames, input)
+          // exactly-once: each micro-batch owns a batch_id=N partition dir
+          // and overwrites it — replaying the batch after a crash is
+          // idempotent, readers see base-path partition discovery.
+          ef.values.write.mode("overwrite")
+            .parquet(s"$valuesPath/batch_id=$batchId")
+          ef.deadLetters(description).write.mode("overwrite")
+            .parquet(s"$dlqPath/batch_id=$batchId")
+        } finally { cached.unpersist(); () }
         ()
       }
       .start()

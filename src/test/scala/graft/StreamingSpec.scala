@@ -45,6 +45,11 @@ class StreamingSpec extends SparkSpec {
       Seq("stream test"))
     assert(dlq.select($"cause.error_class").distinct().as[String].collect().head ==
       "org.apache.spark.SparkNumberFormatException")
+    // per-micro-batch one-pass telemetry rode the progress events
+    val tele = q.recentProgress.toSeq.flatMap(StreamErrorHandling.captureTelemetry)
+    assert(tele.map(_._1).sum == 5 && tele.map(_._2).sum == 2)
+    val byClass = tele.flatMap(_._3).groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    assert(byClass == Map("org.apache.spark.SparkNumberFormatException" -> 2L))
   }
 
   test("kafka-shaped stream: record lineage reaches the streaming DLQ") {

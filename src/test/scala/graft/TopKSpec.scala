@@ -81,6 +81,35 @@ class TopKSpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.TopKPerKeyPlan.MaxHeapBytesConf)
   }
 
+  test("partial phase cuts the key-exchange volume to ~keys*k per partition") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // 100k rows, 50 keys, 4 input partitions: without the partial phase
+    // the key exchange moves all 100k rows; with it, <= 50*3*4 = 600
+    val wide = spark.range(100000L).repartition(4).select(
+      (col("id") % 50).as("k"), col("id"),
+      (hash(col("id")) % 1000000).cast("double").as("score"))
+    val df = TopK.perKey(wide, Seq("k"), Seq(TopK.desc("score"), TopK.asc("id")), 3)
+      .select($"k", $"id")
+    assert(df.collect().length == 150)
+    def shuffles(p: SparkPlan): Seq[ShuffleExchangeLike] = p match {
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case q: QueryStageExec => shuffles(q.plan)
+      case s: ShuffleExchangeLike => s +: s.children.flatMap(shuffles)
+      case other => other.children.flatMap(shuffles)
+    }
+    val written = shuffles(df.queryExecution.executedPlan)
+      .flatMap(_.metrics.get("shuffleRecordsWritten").map(_.value))
+    assert(written.nonEmpty)
+    // the repartition(4) shuffle moves 100k rows; every shuffle ABOVE the
+    // partial operator must be tiny
+    assert(written.count(_ <= 600) >= 1,
+      s"expected a key exchange bounded by keys*k*partitions, got $written")
+    assert(!written.exists(w => w > 600 && w < 100000),
+      s"an unbounded intermediate shuffle leaked through: $written")
+  }
+
   test("default budget stays on the heap path") {
     val df = TopK.perKey(scores, Seq("k"), Seq(TopK.desc("score"), TopK.asc("id")), 2)
     df.collect()
