@@ -463,12 +463,7 @@ object SparkEntry {
           sum(conv(substring(md5($"text"), 1, 8), 16, 10).cast("long")).as("text_sig"))
         .orderBy($"lang")
         .localCheckpoint()
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val root = java.nio.file.Paths.get(tmp)
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    } finally rmTree(tmp)
   }
 
   // ---------------------------------------------------------------- d/t: pipeline ops
@@ -890,6 +885,82 @@ object SparkEntry {
       .orderBy($"qid", $"rank")
   }
 
+  private def rmTree(path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(path)
+    java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
+  private def s7(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the IVF index SERVED FROM DISK: train the coarse quantizer, label
+    // the corpus, persist the inverted lists as a parquet layout
+    // partitioned by cell, then multi-probe the READ-BACK index. The
+    // probe joins on the partition column, so partition pruning reads
+    // only the probed cell directories — at 100 TB the index scan is
+    // ~nprobe/k of the corpus, never the corpus (LayoutSpec asserts the
+    // pruning). Same result as s6: the layout round trip is lossless.
+    val emb = t(s, dir, "embeddings")
+    val cents = operators.Similarity.seeds(emb, 8)
+    val assigned = operators.Similarity.kmeansAssign(emb, k = 8)
+      .select($"vec_id", $"cluster_id")
+    val index = emb.join(assigned, "vec_id")
+      .select($"vec_id", $"cluster_id".as("label"), $"embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s7_ivf_").toString
+    try {
+      sources.Layout.writeOptimized(index, tmp,
+        partitionCols = Seq("label"), sortCols = Seq("vec_id"))
+      val idx = s.read.parquet(tmp)
+      val queries = broadcast(emb.filter($"vec_id" < 20)
+        .select($"vec_id".as("qid"), operators.Similarity.toDoubleVec($"embedding").as("qv")))
+      operators.Similarity.multiProbeTopK(idx, queries, cents, nprobe = 2, k = 5)
+        .select($"qid", $"rank", $"vec_id", $"cosine")
+        .orderBy($"qid", $"rank")
+        .localCheckpoint()
+    } finally rmTree(tmp)
+  }
+
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // binned interval join: for each error event, the clicks by the same
+    // user within the NEXT 6 hours — an equi-join on (user, bucket)
+    // with ≤2× replication of one side instead of the per-key nested
+    // loop a raw range predicate plans. Micros, not nanos: DuckDB
+    // truncates parquet ns-timestamps to micros on read.
+    val ev = t(s, dir, "events").withColumn("tus", expr("ts div 1000"))
+    val err = ev.filter($"event_type" === "error")
+      .select($"user_id".as("e_user"), $"event_id".as("e_id"), $"tus".as("e_t"))
+    val clk = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"tus".as("c_t"))
+    operators.IntervalJoin.binned(err, clk, "e_user", "c_user", "e_t", "c_t",
+        lower = 0L, upper = 21600000000L)
+      .groupBy($"e_user".as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"e_id").as("n_matched_errors"))
+      .orderBy($"user_id")
+  }
+
+  private def t9(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // boilerplate mining: trigrams present in ≥ 5% of all documents
+    operators.TextAnalysis.boilerplateNGrams(
+        t(s, dir, "documents"), n = 3, minDocFrac = 0.05)
+      .orderBy($"n_docs".desc, $"gram")
+  }
+
+  private def p8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // fuzzy contamination: overlap FRACTION vs the held-out eval slice,
+    // flagging docs whose trigram sets are ≥ 20% covered by eval grams
+    // (p4's any-shared-gram test, made paraphrase-aware)
+    val docs = t(s, dir, "documents")
+    val ev = docs.filter(pmod($"doc_id", lit(97)) === 0)
+    val tr = docs.filter(pmod($"doc_id", lit(97)) =!= 0)
+    operators.Pipeline.contaminationFraction(tr, ev, n = 3, minOverlap = 0.2)
+      .orderBy($"doc_id")
+  }
+
   private def q24(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // one order per (custkey, orderdate) — deterministic as-of matches
@@ -1056,6 +1127,10 @@ object SparkEntry {
     "t8_vocab_topk" -> (t8 _),
     "d11_snapshot_diff" -> (d11 _),
     "p7_quality_gate" -> (p7 _),
+    "q29_interval_join" -> (q29 _),
+    "s7_ivf_persisted" -> (s7 _),
+    "t9_boilerplate" -> (t9 _),
+    "p8_contam_fuzzy" -> (p8 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1840,5 +1915,65 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN NOT r_punct THEN 1 ELSE 0 END) AS BIGINT) AS fail_punct,
         | CAST(SUM(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop
         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+    "q29_interval_join" ->
+      """WITH err AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events WHERE event_type = 'error'),
+        |clk AS (SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'click')
+        |SELECT e.user_id AS user_id, COUNT(*) AS n_pairs, COUNT(DISTINCT e.event_id) AS n_matched_errors
+        |FROM err e JOIN clk c ON e.user_id = c.user_id AND c.t - e.t BETWEEN 0 AND 21600000000
+        |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
+    "s7_ivf_persisted" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  list_reduce(list_transform(range(1, len(v)+1), i -> v[i]*v[i]), (x,y) -> x+y) AS vv
+        | FROM e),
+        |s AS (SELECT vec_id AS cid, v AS c, vv AS cc FROM n ORDER BY vec_id LIMIT 8),
+        |d AS (SELECT n.vec_id, s.cid,
+        |  n.vv + s.cc - 2 * list_reduce(list_transform(range(1, len(n.v)+1),
+        |    i -> n.v[i]*s.c[i]), (x,y) -> x+y) AS dist2
+        | FROM n CROSS JOIN s),
+        |a AS (SELECT vec_id, cid AS label FROM (
+        |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        |  FROM d) WHERE rn = 1),
+        |pr AS (SELECT vec_id AS qid, cid AS plabel FROM (
+        |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        |  FROM d WHERE vec_id < 20) WHERE rn <= 2),
+        |t AS (SELECT n.vec_id, a.label, n.v FROM n JOIN a USING (vec_id)),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM n WHERE vec_id < 20),
+        |scored AS (
+        | SELECT q.qid, t.vec_id,
+        |  list_reduce(list_transform(range(1, len(qv)+1), i -> qv[i]*t.v[i]), (x,y) -> x+y) /
+        |   (sqrt(list_reduce(list_transform(qv, x -> x*x), (x,y) -> x+y)) *
+        |    sqrt(list_reduce(list_transform(t.v, x -> x*x), (x,y) -> x+y))) AS cosine
+        | FROM q JOIN pr ON q.qid = pr.qid
+        |  JOIN t ON t.label = pr.plabel AND q.qid <> t.vec_id),
+        |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank FROM scored)
+        |SELECT qid, rank, vec_id, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    "t9_boilerplate" ->
+      """WITH g AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |    i -> array_to_string(list_slice(string_split(text,' '), i, i + 2), ' '))) AS gs
+        | FROM documents),
+        |tot AS (SELECT COUNT(*) AS n_total FROM documents),
+        |dfq AS (SELECT g AS gram, COUNT(*) AS n_docs
+        |  FROM (SELECT doc_id, unnest(gs) AS g FROM g) GROUP BY g)
+        |SELECT gram, n_docs, n_docs::DOUBLE / n_total AS doc_frac
+        |FROM dfq CROSS JOIN tot
+        |WHERE doc_frac >= CAST(0.05 AS DOUBLE)
+        |ORDER BY n_docs DESC, gram""".stripMargin,
+    "p8_contam_fuzzy" ->
+      """WITH g AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |    i -> array_to_string(list_slice(string_split(text,' '), i, i + 2), ' '))) AS gs
+        | FROM documents),
+        |ev AS (SELECT DISTINCT unnest(gs) AS g FROM g WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id, gs FROM g WHERE doc_id % 97 <> 0),
+        |sh AS (SELECT doc_id, COUNT(*) AS n_shared
+        |  FROM (SELECT doc_id, unnest(gs) AS g FROM tr) t JOIN ev USING (g) GROUP BY doc_id),
+        |sz AS (SELECT doc_id, len(gs) AS n_grams FROM tr)
+        |SELECT s.doc_id, n_shared, n_grams, n_shared::DOUBLE / n_grams AS overlap_frac
+        |FROM sh s JOIN sz USING (doc_id)
+        |WHERE overlap_frac >= CAST(0.2 AS DOUBLE)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Binned (bucketed) interval join — the scale-safe plan for
+  * `l JOIN r ON l.key = r.key AND r.time - l.time BETWEEN lower AND upper`.
+  *
+  * Catalyst plans a raw range predicate as a broadcast-nested-loop (or a
+  * per-key cartesian when an equi-key exists but the hot key is large) —
+  * quadratic in the per-key row count and a non-starter on an events
+  * table at 100 TB. Binning restores a pure equi-join: time is bucketed
+  * into windows of width `upper - lower`, the left side lands in exactly
+  * one bucket, the right side is replicated into the (at most two)
+  * buckets its admissible left-interval `[rt - upper, rt - lower]` can
+  * overlap, and the exact range predicate filters inside the co-located
+  * bucket. Shuffle volume is ≤ 2× the right side + 1× the left, on
+  * (key, bucket) — hash-joinable, AQE-skew-splittable, and each matching
+  * pair is produced exactly once (a right row's replica buckets are
+  * distinct, and the left row sits in one of them).
+  *
+  * Times are integral (epoch micros here; any monotone integer works).
+  * Bucket arithmetic is exact integer floor-division — no doubles, so
+  * nanosecond epochs beyond 2^53 stay correct.
+  */
+object IntervalJoin {
+
+  /** Exact floor division of the named long column: integer `div` of
+    * the pmod-aligned numerator — never a double division (a `/` on
+    * longs would round past 2^53), pmod is non-negative so the
+    * difference is exactly divisible.
+    */
+  private def floorDivExpr(colName: String, w: Long): Column =
+    expr(s"($colName - pmod($colName, ${w}L)) div ${w}L")
+
+  /** Inner interval join. `left`/`right` must have disjoint column
+    * names apart from the key equality expressed via `leftKey`/
+    * `rightKey`. Returns all columns of both sides.
+    *
+    * Matches when `right[rightTime] - left[leftTime]` ∈
+    * `[lower, upper]` (micros or any consistent integral unit) and the
+    * keys are equal.
+    */
+  def binned(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      lower: Long, upper: Long): DataFrame = {
+    require(upper >= lower, s"empty interval: [$lower, $upper]")
+    val w = math.max(upper - lower, 1L)
+    val l = left
+      .withColumn("__ij_t", col(leftTime).cast("long"))
+      .withColumn("__ij_b", floorDivExpr("__ij_t", w))
+      .drop("__ij_t")
+    // the admissible left-time interval [rt - upper, rt - lower] has
+    // length upper - lower = w, so it overlaps at most two buckets
+    val r = right
+      .withColumn("__ij_lo", col(rightTime).cast("long") - upper)
+      .withColumn("__ij_hi", col(rightTime).cast("long") - lower)
+      .withColumn("__ij_b",
+        explode(sequence(floorDivExpr("__ij_lo", w), floorDivExpr("__ij_hi", w))))
+      .drop("__ij_lo", "__ij_hi")
+    l.join(r,
+        l("__ij_b") === r("__ij_b")
+          && col(leftKey) === col(rightKey)
+          && (col(rightTime) - col(leftTime)).between(lower, upper))
+      .drop("__ij_b")
+  }
+}

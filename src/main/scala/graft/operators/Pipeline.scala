@@ -94,6 +94,31 @@ object Pipeline {
       .agg(count(lit(1)).as("n_shared")) // grams are distinct per doc already
   }
 
+  /** Fuzzy benchmark contamination: per-training-doc FRACTION of its
+    * word-`n`-grams that appear anywhere in the eval set, flagging docs
+    * at `minOverlap` or above. Catches paraphrased/partial leakage that
+    * [[contamination]]'s any-shared-gram test over-reports (one stock
+    * phrase ≠ a leaked benchmark item) — the n-gram-overlap decontamination
+    * rule used for LLM training corpora. Same broadcast shape: the eval
+    * gram set stays tiny, the training side streams through one
+    * hash aggregate keyed by doc.
+    */
+  def contaminationFraction(train: DataFrame, evalSet: DataFrame, n: Int,
+      minOverlap: Double, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val evalGrams = Dedup.shingleSets(evalSet, n, textCol, idCol)
+      .select(explode(col("ts")).as("g")).distinct()
+    val trainGrams = Dedup.shingleSets(train, n, textCol, idCol)
+    val sizes = trainGrams.select(col("doc_id"), size(col("ts")).cast("long").as("n_grams"))
+    val shared = trainGrams.select(col("doc_id"), explode(col("ts")).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared")) // per-doc grams are distinct
+    shared.join(sizes, "doc_id")
+      .select(col("doc_id"), col("n_shared"), col("n_grams"),
+        (col("n_shared").cast("double") / col("n_grams")).as("overlap_frac"))
+      .filter(col("overlap_frac") >= minOverlap)
+  }
+
   /** Deterministic weighted sampling without replacement (Efraimidis–
     * Spiridakis): priority = −ln(u)/w with `u` a salted-hash uniform in
     * (0,1); the `n` SMALLEST priorities are the sample, so inclusion

@@ -110,6 +110,28 @@ object TextAnalysis {
       orderBy = Seq(TopK.desc("n"), TopK.asc("token")), k = k)
   }
 
+  /** Boilerplate detection: word-`n`-grams that appear in at least
+    * `minDocFrac` of all documents (headers, footers, license blurbs,
+    * navigation chrome — the text that survives exact AND near dedup
+    * because the documents AROUND it differ). Per-doc grams are distinct
+    * ([[Dedup.shingleSets]]), so one hash aggregate on the gram IS the
+    * document frequency — map-side partials, one shuffle keyed by gram.
+    * The corpus total is a 1-row broadcast crossJoin of an aggregate
+    * over the same scan (AQE reuses nothing here — it is a separate
+    * count-only scan, column-pruned to metadata at parquet level).
+    */
+  def boilerplateNGrams(docs: DataFrame, n: Int, minDocFrac: Double,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val grams = Dedup.shingleSets(docs, n, textCol, idCol)
+      .select(col("doc_id"), explode(col("ts")).as("gram"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    grams.groupBy(col("gram")).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(total))
+      .withColumn("doc_frac", col("n_docs").cast("double") / col("n_total"))
+      .filter(col("doc_frac") >= minDocFrac)
+      .select(col("gram"), col("n_docs"), col("doc_frac"))
+  }
+
   /** Deterministic hash sampling: keep rows whose salted md5 falls under
     * a hex-prefix cutoff — reproducible across engines and runs, the
     * right way to cut a stable x% slice of a 100 TB corpus (no RNG

@@ -39,9 +39,16 @@ object Layout {
     * read is metadata-pruned to the matching directories (NOTE:
     * `inputFiles` is NOT this; it lists the whole relation unpruned).
     */
-  def partitionFilters(reader: DataFrame): Seq[String] =
-    reader.queryExecution.executedPlan.collect {
-      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
-        s.partitionFilters.map(_.sql)
+  def partitionFilters(reader: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // AQE hides scans behind AdaptiveSparkPlanExec/QueryStageExec whose
+    // inner plans are fields, not children — recurse explicitly
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case s: FileSourceScanExec => Seq(s)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
     }.flatten
+    scans(reader.queryExecution.executedPlan).flatMap(_.partitionFilters.map(_.sql))
+  }
 }

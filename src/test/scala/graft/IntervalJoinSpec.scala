@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.IntervalJoin
+
+class IntervalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference semantics: plain (quadratic) range join. */
+  private def naive(left: Seq[(Long, Long, Long)], right: Seq[(Long, Long)],
+      lower: Long, upper: Long): Set[(Long, Long, Long)] =
+    (for {
+      (lk, lid, lt) <- left
+      (rk, rt) <- right
+      if lk == rk && rt - lt >= lower && rt - lt <= upper
+    } yield (lid, lt, rt)).toSet
+
+  private val left = Seq(
+    (1L, 10L, 1000L), (1L, 11L, 1999L), (1L, 12L, 5000L),
+    (2L, 20L, 1000L), (3L, 30L, 0L))
+  private val right = Seq(
+    (1L, 1000L), (1L, 1500L), (1L, 2000L), (1L, 2999L), (1L, 3000L),
+    (2L, 5000L), (3L, 999L))
+
+  private def run(lower: Long, upper: Long): Set[(Long, Long, Long)] =
+    IntervalJoin.binned(
+        left.toDF("lk", "lid", "lt"), right.toDF("rk", "rt"),
+        "lk", "rk", "lt", "rt", lower, upper)
+      .select($"lid", $"lt", $"rt")
+      .as[(Long, Long, Long)].collect().toSet
+
+  test("binned matches the naive range join, pairs exactly once") {
+    for ((lo, hi) <- Seq((0L, 1000L), (-500L, 500L), (1L, 1L), (-2000L, -1L))) {
+      assert(run(lo, hi) === naive(left, right, lo, hi), s"bounds [$lo,$hi]")
+    }
+    // duplicate-producing check: collect with multiplicity
+    val withDupes = IntervalJoin.binned(
+        left.toDF("lk", "lid", "lt"), right.toDF("rk", "rt"),
+        "lk", "rk", "lt", "rt", 0L, 1000L)
+      .groupBy($"lid", $"rt").agg(count(lit(1)).as("n"))
+      .filter($"n" > 1).count()
+    assert(withDupes === 0L, "a pair was emitted more than once")
+  }
+
+  test("bucket arithmetic is exact for negative and huge (ns-scale) times") {
+    val l = Seq((1L, 1L, -5_000_000_000L), (1L, 2L, 1_700_000_000_000_000_000L))
+      .toDF("lk", "lid", "lt")
+    val r = Seq((1L, -5_000_000_100L), (1L, -4_999_998_000L),
+      (1L, 1_700_000_000_000_000_500L)).toDF("rk", "rt")
+    val got = IntervalJoin.binned(l, r, "lk", "rk", "lt", "rt", -500L, 1000L)
+      .select($"lid", $"rt").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, -5_000_000_100L), (2L, 1_700_000_000_000_000_500L)))
+  }
+
+  test("plan is an equi-join (hash/merge), not a nested loop") {
+    val df = IntervalJoin.binned(
+      left.toDF("lk", "lid", "lt"), right.toDF("rk", "rt"),
+      "lk", "rk", "lt", "rt", 0L, 1000L)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n$plan")
+  }
+}

@@ -35,6 +35,30 @@ class LayoutSpec extends SparkSpec {
     assert(back.agg(sum($"doc_id")).head.getLong(0) === (0L until 1000L).sum)
   }
 
+  test("persisted IVF probe prunes to the probed cell directories") {
+    // the s7 shape: inverted lists on disk partitioned by cell, probe
+    // joins on the partition column -> the scan must NOT read every cell
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val vecs = (0 until 64).map { i =>
+      (i.toLong, i % 8, Array.tabulate(4)(d => (i * 4 + d).toFloat / 256f))
+    }.toDF("vec_id", "label", "embedding")
+    Layout.writeOptimized(vecs, dir, partitionCols = Seq("label"), sortCols = Seq("vec_id"))
+    val idx = spark.read.parquet(dir)
+    val cents = (0L until 8L).map(c =>
+      (c, Seq.tabulate(4)(d => ((c * 8 + 3) * 4 + d).toDouble / 256.0)))
+    val queries = broadcast(Seq((1000L, Seq(0.01, 0.02, 0.03, 0.04)))
+      .toDF("qid", "qv"))
+    val probed = graft.operators.Similarity.multiProbeTopK(
+      idx, queries, cents, nprobe = 2, k = 3)
+    val rows = probed.collect()
+    assert(rows.nonEmpty && rows.length <= 3)
+    // every scan of the index must carry a partition filter (static or
+    // dynamic): reading all 8 cell dirs would defeat the index
+    val filters = Layout.partitionFilters(probed)
+    assert(filters.exists(_.contains("label")),
+      s"index scan has no partition filter: ${probed.queryExecution.executedPlan}")
+  }
+
   test("bloomPrefilter: no false negatives, most non-members dropped") {
     val corpus = (0 until 2000).map(i => s"hash$i").toDF("text_hash")
     val newBatch = ((1500 until 2500) ++ (10000 until 11000))

@@ -208,6 +208,27 @@ class OperatorsSpec extends SparkSpec {
     assert(r2.getSeq[Int](r2.fieldIndex("q")).forall(_ == 0))
   }
 
+  test("boilerplateNGrams: doc frequency over distinct per-doc grams") {
+    // "the quick brown" appears in docs 0,1,3 (distinct per doc) -> df 3/4
+    val bp = TextAnalysis.boilerplateNGrams(docs, n = 3, minDocFrac = 0.7)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(bp("the quick brown") === 3L)
+    assert(bp.values.forall(_ >= 3L)) // 0.7 of 4 docs
+    assert(!bp.contains("completely different words"))
+  }
+
+  test("contaminationFraction: overlap fraction, threshold, sizes") {
+    val ev = Seq((100L, "the quick brown fox jumps", "ev")).toDF("doc_id", "text", "source")
+    val got = graft.operators.Pipeline.contaminationFraction(docs, ev, n = 3, minOverlap = 0.3)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // eval trigrams: {the quick brown, quick brown fox, brown fox jumps} (3)
+    // doc 0 has 7 distinct trigrams, 3 shared -> 3/7 ≈ 0.43 >= 0.3
+    assert(got(0L) === ((3L, 7L, 3.0 / 7.0)))
+    assert(got.contains(3L) && got.contains(1L))
+    assert(!got.contains(2L)) // zero overlap
+  }
+
   test("multimodal metadata + batched features are deterministic") {
     val withBin = docs.withColumn("payload", $"text".cast("binary"))
     val meta = Multimodal.binaryMetadata(withBin, "payload", "doc_id").collect()
