@@ -921,6 +921,47 @@ object SparkEntry {
     } finally rmTree(tmp)
   }
 
+  private def x4(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // bucketed co-located join: both fact tables pre-bucketed AND
+    // pre-sorted on the join key, so the join itself plans with ZERO
+    // exchange and zero sort — the bucketing write is the shuffle, paid
+    // once, and every later join on that key reuses it. At 100 TB this
+    // is how repeated fact-fact joins stop re-shuffling the fact table
+    // every query (BucketingSpec asserts the exchange-free plan). The
+    // only Exchange left in this plan is the tiny post-join aggregate's.
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_x4_bucket_").toString
+    val ot = s"graft_ord_$tag"
+    val lt = s"graft_li_$tag"
+    try {
+      // repartition on the bucket key first: one task per bucket ->
+      // one file per bucket, not tasks × buckets slivers
+      t(s, dir, "orders").select($"o_orderkey", $"o_orderpriority")
+        .repartition(8, $"o_orderkey")
+        .write.format("parquet").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$tmp/orders").saveAsTable(ot)
+      t(s, dir, "lineitem").select($"l_orderkey", $"l_quantity")
+        .repartition(8, $"l_orderkey")
+        .write.format("parquet").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$tmp/lineitem").saveAsTable(lt)
+      // hint("merge"): at sf0.1 Catalyst would broadcast the 2-column
+      // orders side and skip the bucketed scan; the operator exists to
+      // exercise the non-broadcastable 100-TB shape (bucketed SMJ, no
+      // exchange, no sort)
+      s.table(ot).hint("merge").join(s.table(lt), $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum($"l_quantity".cast(DEC)).cast("double").as("sum_qty"))
+        .orderBy($"o_orderpriority")
+        .localCheckpoint()
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $ot")
+      s.sql(s"DROP TABLE IF EXISTS $lt")
+      rmTree(tmp)
+    }
+  }
+
   private def q29(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // binned interval join: for each error event, the clicks by the same
@@ -1131,6 +1172,7 @@ object SparkEntry {
     "s7_ivf_persisted" -> (s7 _),
     "t9_boilerplate" -> (t9 _),
     "p8_contam_fuzzy" -> (p8 _),
+    "x4_bucketed_join" -> (x4 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1975,5 +2017,10 @@ object SparkEntry {
         |FROM sh s JOIN sz USING (doc_id)
         |WHERE overlap_frac >= CAST(0.2 AS DOUBLE)
         |ORDER BY doc_id""".stripMargin,
+    "x4_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }

@@ -165,7 +165,13 @@ object Dedup {
     * every step is a shuffle-hash plan that survives 100× scale-up.
     */
   def verifyJaccard(pairs: DataFrame, tokenSets: DataFrame, threshold: Double): DataFrame = {
-    val toks = tokenSets.select(col("doc_id"), explode(col("ts")).as("tok"))
+    // tokens join/shuffle as 8-byte xxhash64 keys, not 20-30-byte gram
+    // strings: per-doc grams are distinct so intersection counts are
+    // preserved (a cross-gram collision needs ~2^32 grams PER DOC PAIR
+    // to matter — the corpus-level birthday bound doesn't apply because
+    // only same-pair grams are ever compared)
+    val toks = tokenSets.select(col("doc_id"), explode(col("ts")).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("tok"))
     val sizes = tokenSets.select(col("doc_id"), size(col("ts")).as("n"))
     // token×token join is SHUFFLE_HASH by hint: Catalyst's size estimate
     // for the exploded token table sits under the broadcast threshold, but
@@ -215,8 +221,10 @@ object Dedup {
     val grams = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
       graft.functions.Fence(graft.functions.WordNGrams(col(textCol), n)).as("ts"))
     // token-join formulation (see verifyJaccard): one shuffle on
-    // (block, gram), pair counts from hash aggregation.
-    val toks = grams.select(col("doc_id"), col("blk"), explode(col("ts")).as("tok"))
+    // (block, gram), pair counts from hash aggregation. Grams shuffle
+    // as xxhash64 longs (same reasoning as verifyJaccard).
+    val toks = grams.select(col("doc_id"), col("blk"), explode(col("ts")).as("g"))
+      .select(col("doc_id"), col("blk"), xxhash64(col("g")).as("tok"))
     val sizes = grams.select(col("doc_id"), size(col("ts")).as("n"))
     // same shuffle-hash forcing as verifyJaccard: never broadcast the
     // exploded gram table on a misleading size estimate

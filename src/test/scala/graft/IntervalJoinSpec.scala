@@ -6,14 +6,17 @@ import graft.operators.IntervalJoin
 class IntervalJoinSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Reference semantics: plain (quadratic) range join. */
+  /** Reference semantics: plain (quadratic) range join. Returns the
+    * MULTISET of matches — duplicate right rows legitimately produce
+    * duplicate output tuples.
+    */
   private def naive(left: Seq[(Long, Long, Long)], right: Seq[(Long, Long)],
-      lower: Long, upper: Long): Set[(Long, Long, Long)] =
-    (for {
+      lower: Long, upper: Long): Seq[(Long, Long, Long)] =
+    for {
       (lk, lid, lt) <- left
       (rk, rt) <- right
       if lk == rk && rt - lt >= lower && rt - lt <= upper
-    } yield (lid, lt, rt)).toSet
+    } yield (lid, lt, rt)
 
   private val left = Seq(
     (1L, 10L, 1000L), (1L, 11L, 1999L), (1L, 12L, 5000L),
@@ -31,7 +34,7 @@ class IntervalJoinSpec extends SparkSpec {
 
   test("binned matches the naive range join, pairs exactly once") {
     for ((lo, hi) <- Seq((0L, 1000L), (-500L, 500L), (1L, 1L), (-2000L, -1L))) {
-      assert(run(lo, hi) === naive(left, right, lo, hi), s"bounds [$lo,$hi]")
+      assert(run(lo, hi) === naive(left, right, lo, hi).toSet, s"bounds [$lo,$hi]")
     }
     // duplicate-producing check: collect with multiplicity
     val withDupes = IntervalJoin.binned(
@@ -50,6 +53,23 @@ class IntervalJoinSpec extends SparkSpec {
     val got = IntervalJoin.binned(l, r, "lk", "rk", "lt", "rt", -500L, 1000L)
       .select($"lid", $"rt").as[(Long, Long)].collect().toSet
     assert(got === Set((1L, -5_000_000_100L), (2L, 1_700_000_000_000_000_500L)))
+  }
+
+  test("seeded random bulk: binned equals naive across odd bounds") {
+    val rnd = new scala.util.Random(42)
+    val bl = Seq.tabulate(300)(i =>
+      (rnd.nextInt(5).toLong, i.toLong, rnd.nextInt(10000).toLong - 5000L))
+    val br = Seq.tabulate(500)(_ =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(10000).toLong - 5000L))
+    for ((lo, hi) <- Seq((-137L, 263L), (0L, 997L), (-1L, 0L), (500L, 501L))) {
+      val got = IntervalJoin.binned(
+          bl.toDF("lk", "lid", "lt"), br.toDF("rk", "rt"),
+          "lk", "rk", "lt", "rt", lo, hi)
+        .select($"lid", $"lt", $"rt")
+        .as[(Long, Long, Long)].collect()
+      // multiset equality: duplicate right rows produce duplicate tuples
+      assert(got.sorted.toSeq === naive(bl, br, lo, hi).sorted, s"bounds [$lo,$hi]")
+    }
   }
 
   test("plan is an equi-join (hash/merge), not a nested loop") {
