@@ -921,6 +921,25 @@ object SparkEntry {
     } finally rmTree(tmp)
   }
 
+  private def j2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // CSV ingest-boundary dead letters: build a deterministic csv line
+    // per document, poison every 50th id's numeric field, parse through
+    // from_csv(FAILFAST) under capture — the j1 pattern for CSV feeds.
+    val lines = t(s, dir, "documents")
+      .select($"lang", concat_ws(",", $"doc_id", $"lang",
+        when(pmod($"doc_id", lit(50)) === 0, lit("bad"))
+          .otherwise($"n_chars".cast("string"))).as("raw"))
+    val ef = sources.JsonIngest.parseCsvCaptured(lines, "raw",
+      "id BIGINT, doc_lang STRING, n BIGINT")
+    ef.annotated.groupBy($"lang")
+      .agg(count(when(!$"is_error", lit(1))).as("n_ok"),
+        count(when($"is_error", lit(1))).as("n_bad"),
+        sum(when(!$"is_error", $"parsed.n")).as("sum_n"))
+      .select($"lang", $"n_ok", $"n_bad", $"sum_n")
+      .orderBy($"lang")
+  }
+
   private def x4(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // bucketed co-located join: both fact tables pre-bucketed AND
@@ -1173,6 +1192,7 @@ object SparkEntry {
     "t9_boilerplate" -> (t9 _),
     "p8_contam_fuzzy" -> (p8 _),
     "x4_bucketed_join" -> (x4 _),
+    "j2_csv_ingest" -> (j2 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2022,5 +2042,11 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "j2_csv_ingest" ->
+      """SELECT lang,
+        | CAST(SUM(CASE WHEN doc_id % 50 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+        | CAST(SUM(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+        | CAST(SUM(CASE WHEN doc_id % 50 <> 0 THEN n_chars END) AS BIGINT) AS sum_n
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -46,6 +46,9 @@ object IntervalJoin {
       leftTime: String, rightTime: String,
       lower: Long, upper: Long): DataFrame = {
     require(upper >= lower, s"empty interval: [$lower, $upper]")
+    require(Set(leftKey, leftTime).intersect(Set(rightKey, rightTime)).isEmpty,
+      s"left ($leftKey, $leftTime) and right ($rightKey, $rightTime) column " +
+        "names must be disjoint — rename one side before joining")
     val w = math.max(upper - lower, 1L)
     val l = left
       .withColumn("__ij_t", col(leftTime).cast("long"))

@@ -31,6 +31,18 @@ object JsonIngest {
         options + ("mode" -> "FAILFAST"))),
       input = col(jsonCol))
 
+  /** CSV twin of [[parseCaptured]]: `from_csv(FAILFAST)` under the
+    * capture expression — malformed lines dead-letter individually with
+    * the raw line as `input_value`, well-formed lines parse into the
+    * typed struct, the job always completes.
+    */
+  def parseCsvCaptured(df: DataFrame, csvCol: String, ddl: String,
+      options: Map[String, String] = Map.empty): ErrorFrame =
+    ErrorFrame.captureErrors(df,
+      Map("parsed" -> from_csv(col(csvCol), StructType.fromDDL(ddl),
+        options + ("mode" -> "FAILFAST"))),
+      input = col(csvCol))
+
   /** Read a line-delimited JSON corpus as raw text lines, then parse
     * with capture. Line splitting never fails; only per-line parses can,
     * and those dead-letter individually.

@@ -33,6 +33,21 @@ class JsonIngestSpec extends SparkSpec {
     assert(ef.errors.count() === 1L)
   }
 
+  test("parseCsvCaptured: malformed CSV rows dead-letter individually") {
+    val df = Seq(
+      "1,en,100",
+      "2,fr,200",
+      "3,de,notanint", // numeric field malformed
+      "4,es").toDF("raw") // missing trailing field — also FAILFAST-malformed
+    val ef = JsonIngest.parseCsvCaptured(df, "raw", "id BIGINT, lang STRING, n BIGINT")
+    val ok = ef.values.select($"parsed.id").as[Long].collect().sorted
+    assert(ok.toSeq === Seq(1L, 2L))
+    val dl = ef.deadLetters("csv ingest")
+      .select($"input_value", $"cause.error_class").as[(String, String)].collect()
+    assert(dl.map(_._1).toSet === Set("3,de,notanint", "4,es"))
+    assert(dl.forall(_._2.nonEmpty))
+  }
+
   test("readJsonl: file round-trip splits values and dead letters") {
     val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
     val p = java.nio.file.Paths.get(dir, "part.jsonl")
