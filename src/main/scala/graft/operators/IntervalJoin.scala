@@ -40,6 +40,10 @@ object IntervalJoin {
     * Matches when `right[rightTime] - left[leftTime]` ∈
     * `[lower, upper]` (micros or any consistent integral unit) and the
     * keys are equal.
+    *
+    * Only the RIGHT side is replicated (≤ 2×): when the two sides
+    * differ in size, pass the smaller one as `right` (flipping the
+    * bounds to `[-upper, -lower]` flips the direction).
     */
   def binned(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,

