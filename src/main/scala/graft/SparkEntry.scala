@@ -885,7 +885,7 @@ object SparkEntry {
       .orderBy($"qid", $"rank")
   }
 
-  private def rmTree(path: String): Unit = {
+  private[graft] def rmTree(path: String): Unit = {
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get(path)
     java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
@@ -926,10 +926,14 @@ object SparkEntry {
     // CSV ingest-boundary dead letters: build a deterministic csv line
     // per document, poison every 50th id's numeric field, parse through
     // from_csv(FAILFAST) under capture — the j1 pattern for CSV feeds.
+    // coalesce the nullable numeric field: concat_ws SKIPS nulls, which
+    // would emit a short (FAILFAST-malformed) line while the oracle
+    // still classifies the row by doc_id — an empty field instead
+    // parses as null n, which both sides' sum skips identically
     val lines = t(s, dir, "documents")
       .select($"lang", concat_ws(",", $"doc_id", $"lang",
         when(pmod($"doc_id", lit(50)) === 0, lit("bad"))
-          .otherwise($"n_chars".cast("string"))).as("raw"))
+          .otherwise(coalesce($"n_chars".cast("string"), lit("")))).as("raw"))
     val ef = sources.JsonIngest.parseCsvCaptured(lines, "raw",
       "id BIGINT, doc_lang STRING, n BIGINT")
     ef.annotated.groupBy($"lang")

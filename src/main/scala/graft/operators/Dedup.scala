@@ -169,26 +169,26 @@ object Dedup {
     // strings: per-doc grams are distinct so intersection counts are
     // preserved (a cross-gram collision needs ~2^32 grams PER DOC PAIR
     // to matter — the corpus-level birthday bound doesn't apply because
-    // only same-pair grams are ever compared)
-    val toks = tokenSets.select(col("doc_id"), explode(col("ts")).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("tok"))
-    val sizes = tokenSets.select(col("doc_id"), size(col("ts")).as("n"))
+    // only same-pair grams are ever compared). The set SIZE rides each
+    // exploded row through the join and comes out of the same aggregate
+    // (max = the one value) — a separate sizes frame would re-plan the
+    // expensive shingle scan and add two more joins.
+    val toks = tokenSets.select(col("doc_id"), size(col("ts")).as("n"),
+        explode(col("ts")).as("g"))
+      .select(col("doc_id"), col("n"), xxhash64(col("g")).as("tok"))
     // token×token join is SHUFFLE_HASH by hint: Catalyst's size estimate
     // for the exploded token table sits under the broadcast threshold, but
     // the real in-memory HashedRelation is the whole corpus' shingles —
     // driver-built, GC-heavy (the round-1 d2 bench variance), and a
     // non-starter at real scale. The pair list IS broadcast-able.
-    val inter = pairs
+    pairs
       .join(toks.as("ta"), col("da") === col("ta.doc_id"))
       .join(toks.as("tb").hint("shuffle_hash"),
         col("db") === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
       .groupBy(col("da"), col("db"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+      .agg(count(lit(1)).as("i"), max(col("ta.n")).as("na"), max(col("tb.n")).as("nb"))
       .select(col("da"), col("db"),
-        (col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i"))).as("jaccard"))
+        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -222,7 +222,12 @@ object Dedup {
       graft.functions.Fence(graft.functions.WordNGrams(col(textCol), n)).as("ts"))
     // token-join formulation (see verifyJaccard): one shuffle on
     // (block, gram), pair counts from hash aggregation. Grams shuffle
-    // as xxhash64 longs (same reasoning as verifyJaccard).
+    // as xxhash64 longs. Unlike verifyJaccard, the set size does NOT
+    // ride the token rows here: this self-join IS the Σ m² hot path on
+    // both sides, and widening it costs more than the (small) sizes
+    // joins against the aggregated pair list save — measured ≈10% on
+    // d4/d8/d9/d10; the extra linear shingle scan for `sizes` is noise
+    // next to the quadratic join.
     val toks = grams.select(col("doc_id"), col("blk"), explode(col("ts")).as("g"))
       .select(col("doc_id"), col("blk"), xxhash64(col("g")).as("tok"))
     val sizes = grams.select(col("doc_id"), size(col("ts")).as("n"))

@@ -50,9 +50,13 @@ object IntervalJoin {
       leftTime: String, rightTime: String,
       lower: Long, upper: Long): DataFrame = {
     require(upper >= lower, s"empty interval: [$lower, $upper]")
-    require(Set(leftKey, leftTime).intersect(Set(rightKey, rightTime)).isEmpty,
-      s"left ($leftKey, $leftTime) and right ($rightKey, $rightTime) column " +
-        "names must be disjoint — rename one side before joining")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"left and right column names must be disjoint — shared: " +
+        s"${overlap.mkString(", ")}; rename one side before joining")
+    val reserved = (left.columns ++ right.columns).filter(_.startsWith("__ij_"))
+    require(reserved.isEmpty,
+      s"column names with the reserved __ij_ prefix: ${reserved.mkString(", ")}")
     val w = math.max(upper - lower, 1L)
     val l = left
       .withColumn("__ij_t", col(leftTime).cast("long"))

@@ -107,13 +107,17 @@ object Pipeline {
       minOverlap: Double, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val evalGrams = Dedup.shingleSets(evalSet, n, textCol, idCol)
       .select(explode(col("ts")).as("g")).distinct()
-    val trainGrams = Dedup.shingleSets(train, n, textCol, idCol)
-    val sizes = trainGrams.select(col("doc_id"), size(col("ts")).cast("long").as("n_grams"))
-    val shared = trainGrams.select(col("doc_id"), explode(col("ts")).as("g"))
+    // ONE pass over the expensive shingle computation: the per-doc gram
+    // count rides the exploded rows through the aggregate instead of a
+    // second shingle scan joined back (docs with zero shared grams are
+    // dropped by the inner gram join either way — frac ≥ minOverlap > 0)
+    val shared = Dedup.shingleSets(train, n, textCol, idCol)
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n_grams"),
+        explode(col("ts")).as("g"))
       .join(broadcast(evalGrams), "g")
-      .groupBy(col("doc_id"))
+      .groupBy(col("doc_id"), col("n_grams"))
       .agg(count(lit(1)).as("n_shared")) // per-doc grams are distinct
-    shared.join(sizes, "doc_id")
+    shared
       .select(col("doc_id"), col("n_shared"), col("n_grams"),
         (col("n_shared").cast("double") / col("n_grams")).as("overlap_frac"))
       .filter(col("overlap_frac") >= minOverlap)

@@ -39,16 +39,25 @@ object Layout {
     * read is metadata-pruned to the matching directories (NOTE:
     * `inputFiles` is NOT this; it lists the whole relation unpruned).
     */
-  def partitionFilters(reader: DataFrame): Seq[String] = {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    // AQE hides scans behind AdaptiveSparkPlanExec/QueryStageExec whose
-    // inner plans are fields, not children — recurse explicitly
-    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
-      case s: FileSourceScanExec => Seq(s)
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case q: QueryStageExec => scans(q.plan)
+  def partitionFilters(reader: DataFrame): Seq[String] =
+    flattenPlan(reader.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.partitionFilters.map(_.sql)
     }.flatten
-    scans(reader.queryExecution.executedPlan).flatMap(_.partitionFilters.map(_.sql))
+
+  /** Every node of a physical plan with AQE wrappers flattened:
+    * AdaptiveSparkPlanExec / QueryStageExec hide their inner plans in
+    * FIELDS, not children, so a plain `collect` never sees the real
+    * scans/exchanges — the recurring trap when asserting on executed
+    * plans. Shared by plan-inspection specs.
+    */
+  def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    p.collect {
+      case a: AdaptiveSparkPlanExec => a +: flattenPlan(a.executedPlan)
+      case q: QueryStageExec => q +: flattenPlan(q.plan)
+      case other => Seq(other)
+    }.flatten
   }
 }

@@ -2,19 +2,15 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 
 class BucketingSpec extends SparkSpec {
   import spark.implicits._
 
-  private def countShuffles(p: SparkPlan): Int = p.collect {
-    case _: ShuffleExchangeExec => 1
-    case a: AdaptiveSparkPlanExec => countShuffles(a.executedPlan)
-    case q: QueryStageExec => countShuffles(q.plan)
-  }.sum
+  private def countShuffles(p: SparkPlan): Int =
+    graft.sources.Layout.flattenPlan(p).count(_.isInstanceOf[ShuffleExchangeExec])
 
-  test("bucketed tables join with zero exchanges and zero sorts") {
+  test("bucketed tables join with zero exchanges (bucketed scans carry the join)") {
     val tmp = java.nio.file.Files.createTempDirectory("bucketspec").toString
     try {
       val left = (0 until 1000).map(i => (i.toLong, s"p${i % 5}")).toDF("k", "prio")
@@ -42,10 +38,9 @@ class BucketingSpec extends SparkSpec {
       // the bucketed layout IS the shuffle: the join must not add one
       assert(countShuffles(joined.queryExecution.executedPlan) === 0,
         s"bucketed join still shuffles:\n${joined.queryExecution.executedPlan}")
-      // sortBy in the bucket spec also removes the merge-join sort of
-      // the scanned side (SortExec only allowed above the 0-exchange
-      // scan if Spark chose hash join; assert no full plan sort of the
-      // big side by checking the scans report the bucket output)
+      // both sides must actually scan through the bucketed layout
+      // (a planner fallback to a plain file scan would also show zero
+      // shuffles here only by broadcasting — which the merge hint bars)
       val planStr = joined.queryExecution.executedPlan.toString
       assert(planStr.contains("SelectedBucketsCount") || planStr.contains("Bucketed: true"),
         s"scan did not use bucketed layout:\n$planStr")
@@ -53,10 +48,7 @@ class BucketingSpec extends SparkSpec {
     } finally {
       spark.sql("DROP TABLE IF EXISTS bspec_left")
       spark.sql("DROP TABLE IF EXISTS bspec_right")
-      import scala.jdk.CollectionConverters._
-      val root = java.nio.file.Paths.get(tmp)
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      SparkEntry.rmTree(tmp)
     }
   }
 }

@@ -38,8 +38,8 @@ class ErrorFrameSpec extends SparkSpec {
       .collect().toMap
     assert(e.keySet == Set("b", "c"))
     // firstError surfaces the class of the output that actually failed
-    assert(e("b").contains("NumberFormatException") || e("b").nonEmpty)
-    assert(e("c").contains("Arithmetic") || e("c").nonEmpty)
+    assert(e("b").contains("NumberFormat"), s"b: ${e("b")}")
+    assert(e("c").contains("Arithmetic"), s"c: ${e("c")}")
   }
 
   test("observed: one action yields data AND error telemetry") {
