@@ -887,9 +887,10 @@ object SparkEntry {
 
   private[graft] def rmTree(path: String): Unit = {
     import scala.jdk.CollectionConverters._
-    val root = java.nio.file.Paths.get(path)
-    java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+    try walk.iterator().asScala.toSeq.reverse
       .foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walk.close() // Files.walk holds directory handles until closed
   }
 
   private def s7(s: SparkSession, dir: String): DataFrame = {
@@ -979,8 +980,10 @@ object SparkEntry {
         .orderBy($"o_orderpriority")
         .localCheckpoint()
     } finally {
-      s.sql(s"DROP TABLE IF EXISTS $ot")
-      s.sql(s"DROP TABLE IF EXISTS $lt")
+      // best-effort each step: a throwing DROP must not mask the real
+      // failure or skip the remaining cleanup
+      scala.util.Try(s.sql(s"DROP TABLE IF EXISTS $ot"))
+      scala.util.Try(s.sql(s"DROP TABLE IF EXISTS $lt"))
       rmTree(tmp)
     }
   }

@@ -57,6 +57,18 @@ object IntervalJoin {
     val reserved = (left.columns ++ right.columns).filter(_.startsWith("__ij_"))
     require(reserved.isEmpty,
       s"column names with the reserved __ij_ prefix: ${reserved.mkString(", ")}")
+    // integral times only: for fractional types the bucket cast would
+    // truncate toward zero while the exact predicate sees raw values —
+    // a pair near a negative bucket edge would silently never co-locate
+    def integral(df: DataFrame, c: String): Boolean = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    require(integral(left, leftTime) && integral(right, rightTime),
+      s"time columns must be integral (found ${left.schema(leftTime).dataType} / " +
+        s"${right.schema(rightTime).dataType}); convert timestamps to epoch " +
+        "micros/nanos first")
     val w = math.max(upper - lower, 1L)
     val l = left
       .withColumn("__ij_t", col(leftTime).cast("long"))

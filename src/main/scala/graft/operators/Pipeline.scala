@@ -105,6 +105,10 @@ object Pipeline {
     */
   def contaminationFraction(train: DataFrame, evalSet: DataFrame, n: Int,
       minOverlap: Double, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // zero-overlap docs are dropped by the inner gram join, so a
+    // threshold of 0 could not return them with frac 0 — fail fast
+    // instead of silently violating "flag at minOverlap or above"
+    require(minOverlap > 0, s"minOverlap must be > 0: $minOverlap")
     val evalGrams = Dedup.shingleSets(evalSet, n, textCol, idCol)
       .select(explode(col("ts")).as("g")).distinct()
     // ONE pass over the expensive shingle computation: the per-doc gram

@@ -72,6 +72,22 @@ class IntervalJoinSpec extends SparkSpec {
     }
   }
 
+  test("guards: shared names, reserved prefix, fractional times all fail fast") {
+    val l = left.toDF("lk", "lid", "lt")
+    val r = right.toDF("rk", "rt")
+    intercept[IllegalArgumentException] { // shared column name
+      IntervalJoin.binned(l, right.toDF("lk", "rt"), "lk", "lk", "lt", "rt", 0L, 1L)
+    }
+    intercept[IllegalArgumentException] { // reserved prefix
+      IntervalJoin.binned(l.withColumnRenamed("lid", "__ij_x"), r,
+        "lk", "rk", "lt", "rt", 0L, 1L)
+    }
+    intercept[IllegalArgumentException] { // fractional time column
+      IntervalJoin.binned(l.withColumn("lt", $"lt".cast("double")), r,
+        "lk", "rk", "lt", "rt", 0L, 1L)
+    }
+  }
+
   test("plan is an equi-join (hash/merge), not a nested loop") {
     val df = IntervalJoin.binned(
       left.toDF("lk", "lid", "lt"), right.toDF("rk", "rt"),
