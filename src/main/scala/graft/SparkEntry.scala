@@ -300,14 +300,16 @@ object SparkEntry {
   /** Shared failing transform: parse k out of events.props, compute an
     * ANSI integral division that fails when k % 7 == 0.
     */
-  private def eventsCaptured(s: SparkSession, dir: String): ErrorFrame = {
+  private def eventsCaptured(s: SparkSession, dir: String,
+      stackTraces: Boolean = true): ErrorFrame = {
     import s.implicits._
     val ev = t(s, dir, "events")
       .withColumn("k", regexp_extract($"props", "[0-9]+", 0).cast("int"))
     ErrorFrame.captureErrors(
       ev,
       Map("res" -> expr("100 div (k % 7)")),
-      input = $"props")
+      input = $"props",
+      stackTraces = stackTraces)
   }
 
   private def e2(s: SparkSession, dir: String): DataFrame = {
@@ -369,7 +371,11 @@ object SparkEntry {
 
   private def e7(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    eventsCaptured(s, dir)
+    // the emitted header set below excludes the stack trace, so the
+    // capture skips rendering it (the dominant per-error cost) — the
+    // stack_trace header key still exists, with a null value, and a
+    // stackTraces=true capture fills it (ErrorFrameSpec parity case)
+    eventsCaptured(s, dir, stackTraces = false)
       .withErrorHeaders("events k-division pipeline")
       .select($"event_id", explode($"headers").as("h"))
       .select($"event_id", $"h.key".as("hkey"), $"h.value".cast("string").as("hval"))
@@ -927,12 +933,14 @@ object SparkEntry {
     // CSV ingest-boundary dead letters: build a deterministic csv line
     // per document, poison every 50th id's numeric field, parse through
     // from_csv(FAILFAST) under capture — the j1 pattern for CSV feeds.
-    // coalesce the nullable numeric field: concat_ws SKIPS nulls, which
+    // coalesce EVERY concat_ws input: concat_ws SKIPS nulls, which
     // would emit a short (FAILFAST-malformed) line while the oracle
     // still classifies the row by doc_id — an empty field instead
-    // parses as null n, which both sides' sum skips identically
+    // parses as a null column value, which both sides treat identically
     val lines = t(s, dir, "documents")
-      .select($"lang", concat_ws(",", $"doc_id", $"lang",
+      .select($"lang", concat_ws(",",
+        coalesce($"doc_id".cast("string"), lit("")),
+        coalesce($"lang", lit("")),
         when(pmod($"doc_id", lit(50)) === 0, lit("bad"))
           .otherwise(coalesce($"n_chars".cast("string"), lit("")))).as("raw"))
     val ef = sources.JsonIngest.parseCsvCaptured(lines, "raw",
@@ -954,6 +962,13 @@ object SparkEntry {
     // is how repeated fact-fact joins stop re-shuffling the fact table
     // every query (BucketingSpec asserts the exchange-free plan). The
     // only Exchange left in this plan is the tiny post-join aggregate's.
+    // bucket count is a deployment knob: it must match the cluster's
+    // target parallelism AND the other tables it will join — joining an
+    // N-bucket table to an M-bucket table (N ≠ M) silently plans an
+    // Exchange on one side (BucketingSpec pins that footgun), so at
+    // 100 TB the count is a corpus-wide convention, not per-table.
+    val buckets = s.conf.getOption("spark.graft.x4.buckets").map(_.toInt).getOrElse(8)
+    require(buckets > 0, s"spark.graft.x4.buckets must be positive, got $buckets")
     val tag = java.util.UUID.randomUUID().toString.replace("-", "")
     val tmp = java.nio.file.Files.createTempDirectory("graft_x4_bucket_").toString
     val ot = s"graft_ord_$tag"
@@ -962,12 +977,12 @@ object SparkEntry {
       // repartition on the bucket key first: one task per bucket ->
       // one file per bucket, not tasks × buckets slivers
       t(s, dir, "orders").select($"o_orderkey", $"o_orderpriority")
-        .repartition(8, $"o_orderkey")
-        .write.format("parquet").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .repartition(buckets, $"o_orderkey")
+        .write.format("parquet").bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"$tmp/orders").saveAsTable(ot)
       t(s, dir, "lineitem").select($"l_orderkey", $"l_quantity")
-        .repartition(8, $"l_orderkey")
-        .write.format("parquet").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .repartition(buckets, $"l_orderkey")
+        .write.format("parquet").bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$tmp/lineitem").saveAsTable(lt)
       // hint("merge"): at sf0.1 Catalyst would broadcast the 2-column
       // orders side and skip the bucketed scan; the operator exists to
@@ -994,17 +1009,40 @@ object SparkEntry {
     // user within the NEXT 6 hours — an equi-join on (user, bucket)
     // with ≤2× replication of one side instead of the per-key nested
     // loop a raw range predicate plans. Micros, not nanos: DuckDB
-    // truncates parquet ns-timestamps to micros on read.
+    // truncates parquet ns-timestamps to micros on read. Errors are the
+    // rare side, so they go on the RIGHT (the replicated side) with the
+    // bounds flipped — clicks, the dominant shuffle volume, land in one
+    // bucket each.
+    val ev = t(s, dir, "events").withColumn("tus", expr("ts div 1000"))
+    val err = ev.filter($"event_type" === "error")
+      .select($"user_id".as("e_user"), $"event_id".as("e_id"), $"tus".as("e_t"))
+    val clk = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"tus".as("c_t"))
+    operators.IntervalJoin.binned(clk, err, "c_user", "e_user", "c_t", "e_t",
+        lower = -21600000000L, upper = 0L)
+      .groupBy($"e_user".as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"e_id").as("n_matched_errors"))
+      .orderBy($"user_id")
+  }
+
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // LEFT-OUTER interval join — "errors WITHOUT a click within 6 h":
+    // the outer side must be the preserved left (one bucket per error
+    // row, so a matchless error emits exactly ONE null-extended row);
+    // clicks are the replicated right, forced by the outer semantics.
     val ev = t(s, dir, "events").withColumn("tus", expr("ts div 1000"))
     val err = ev.filter($"event_type" === "error")
       .select($"user_id".as("e_user"), $"event_id".as("e_id"), $"tus".as("e_t"))
     val clk = ev.filter($"event_type" === "click")
       .select($"user_id".as("c_user"), $"tus".as("c_t"))
     operators.IntervalJoin.binned(err, clk, "e_user", "c_user", "e_t", "c_t",
-        lower = 0L, upper = 21600000000L)
+        lower = 0L, upper = 21600000000L, joinType = "left_outer")
       .groupBy($"e_user".as("user_id"))
-      .agg(count(lit(1)).as("n_pairs"),
-        countDistinct($"e_id").as("n_matched_errors"))
+      .agg(countDistinct($"e_id").as("n_errors"),
+        countDistinct(when($"c_t".isNull, $"e_id")).as("n_unmatched_errors"),
+        count($"c_t").as("n_pairs"))
       .orderBy($"user_id")
   }
 
@@ -1195,6 +1233,7 @@ object SparkEntry {
     "d11_snapshot_diff" -> (d11 _),
     "p7_quality_gate" -> (p7 _),
     "q29_interval_join" -> (q29 _),
+    "q30_interval_outer" -> (q30 _),
     "s7_ivf_persisted" -> (s7 _),
     "t9_boilerplate" -> (t9 _),
     "p8_contam_fuzzy" -> (p8 _),
@@ -1989,6 +2028,15 @@ object SparkEntry {
         |clk AS (SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'click')
         |SELECT e.user_id AS user_id, COUNT(*) AS n_pairs, COUNT(DISTINCT e.event_id) AS n_matched_errors
         |FROM err e JOIN clk c ON e.user_id = c.user_id AND c.t - e.t BETWEEN 0 AND 21600000000
+        |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
+    "q30_interval_outer" ->
+      """WITH err AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events WHERE event_type = 'error'),
+        |clk AS (SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'click')
+        |SELECT e.user_id AS user_id,
+        |  COUNT(DISTINCT e.event_id) AS n_errors,
+        |  COUNT(DISTINCT CASE WHEN c.t IS NULL THEN e.event_id END) AS n_unmatched_errors,
+        |  COUNT(c.t) AS n_pairs
+        |FROM err e LEFT JOIN clk c ON e.user_id = c.user_id AND c.t - e.t BETWEEN 0 AND 21600000000
         |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
     "s7_ivf_persisted" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),

@@ -33,23 +33,45 @@ object IntervalJoin {
   private def floorDivExpr(colName: String, w: Long): Column =
     expr(s"($colName - pmod($colName, ${w}L)) div ${w}L")
 
-  /** Inner interval join. `left`/`right` must have disjoint column
+  private val JoinTypes = Set("inner", "left_outer", "left_semi", "left_anti")
+
+  /** Binned interval join. `left`/`right` must have disjoint column
     * names apart from the key equality expressed via `leftKey`/
-    * `rightKey`. Returns all columns of both sides.
+    * `rightKey`. Returns all columns of both sides (left columns only
+    * for semi/anti).
     *
     * Matches when `right[rightTime] - left[leftTime]` ∈
     * `[lower, upper]` (micros or any consistent integral unit) and the
     * keys are equal.
     *
-    * Only the RIGHT side is replicated (≤ 2×): when the two sides
-    * differ in size, pass the smaller one as `right` (flipping the
-    * bounds to `[-upper, -lower]` flips the direction).
+    * Only the RIGHT side is replicated (≤ 2×); a left row lands in
+    * exactly ONE bucket, which is what makes the non-inner variants
+    * exact: each left row is probed once, so `left_outer` emits
+    * exactly one null-extended row per matchless left row,
+    * `left_semi` / `left_anti` emit each left row at most once —
+    * no dedup pass needed. For `joinType = "inner"`, when the two
+    * sides differ in size pass the smaller one as `right` (flipping
+    * the bounds to `[-upper, -lower]` flips the direction); for the
+    * outer/semi/anti variants the LEFT side is pinned as the
+    * preserved/probe side, so the replication of `right` is forced by
+    * the semantics.
+    *
+    * Admissible time range: bucket arithmetic computes
+    * `rightTime - upper` and `rightTime - lower` as raw 64-bit
+    * subtraction, so times must satisfy
+    * `|t| < Long.MaxValue - max(|lower|, |upper|)` — outside that the
+    * subtraction wraps and rows mis-bucket silently. Nanosecond epochs
+    * (~1.7e18) with day-scale bounds (~1e14) are comfortably inside.
     */
   def binned(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      lower: Long, upper: Long): DataFrame = {
+      lower: Long, upper: Long,
+      joinType: String = "inner"): DataFrame = {
     require(upper >= lower, s"empty interval: [$lower, $upper]")
+    require(JoinTypes.contains(joinType),
+      s"unsupported joinType '$joinType' (supported: ${JoinTypes.mkString(", ")}); " +
+        "for right-sided variants swap the sides and flip the bounds to [-upper, -lower]")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty,
       s"left and right column names must be disjoint — shared: " +
@@ -85,7 +107,8 @@ object IntervalJoin {
     l.join(r,
         l("__ij_b") === r("__ij_b")
           && col(leftKey) === col(rightKey)
-          && (col(rightTime) - col(leftTime)).between(lower, upper))
+          && (col(rightTime) - col(leftTime)).between(lower, upper),
+        joinType)
       .drop("__ij_b")
   }
 }

@@ -104,11 +104,16 @@ object StreamErrorHandling {
     * immediately.
     *
     * The pending store (`<checkpointPath>/graft-pending` unless
-    * `pendingPath` overrides it) is read-then-overwritten per trigger
-    * with the read pinned first; it is not transactional with the
-    * streaming checkpoint, so retried rows are at-least-once across a
-    * crash — the same guarantee the DLQ side already has. Rows still
-    * pending when the stream stops remain in the store for the next run.
+    * `pendingPath` overrides it) is EPOCH-KEYED for crash consistency:
+    * trigger `N` reads the newest `epoch=M` directory with `M < N` and
+    * writes its own state to `epoch=N` (mode overwrite). A crash between
+    * the store write and the checkpoint commit therefore replays batch
+    * `N` against the UNTOUCHED `epoch=M` input and REWRITES `epoch=N` —
+    * idempotent, no re-append, no double-incremented retry counts
+    * (StreamingSpec's replayed-trigger case pins this). Epochs below the
+    * one a trigger read are unreachable by any replay and are garbage-
+    * collected. Rows still pending when the stream stops remain in the
+    * store for the next run.
     */
   def captureToDlqWithRetry(
       stream: DataFrame,
@@ -127,58 +132,118 @@ object StreamErrorHandling {
     captured.df.writeStream
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        val now = System.currentTimeMillis()
-        def deadLetterize(errRows: DataFrame, desc: String): DataFrame =
-          errRows.select(
-            input.cast("string").as("input_value"),
-            lit(null).cast("string").as("topic"),
-            lit(null).cast("int").as("partition"),
-            lit(null).cast("bigint").as("offset"),
-            lit(desc).as("description"),
-            struct(col("error_class"), col("error_message").as("message"),
-              col("stack_trace")).as("cause"),
-            lit(null).cast("timestamp").as("input_timestamp"))
-        // pending rows from earlier triggers, pinned (localCheckpoint)
-        // because the store is overwritten at the end of this trigger
-        val pending =
-          try spark.read.parquet(pPath).localCheckpoint()
-          catch { case _: org.apache.spark.sql.AnalysisException => null }
-        val due = if (pending == null) null else pending.filter(col(NextAttemptTsCol) <= now)
-        val notDue = if (pending == null) null else pending.filter(col(NextAttemptTsCol) > now)
-        // arriving rows enter at retry_count 0; due rows re-run the user
-        // computation carrying their count. ONE persisted pass feeds the
-        // three writes below — the user expression runs once per row per
-        // attempt, never once per branch.
-        val fresh = batch.toDF().withColumn(RetryCountCol, lit(0))
-        val all =
-          if (due == null) fresh
-          else fresh.unionByName(
-            ErrorFrame.captureErrors(due.drop(NextAttemptTsCol), results, input).df)
-        val cachedAll = all.persist()
-        try {
-          val split = ErrorFrame(cachedAll, captured.resultNames, input)
-            .filterRecoverable(classifier, failOnRecoverable = false)
-          split.values.drop(RetryCountCol).write.mode("overwrite")
-            .parquet(s"$valuesPath/batch_id=$batchId")
-          val rec = split.recoverable
-          val exhausted = rec.filter(col(RetryCountCol) + 1 > maxRetries)
-          deadLetterize(split.deadLettered, description)
-            .union(deadLetterize(exhausted, s"$description (retries exhausted)"))
-            .write.mode("overwrite").parquet(s"$dlqPath/batch_id=$batchId")
-          val retryable = rec.filter(col(RetryCountCol) + 1 <= maxRetries)
-            .drop("error_class", "error_message", "stack_trace")
-            .withColumn(RetryCountCol, col(RetryCountCol) + 1)
-            .withColumn(NextAttemptTsCol,
-              (lit(now) + lit(backoffMs.toDouble) *
-                pow(lit(2.0), col(RetryCountCol) - 1)).cast("long"))
-          val newPending =
-            if (notDue == null) retryable else notDue.unionByName(retryable)
-          newPending.write.mode("overwrite").parquet(pPath)
-        } finally { cachedAll.unpersist(); () }
-        ()
+        processRetryTrigger(batch.toDF(), batchId, captured.resultNames,
+          results, input, description, valuesPath, dlqPath, pPath,
+          classifier, maxRetries, backoffMs, now = System.currentTimeMillis())
       }
       .start()
+  }
+
+  /** Epoch ids present in the pending store, ascending. */
+  private[graft] def pendingEpochs(spark: SparkSession, pendingPath: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(pendingPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .flatMap(st => st.getPath.getName match {
+        case n if n.startsWith("epoch=") => scala.util.Try(n.drop(6).toLong).toOption
+        case _ => None
+      })
+      .sorted
+  }
+
+  /** The pending rows a trigger with this `batchId` must consume: the
+    * newest epoch strictly below it (a replayed trigger's own crashed
+    * `epoch=batchId` write is thereby invisible to itself). None when
+    * the store has no prior epoch or the epoch dir holds no rows.
+    */
+  private[graft] def readPendingBefore(spark: SparkSession, pendingPath: String,
+      batchId: Long): Option[(Long, DataFrame)] =
+    pendingEpochs(spark, pendingPath).filter(_ < batchId).lastOption.flatMap { m =>
+      // an all-pending-retried trigger writes an empty dir (no parquet
+      // footer) — read it as "nothing pending", same as no dir at all
+      try Some(m -> spark.read.parquet(s"$pendingPath/epoch=$m"))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    }
+
+  /** Operational/test view: the current (latest-epoch) pending rows. */
+  def readPending(spark: SparkSession, pendingPath: String): Option[DataFrame] =
+    readPendingBefore(spark, pendingPath, Long.MaxValue).map(_._2)
+
+  /** One trigger of the retry loop, factored out of foreachBatch so the
+    * crash-replay contract is testable deterministically (`now` is
+    * injected; calling this twice with the same `batchId` must be
+    * idempotent).
+    */
+  private[graft] def processRetryTrigger(
+      batch: DataFrame, batchId: Long,
+      resultNames: Seq[String],
+      results: Map[String, Column], input: Column, description: String,
+      valuesPath: String, dlqPath: String, pendingPath: String,
+      classifier: ErrorClassifier, maxRetries: Int, backoffMs: Long,
+      now: Long): Unit = {
+    val spark = batch.sparkSession
+    def deadLetterize(errRows: DataFrame, desc: String): DataFrame =
+      errRows.select(
+        input.cast("string").as("input_value"),
+        lit(null).cast("string").as("topic"),
+        lit(null).cast("int").as("partition"),
+        lit(null).cast("bigint").as("offset"),
+        lit(desc).as("description"),
+        struct(col("error_class"), col("error_message").as("message"),
+          col("stack_trace")).as("cause"),
+        lit(null).cast("timestamp").as("input_timestamp"))
+    // no localCheckpoint pin needed: this trigger writes epoch=batchId
+    // and never touches the epoch it reads
+    val readBack = readPendingBefore(spark, pendingPath, batchId)
+    val due = readBack.map(_._2.filter(col(NextAttemptTsCol) <= now))
+    val notDue = readBack.map(_._2.filter(col(NextAttemptTsCol) > now))
+    // arriving rows enter at retry_count 0; due rows re-run the user
+    // computation carrying their count. ONE persisted pass feeds the
+    // three writes below — the user expression runs once per row per
+    // attempt, never once per branch.
+    val fresh = batch.withColumn(RetryCountCol, lit(0))
+    val all = due match {
+      case None => fresh
+      case Some(d) => fresh.unionByName(
+        ErrorFrame.captureErrors(d.drop(NextAttemptTsCol), results, input).df)
+    }
+    val cachedAll = all.persist()
+    try {
+      val split = ErrorFrame(cachedAll, resultNames, input)
+        .filterRecoverable(classifier, failOnRecoverable = false)
+      split.values.drop(RetryCountCol).write.mode("overwrite")
+        .parquet(s"$valuesPath/batch_id=$batchId")
+      val rec = split.recoverable
+      val exhausted = rec.filter(col(RetryCountCol) + 1 > maxRetries)
+      deadLetterize(split.deadLettered, description)
+        .union(deadLetterize(exhausted, s"$description (retries exhausted)"))
+        .write.mode("overwrite").parquet(s"$dlqPath/batch_id=$batchId")
+      val retryable = rec.filter(col(RetryCountCol) + 1 <= maxRetries)
+        .drop("error_class", "error_message", "stack_trace")
+        .withColumn(RetryCountCol, col(RetryCountCol) + 1)
+        .withColumn(NextAttemptTsCol,
+          (lit(now) + lit(backoffMs.toDouble) *
+            pow(lit(2.0), col(RetryCountCol) - 1)).cast("long"))
+      val newPending = notDue match {
+        case None => retryable
+        case Some(nd) => nd.unionByName(retryable)
+      }
+      newPending.write.mode("overwrite").parquet(s"$pendingPath/epoch=$batchId")
+      // GC: of the epochs below batchId only the NEWEST is reachable (a
+      // replay of batchId re-reads exactly that one, never older) —
+      // collect the rest, including dirs stranded behind empty epochs
+      val prior = pendingEpochs(spark, pendingPath).filter(_ < batchId)
+      if (prior.size > 1) {
+        val p = new org.apache.hadoop.fs.Path(pendingPath)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        prior.dropRight(1).foreach { e =>
+          fs.delete(new org.apache.hadoop.fs.Path(p, s"epoch=$e"), true); ()
+        }
+      }
+    } finally { cachedAll.unpersist(); () }
+    ()
   }
 
   /** Watermarked tumbling-window counts — the streaming twin of the

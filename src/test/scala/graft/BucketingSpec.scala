@@ -10,30 +10,40 @@ class BucketingSpec extends SparkSpec {
   private def countShuffles(p: SparkPlan): Int =
     graft.sources.Layout.flattenPlan(p).count(_.isInstanceOf[ShuffleExchangeExec])
 
+  // UUID-suffixed names: a crashed prior run (or another suite sharing
+  // the metastore) must not fail saveAsTable with TableAlreadyExists
+  private def freshTag(): String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+
+  private def writeBucketed(df: org.apache.spark.sql.DataFrame, key: String,
+      buckets: Int, path: String, table: String): Unit =
+    // repartition on the bucket key BEFORE the bucketed write: one
+    // task per bucket -> ONE file per bucket instead of
+    // tasks × buckets slivers
+    df.repartition(buckets, col(key))
+      .write.format("parquet").bucketBy(buckets, key).sortBy(key)
+      .option("path", path).saveAsTable(table)
+
   test("bucketed tables join with zero exchanges (bucketed scans carry the join)") {
+    val tag = freshTag()
     val tmp = java.nio.file.Files.createTempDirectory("bucketspec").toString
+    val (ltab, rtab) = (s"bspec_left_$tag", s"bspec_right_$tag")
     try {
       val left = (0 until 1000).map(i => (i.toLong, s"p${i % 5}")).toDF("k", "prio")
       val right = (0 until 5000).map(i => ((i % 1000).toLong, i.toDouble)).toDF("k2", "qty")
-      // repartition on the bucket key BEFORE the bucketed write: one
-      // task per bucket -> ONE file per bucket instead of
-      // tasks × buckets slivers. (The merge-join's partition-local Sort
-      // still appears: since 3.0 Spark ignores bucket sortBy order on
-      // read unless spark.sql.legacy.bucketedTableScan.outputOrdering
-      // is set — the win under test is the absent Exchange, which is
-      // the part that costs a network pass at 100 TB.)
-      left.repartition(4, $"k")
-        .write.format("parquet").bucketBy(4, "k").sortBy("k")
-        .option("path", s"$tmp/left").saveAsTable("bspec_left")
-      right.repartition(4, $"k2")
-        .write.format("parquet").bucketBy(4, "k2").sortBy("k2")
-        .option("path", s"$tmp/right").saveAsTable("bspec_right")
+      // (The merge-join's partition-local Sort still appears: since 3.0
+      // Spark ignores bucket sortBy order on read unless
+      // spark.sql.legacy.bucketedTableScan.outputOrdering is set — the
+      // win under test is the absent Exchange, which is the part that
+      // costs a network pass at 100 TB.)
+      writeBucketed(left, "k", 4, s"$tmp/left", ltab)
+      writeBucketed(right, "k2", 4, s"$tmp/right", rtab)
       // hint("merge"): without it the planner broadcasts the small side
       // and disables the bucketed scan — fine at spec scale, but the
       // property under test is the 100-TB shape where neither side
       // broadcasts and the buckets must carry the join
-      val joined = spark.table("bspec_left").hint("merge")
-        .join(spark.table("bspec_right"), $"k" === $"k2")
+      val joined = spark.table(ltab).hint("merge")
+        .join(spark.table(rtab), $"k" === $"k2")
       assert(joined.count() === 5000L)
       // the bucketed layout IS the shuffle: the join must not add one
       assert(countShuffles(joined.queryExecution.executedPlan) === 0,
@@ -46,9 +56,47 @@ class BucketingSpec extends SparkSpec {
         s"scan did not use bucketed layout:\n$planStr")
       info(s"bucketed join plan:\n$planStr")
     } finally {
-      spark.sql("DROP TABLE IF EXISTS bspec_left")
-      spark.sql("DROP TABLE IF EXISTS bspec_right")
+      spark.sql(s"DROP TABLE IF EXISTS $ltab")
+      spark.sql(s"DROP TABLE IF EXISTS $rtab")
       SparkEntry.rmTree(tmp)
     }
+  }
+
+  test("bucket-count mismatch re-shuffles exactly ONE side (the 100x-scale footgun)") {
+    val tag = freshTag()
+    val tmp = java.nio.file.Files.createTempDirectory("bucketspec_mm").toString
+    val (ltab, rtab) = (s"bspec_mml_$tag", s"bspec_mmr_$tag")
+    try {
+      val left = (0 until 1000).map(i => (i.toLong, s"p${i % 5}")).toDF("k", "prio")
+      val right = (0 until 5000).map(i => ((i % 1000).toLong, i.toDouble)).toDF("k2", "qty")
+      // 4-bucket table joined to an 8-bucket table: the layouts hash the
+      // same key to DIFFERENT partition counts, so one side must
+      // re-shuffle — silently, which is why the bucket count is a
+      // corpus-wide convention at scale, not a per-table choice
+      writeBucketed(left, "k", 4, s"$tmp/left", ltab)
+      writeBucketed(right, "k2", 8, s"$tmp/right", rtab)
+      val joined = spark.table(ltab).hint("merge")
+        .join(spark.table(rtab), $"k" === $"k2")
+      assert(joined.count() === 5000L)
+      // exactly one Exchange: the mismatched side re-buckets, the other
+      // side's layout still carries its half of the join (two exchanges
+      // would mean bucketing bought nothing)
+      val n = countShuffles(joined.queryExecution.executedPlan)
+      assert(n === 1,
+        s"expected exactly 1 exchange for mismatched buckets, got $n:\n" +
+          joined.queryExecution.executedPlan)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $ltab")
+      spark.sql(s"DROP TABLE IF EXISTS $rtab")
+      SparkEntry.rmTree(tmp)
+    }
+  }
+
+  test("x4 bucket count is a conf knob (spark.graft.x4.buckets)") {
+    spark.conf.set("spark.graft.x4.buckets", "3")
+    try {
+      val out = SparkEntry.queries("x4_bucketed_join")(spark, "/root/testdata/sf0.001")
+      assert(out.count() === 5L) // five order priorities — result invariant to the knob
+    } finally spark.conf.unset("spark.graft.x4.buckets")
   }
 }

@@ -108,6 +108,27 @@ class ErrorFrameSpec extends SparkSpec {
     assert(h(ErrorHeaders.DESCRIPTION) == "desc")
   }
 
+  test("header parity: stackless capture keeps the key set, trace only when requested") {
+    val in = Seq(("a", "1"), ("b", "zap")).toDF("id", "s")
+    def headers(stackTraces: Boolean): Map[String, String] =
+      ErrorFrame.captureErrors(in,
+          Map("v" -> expr("cast(s as int)")), input = $"s",
+          stackTraces = stackTraces)
+        .withErrorHeaders("desc").select(explode($"headers").as("h"))
+        .select($"h.key", $"h.value".cast("string")).as[(String, String)].collect().toMap
+    val cheap = headers(stackTraces = false)
+    val full = headers(stackTraces = true)
+    // identical key sets — a consumer sees the same header schema either way
+    assert(cheap.keySet == full.keySet)
+    assert(cheap(ErrorHeaders.EXCEPTION_CLASS_NAME) ==
+      full(ErrorHeaders.EXCEPTION_CLASS_NAME))
+    assert(cheap(ErrorHeaders.EXCEPTION_MESSAGE) == full(ErrorHeaders.EXCEPTION_MESSAGE))
+    // the trace renders only when the capture was asked for it
+    assert(cheap(ErrorHeaders.EXCEPTION_STACK_TRACE) == null)
+    assert(full(ErrorHeaders.EXCEPTION_STACK_TRACE) != null &&
+      full(ErrorHeaders.EXCEPTION_STACK_TRACE).contains("SparkNumberFormatException"))
+  }
+
   test("kafka-shaped input: record lineage flows into headers and dead letters") {
     // the Spark Kafka source schema carries topic/partition/offset — the
     // record context of ErrorHeaderProcessor.java:54-76

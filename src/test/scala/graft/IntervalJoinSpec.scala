@@ -72,6 +72,42 @@ class IntervalJoinSpec extends SparkSpec {
     }
   }
 
+  test("left_outer: one null-extended row per matchless left row, same matches as inner") {
+    for ((lo, hi) <- Seq((0L, 1000L), (-500L, 500L), (1L, 1L), (-2000L, -1L))) {
+      val outer = IntervalJoin.binned(
+          left.toDF("lk", "lid", "lt"), right.toDF("rk", "rt"),
+          "lk", "rk", "lt", "rt", lo, hi, joinType = "left_outer")
+        .select($"lid", $"lt", $"rt")
+        .as[(Long, Long, Option[Long])].collect().toSeq
+      val inner = naive(left, right, lo, hi)
+      val matchedIds = inner.map(_._1).toSet
+      // matched part equals the inner join, with multiplicity
+      assert(outer.filter(_._3.isDefined).map(t => (t._1, t._2, t._3.get)).sorted
+        === inner.sorted, s"bounds [$lo,$hi]")
+      // every matchless left row appears exactly once, null-extended
+      val unmatched = outer.filter(_._3.isEmpty).map(_._1).sorted
+      assert(unmatched === left.map(_._2).filterNot(matchedIds).sorted, s"bounds [$lo,$hi]")
+    }
+  }
+
+  test("left_semi / left_anti: each left row at most once, partitioning the left side") {
+    for ((lo, hi) <- Seq((0L, 1000L), (-500L, 500L), (1L, 1L))) {
+      val matchedIds = naive(left, right, lo, hi).map(_._1).toSet
+      val semi = IntervalJoin.binned(
+          left.toDF("lk", "lid", "lt"), right.toDF("rk", "rt"),
+          "lk", "rk", "lt", "rt", lo, hi, joinType = "left_semi")
+        .select($"lid").as[Long].collect().toSeq
+      val anti = IntervalJoin.binned(
+          left.toDF("lk", "lid", "lt"), right.toDF("rk", "rt"),
+          "lk", "rk", "lt", "rt", lo, hi, joinType = "left_anti")
+        .select($"lid").as[Long].collect().toSeq
+      assert(semi.sorted === left.map(_._2).filter(matchedIds).sorted, s"bounds [$lo,$hi]")
+      assert(anti.sorted === left.map(_._2).filterNot(matchedIds).sorted, s"bounds [$lo,$hi]")
+      // no duplicates even though the right side is replicated ≤2×
+      assert(semi.distinct.length === semi.length && anti.distinct.length === anti.length)
+    }
+  }
+
   test("guards: shared names, reserved prefix, fractional times all fail fast") {
     val l = left.toDF("lk", "lid", "lt")
     val r = right.toDF("rk", "rt")

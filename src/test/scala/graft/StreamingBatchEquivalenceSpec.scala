@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamErrorHandling
+
+/** The streaming surfaces with oracle-verified batch twins (VERDICT r5
+  * item 8): run each over the SAME sf0.01 parquet via the file source
+  * and assert equality with the batch twin's output — closing the
+  * "spec-only" asterisk on SURVEY §2d without a DuckDB streaming
+  * analog. ST3 ↔ q20, ST4 ↔ d1, ST5 ↔ the q29-shaped batch interval
+  * join (same operator semantics; q24's as-of has unbounded lookback,
+  * so the bounded stream-stream join's honest twin is the bounded
+  * batch interval join), ST7 ↔ q26.
+  */
+class StreamingBatchEquivalenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.01"
+
+  /** Stage one table file into a fresh directory (the file source
+    * lists a directory, the testdata tables are single files).
+    */
+  private def staged(table: String): String = {
+    val dir = Files.createTempDirectory(s"graft-sbe-$table")
+    Files.copy(Paths.get(s"$sf/$table.parquet"), dir.resolve(s"$table.parquet"))
+    dir.toString
+  }
+
+  private def fileStream(dir: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema).parquet(dir)
+  }
+
+  test("ST3 windowedCounts over file-sourced events equals batch q20 hour x type counts") {
+    val dir = staged("events")
+    val stream = fileStream(dir)
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+    val out = StreamErrorHandling.windowedCounts(
+      stream, "ets", "1 hour", "2 hours", "event_type")
+    val q = out.writeStream.format("memory").queryName("sbe_wc")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sbe_wc")
+      .select($"window_start", $"event_type", $"n")
+      .as[(String, String, Long)].collect().toSet
+    val want = SparkEntry.queries("q20_hourly_events")(spark, sf)
+      .select($"hour", $"event_type", $"n")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("ST4 dedupStreaming over file-sourced documents equals batch d1 exact dedup") {
+    val dir = staged("documents")
+    val stream = fileStream(dir)
+      .withColumn("text_hash", md5($"text"))
+      // synthetic event time: content dedup has no real clock; a
+      // constant keeps every id inside one watermark horizon
+      .withColumn("ets", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    val out = StreamErrorHandling.dedupStreaming(stream, "text_hash", "ets", "1 hour")
+    val q = out.writeStream.format("memory").queryName("sbe_dd")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sbe_dd").select($"text_hash").as[String].collect()
+    val want = SparkEntry.queries("d1_exact_dedup")(spark, sf)
+      .select($"text_hash").as[String].collect()
+    // same number of survivors (one per duplicate class), same classes —
+    // WHICH copy survives is explicitly arbitrary in both
+    assert(got.length == want.length)
+    assert(got.toSet == want.toSet)
+  }
+
+  test("ST5 stream-stream interval join equals the batch binned interval join") {
+    val dir = staged("events")
+    def micros(c: String) = timestamp_micros(expr(s"$c div 1000"))
+    val evs = fileStream(dir)
+    // clicks in the 6 h BEFORE each error, as one self-joined stream
+    val errS = evs.filter($"event_type" === "error")
+      .select($"user_id".as("e_user"), $"event_id".as("e_id"), micros("ts").as("e_ts"))
+    val clkS = evs.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"event_id".as("c_id"), micros("ts").as("c_ts"))
+    val out = StreamErrorHandling.intervalJoin(
+      errS, clkS, "e_user", "c_user", "e_ts", "c_ts",
+      watermarkDelay = "1 hour", window = "6 hours")
+    val q = out.writeStream.format("memory").queryName("sbe_ij")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sbe_ij").select($"e_id", $"c_id")
+      .as[(Long, Long)].collect().sorted.toSeq
+
+    val ev = spark.read.parquet(s"$dir/events.parquet").withColumn("tus", expr("ts div 1000"))
+    val err = ev.filter($"event_type" === "error")
+      .select($"user_id".as("e_user"), $"event_id".as("e_id"), $"tus".as("e_t"))
+    val clk = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"event_id".as("c_id"), $"tus".as("c_t"))
+    // c_t - e_t ∈ [-6h, 0] ⟺ clicks at most 6 h before the error
+    val want = operators.IntervalJoin.binned(err, clk, "e_user", "c_user", "e_t", "c_t",
+        lower = -21600000000L, upper = 0L)
+      .select($"e_id", $"c_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == want)
+  }
+
+  test("ST7 session_window sessionize equals batch q26 per-user session stats") {
+    val dir = staged("events")
+    val stream = fileStream(dir)
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+    val out = StreamErrorHandling.sessionize(
+      stream, "ets", "user_id", gap = "4 hours", watermarkDelay = "2 hours")
+    val q = out.writeStream.format("memory").queryName("sbe_sess")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sbe_sess")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum($"n_events").as("n_events"),
+        max($"n_events").as("longest"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = SparkEntry.queries("q26_sessions")(spark, sf)
+      .select($"user_id", $"n_sessions", $"n_events", $"longest")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+}

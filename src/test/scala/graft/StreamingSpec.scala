@@ -182,16 +182,18 @@ class StreamingSpec extends SparkSpec {
       classifier = classifier, maxRetries = 3, backoffMs = 0L)
     def values() = spark.read.parquet(s"$tmp/values")
       .select($"s", $"v").as[(String, Long)].collect().toMap
+    def pendingCount(): Long = StreamErrorHandling
+      .readPending(spark, s"$tmp/ckpt/graft-pending").map(_.count()).getOrElse(0L)
     // trigger 1: poison dead-letters immediately; flaky + always carry over
     mem.addData("good", "flaky-row", "poison", "always-fails")
     q.processAllAvailable()
-    assert(spark.read.parquet(s"$tmp/ckpt/graft-pending").count() == 2)
+    assert(pendingCount() == 2)
     // trigger 2: an UNRELATED micro-batch processes while retries are
     // pending — the old in-trigger sleep design would have blocked it
     mem.addData("tick1")
     q.processAllAvailable()
     assert(values().keySet == Set("good", "tick1"))
-    assert(spark.read.parquet(s"$tmp/ckpt/graft-pending").count() == 2)
+    assert(pendingCount() == 2)
     // trigger 3: flaky-row's 3rd attempt succeeds into values
     mem.addData("tick2")
     q.processAllAvailable()
@@ -206,11 +208,57 @@ class StreamingSpec extends SparkSpec {
     assert(dlq.keySet == Set("poison", "always-fails"))
     assert(dlq("poison") == "retry test")
     assert(dlq("always-fails") == "retry test (retries exhausted)")
-    assert(spark.read.parquet(s"$tmp/ckpt/graft-pending").count() == 0)
+    assert(StreamErrorHandling.readPending(spark, s"$tmp/ckpt/graft-pending")
+      .map(_.count()).getOrElse(0L) == 0)
     // exact bounded attempt counts: flaky healed on attempt 3; always
     // was attempted 1 + maxRetries times
     assert(FlakyState.attempts.get("flaky-row").get() == 3)
     assert(FlakyState.attempts.get("always-fails").get() == 4)
+  }
+
+  test("retry store crash consistency: a replayed trigger rewrites its epoch, no duplicate retries") {
+    // drive processRetryTrigger directly (the exact body foreachBatch
+    // runs) with pinned batchIds and clocks: a crash between the
+    // pending-store write and the checkpoint commit means the SAME
+    // batchId runs twice — the second run must see the same input
+    // epoch and rewrite, not re-append or double-increment
+    val tmp = Files.createTempDirectory("graft-retry-replay").toString
+    val pPath = s"$tmp/pending"
+    val classifier = graft.core.ErrorClassifier(
+      Seq("org.apache.spark.SparkNumberFormatException"), Set.empty)
+    val results = Map("v" -> expr("cast(s as bigint)"))
+    def trigger(rows: Seq[String], batchId: Long, now: Long): Unit = {
+      // foreachBatch receives the CAPTURED stream frame; mirror that
+      val captured = graft.core.ErrorFrame.captureErrors(
+        rows.toDF("s"), results, input = col("s"))
+      StreamErrorHandling.processRetryTrigger(
+        captured.df, batchId, captured.resultNames, results, col("s"), "replay test",
+        s"$tmp/values", s"$tmp/dlq", pPath, classifier,
+        maxRetries = 3, backoffMs = 1000L, now = now)
+    }
+    def pendingState(): Seq[(String, Int)] = StreamErrorHandling
+      .readPending(spark, pPath)
+      .map(_.select($"s", col(StreamErrorHandling.RetryCountCol).cast("int"))
+        .as[(String, Int)].collect().toSeq.sorted)
+      .getOrElse(Nil)
+
+    trigger(Seq("1", "bad"), batchId = 0L, now = 1000L)
+    assert(pendingState() == Seq(("bad", 1)))
+    // crash-replay of batch 0 (later wall clock): same pending state out
+    trigger(Seq("1", "bad"), batchId = 0L, now = 5000L)
+    assert(pendingState() == Seq(("bad", 1)), "replay re-appended or re-incremented")
+    // batch 1: 'bad' is due (next_attempt 6000 <= 10000), fails again
+    trigger(Seq("2"), batchId = 1L, now = 10000L)
+    assert(pendingState() == Seq(("bad", 2)))
+    // crash-replay of batch 1: reads epoch 0 again, rewrites epoch 1
+    trigger(Seq("2"), batchId = 1L, now = 10000L)
+    assert(pendingState() == Seq(("bad", 2)), "replay re-appended or re-incremented")
+    // values are per-batch-dir overwrites: no duplicates across replays
+    val vals = spark.read.parquet(s"$tmp/values").select($"s", $"v")
+      .as[(String, Long)].collect().toSeq.sorted
+    assert(vals == Seq(("1", 1L), ("2", 2L)))
+    // epoch GC: batch 1's second run leaves at most epochs {0, 1}
+    assert(StreamErrorHandling.pendingEpochs(spark, pPath).toSet.subsetOf(Set(0L, 1L)))
   }
 
   test("intervalJoin matches rights within the time bound only") {
