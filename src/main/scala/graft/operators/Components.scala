@@ -46,21 +46,19 @@ object Components {
     val spark = edges0.sparkSession
     val edges = edges0.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    // symmetrize in ONE pass over the (possibly expensive) upstream pair
-    // pipeline — a self-union would plan it twice. Duplicate edges are
-    // harmless: every combine below is a min.
-    val sym = edges
-      .select(explode(array(
-        struct(col("src"), col("dst")),
-        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .persist()
-
-    val edgeCount = sym.count() / 2
+    // neither regime needs pre-symmetrized edges: union-find treats
+    // (a,b) and (b,a) identically, and the distributed path symmetrizes
+    // AFTER local contraction when the edge set has already shrunk to
+    // ≈|V| stars. Forced-distributed (bound ≤ 0) skips the sizing
+    // count entirely — the expensive pair pipeline then feeds exactly
+    // one pass (the contraction scan), no persist round-trip.
+    if (driverSolveMaxEdges <= 0L) return propagate(edges, maxIter)
+    val e = edges.persist()
+    val edgeCount = e.count()
     val result =
-      if (edgeCount <= driverSolveMaxEdges) driverUnionFind(spark, sym)
-      else propagate(sym, maxIter)
-    sym.unpersist()
+      if (edgeCount <= driverSolveMaxEdges) driverUnionFind(spark, e)
+      else propagate(e, maxIter)
+    e.unpersist()
     result
   }
 
@@ -69,7 +67,7 @@ object Components {
     * `find` directly yields the canonical label.
     */
   private def driverUnionFind(spark: org.apache.spark.sql.SparkSession,
-      sym: DataFrame): DataFrame = {
+      edges: DataFrame): DataFrame = {
     val parent = new java.util.HashMap[Long, Long]
     def find(x: Long): Long = {
       var r = x
@@ -78,9 +76,9 @@ object Components {
       while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
       r
     }
-    // both directions arrive; one suffices for union-find (<= keeps
-    // self-loops, whose vertices must still appear in the output)
-    val it = sym.filter(col("src") <= col("dst")).toLocalIterator()
+    // raw (un-symmetrized) edges: union is commutative, self-loops only
+    // pin their vertex into the output
+    val it = edges.toLocalIterator()
     while (it.hasNext) {
       val row = it.next()
       val (a, b) = (row.getLong(0), row.getLong(1))
@@ -136,17 +134,23 @@ object Components {
       }.toDF("src", "dst")
   }
 
-  private def propagate(sym0: DataFrame, maxIter: Int): DataFrame = {
+  private def propagate(edges: DataFrame, maxIter: Int): DataFrame = {
     // contract locally first, then pointer-jump over the star edges only
-    // (symmetrized: min-label propagation needs both directions)
-    val sym = contractLocal(sym0)
+    // (symmetrized AFTER contraction — the explode then doubles ≈|V|
+    // star rows, not |E| raw pairs; min-label needs both directions)
+    val sym = contractLocal(edges)
       .select(explode(array(
         struct(col("src"), col("dst")),
         struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
-    var labels = sym.select(col("src").as("v")).distinct()
-      .select(col("v"), col("v").as("label"))
+    // round-0 labels straight off the star frame: label(v) = min over
+    // {v} ∪ neighbors — one aggregate instead of a distinct() PLUS the
+    // first 1-hop round (against identity labels the neighbor-min join
+    // IS this aggregate)
+    var labels = sym.groupBy(col("src"))
+      .agg(min(col("dst")).as("m"))
+      .select(col("src").as("v"), least(col("m"), col("src")).as("label"))
       .localCheckpoint()
     var prevSum = labels.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
 
