@@ -677,9 +677,13 @@ object SparkEntry {
       blockCol = "source", threshold = 0.1)
     val cc = operators.Components.connected(pairs, "da", "db",
       driverSolveMaxEdges = driverSolveMaxEdges)
-    val sizes = cc.groupBy($"component").agg(count(lit(1)).as("cluster_size"))
-    cc.join(sizes, "component")
-      .select($"v".as("doc_id"), $"component".as("cluster_id"), $"cluster_size")
+    // cluster sizes via a window count: one exchange on component over
+    // the (checkpointed, tiny) label frame vs the groupBy+join back's
+    // two, and identical values — count(*) over the partition IS the
+    // group count
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"component")
+    cc.select($"v".as("doc_id"), $"component".as("cluster_id"),
+        count(lit(1)).over(w).as("cluster_size"))
       .orderBy($"doc_id")
   }
 

