@@ -845,6 +845,35 @@ object SparkEntry {
       .orderBy($"lang", $"n".desc, $"token")
   }
 
+  private def p9(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // exact per-source quota mix: fixed budgets per stratum, chosen by
+    // smallest salted hash — bucketed SELECTION, never a stratum sort
+    operators.Pipeline.quotaSample(
+        t(s, dir, "documents").select($"doc_id", $"source"),
+        "source",
+        Map("src0" -> 7L, "src1" -> 3L, "src5" -> 12L, "src7" -> 1L,
+          "src12" -> 25L),
+        $"doc_id")
+      .orderBy($"doc_id")
+  }
+
+  private def t10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // dictionary encoding: top-30 vocab by global frequency, documents
+    // re-encoded as token-id arrays, OOV -> -1 (the step between
+    // tokenization and p3's sequence packing). The oracle compare
+    // can't hash raw array cells (the d7 lesson), so the QUERY
+    // projects the array losslessly: csv render + counts.
+    operators.TextAnalysis.encodeWithVocab(t(s, dir, "documents"), vocabSize = 30)
+      .select($"doc_id",
+        concat_ws(",", transform($"token_ids", _.cast("string"))).as("ids_csv"),
+        size($"token_ids").cast("long").as("n_tokens"),
+        aggregate($"token_ids", lit(0L),
+          (a, x) => a + when(x === -1L, 1L).otherwise(0L)).as("n_oov"))
+      .orderBy($"doc_id")
+  }
+
   private def d11(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // snapshot diff: yesterday = corpus minus the 7-multiples; today =
@@ -1234,6 +1263,8 @@ object SparkEntry {
     "x2_layout_roundtrip" -> (x2 _),
     "d10_dedup_apply" -> (d10 _),
     "t8_vocab_topk" -> (t8 _),
+    "t10_vocab_encode" -> (t10 _),
+    "p9_mix_quota" -> (p9 _),
     "d11_snapshot_diff" -> (d11 _),
     "p7_quality_gate" -> (p7 _),
     "q29_interval_join" -> (q29 _),
@@ -1994,6 +2025,32 @@ object SparkEntry {
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rn
         |  FROM c)
         |SELECT lang, token, n FROM r WHERE rn <= 10 ORDER BY lang, n DESC, token""".stripMargin,
+    "p9_mix_quota" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR))) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source FROM ranked
+        |WHERE rn <= CASE source WHEN 'src0' THEN 7 WHEN 'src1' THEN 3
+        |  WHEN 'src5' THEN 12 WHEN 'src7' THEN 1 WHEN 'src12' THEN 25
+        |  ELSE 0 END
+        |ORDER BY doc_id""".stripMargin,
+    "t10_vocab_encode" ->
+      """WITH tok AS (
+        |  SELECT doc_id, i - 1 AS pos, ls[i] AS token
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ls
+        |        FROM documents),
+        |       LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i) t),
+        |wc AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+        |r AS (SELECT token, ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) - 1 AS tid FROM wc),
+        |dict AS (SELECT token, tid FROM r WHERE tid < 30),
+        |enc AS (SELECT doc_id, array_agg(COALESCE(d.tid, -1) ORDER BY pos) AS token_ids
+        |  FROM tok LEFT JOIN dict d USING (token) GROUP BY doc_id)
+        |SELECT doc_id, array_to_string(token_ids, ',') AS ids_csv,
+        |  len(token_ids) AS n_tokens,
+        |  len(list_filter(token_ids, x -> x = -1)) AS n_oov
+        |FROM enc ORDER BY doc_id""".stripMargin,
     "d11_snapshot_diff" ->
       """WITH a AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 <> 0),
         |b AS (SELECT doc_id, md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS h

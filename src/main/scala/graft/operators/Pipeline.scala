@@ -211,4 +211,64 @@ object Pipeline {
         min(when(keep, keyCol)).as("first_key"))
       .withColumn("rate", col("n_sampled").cast("double") / col("n_total"))
   }
+
+  /** EXACT per-stratum quota sampling: keep precisely
+    * `min(quota(s), n_s)` rows of each stratum — the rows with the
+    * smallest salted-md5 hashes, so the sample is deterministic,
+    * re-runnable, and grows monotonically with the quota (a larger
+    * quota keeps a superset). The exact-budget complement of
+    * [[stratifiedSample]]'s rate-based cutoffs (sampling an eval set
+    * or a fixed token-budget mix wants counts, not rates).
+    *
+    * Scale shape — selection, not sort: a per-stratum
+    * `row_number() ≤ k` window would sort every stratum (tens of TB
+    * per task at corpus scale). Instead the hash's FIRST BYTE buckets
+    * each row into 256 uniform ranges (the hash is uniform by
+    * construction, so no min/max sizing pass is needed — same
+    * bucketed-selection idea as [[Quantiles.boundaries]]):
+    * one aggregate counts (stratum, bucket); cumulative counts mark
+    * each bucket fully-kept / boundary / dropped; only the ONE
+    * boundary bucket per stratum (expected n_s/256 rows) is sorted —
+    * via a window whose partitions are 256× smaller than a stratum —
+    * and truncated to the remaining need. Both decision joins
+    * broadcast a ≤ strata×256-row frame. Ties cannot occur for
+    * distinct keys (equal md5 ⇒ equal salted key string).
+    */
+  def quotaSample(df: DataFrame, stratumCol: String, quotas: Map[String, Long],
+      keyCol: Column, salt: String = "graft"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withH = df
+      .withColumn("__h", md5(concat(lit(salt), lit(":"), keyCol.cast("string"))))
+      // first hex byte = bucket 0..255; lexicographic order of __h within
+      // [0-9a-f]{2} prefixes IS numeric bucket order
+      .withColumn("__b", conv(substring(col("__h"), 1, 2), 16, 10).cast("int"))
+    // NOTE the grouped columns are ALIASED to fresh names (__s/__bb):
+    // grouping keeps the child's expression id, so joining the
+    // aggregate back to withH on a bare "__b" would resolve both sides
+    // to the SAME attribute — a trivially-true predicate and a wrong
+    // join (the classic Spark self-join-lineage trap).
+    val cum = withH.groupBy(col(stratumCol).as("__s"), col("__b").as("__bb"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__before", coalesce(
+        sum(col("__c")).over(Window.partitionBy(col("__s")).orderBy(col("__bb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__q", quotas.toSeq.sortBy(_._1).foldRight(lit(0L)) {
+        case ((k, v), acc) => when(col("__s") === k, lit(v)).otherwise(acc)
+      })
+    val fullBuckets = cum.filter(col("__before") + col("__c") <= col("__q"))
+      .select(col("__s"), col("__bb"))
+    val boundary = cum
+      .filter(col("__before") < col("__q") && col("__q") < col("__before") + col("__c"))
+      .select(col("__s"), col("__bb"), (col("__q") - col("__before")).as("__need"))
+    val keptFull = withH.join(broadcast(fullBuckets),
+      withH(stratumCol) === col("__s") && withH("__b") === col("__bb"))
+      .select(df.columns.map(col): _*)
+    val keptBoundary = withH.join(broadcast(boundary),
+        withH(stratumCol) === col("__s") && withH("__b") === col("__bb"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__s"), col("__bb")).orderBy(col("__h"))))
+      .filter(col("__rn") <= col("__need"))
+      .select(df.columns.map(col): _*)
+    keptFull.unionAll(keptBoundary)
+  }
 }

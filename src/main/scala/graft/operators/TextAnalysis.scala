@@ -132,6 +132,41 @@ object TextAnalysis {
       .select(col("gram"), col("n_docs"), col("doc_frac"))
   }
 
+  /** Dictionary encoding: build the top-`vocabSize` token vocabulary by
+    * global frequency (ties broken lexicographically, so ids are
+    * deterministic) and re-encode every document as its token-id array
+    * with out-of-vocabulary tokens mapped to `oovId` — the step between
+    * tokenization and sequence packing ([[Pipeline]] `packSequences`).
+    *
+    * Scale shape: the global top-V is sort+limit, which Spark plans as
+    * TakeOrderedAndProject (bounded per-partition heaps merged on the
+    * driver — never a full vocabulary sort, and at 100 TB the Zipfian
+    * tail IS the table); ids come from one row_number window over the
+    * V-row result (single partition by construction — V is the fixed
+    * vocab budget, not data-scaled); the dictionary broadcast-joins the
+    * exploded token stream (V rows, explicitly `broadcast()`), and
+    * documents reassemble with one hash aggregate on doc_id: collect
+    * (pos, id) structs, sort in-row, project the ids out in order.
+    */
+  def encodeWithVocab(docs: DataFrame, vocabSize: Int, oovId: Long = -1L,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(vocabSize)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token").asc)
+    val dict = vocab.select(col("token"),
+      (row_number().over(w) - 1).cast("long").as("tid"))
+    toks.join(broadcast(dict), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"),
+        coalesce(col("tid"), lit(oovId)).as("tid")))).as("st"))
+      .select(col("doc_id"),
+        transform(col("st"), x => x.getField("tid")).as("token_ids"))
+  }
+
   /** Deterministic hash sampling: keep rows whose salted md5 falls under
     * a hex-prefix cutoff — reproducible across engines and runs, the
     * right way to cut a stable x% slice of a 100 TB corpus (no RNG

@@ -208,6 +208,18 @@ class OperatorsSpec extends SparkSpec {
     assert(r2.getSeq[Int](r2.fieldIndex("q")).forall(_ == 0))
   }
 
+  test("encodeWithVocab: rank ids, deterministic ties, OOV, token order") {
+    val d = Seq(
+      (0L, "b a b c b a"),   // b:3 a:2 c:1
+      (1L, "a a z"))         // a:2 -> totals: a=4, b=3, c=1, z=1
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.encodeWithVocab(d, vocabSize = 3)
+      .orderBy("doc_id").collect()
+    // ids by (count desc, token asc): a=0, b=1, c=2; z is OOV
+    assert(r(0).getSeq[Long](1) == Seq(1L, 0L, 1L, 2L, 1L, 0L))
+    assert(r(1).getSeq[Long](1) == Seq(0L, 0L, -1L))
+  }
+
   test("boilerplateNGrams: doc frequency over distinct per-doc grams") {
     // "the quick brown" appears in docs 0,1,3 (distinct per doc) -> df 3/4
     val bp = TextAnalysis.boilerplateNGrams(docs, n = 3, minDocFrac = 0.7)

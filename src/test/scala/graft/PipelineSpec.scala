@@ -111,6 +111,27 @@ class PipelineSpec extends SparkSpec {
     assert(withZero.forall(_._1 < 10) && withZero.length === 10)
   }
 
+  test("quotaSample keeps exactly min(quota, n) per stratum, deterministically") {
+    val df = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("id", "stratum")
+    val out = Pipeline.quotaSample(df, "stratum",
+      Map("s0" -> 7L, "s1" -> 250L, "s2" -> 0L), col("id"))
+    val byStratum = out.groupBy("stratum").count().as[(String, Long)]
+      .collect().toMap
+    // s0: quota 7 of 100; s1: quota 250 > n=100 keeps all; s2: quota 0
+    assert(byStratum == Map("s0" -> 7L, "s1" -> 100L))
+    // monotone: a larger quota keeps a superset (same hash order)
+    val small = Pipeline.quotaSample(df, "stratum", Map("s0" -> 3L), col("id"))
+      .select("id").as[Long].collect().toSet
+    val large = Pipeline.quotaSample(df, "stratum", Map("s0" -> 7L), col("id"))
+      .select("id").as[Long].collect().toSet
+    assert(small.subsetOf(large) && small.size == 3 && large.size == 7)
+    // matches the brute-force rank-by-hash definition
+    val brute = df.withColumn("h", md5(concat_ws("", lit("graft:"), col("id"))))
+      .filter($"stratum" === "s0").orderBy($"h").limit(7)
+      .select("id").as[Long].collect().toSet
+    assert(large == brute)
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged") {
     val a = Seq((1L, "same"), (2L, "old text"), (3L, "gone")).toDF("doc_id", "text")
     val b = Seq((1L, "same"), (2L, "new text"), (4L, "fresh")).toDF("doc_id", "text")
