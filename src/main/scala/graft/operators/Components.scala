@@ -161,6 +161,12 @@ object Components {
       .select(col("src").as("v"), least(col("m"), col("src")).as("label"))
       .localCheckpoint()
     var prevSum = labels.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    // empty edge frame: sum over zero rows is a NULL decimal — return
+    // the (empty) label frame instead of NPE-ing on compareTo below
+    if (prevSum == null) {
+      sym.unpersist()
+      return labels.select(col("v"), col("label").as("component"))
+    }
 
     var i = 0
     var converged = false

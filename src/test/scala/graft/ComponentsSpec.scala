@@ -65,6 +65,12 @@ class ComponentsSpec extends SparkSpec {
       assert(labels.count() === n.toLong)
     }
 
+    test(s"connected ($mode): empty edge frame yields an empty result") {
+      val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+      assert(Components.connected(empty, "a", "b",
+        driverSolveMaxEdges = cap).count() == 0L)
+    }
+
     test(s"connected ($mode): duplicate and reversed edges are harmless") {
       val edges = Seq((2L, 1L), (1L, 2L), (2L, 1L), (3L, 3L)).toDF("a", "b")
       val got = Components.connected(edges, "a", "b", driverSolveMaxEdges = cap)
