@@ -73,8 +73,29 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** The events table's `ts` contract downstream is LONG NANOS.
+    * Testdata generations have shipped it both as TIMESTAMP(NANOS)
+    * (already a long under `spark.sql.legacy.parquet.nanosAsLong`) and
+    * as TIMESTAMP(MICROS); normalize any timestamp variant to long
+    * nanos here so every consumer sees one type. Micros→nanos is exact
+    * (×1000, no precision at stake); all graft sessions pin the UTC
+    * session time zone, so the NTZ→LTZ cast is the identity.
+    */
+  def withNanosTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampType) |
+           Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.unix_micros(
+            org.apache.spark.sql.functions.col("ts")
+              .cast(org.apache.spark.sql.types.TimestampType)) * 1000L)
+      case _ => df
+    }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") withNanosTs(df) else df
+  }
 
   def views(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

@@ -924,6 +924,41 @@ object SparkEntry {
       .orderBy($"qid", $"rank")
   }
 
+  private def t11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // unigram-LM commonness: integer-exact corpus frequencies averaged
+    // per document, one double division at the end — the perplexity-
+    // filter signal without a trained LM
+    operators.TextAnalysis.commonness(t(s, dir, "documents"))
+      .orderBy($"doc_id")
+  }
+
+  private def p10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // deterministic shuffle-shard: reproducible (shard, pos) loader
+    // addresses from a salted hash — the training-dump write order
+    operators.Pipeline.shuffleShard(
+        t(s, dir, "documents").select($"doc_id"), $"doc_id", numShards = 8)
+      .select($"doc_id", $"shard", $"pos")
+      .orderBy($"shard", $"pos")
+  }
+
+  private def s8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // product quantization: seed codebooks (4 × 16-dim subspaces, 8
+    // codes), scan-bound encode, ADC top-5 per query over codes only
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("qid"),
+        operators.Similarity.toDoubleVec($"embedding").as("qv"))
+    operators.Similarity.pqAdcTopK(emb, queries, m = 4, k = 8, topK = 5)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+          .orderBy($"approx_d2", $"vec_id")).cast("int"))
+      .select($"qid", $"rank", $"vec_id", $"approx_d2")
+      .orderBy($"qid", $"rank")
+  }
+
   private[graft] def rmTree(path: String): Unit = {
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
@@ -1274,6 +1309,9 @@ object SparkEntry {
     "p8_contam_fuzzy" -> (p8 _),
     "x4_bucketed_join" -> (x4 _),
     "j2_csv_ingest" -> (j2 _),
+    "t11_commonness" -> (t11 _),
+    "p10_shuffle_shard" -> (p10 _),
+    "s8_pq_adc" -> (s8 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2164,5 +2202,50 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
         | CAST(SUM(CASE WHEN doc_id % 50 <> 0 THEN n_chars END) AS BIGINT) AS sum_n
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "t11_commonness" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |f AS (SELECT token, COUNT(*) AS tf FROM tok GROUP BY token)
+        |SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(tf) AS BIGINT) AS sum_tf,
+        |  CAST(SUM(tf) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS commonness
+        |FROM tok JOIN f USING (token)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "p10_shuffle_shard" ->
+      """WITH h AS (SELECT doc_id, md5('graft:' || CAST(doc_id AS VARCHAR)) AS hx
+        |  FROM documents)
+        |SELECT doc_id,
+        |  ('0x' || substr(hx, 1, 8))::BIGINT % 8 AS shard,
+        |  CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY ('0x' || substr(hx, 1, 8))::BIGINT % 8
+        |    ORDER BY hx, doc_id) AS BIGINT) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin,
+    "s8_pq_adc" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |ss AS (SELECT unnest(range(0, 4)) AS s),
+        |sub AS (SELECT vec_id, s,
+        |  list_transform(range(1, 17), i -> v[CAST(s*16 + i AS INT)]) AS vs
+        | FROM e CROSS JOIN ss),
+        |subn AS (SELECT vec_id, s, vs,
+        |  list_reduce(list_transform(vs, x -> x*x), (x,y) -> x+y) AS vv FROM sub),
+        |seed AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8),
+        |cb AS (SELECT s, ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS cid,
+        |  vs AS c, vv AS cc
+        | FROM subn WHERE vec_id IN (SELECT vec_id FROM seed)),
+        |d AS (SELECT n.vec_id, n.s, cb.cid,
+        |  n.vv + cb.cc - 2 * list_reduce(list_transform(range(1, 17),
+        |    i -> n.vs[i]*cb.c[i]), (x,y) -> x+y) AS d2
+        | FROM subn n JOIN cb ON n.s = cb.s),
+        |codes AS (SELECT vec_id, s, cid FROM (
+        |  SELECT vec_id, s, cid, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+        |  FROM d) WHERE rn = 1),
+        |dtab AS (SELECT vec_id AS qid, s, cid, d2 FROM d WHERE vec_id < 20),
+        |scored AS (SELECT dt.qid, c.vec_id,
+        |  list_reduce(array_agg(dt.d2 ORDER BY dt.s), (x,y) -> x+y) AS approx_d2
+        | FROM codes c JOIN dtab dt ON c.s = dt.s AND c.cid = dt.cid
+        | GROUP BY dt.qid, c.vec_id),
+        |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (
+        |  PARTITION BY qid ORDER BY approx_d2, vec_id) AS INT) AS rank FROM scored)
+        |SELECT qid, rank, vec_id, approx_d2 FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
   )
 }

@@ -271,4 +271,34 @@ object Pipeline {
       .select(df.columns.map(col): _*)
     keptFull.unionAll(keptBoundary)
   }
+
+  /** Deterministic shuffle-shard — the last step before a training data
+    * loader: every row gets a `(shard, pos)` address from a salted md5,
+    * so the global "random" order is reproducible (same salt + corpus ⇒
+    * same layout), resumable (a loader can seek to (shard, pos)), and
+    * independent of input partitioning. `shard` is the hash's first 8
+    * hex digits mod `numShards`; `pos` ranks the full hash within the
+    * shard (ties impossible up to md5 collision; key breaks them
+    * anyway).
+    *
+    * Scale shape: ONE shuffle keyed by shard + a per-shard sort — which
+    * is exactly the physical write pattern of a sharded training dump
+    * (shard = output file), so the sort is not overhead, it IS the
+    * deliverable order. `numShards` should scale with the corpus
+    * (e.g. ~1 GiB of packed sequences per shard at 100 TB ⇒ O(10⁵)
+    * shards), keeping each per-shard sort partition-sized; the hash is
+    * uniform so shards are balanced by construction.
+    */
+  def shuffleShard(df: DataFrame, keyCol: Column, numShards: Int,
+      salt: String = "graft"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(numShards >= 1, s"numShards must be >= 1: $numShards")
+    val h = md5(concat(lit(salt), lit(":"), keyCol.cast("string")))
+    df.withColumn("__h", h)
+      .withColumn("shard",
+        pmod(conv(substring(col("__h"), 1, 8), 16, 10).cast("long"), lit(numShards.toLong)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("__h"), keyCol)).cast("long"))
+      .drop("__h")
+  }
 }

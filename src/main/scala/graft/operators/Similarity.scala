@@ -281,6 +281,80 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"), (col("sx") / col("n")).as("m")))),
         e => e("m")).as("centroid"), max(col("n")).as("n_assigned"))
 
+  /** Product-quantization codebooks: the embedding dimension splits into
+    * `m` contiguous subspaces, each with `k` centroids seeded from the k
+    * lowest-id vectors' subvectors (the deterministic [[seedCentroids]]
+    * contract — swap in per-subspace [[kmeansTrain]] for trained
+    * codebooks; the seeding keeps the oracle bit-exact). Driver state =
+    * m × k × (dim/m) = k × dim doubles — the broadcast-join bound.
+    * Returns, per subspace, the centroid list indexed by code 0..k−1
+    * (code order = ascending seed vec_id).
+    */
+  def pqCodebooks(vectors: DataFrame, m: Int, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): Seq[Seq[Seq[Double]]] = {
+    val v = vectors.select(col(idCol).as("vec_id"), toDoubleVec(col(embCol)).as("v"))
+    val seeds = seedCentroids(v, k)
+    val dim = seeds.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    (0 until m).map(s => seeds.map(_._2.slice(s * sub, (s + 1) * sub)))
+  }
+
+  /** PQ encode: each vector becomes its `m` per-subspace nearest-centroid
+    * codes — `m` [[graft.functions.NearestCentroid]] argmin expressions
+    * over driver-embedded codebooks, so encoding is scan-bound with NO
+    * shuffle and no join. At 100 TB this is the whole point: the encoded
+    * table is m small ints per vector (m·log₂k bits of information)
+    * instead of dim floats — a 256-byte embedding compresses to a
+    * 4-code row the ADC scan reads instead of the vector.
+    */
+  def pqEncode(vectors: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val k = codebooks.head.length
+    val sub = codebooks.head.head.length
+    val v = vectors.select(col(idCol).as("vec_id"), toDoubleVec(col(embCol)).as("v"))
+    val codeCols = (0 until m).map { s =>
+      graft.functions.NearestCentroid(slice(col("v"), s * sub + 1, sub),
+        (0L until k.toLong), codebooks(s)).getField("cluster_id")
+    }
+    v.select(col("vec_id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query
+    * precomputes its m × k distance table dist²(q_s, c) — ONE flattened
+    * s-major array column on the (tiny, broadcast) query side — and
+    * scoring a candidate is a pure in-row lookup-and-fold over its m
+    * codes: O(m) adds per pair instead of O(dim) multiplies, reading
+    * 4 codes instead of the vector. approx_d2 = Σ_s table[s][code_s],
+    * folded in fixed subspace order (left fold ⇒ bit-exact in any
+    * engine). Top-k per query through the bounded-heap TopKPerKey
+    * operator — never a global sort. This full-corpus ADC scan is the
+    * IVFADC building block: compose with the IVF label join (s2/s5) to
+    * restrict candidates to probed cells at scale.
+    */
+  def pqAdcTopK(vectors: DataFrame, queries: DataFrame, m: Int, k: Int,
+      topK: Int): DataFrame = {
+    val cb = pqCodebooks(vectors, m, k)
+    val sub = cb.head.head.length
+    val encoded = pqEncode(vectors, cb)
+    val dCols: Seq[Column] = for (s <- 0 until m; c <- 0 until k) yield {
+      val qs = slice(col("qv"), s * sub + 1, sub)
+      // ‖c‖² as the same driver-side left fold VectorDot performs
+      val cc = cb(s)(c).foldLeft(0.0)((a, x) => a + x * x)
+      dot(qs, qs) + lit(cc) - lit(2.0) * dot(qs, typedLit(cb(s)(c)))
+    }
+    val q = queries.select(col("qid"), array(dCols: _*).as("darr"))
+    val scored = encoded.crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, s) => acc + element_at(col("darr"),
+            (s * k).cast("int") + element_at(col("codes"), s + 1).cast("int") + lit(1)))
+          .as("approx_d2"))
+    TopK.perKey(scored, keys = Seq("qid"),
+      orderBy = Seq(TopK.asc("approx_d2"), TopK.asc("vec_id")), k = topK)
+  }
+
   /** Embedding near-duplicate pairs: same-partition blocking + cosine
     * threshold. Quadratic only within a block.
     */

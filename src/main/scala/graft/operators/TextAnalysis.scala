@@ -167,6 +167,36 @@ object TextAnalysis {
         transform(col("st"), x => x.getField("tid")).as("token_ids"))
   }
 
+  /** Unigram-LM commonness score — the CCNet-style "how much does this
+    * document look like the corpus" quality proxy, made integer-exact:
+    * corpus-wide token frequencies are joined back onto each document's
+    * token stream and averaged. High scores = stopword-heavy common
+    * prose; low scores = rare-token salad (OCR noise, code, spam) — the
+    * per-document signal a perplexity filter thresholds on, without a
+    * trained LM. All aggregation is BIGINT (`sum(tf)`, `count(*)`);
+    * the only floating-point op is ONE final division, so the result is
+    * bit-exact in any engine (the CLAUDE invariant that keeps doubles
+    * out of multi-row sums).
+    *
+    * Scale shape: both the frequency build and the join-back shuffle the
+    * exploded token stream on `token`, and the two exchanges are
+    * canonically identical, so AQE plans the second as a ReusedExchange —
+    * ONE token shuffle total, then one doc_id shuffle for the per-doc
+    * mean. Stopword keys are heavy (Zipf) but each reduces map-side
+    * (frequency) or joins 1 small row (join-back), and AQE skew-split
+    * handles the residual imbalance — no salting needed because the
+    * per-key state is a counter, not a buffer.
+    */
+  def commonness(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    toks.join(freq, "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("tf")).as("sum_tf"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_tf"),
+        (col("sum_tf").cast("double") / col("n_tokens").cast("double")).as("commonness"))
+  }
+
   /** Deterministic hash sampling: keep rows whose salted md5 falls under
     * a hex-prefix cutoff — reproducible across engines and runs, the
     * right way to cut a stable x% slice of a 100 TB corpus (no RNG

@@ -107,6 +107,33 @@ class KMeansSpec extends SparkSpec {
     assert(found(8) == exact)
   }
 
+  test("pq: codebooks slice seed vectors; encode picks nearest code per subspace") {
+    // m=2 subspaces of 1 dim, k=2 seed codebooks from vecs 0 (0,0), 1 (10,10)
+    val cb = Similarity.pqCodebooks(vecs, m = 2, k = 2)
+    assert(cb == Seq(Seq(Seq(0.0), Seq(10.0)), Seq(Seq(0.0), Seq(10.0))))
+    val codes = Similarity.pqEncode(vecs, cb)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(codes(0L) == Seq(0L, 0L)) // seeds encode to themselves
+    assert(codes(1L) == Seq(1L, 1L))
+    assert(codes(2L) == Seq(0L, 0L)) // (0.5, 0) nearest 0 in both subspaces
+    assert(codes(3L) == Seq(1L, 1L)) // (9, 10)
+    assert(codes(4L) == Seq(0L, 0L)) // (0, 1)
+  }
+
+  test("pq ADC: approx distance is the sum of per-subspace code distances") {
+    val queries = vecs.filter($"vec_id" < 2)
+      .select($"vec_id".as("qid"), Similarity.toDoubleVec($"embedding").as("qv"))
+    val got = Similarity.pqAdcTopK(vecs, queries, m = 2, k = 2, topK = 5)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (q, rs) =>
+        q -> rs.sortBy(r => (r._3, r._2)).map(r => (r._2, r._3)).toSeq
+      }
+    // q0 = (0,0): vecs 0,2,4 carry codes [0,0] -> approx 0; 1,3 -> 100+100
+    assert(got(0L) == Seq((0L, 0.0), (2L, 0.0), (4L, 0.0), (1L, 200.0), (3L, 200.0)))
+    // q1 = (10,10): mirrored
+    assert(got(1L) == Seq((1L, 0.0), (3L, 0.0), (0L, 200.0), (2L, 200.0), (4L, 200.0)))
+  }
+
   test("lloydStep: per-cluster element-wise means") {
     val assigned = Similarity.kmeansAssign(vecs, k = 2)
       .join(vecs, "vec_id")

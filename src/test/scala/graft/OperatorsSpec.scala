@@ -208,6 +208,18 @@ class OperatorsSpec extends SparkSpec {
     assert(r2.getSeq[Int](r2.fieldIndex("q")).forall(_ == 0))
   }
 
+  test("commonness: integer-exact mean corpus frequency per document") {
+    val d = Seq(
+      (0L, "a a b"),   // corpus tf: a=3, b=2, c=1
+      (1L, "a b c"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.commonness(d)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(r(0) == ((0L, 3L, 3L + 3L + 2L, 8.0 / 3.0)))
+    assert(r(1) == ((1L, 3L, 3L + 2L + 1L, 2.0)))
+  }
+
   test("encodeWithVocab: rank ids, deterministic ties, OOV, token order") {
     val d = Seq(
       (0L, "b a b c b a"),   // b:3 a:2 c:1

@@ -164,4 +164,22 @@ class PipelineSpec extends SparkSpec {
       .as[(String, String, Long)].collect().toSet
     assert(v == Set(("en", "a", 3L), ("en", "b", 3L), ("fr", "x", 2L), ("fr", "y", 1L)))
   }
+
+  test("shuffleShard: complete, balanced-by-hash, dense positions, reproducible") {
+    val df = spark.range(200).toDF("doc_id")
+    val a = Pipeline.shuffleShard(df, $"doc_id", numShards = 4)
+      .select($"doc_id", $"shard", $"pos")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(a.length == 200, "no rows gained or lost")
+    assert(a.forall(r => r._2 >= 0 && r._2 < 4), "shard in range")
+    // positions are dense 1..n within each shard
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // reproducible and independent of input partitioning
+    val b = Pipeline.shuffleShard(df.repartition(7), $"doc_id", numShards = 4)
+      .select($"doc_id", $"shard", $"pos")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+  }
 }

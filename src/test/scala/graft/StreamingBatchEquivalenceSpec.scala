@@ -32,7 +32,8 @@ class StreamingBatchEquivalenceSpec extends SparkSpec {
 
   private def fileStream(dir: String): DataFrame = {
     val schema = spark.read.parquet(dir).schema
-    spark.readStream.schema(schema).parquet(dir)
+    // same long-nanos ts contract as the batch loader (no-op without ts)
+    Tables.withNanosTs(spark.readStream.schema(schema).parquet(dir))
   }
 
   test("ST3 windowedCounts over file-sourced events equals batch q20 hour x type counts") {
@@ -91,7 +92,8 @@ class StreamingBatchEquivalenceSpec extends SparkSpec {
     val got = spark.table("sbe_ij").select($"e_id", $"c_id")
       .as[(Long, Long)].collect().sorted.toSeq
 
-    val ev = spark.read.parquet(s"$dir/events.parquet").withColumn("tus", expr("ts div 1000"))
+    val ev = Tables.withNanosTs(spark.read.parquet(s"$dir/events.parquet"))
+      .withColumn("tus", expr("ts div 1000"))
     val err = ev.filter($"event_type" === "error")
       .select($"user_id".as("e_user"), $"event_id".as("e_id"), $"tus".as("e_t"))
     val clk = ev.filter($"event_type" === "click")
