@@ -38,6 +38,16 @@ object DebugJobs {
     val t0 = System.nanoTime()
     fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     println(f"TOTAL ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+    // `plan` arg: dump the AQE-FINAL executed plan (ReusedExchange,
+    // skew splits and runtime join picks only exist post-execution;
+    // collect() the same DataFrame whose plan we print — a fresh
+    // action would spawn a fresh, never-run QueryExecution)
+    if (args.contains("plan")) {
+      val df = fn(spark, sfDir)
+      df.collect()
+      println("=== executed plan (AQE final) ===")
+      println(df.queryExecution.executedPlan.toString)
+    }
     spark.stop()
   }
 }

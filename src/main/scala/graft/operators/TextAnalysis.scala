@@ -178,14 +178,17 @@ object TextAnalysis {
     * bit-exact in any engine (the CLAUDE invariant that keeps doubles
     * out of multi-row sums).
     *
-    * Scale shape: both the frequency build and the join-back shuffle the
-    * exploded token stream on `token`, and the two exchanges are
-    * canonically identical, so AQE plans the second as a ReusedExchange —
-    * ONE token shuffle total, then one doc_id shuffle for the per-doc
-    * mean. Stopword keys are heavy (Zipf) but each reduces map-side
-    * (frequency) or joins 1 small row (join-back), and AQE skew-split
-    * handles the residual imbalance — no salting needed because the
-    * per-key state is a counter, not a buffer.
+    * Scale shape (verified in the AQE-final plan): the frequency table
+    * aggregates behind ONE token-keyed exchange with map-side partials,
+    * then BROADCASTS into the join, so the probe-side token stream flows
+    * straight from the scan with no shuffle at all — total cost is one
+    * token exchange (vocab-sized rows) + one doc_id exchange. If the
+    * vocabulary outgrows the broadcast threshold at extreme scale, the
+    * fallback token-keyed join's probe exchange is canonically identical
+    * to the frequency build's, so AQE reuses it rather than re-shuffling.
+    * Stopword keys are heavy (Zipf) but reduce map-side, and AQE
+    * skew-split handles residual imbalance — no salting needed because
+    * the per-key state is a counter, not a buffer.
     */
   def commonness(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
