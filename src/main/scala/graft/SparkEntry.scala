@@ -959,6 +959,16 @@ object SparkEntry {
       .orderBy($"qid", $"rank")
   }
 
+  private def s9(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // IVF-PQ serving path: probe own cell, ADC top-10 shortlist over
+    // codes, exact-cosine rerank to top-5 — the two-stage retrieval
+    // pattern (cheap wide recall, expensive narrow precision)
+    operators.Similarity.ivfPqTopK(t(s, dir, "embeddings"), $"vec_id" < 20,
+        nCells = 8, m = 4, k = 8, r = 10, topK = 5)
+      .orderBy($"qid", $"rank")
+  }
+
   private[graft] def rmTree(path: String): Unit = {
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
@@ -1312,6 +1322,7 @@ object SparkEntry {
     "t11_commonness" -> (t11 _),
     "p10_shuffle_shard" -> (p10 _),
     "s8_pq_adc" -> (s8 _),
+    "s9_ivfpq" -> (s9 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2246,6 +2257,55 @@ object SparkEntry {
         |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (
         |  PARTITION BY qid ORDER BY approx_d2, vec_id) AS INT) AS rank FROM scored)
         |SELECT qid, rank, vec_id, approx_d2 FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    "s9_ivfpq" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y) AS vv FROM e),
+        |cent AS (SELECT vec_id AS ccid, v AS c, vv AS cc FROM n ORDER BY vec_id LIMIT 8),
+        |ad AS (SELECT n.vec_id, cent.ccid,
+        |  n.vv + cent.cc - 2 * list_reduce(list_transform(range(1, len(n.v)+1),
+        |    i -> n.v[i]*cent.c[i]), (x,y) -> x+y) AS dist2
+        | FROM n CROSS JOIN cent),
+        |a AS (SELECT vec_id, ccid AS label FROM (
+        |  SELECT vec_id, ccid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, ccid) AS rn
+        |  FROM ad) WHERE rn = 1),
+        |ss AS (SELECT unnest(range(0, 4)) AS s),
+        |sub AS (SELECT vec_id, s,
+        |  list_transform(range(1, 17), i -> v[CAST(s*16 + i AS INT)]) AS vs
+        | FROM e CROSS JOIN ss),
+        |subn AS (SELECT vec_id, s, vs,
+        |  list_reduce(list_transform(vs, x -> x*x), (x,y) -> x+y) AS svv FROM sub),
+        |seed AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8),
+        |cb AS (SELECT s, ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS cid,
+        |  vs AS c, svv AS cc
+        | FROM subn WHERE vec_id IN (SELECT vec_id FROM seed)),
+        |d AS (SELECT sn.vec_id, sn.s, cb.cid,
+        |  sn.svv + cb.cc - 2 * list_reduce(list_transform(range(1, 17),
+        |    i -> sn.vs[i]*cb.c[i]), (x,y) -> x+y) AS d2
+        | FROM subn sn JOIN cb ON sn.s = cb.s),
+        |codes AS (SELECT vec_id, s, cid FROM (
+        |  SELECT vec_id, s, cid, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+        |  FROM d) WHERE rn = 1),
+        |dtab AS (SELECT vec_id AS qid, s, cid, d2 FROM d WHERE vec_id < 20),
+        |ql AS (SELECT vec_id AS qid, label AS qlabel FROM a WHERE vec_id < 20),
+        |scored AS (SELECT ql.qid, c.vec_id,
+        |  list_reduce(array_agg(dt.d2 ORDER BY dt.s), (x,y) -> x+y) AS approx_d2
+        | FROM codes c
+        | JOIN a ON c.vec_id = a.vec_id
+        | JOIN ql ON a.label = ql.qlabel AND ql.qid <> c.vec_id
+        | JOIN dtab dt ON dt.qid = ql.qid AND dt.s = c.s AND dt.cid = c.cid
+        | GROUP BY ql.qid, c.vec_id),
+        |short AS (SELECT qid, vec_id FROM (
+        |  SELECT qid, vec_id, ROW_NUMBER() OVER (
+        |    PARTITION BY qid ORDER BY approx_d2, vec_id) AS rn FROM scored) WHERE rn <= 10),
+        |rer AS (SELECT sh.qid, sh.vec_id,
+        |  list_reduce(list_transform(range(1, len(qn.v)+1),
+        |    i -> qn.v[i]*vn.v[i]), (x,y) -> x+y) / (sqrt(qn.vv) * sqrt(vn.vv)) AS cosine
+        | FROM short sh JOIN n qn ON qn.vec_id = sh.qid JOIN n vn ON vn.vec_id = sh.vec_id),
+        |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (
+        |  PARTITION BY qid ORDER BY cosine DESC, vec_id) AS INT) AS rank FROM rer)
+        |SELECT qid, rank, vec_id, cosine FROM ranked WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
   )
 }

@@ -355,6 +355,62 @@ object Similarity {
       orderBy = Seq(TopK.asc("approx_d2"), TopK.asc("vec_id")), k = topK)
   }
 
+  /** The full IVF-PQ serving pipeline — coarse quantizer restricts
+    * candidates to the query's cell, ADC over codes shortlists `r`, and
+    * only the shortlist is reranked with exact cosine against the raw
+    * vectors. This is THE production ANN read path at 100 TB: the scan
+    * touches one inverted list's worth of m-byte codes, and the
+    * expensive exact arithmetic runs on q × r rows, never the corpus.
+    * Composition of [[kmeansAssign]] (labels), [[pqEncode]] (codes) and
+    * [[pqAdcTopK]]'s distance-table trick; the rerank join sends the
+    * tiny shortlist INTO the corpus scan as a broadcast, so the raw
+    * embedding column is read but never shuffled.
+    *
+    * Exact like the other oracle queries: seed centroids/codebooks, left
+    * folds, (dist², vec_id) and (cosine desc, vec_id) tie-breaks.
+    */
+  def ivfPqTopK(vectors: DataFrame, queryFilter: Column, nCells: Int,
+      m: Int, k: Int, r: Int, topK: Int): DataFrame = {
+    val labels = kmeansAssign(vectors, k = nCells)
+      .select(col("vec_id"), col("cluster_id").as("label"))
+    val cb = pqCodebooks(vectors, m, k)
+    val sub = cb.head.head.length
+    val encoded = pqEncode(vectors, cb).join(labels, "vec_id")
+    val dCols: Seq[Column] = for (s <- 0 until m; c <- 0 until k) yield {
+      val qs = slice(col("qv"), s * sub + 1, sub)
+      val cc = cb(s)(c).foldLeft(0.0)((a, x) => a + x * x)
+      dot(qs, qs) + lit(cc) - lit(2.0) * dot(qs, typedLit(cb(s)(c)))
+    }
+    val q = vectors.filter(queryFilter)
+      .select(col("vec_id").as("qid"), toDoubleVec(col("embedding")).as("qv"))
+      .join(labels.withColumnRenamed("vec_id", "qid"), "qid")
+      .select(col("qid"), col("qv"), col("label").as("qlabel"),
+        array(dCols: _*).as("darr"))
+    // the shortlist exchange carries only (qid, vec_id, approx_d2) — the
+    // query vector rejoins at rerank time from the tiny broadcast side
+    val scored = encoded.join(broadcast(q),
+        col("label") === col("qlabel") && col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, s) => acc + element_at(col("darr"),
+            (s * k).cast("int") + element_at(col("codes"), s + 1).cast("int") + lit(1)))
+          .as("approx_d2"))
+    val shortlist = TopK.perKey(scored, keys = Seq("qid"),
+      orderBy = Seq(TopK.asc("approx_d2"), TopK.asc("vec_id")), k = r)
+    // exact rerank: shortlist broadcasts into the corpus scan
+    val v = vectors.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("vn", norm(col("v")))
+    val reranked = v.join(broadcast(shortlist.select(col("qid"), col("vec_id"))), "vec_id")
+      .join(broadcast(q.select(col("qid"), col("qv"), norm(col("qv")).as("qn"))), "qid")
+      .select(col("qid"), col("vec_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("vn"))).as("cosine"))
+    reranked.withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)).cast("int"))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cosine"))
+  }
+
   /** Embedding near-duplicate pairs: same-partition blocking + cosine
     * threshold. Quadratic only within a block.
     */

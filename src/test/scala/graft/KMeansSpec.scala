@@ -134,6 +134,28 @@ class KMeansSpec extends SparkSpec {
     assert(got(1L) == Seq((1L, 0.0), (3L, 0.0), (0L, 200.0), (2L, 200.0), (4L, 200.0)))
   }
 
+  test("ivfPqTopK: rerank emits exact cosine, restricted to the query's cell") {
+    // cells from seeds 0/1: {0,2,4} and {1,3}; each query proves the
+    // candidate restriction (no cross-cell vec) and exact cosine values.
+    // zero-norm vec 0 is not a query: ANSI division throws on it — the
+    // same (documented) degenerate-input contract as s1's cosine.
+    val got = Similarity.ivfPqTopK(vecs,
+        col("vec_id") === 1 || col("vec_id") === 3,
+        nCells = 2, m = 2, k = 2, r = 3, topK = 3)
+      .as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._2).map(r => (r._3, r._4)).toSeq }
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
+      def n(v: Seq[Double]) = math.sqrt(v.map(x => x * x).foldLeft(0.0)(_ + _))
+      d / (n(a) * n(b))
+    }
+    val c13 = cos(Seq(10.0, 10.0), Seq(9.0, 10.0))
+    // q1 = (10,10), cell {1,3}: only cell-mate 3 = (9,10), exact cosine;
+    // q3 mirrors — candidate restriction excludes all of cell {0,2,4}
+    assert(got(1L) == Seq((3L, c13)))
+    assert(got(3L) == Seq((1L, c13)))
+  }
+
   test("lloydStep: per-cluster element-wise means") {
     val assigned = Similarity.kmeansAssign(vecs, k = 2)
       .join(vecs, "vec_id")
