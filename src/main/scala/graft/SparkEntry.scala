@@ -969,6 +969,14 @@ object SparkEntry {
       .orderBy($"qid", $"rank")
   }
 
+  private def d12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // span-level dedup: 5-token spans, global first occurrence wins,
+    // documents reassembled from their surviving spans
+    operators.Dedup.spanDedup(t(s, dir, "documents"), spanTokens = 5)
+      .orderBy($"doc_id")
+  }
+
   private[graft] def rmTree(path: String): Unit = {
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
@@ -1323,6 +1331,7 @@ object SparkEntry {
     "p10_shuffle_shard" -> (p10 _),
     "s8_pq_adc" -> (s8 _),
     "s9_ivfpq" -> (s9 _),
+    "d12_span_dedup" -> (d12 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2307,5 +2316,22 @@ object SparkEntry {
         |  PARTITION BY qid ORDER BY cosine DESC, vec_id) AS INT) AS rank FROM rer)
         |SELECT qid, rank, vec_id, cosine FROM ranked WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
+    "d12_span_dedup" ->
+      """WITH arr AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a FROM documents),
+        |sp AS (SELECT doc_id, CAST(i AS INT) AS pos,
+        |  array_to_string(a[CAST(i*5+1 AS INT) : CAST(i*5+5 AS INT)], ' ') AS span
+        | FROM arr, LATERAL (SELECT unnest(range(0, (len(a)+4)//5)) AS i) t),
+        |k AS (SELECT doc_id, pos, span, md5(span) AS h,
+        |  doc_id*1048576 + pos AS okey FROM sp),
+        |f AS (SELECT h, MIN(okey) AS keep_key FROM k GROUP BY h),
+        |kept AS (SELECT k.doc_id, k.pos, k.span
+        | FROM k JOIN f ON k.h = f.h AND k.okey = f.keep_key),
+        |tot AS (SELECT doc_id, CAST((len(a)+4)//5 AS BIGINT) AS n_spans FROM arr),
+        |o AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  array_to_string(array_agg(span ORDER BY pos), ' ') AS text_out
+        | FROM kept GROUP BY doc_id)
+        |SELECT o.doc_id, t.n_spans, o.n_kept, o.text_out
+        |FROM o JOIN tot t USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -45,6 +45,56 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
+  /** Span-level dedup with reassembly — the C4-style sub-document pass:
+    * documents are cut into fixed `spanTokens`-token spans, a span that
+    * appears anywhere else in the corpus survives only at its globally
+    * FIRST occurrence (min (doc_id, position)), and each document is
+    * reassembled from its surviving spans in order. This removes the
+    * repeated boilerplate that document-level dedup (d1/d2) cannot — the
+    * documents AROUND a shared paragraph differ, so only the span
+    * granularity catches it.
+    *
+    * Scale shape: span text crosses NO exchange. The span array is built
+    * in-row (one `transform` over the token array); the global
+    * first-occurrence argmin runs on (md5, doc_id·2²⁰+pos) — a single
+    * packed-long `min` per hash, the map-side-partial argmin pattern —
+    * and the keep-decision joins back on the hash carrying only (doc_id,
+    * pos) pairs. Reassembly is one doc_id-keyed join that filters the
+    * in-row span array by the kept positions. Two hash-keyed exchanges
+    * (agg + join, canonically identical child ⇒ AQE ReusedExchange) and
+    * one doc_id exchange, all narrow. Documents whose every span is
+    * owned elsewhere drop out (nothing left to reassemble).
+    *
+    * Position packing bounds: pos < 2²⁰ spans per document and
+    * doc_id < 2⁴³ — both generous at 100 TB (a 2²⁰-span doc at
+    * spanTokens=5 is a 5M-token document).
+    */
+  def spanDedup(docs: DataFrame, spanTokens: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1: $spanTokens")
+    val k = spanTokens
+    val arr = docs.select(col(idCol).as("doc_id"),
+      split(trim(col(textCol)), "\\s+").as("a"))
+    val withSpans = arr.select(col("doc_id"),
+      expr(s"transform(sequence(0, ((size(a) + ${k - 1}) div $k) - 1), " +
+        s"i -> concat_ws(' ', slice(a, i * $k + 1, $k)))").as("sp"))
+    val keyed = withSpans
+      .select(col("doc_id"), posexplode(col("sp")).as(Seq("pos", "span")))
+      .select(col("doc_id"), col("pos"), md5(col("span")).as("h"),
+        (col("doc_id") * lit(1048576L) + col("pos")).as("okey"))
+    val firsts = keyed.groupBy(col("h")).agg(min(col("okey")).as("keep_key"))
+    val keptPos = keyed.join(firsts, "h")
+      .filter(col("okey") === col("keep_key"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("keep_pos"))
+    withSpans.join(keptPos, "doc_id")
+      .select(col("doc_id"),
+        size(col("sp")).cast("long").as("n_spans"),
+        size(col("keep_pos")).cast("long").as("n_kept"),
+        concat_ws(" ", transform(col("keep_pos"),
+          p => element_at(col("sp"), p + 1))).as("text_out"))
+  }
+
   /** Distinct word-`n`-shingle set per doc (n=1 → unigram token set).
     * Single-pass native expression (functions.WordNGrams) — same output
     * as the guarded `array_distinct(transform(sequence..., slice...))`

@@ -208,6 +208,17 @@ class OperatorsSpec extends SparkSpec {
     assert(r2.getSeq[Int](r2.fieldIndex("q")).forall(_ == 0))
   }
 
+  test("spanDedup: global first occurrence wins, docs reassemble in order") {
+    val r = Dedup.spanDedup(docs, spanTokens = 3)
+      .as[(Long, Long, Long, String)].collect().map(t => t._1 -> t).toMap
+    // doc 0 owns all three spans (lowest id); doc 3 (identical) loses
+    // every span and drops out; doc 1 keeps only its unique last span
+    assert(r(0L) == ((0L, 3L, 3L, "the quick brown fox jumps over the lazy dog")))
+    assert(r(1L) == ((1L, 3L, 1L, "the lazy cat")))
+    assert(r(2L) == ((2L, 2L, 2L, "completely different words entirely here now")))
+    assert(!r.contains(3L))
+  }
+
   test("commonness: integer-exact mean corpus frequency per document") {
     val d = Seq(
       (0L, "a a b"),   // corpus tf: a=3, b=2, c=1
