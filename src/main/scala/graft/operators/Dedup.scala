@@ -75,9 +75,13 @@ object Dedup {
     val k = spanTokens
     val arr = docs.select(col(idCol).as("doc_id"),
       split(trim(col(textCol)), "\\s+").as("a"))
+    // Fence pins the span-array build to ONE evaluation per row —
+    // without it InferFiltersFromGenerate inlines the whole transform
+    // into size()/isnotnull() filters below the posexplode (3× per row)
     val withSpans = arr.select(col("doc_id"),
-      expr(s"transform(sequence(0, ((size(a) + ${k - 1}) div $k) - 1), " +
-        s"i -> concat_ws(' ', slice(a, i * $k + 1, $k)))").as("sp"))
+      graft.functions.Fence(
+        expr(s"transform(sequence(0, ((size(a) + ${k - 1}) div $k) - 1), " +
+          s"i -> concat_ws(' ', slice(a, i * $k + 1, $k)))")).as("sp"))
     val keyed = withSpans
       .select(col("doc_id"), posexplode(col("sp")).as(Seq("pos", "span")))
       .select(col("doc_id"), col("pos"), md5(col("span")).as("h"),
