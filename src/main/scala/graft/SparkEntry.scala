@@ -977,6 +977,27 @@ object SparkEntry {
       .orderBy($"doc_id")
   }
 
+  private def x5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // compaction round trip: a 4-files-per-dir layout compacts to 1 file
+    // per partition dir and the content aggregate (incl. text signature)
+    // must equal the same aggregate over the source — the oracle
+    // computes it from the original table.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_x5_compact_").toString
+    try {
+      sources.Layout.writeOptimized(t(s, dir, "documents"), tmp,
+        partitionCols = Seq("lang"), sortCols = Seq("doc_id"))
+      sources.Layout.compactPartitions(s, tmp, sortCols = Seq("doc_id"))
+      s.read.parquet(tmp).groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("sum_chars"),
+          min($"doc_id").as("min_id"), max($"doc_id").as("max_id"),
+          sum(conv(substring(md5($"text"), 1, 8), 16, 10).cast("long")).as("text_sig"))
+        .orderBy($"lang")
+        .localCheckpoint()
+    } finally rmTree(tmp)
+  }
+
   private[graft] def rmTree(path: String): Unit = {
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
@@ -1332,6 +1353,7 @@ object SparkEntry {
     "s8_pq_adc" -> (s8 _),
     "s9_ivfpq" -> (s9 _),
     "d12_span_dedup" -> (d12 _),
+    "x5_compaction" -> (x5 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2333,5 +2355,11 @@ object SparkEntry {
         |SELECT o.doc_id, t.n_spans, o.n_kept, o.text_out
         |FROM o JOIN tot t USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "x5_compaction" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        | CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        | MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+        | CAST(SUM(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS text_sig
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -35,6 +35,50 @@ object Layout {
       .parquet(path)
   }
 
+  /** Selective small-file compaction — the maintenance op that keeps a
+    * streaming/incremental layout readable: every partition directory
+    * whose parquet file count reaches `minFilesToCompact` is rewritten
+    * to `targetFilesPerDir` files (re-sorted in-file so row-group
+    * skipping survives), and healthy directories are NOT touched — at
+    * 100 TB you cannot rewrite the table to fix the slivers last
+    * night's trickle append left behind, you compact exactly the dirty
+    * directories. Planning reads only file METADATA (KB of driver
+    * state); each dirty dir is one bounded job reading just that dir,
+    * and the swap (write aside → delete originals → rename in) keeps
+    * the dir continuously readable except for the instant of the swap.
+    * Independent dirs are embarrassingly parallel — schedule the loop
+    * concurrently from a driver pool when dirty dirs are many.
+    * Returns (partition_dir, files_before, files_after) per compacted
+    * dir.
+    */
+  def compactPartitions(spark: SparkSession, root: String, sortCols: Seq[String],
+      targetFilesPerDir: Int = 1, minFilesToCompact: Int = 2): Seq[(String, Int, Int)] = {
+    require(targetFilesPerDir >= 1 && minFilesToCompact >= 2,
+      s"need targetFilesPerDir >= 1 and minFilesToCompact >= 2")
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parts(d: org.apache.hadoop.fs.Path) =
+      fs.listStatus(d).filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    fs.listStatus(rootPath).filter(_.isDirectory).toSeq.flatMap { d =>
+      val files = parts(d.getPath)
+      if (files.length < minFilesToCompact) None
+      else {
+        val tmp = new org.apache.hadoop.fs.Path(d.getPath.getParent,
+          "." + d.getPath.getName + ".compacting")
+        val read = spark.read.parquet(d.getPath.toString).coalesce(targetFilesPerDir)
+        val sorted = if (sortCols.isEmpty) read
+          else read.sortWithinPartitions(sortCols.map(col): _*)
+        // the write MATERIALIZES the read before any original is deleted
+        sorted.write.mode("overwrite").parquet(tmp.toString)
+        files.foreach(f => fs.delete(f.getPath, false))
+        parts(tmp).foreach(f =>
+          fs.rename(f.getPath, new org.apache.hadoop.fs.Path(d.getPath, f.getPath.getName)))
+        fs.delete(tmp, true)
+        Some((d.getPath.getName, files.length, parts(d.getPath).length))
+      }
+    }
+  }
+
   /** Partition filters of the frame's file scan — non-empty means the
     * read is metadata-pruned to the matching directories (NOTE:
     * `inputFiles` is NOT this; it lists the whole relation unpruned).

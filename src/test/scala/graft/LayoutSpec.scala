@@ -59,6 +59,43 @@ class LayoutSpec extends SparkSpec {
       s"index scan has no partition filter: ${probed.queryExecution.executedPlan}")
   }
 
+  test("compactPartitions: only dirty dirs rewritten, content and sort survive") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    val df = (0 until 600)
+      .map(i => (i.toLong, if (i % 3 == 0) "en" else "de", s"doc $i"))
+      .toDF("doc_id", "lang", "text")
+    // en dir: forced to >= 2 files; then a second single-file dir that
+    // must NOT be touched
+    Layout.writeOptimized(df, dir, partitionCols = Seq("lang"),
+      sortCols = Seq("doc_id"), filesPerPartition = 4, maxRecordsPerFile = 50)
+    def nFiles(lang: String): Int = {
+      val d = java.nio.file.Paths.get(dir, s"lang=$lang")
+      val s = java.nio.file.Files.list(d).iterator()
+      var n = 0
+      while (s.hasNext) { if (s.next().toString.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val before = Map("en" -> nFiles("en"), "de" -> nFiles("de"))
+    assert(before.values.forall(_ >= 2), s"precondition: dirty dirs, got $before")
+    val report = Layout.compactPartitions(spark, dir, sortCols = Seq("doc_id"))
+      .map { case (d, b, a) => d -> ((b, a)) }.toMap
+    // every dirty dir compacted to exactly one file, report matches disk
+    assert(report("lang=en") == ((before("en"), 1)) && nFiles("en") == 1)
+    assert(report("lang=de") == ((before("de"), 1)) && nFiles("de") == 1)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 600L)
+    assert(back.agg(sum($"doc_id")).head.getLong(0) === (0L until 600L).sum)
+    // in-file sort re-established: the single file is ordered by doc_id
+    val enFile = java.nio.file.Files.list(java.nio.file.Paths.get(dir, "lang=en"))
+      .iterator()
+    var f: String = null
+    while (enFile.hasNext) { val p = enFile.next().toString; if (p.endsWith(".parquet")) f = p }
+    val ids = spark.read.parquet(f).select($"doc_id").as[Long].collect()
+    assert(ids.sameElements(ids.sorted), "compacted file lost the doc_id sort")
+    // a second pass finds nothing to do (all dirs now single-file)
+    assert(Layout.compactPartitions(spark, dir, sortCols = Seq("doc_id")).isEmpty)
+  }
+
   test("bloomPrefilter: no false negatives, most non-members dropped") {
     val corpus = (0 until 2000).map(i => s"hash$i").toDF("text_hash")
     val newBatch = ((1500 until 2500) ++ (10000 until 11000))
