@@ -998,6 +998,15 @@ object SparkEntry {
     } finally rmTree(tmp)
   }
 
+  private def t12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // BPE merge training on the word histogram: 3 merge rounds, then
+    // the post-merge symbol histogram (top 20) — the vocab-file cut
+    operators.TextAnalysis.bpeSymbolHistogram(t(s, dir, "documents"),
+        rounds = 3, topK = 20)
+      .orderBy($"n_total".desc, $"symbol")
+  }
+
   private[graft] def rmTree(path: String): Unit = {
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
@@ -1354,6 +1363,7 @@ object SparkEntry {
     "s9_ivfpq" -> (s9 _),
     "d12_span_dedup" -> (d12 _),
     "x5_compaction" -> (x5 _),
+    "t12_bpe_merges" -> (t12 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2361,5 +2371,43 @@ object SparkEntry {
         | MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
         | CAST(SUM(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS text_sig
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "t12_bpe_merges" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents),
+        |w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY w),
+        |s0 AS (SELECT array_to_string(list_transform(range(1, length(w)+1),
+        |  i -> w[CAST(i AS INT)]), ' ') AS sym, n FROM w0),
+        |pc1 AS (SELECT x, y, SUM(n) AS c FROM (
+        |  SELECT n, a[i] AS x, a[i+1] AS y
+        |  FROM (SELECT n, string_split(sym, ' ') AS a FROM s0),
+        |       LATERAL (SELECT unnest(range(1, len(a))) AS i) t) GROUP BY x, y),
+        |b1 AS (SELECT x, y FROM pc1 ORDER BY c DESC, x, y LIMIT 1),
+        |s1 AS (SELECT n, list_reduce(string_split(sym, ' '), (acc, s) -> CASE
+        |  WHEN s = b.y AND acc = b.x THEN b.x || b.y
+        |  WHEN s = b.y AND ends_with(acc, ' ' || b.x)
+        |    THEN left(acc, length(acc) - length(b.x) - 1) || ' ' || b.x || b.y
+        |  ELSE acc || ' ' || s END) AS sym FROM s0, b1 b),
+        |pc2 AS (SELECT x, y, SUM(n) AS c FROM (
+        |  SELECT n, a[i] AS x, a[i+1] AS y
+        |  FROM (SELECT n, string_split(sym, ' ') AS a FROM s1),
+        |       LATERAL (SELECT unnest(range(1, len(a))) AS i) t) GROUP BY x, y),
+        |b2 AS (SELECT x, y FROM pc2 ORDER BY c DESC, x, y LIMIT 1),
+        |s2 AS (SELECT n, list_reduce(string_split(sym, ' '), (acc, s) -> CASE
+        |  WHEN s = b.y AND acc = b.x THEN b.x || b.y
+        |  WHEN s = b.y AND ends_with(acc, ' ' || b.x)
+        |    THEN left(acc, length(acc) - length(b.x) - 1) || ' ' || b.x || b.y
+        |  ELSE acc || ' ' || s END) AS sym FROM s1, b2 b),
+        |pc3 AS (SELECT x, y, SUM(n) AS c FROM (
+        |  SELECT n, a[i] AS x, a[i+1] AS y
+        |  FROM (SELECT n, string_split(sym, ' ') AS a FROM s2),
+        |       LATERAL (SELECT unnest(range(1, len(a))) AS i) t) GROUP BY x, y),
+        |b3 AS (SELECT x, y FROM pc3 ORDER BY c DESC, x, y LIMIT 1),
+        |s3 AS (SELECT n, list_reduce(string_split(sym, ' '), (acc, s) -> CASE
+        |  WHEN s = b.y AND acc = b.x THEN b.x || b.y
+        |  WHEN s = b.y AND ends_with(acc, ' ' || b.x)
+        |    THEN left(acc, length(acc) - length(b.x) - 1) || ' ' || b.x || b.y
+        |  ELSE acc || ' ' || s END) AS sym FROM s2, b3 b)
+        |SELECT symbol, CAST(SUM(n) AS BIGINT) AS n_total FROM (
+        |  SELECT n, unnest(string_split(sym, ' ')) AS symbol FROM s3)
+        |GROUP BY symbol ORDER BY n_total DESC, symbol LIMIT 20""".stripMargin,
   )
 }

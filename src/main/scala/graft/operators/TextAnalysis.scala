@@ -200,6 +200,71 @@ object TextAnalysis {
         (col("sum_tf").cast("double") / col("n_tokens").cast("double")).as("commonness"))
   }
 
+  /** BPE merge training over the word HISTOGRAM — the tokenizer-training
+    * core. The classic at-scale trick: byte-pair merges never touch the
+    * token stream; they run on the (word, count) histogram, which is
+    * vocabulary-sized (Zipf: orders of magnitude below the corpus), so
+    * each merge round is one small pair-count aggregate + a 1-row argmax
+    * + a narrow per-word re-encode. Driver state = one merged pair per
+    * round.
+    *
+    * Merge semantics are textbook BPE: per round, the highest-weight
+    * adjacent symbol pair (ties: weight desc, pair lexicographic) merges
+    * LEFT-TO-RIGHT within each word via a sequential fold — "a a a" with
+    * pair (a,a) becomes "aa a", and the merged symbol cannot cascade
+    * within the same round. The fold is expressed identically in Spark
+    * (`aggregate` with a string accumulator) and any engine with a
+    * sequential list_reduce, so merge decisions are bit-reproducible.
+    *
+    * Returns the post-merge symbol histogram (top `topK` by total
+    * weight) — the frame a tokenizer's vocab file is cut from.
+    */
+  def bpeSymbolHistogram(docs: DataFrame, rounds: Int, topK: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(rounds >= 1 && topK >= 1, s"need rounds/topK >= 1: $rounds/$topK")
+    val words = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    // chars joined by spaces; array_remove drops split's zero-width
+    // artifacts so the char list matches a per-index construction
+    val base = words.select(
+      concat_ws(" ", array_remove(split(col("w"), ""), "")).as("sym"), col("n"))
+      .persist()
+    var sym = base
+    try {
+      var r = 0
+      var exhausted = false
+      while (r < rounds && !exhausted) {
+        val a = split(col("sym"), " ")
+        val pc = sym.select(col("n"),
+            explode(zip_with(
+              slice(a, lit(1), size(a) - 1), slice(a, lit(2), size(a) - 1),
+              (x, y) => struct(x.as("x"), y.as("y")))).as("p"))
+          .select(col("n"), col("p.x").as("x"), col("p.y").as("y"))
+          .groupBy(col("x"), col("y")).agg(sum(col("n")).as("c"))
+        val best = pc.orderBy(col("c").desc, col("x").asc, col("y").asc)
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val (bx, by) = (best.head.getString(0), best.head.getString(1))
+          sym = sym.withColumn("sym",
+            aggregate(split(col("sym"), " "), lit(""), (acc, s) =>
+              when(acc === lit(""), s)
+                .when(s === lit(by) && acc === lit(bx), lit(bx + by))
+                .when(s === lit(by) && acc.endsWith(lit(" " + bx)),
+                  concat(acc.substr(lit(1), length(acc) - lit(bx.length + 1)),
+                    lit(" " + bx + by)))
+                .otherwise(concat(acc, lit(" "), s))))
+        }
+        r += 1
+      }
+      sym.select(col("n"), explode(split(col("sym"), " ")).as("symbol"))
+        .groupBy(col("symbol")).agg(sum(col("n")).as("n_total"))
+        .orderBy(col("n_total").desc, col("symbol").asc)
+        .limit(topK)
+        .localCheckpoint() // pin before unpersisting the histogram
+    } finally { base.unpersist(); () }
+  }
+
   /** Deterministic hash sampling: keep rows whose salted md5 falls under
     * a hex-prefix cutoff — reproducible across engines and runs, the
     * right way to cut a stable x% slice of a 100 TB corpus (no RNG

@@ -219,6 +219,21 @@ class OperatorsSpec extends SparkSpec {
     assert(!r.contains(3L))
   }
 
+  test("bpeSymbolHistogram: weighted argmax merges, fold is left-to-right BPE") {
+    // words: aaa x2, aa x1 -> round 1 merges (a,a) weight 5; the fold
+    // must yield "aa a" for "a a a" (no cascade within a round), then
+    // round 2 merges (aa,a) weight 2; round 3 finds nothing
+    val d = Seq((0L, "aaa aaa aa")).toDF("doc_id", "text")
+    val r = operators.TextAnalysis.bpeSymbolHistogram(d, rounds = 3, topK = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(r == Seq(("aaa", 2L), ("aa", 1L)))
+    // ties: (a,b) appears after (a,a) exhausts; lexicographic tie-break
+    val d2 = Seq((0L, "aa ab aa")).toDF("doc_id", "text")
+    val r2 = operators.TextAnalysis.bpeSymbolHistogram(d2, rounds = 3, topK = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(r2 == Seq(("aa", 2L), ("ab", 1L)))
+  }
+
   test("commonness: integer-exact mean corpus frequency per document") {
     val d = Seq(
       (0L, "a a b"),   // corpus tf: a=3, b=2, c=1
