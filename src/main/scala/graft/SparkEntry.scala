@@ -1007,6 +1007,85 @@ object SparkEntry {
       .orderBy($"n_total".desc, $"symbol")
   }
 
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // weekly cohort retention: cohort = a user's first active week
+    // (integer weeks since Mon 1970-01-05 — pure integer arithmetic,
+    // no tz/locale dependence). One exchange on user_id builds
+    // (cohort, distinct-weeks set) with bounded per-user state (≤ the
+    // corpus' week span); after the explode each user contributes each
+    // week at most once, so the final count(*) per (cohort, offset) IS
+    // the distinct-user count — no Expand-planned count(distinct).
+    t(s, dir, "events")
+      .withColumn("day", to_date(timestamp_micros(expr("ts div 1000"))))
+      .select($"user_id", expr("datediff(day, date '1970-01-05') div 7").as("w"))
+      .groupBy($"user_id")
+      .agg(min($"w").as("cohort_week"), collect_set($"w").as("weeks"))
+      .select($"cohort_week", explode($"weeks").as("w"))
+      .groupBy($"cohort_week", ($"w" - $"cohort_week").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  private def d13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // changelog apply (MERGE INTO): v1/v2 exactly as d11 builds them;
+    // the diff becomes a changelog (upserts carry v2 text, removed ids
+    // delete) applied back onto v1. The oracle states the FIXED POINT —
+    // diff(a, b) applied to a must BE b — so it computes v2 directly,
+    // an independent formulation of the same frame.
+    val docs = t(s, dir, "documents")
+    val v1 = docs.filter(pmod($"doc_id", lit(7)) =!= 0).select($"doc_id", $"text")
+    val v2 = docs.filter(pmod($"doc_id", lit(5)) =!= 0)
+      .select($"doc_id",
+        when(pmod($"doc_id", lit(11)) === 0, concat($"text", lit(" v2")))
+          .otherwise($"text").as("text"))
+    val diff = operators.Pipeline.snapshotDiff(v1, v2).filter($"status" =!= "unchanged")
+    val log = diff.join(v2, Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"status" === "removed", lit("delete")).otherwise(lit("upsert")).as("op"),
+        $"text")
+    operators.Pipeline.applyChangelog(v1, log)
+      .select($"doc_id", md5($"text").as("h"))
+      .orderBy($"doc_id")
+  }
+
+  private def x6(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // z-order roundtrip: write documents clustered on
+    // interleave(doc_id, n_chars), read back — content-lossless, and
+    // the oracle recomputes the Morton arithmetic independently.
+    // LayoutSpec holds the clustering-quality assertion (per-file
+    // min/max spans shrink on BOTH dims vs a single-column sort).
+    val tmp = java.nio.file.Files.createTempDirectory("graft_x6_zorder_").toString
+    try {
+      sources.Layout.writeZOrdered(
+        t(s, dir, "documents").select($"doc_id", $"n_chars", $"lang"),
+        tmp, "doc_id", "n_chars", numFiles = 8)
+      s.read.parquet(tmp)
+        .select($"doc_id", $"n_chars", $"lang",
+          sources.Layout.zOrderValue($"doc_id", $"n_chars").as("zval"))
+        .orderBy($"doc_id")
+        .localCheckpoint()
+    } finally rmTree(tmp)
+  }
+
+  private def x7(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // one-pass exact column profiler over every documents column
+    operators.Pipeline.profile(t(s, dir, "documents"),
+        Seq("doc_id", "lang", "n_chars", "source", "text"))
+      .orderBy($"col_name")
+  }
+
+  private def p11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // temperature mixture sampling over the source column, α = 0.5
+    operators.Pipeline.temperatureMixSample(
+        t(s, dir, "documents"), "source", $"doc_id", targetFrac = 0.3)
+      .orderBy($"source")
+  }
+
   private[graft] def rmTree(path: String): Unit = {
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
@@ -1364,6 +1443,11 @@ object SparkEntry {
     "d12_span_dedup" -> (d12 _),
     "x5_compaction" -> (x5 _),
     "t12_bpe_merges" -> (t12 _),
+    "q31_cohort_retention" -> (q31 _),
+    "d13_changelog_apply" -> (d13 _),
+    "x6_zorder" -> (x6 _),
+    "x7_profile" -> (x7 _),
+    "p11_temperature_mix" -> (p11 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2409,5 +2493,68 @@ object SparkEntry {
         |SELECT symbol, CAST(SUM(n) AS BIGINT) AS n_total FROM (
         |  SELECT n, unnest(string_split(sym, ' ')) AS symbol FROM s3)
         |GROUP BY symbol ORDER BY n_total DESC, symbol LIMIT 20""".stripMargin,
+    "q31_cohort_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |  CAST((CAST(ts AS DATE) - DATE '1970-01-05') // 7 AS BIGINT) AS w FROM events),
+        |c AS (SELECT user_id, MIN(w) AS cohort_week FROM ud GROUP BY user_id)
+        |SELECT c.cohort_week, ud.w - c.cohort_week AS week_offset,
+        |  COUNT(*) AS n_users
+        |FROM ud JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "d13_changelog_apply" ->
+      """SELECT doc_id,
+        | md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS h
+        |FROM documents WHERE doc_id % 5 <> 0 ORDER BY doc_id""".stripMargin,
+    "x6_zorder" ->
+      """WITH s0 AS (SELECT doc_id, n_chars, lang,
+        |  doc_id & 2147483647 AS xa, n_chars & 2147483647 AS xb FROM documents),
+        |s1 AS (SELECT *, (xa | (xa << 16)) & 281470681808895 AS a1,
+        |  (xb | (xb << 16)) & 281470681808895 AS b1 FROM s0),
+        |s2 AS (SELECT *, (a1 | (a1 << 8)) & 71777214294589695 AS a2,
+        |  (b1 | (b1 << 8)) & 71777214294589695 AS b2 FROM s1),
+        |s3 AS (SELECT *, (a2 | (a2 << 4)) & 1085102592571150095 AS a3,
+        |  (b2 | (b2 << 4)) & 1085102592571150095 AS b3 FROM s2),
+        |s4 AS (SELECT *, (a3 | (a3 << 2)) & 3689348814741910323 AS a4,
+        |  (b3 | (b3 << 2)) & 3689348814741910323 AS b4 FROM s3)
+        |SELECT doc_id, n_chars, lang,
+        |  ((a4 | (a4 << 1)) & 6148914691236517205) |
+        |  ((((b4 | (b4 << 1)) & 6148914691236517205)) << 1) AS zval
+        |FROM s4 ORDER BY doc_id""".stripMargin,
+    "x7_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
+        |    COUNT(*) - COUNT(doc_id) AS n_nulls, COUNT(DISTINCT doc_id) AS n_distinct,
+        |    CAST(MIN(doc_id) AS VARCHAR) AS min_s, CAST(MAX(doc_id) AS VARCHAR) AS max_s
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+        |    CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR) FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars), COUNT(DISTINCT n_chars),
+        |    CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM documents
+        |  UNION ALL
+        |  SELECT 'source', COUNT(*), COUNT(*) - COUNT(source), COUNT(DISTINCT source),
+        |    CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR) FROM documents
+        |  UNION ALL
+        |  SELECT 'text', COUNT(*), COUNT(*) - COUNT(text), COUNT(DISTINCT text),
+        |    CAST(MIN(text) AS VARCHAR), CAST(MAX(text) AS VARCHAR) FROM documents)
+        |ORDER BY col_name""".stripMargin,
+    "p11_temperature_mix" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        |t AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(sqrt(CAST(n AS DOUBLE)) ORDER BY source)), (a, b) -> a + b) AS denom
+        |  FROM c),
+        |r AS (SELECT source, n, LEAST(CAST(1.0 AS DOUBLE),
+        |  CAST(0.3 AS DOUBLE) * nn * sqrt(CAST(n AS DOUBLE)) / denom / CAST(n AS DOUBLE)) AS rate
+        |  FROM c, t),
+        |k AS (SELECT d.source, r.n, r.rate, d.doc_id,
+        |  (CAST(('0x' || substr(md5('graft:' || CAST(d.doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+        |    / CAST(4503599627370496 AS DOUBLE)) < r.rate AS keep
+        |  FROM documents d JOIN r USING (source))
+        |SELECT source, MIN(n) AS n_total, MIN(rate) AS rate,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |  MIN(CASE WHEN keep THEN doc_id END) AS first_key
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
   )
 }

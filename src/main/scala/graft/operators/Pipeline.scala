@@ -301,4 +301,88 @@ object Pipeline {
         Window.partitionBy(col("shard")).orderBy(col("__h"), keyCol)).cast("long"))
       .drop("__h")
   }
+
+  /** Changelog apply (MERGE INTO semantics) — the write-side complement
+    * of [[snapshotDiff]]: applies a frame of `(id, op, payload…)` rows
+    * (`op` ∈ {"upsert", "delete"}) to a snapshot. Deleted AND updated
+    * ids leave via ONE anti-join on the id (the only shuffle touching
+    * the snapshot — and when the changelog is a small daily delta
+    * Catalyst broadcasts it, so the 100-TB snapshot never moves);
+    * upserted rows union in with their payload. `diff(a, b)` applied
+    * to `a` reproduces `b` exactly — the roundtrip property
+    * PipelineSpec pins and the d13 oracle states as its fixed point.
+    */
+  def applyChangelog(snapshot: DataFrame, changes: DataFrame,
+      idCol: String = "doc_id", opCol: String = "op"): DataFrame = {
+    val touched = changes.select(col(idCol))
+    val upserts = changes.filter(col(opCol) === "upsert").drop(opCol)
+      .select(snapshot.columns.map(col): _*)
+    snapshot.join(touched, Seq(idCol), "left_anti").unionByName(upserts)
+  }
+
+  /** One-pass exact column profiler (the ANALYZE-style stats card):
+    * per column — row count, null count, exact distinct count, min and
+    * max (rendered as strings AFTER aggregating on the native type).
+    * Everything comes out of a SINGLE aggregate over a single scan;
+    * the multi-distinct plans as one Expand (rows × #cols before the
+    * partial aggregate) — the price of EXACT distincts. At 100 TB swap
+    * `countDistinct` for `approx_count_distinct` (HLL++, no Expand) —
+    * the plan is otherwise identical; exact is kept here because the
+    * oracle compares bit-for-bit.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = count(lit(1)).as("__rows") +: cols.flatMap { c => Seq(
+      count(col(c)).as(s"__${c}__nn"),
+      countDistinct(col(c)).as(s"__${c}__nd"),
+      min(col(c)).cast("string").as(s"__${c}__min"),
+      max(col(c)).cast("string").as(s"__${c}__max")) }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { c => struct(
+      lit(c).as("col_name"),
+      col("__rows").as("n_rows"),
+      (col("__rows") - col(s"__${c}__nn")).as("n_nulls"),
+      col(s"__${c}__nd").as("n_distinct"),
+      col(s"__${c}__min").as("min_s"),
+      col(s"__${c}__max").as("max_s")) }
+    one.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
+
+  /** Temperature-based mixture sampling (the multilingual / multi-source
+    * balancing standard): source `s` gets probability mass ∝ n_s^α, so
+    * low-resource sources are up-weighted relative to their natural
+    * share. α is fixed at 0.5 — `sqrt` is IEEE-correctly-rounded in
+    * every engine, which keeps the computed rates BIT-IDENTICAL to the
+    * DuckDB oracle (a libm `pow` would differ in the last ulp). The
+    * denominator Σ√n_s folds over sources in sorted order (left fold =
+    * deterministic double sum); per-row inclusion compares a 52-bit
+    * md5-derived uniform (exact in a double) against the source's rate.
+    * Scale shape: one tiny per-source aggregate (broadcast back), one
+    * scan for the sampling pass — rates are driver-free, RNG-free and
+    * reproducible under any partitioning.
+    */
+  def temperatureMixSample(df: DataFrame, sourceCol: String, keyCol: Column,
+      targetFrac: Double, salt: String = "graft"): DataFrame = {
+    require(targetFrac > 0 && targetFrac <= 1, s"bad targetFrac $targetFrac")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(
+      sum(col("n")).as("__N"),
+      aggregate(array_sort(collect_list(struct(col(sourceCol), col("n")))),
+        lit(0.0), (acc, x) => acc + sqrt(x("n").cast("double"))).as("__denom"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .withColumn("rate", least(lit(1.0),
+        lit(targetFrac) * col("__N").cast("double") * sqrt(col("n").cast("double"))
+          / col("__denom") / col("n").cast("double")))
+      .select(col(sourceCol), col("n").as("n_total"), col("rate"))
+    // 52-bit uniform: 13 hex digits convert EXACTLY to a double
+    val u = conv(substring(md5(concat(lit(salt), lit(":"), keyCol.cast("string"))),
+      1, 13), 16, 10).cast("double") / lit(4503599627370496.0)
+    df.join(broadcast(rates), sourceCol)
+      .withColumn("keep", u < col("rate"))
+      .groupBy(col(sourceCol))
+      .agg(first(col("n_total")).as("n_total"),
+        first(col("rate")).as("rate"),
+        sum(col("keep").cast("long")).as("n_sampled"),
+        min(when(col("keep"), keyCol)).as("first_key"))
+  }
 }

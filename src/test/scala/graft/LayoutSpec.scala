@@ -110,4 +110,44 @@ class LayoutSpec extends SparkSpec {
     val leaks = kept.size - 500
     assert(leaks >= 0 && leaks < 100, s"leaks=$leaks")
   }
+
+  test("zOrderValue matches a bit-by-bit reference interleave") {
+    def ref(a: Long, b: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 31) {
+        z |= ((a >> i) & 1L) << (2 * i)
+        z |= ((b >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 3L),
+      (12345L, 67890L), (2147483647L, 2147483647L), (1L << 30, 1L << 30))
+    val df = cases.toDF("a", "b")
+      .select($"a", $"b", Layout.zOrderValue($"a", $"b").as("z"))
+      .as[(Long, Long, Long)].collect()
+    df.foreach { case (a, b, z) => assert(z === ref(a, b), s"interleave($a,$b)") }
+  }
+
+  test("writeZOrdered clusters BOTH dimensions per file; leading-sort only one") {
+    // 4096 points on a 64×64 grid where x and y are independent — a
+    // sort by x alone leaves y's per-file span at full range, z-order
+    // shrinks both
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val df = (0 until 4096).map { i => (i / 64L, i % 64L) }.toDF("x", "y")
+    Layout.writeZOrdered(df, dir, "x", "y", numFiles = 16)
+    val spans = spark.read.parquet(dir)
+      .groupBy(input_file_name())
+      .agg((max($"x") - min($"x")).as("sx"), (max($"y") - min($"y")).as("sy"))
+      .select($"sx", $"sy").as[(Long, Long)].collect()
+    assert(spans.length === 16)
+    // 16 files over a 64×64 z-curve -> each file covers a 16×16 block:
+    // per-file span ≤ 1/4 of the full 0..63 range on EACH dim (a plain
+    // x-sort gives sy = 63 for every file)
+    val (avgX, avgY) = (spans.map(_._1).sum / 16.0, spans.map(_._2).sum / 16.0)
+    assert(avgX <= 20.0, s"x spans not clustered: avg $avgX")
+    assert(avgY <= 20.0, s"y spans not clustered: avg $avgY")
+    // content-lossless
+    assert(spark.read.parquet(dir).agg(sum($"x" * 64L + $"y")).head.getLong(0)
+      === (0L until 4096L).sum)
+  }
 }

@@ -182,4 +182,62 @@ class PipelineSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1)
     assert(a.toSeq == b.toSeq)
   }
+
+  test("applyChangelog: upserts replace/insert, deletes remove, rest untouched") {
+    val snap = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("doc_id", "text")
+    val log = Seq(
+      (2L, "upsert", "TWO"),   // update
+      (4L, "upsert", "four"),  // insert
+      (3L, "delete", null.asInstanceOf[String])).toDF("doc_id", "op", "text")
+    val out = Pipeline.applyChangelog(snap, log)
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "one"), (2L, "TWO"), (4L, "four")))
+  }
+
+  test("applyChangelog roundtrip: diff(a,b) applied to a reproduces b") {
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
+    val b = Seq((2L, "y"), (3L, "Z2"), (9L, "new")).toDF("doc_id", "text")
+    val diff = Pipeline.snapshotDiff(a, b).filter($"status" =!= "unchanged")
+    val log = diff.join(b, Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"status" === "removed", lit("delete")).otherwise(lit("upsert")).as("op"),
+        $"text")
+    val merged = Pipeline.applyChangelog(a, log)
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(merged.toSeq == Seq((2L, "y"), (3L, "Z2"), (9L, "new")))
+  }
+
+  test("profile: one row per column with exact null/distinct/min/max") {
+    val df = Seq(
+      (Some(1L), Some("b")), (Some(2L), None),
+      (Some(2L), Some("a")), (None, Some("a"))).toDF("id", "s")
+    val out = Pipeline.profile(df, Seq("id", "s"))
+      .as[(String, Long, Long, Long, String, String)].collect().sortBy(_._1)
+    assert(out(0) == (("id", 4L, 1L, 2L, "1", "2")))
+    assert(out(1) == (("s", 4L, 1L, 2L, "a", "b")))
+  }
+
+  test("temperatureMixSample: low-resource sources upweighted, deterministic") {
+    // source A: 900 rows, B: 90, C: 10 — α=0.5 flattens the mix
+    val df = ((0 until 900).map(i => ("A", i.toLong)) ++
+      (900 until 990).map(i => ("B", i.toLong)) ++
+      (990 until 1000).map(i => ("C", i.toLong))).toDF("source", "doc_id")
+    val out = Pipeline.temperatureMixSample(df, "source", $"doc_id", targetFrac = 0.1)
+      .select($"source", $"n_total", $"rate", $"n_sampled")
+      .as[(String, Long, Double, Long)].collect().sortBy(_._1).toSeq
+    val bySrc = out.map(r => r._1 -> r).toMap
+    // inclusion rates strictly favor the smaller sources
+    assert(bySrc("C")._3 > bySrc("B")._3 && bySrc("B")._3 > bySrc("A")._3)
+    assert(out.forall(r => r._3 <= 1.0 && r._3 > 0.0))
+    // expected-count identity: Σ n_s · r_s = targetFrac · N when no rate
+    // clamps at 1.0 (C's, the largest: 0.1·1000·√10/denom/10 ≈ 0.74)
+    val expected = out.map(r => r._2 * r._3).sum
+    assert(math.abs(expected - 100.0) < 1e-9, s"expected draws $expected")
+    // deterministic under repartitioning
+    val again = Pipeline.temperatureMixSample(
+        df.repartition(13), "source", $"doc_id", targetFrac = 0.1)
+      .select($"source", $"n_total", $"rate", $"n_sampled")
+      .as[(String, Long, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(out == again)
+  }
 }
