@@ -1086,6 +1086,43 @@ object SparkEntry {
       .orderBy($"source")
   }
 
+  private def d14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // SimHash Hamming-LSH near-dup: 4 × 8-bit integer band slices find
+    // every pair within Hamming ≤ 3 (pigeonhole — such a pair agrees
+    // exactly on ≥ 1 slice), one bit_count(xor) verifies per candidate.
+    // The corpus' near-identical clusters make the exact pair set huge
+    // (1.3M pairs at sf0.1), so the QUERY aggregates per left doc —
+    // count + hamming sum + first partner pins the pair set without
+    // dumping it.
+    operators.Dedup.simHashNearDup(t(s, dir, "documents"),
+        nBits = 32, bands = 4, maxHamming = 3)
+      .groupBy($"da")
+      .agg(count(lit(1)).as("n_pairs"), sum($"hamming").as("sum_hamming"),
+        min($"db").as("first_db"))
+      .orderBy($"da")
+  }
+
+  private def e14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // DLQ rate limit (error-storm suppression): keep the first 3 error
+    // rows per (error_class, day) through the TopKPerKey operator,
+    // account for the suppressed tail — the kept sample plus exact
+    // totals is what a triage dashboard needs, not the storm itself.
+    val errs = eventsCaptured(s, dir, stackTraces = false).errors
+      .withColumn("day",
+        to_date(timestamp_micros(expr("ts div 1000"))).cast("string"))
+      .select($"error_class", $"day", $"event_id")
+    val kept = sources.Sinks.rateLimitDeadLetters(errs,
+      Seq("error_class", "day"), Seq(operators.TopK.asc("event_id")), maxPerKey = 3)
+    val keptIds = kept.groupBy($"error_class", $"day")
+      .agg(concat_ws(",",
+        transform(sort_array(collect_list($"event_id")), _.cast("string"))).as("kept_ids"))
+    sources.Sinks.rateLimitAccounting(errs, kept, Seq("error_class", "day"))
+      .join(keptIds, Seq("error_class", "day"))
+      .orderBy($"day")
+  }
+
   private[graft] def rmTree(path: String): Unit = {
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
@@ -1448,6 +1485,8 @@ object SparkEntry {
     "x6_zorder" -> (x6 _),
     "x7_profile" -> (x7 _),
     "p11_temperature_mix" -> (p11 _),
+    "d14_simhash_neardup" -> (d14 _),
+    "e14_dlq_rate_limit" -> (e14 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2556,5 +2595,38 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
         |  MIN(CASE WHEN keep THEN doc_id END) AS first_key
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    "d14_simhash_neardup" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents),
+        |bits AS (SELECT unnest(range(1, 33)) AS b),
+        |contrib AS (
+        |  SELECT doc_id, b,
+        |    SUM(CASE WHEN substr(md5(tok), b, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS sgn
+        |  FROM toks CROSS JOIN bits GROUP BY doc_id, b),
+        |sig AS (SELECT doc_id,
+        |  list_reduce(list(CAST(CASE WHEN sgn > 0 THEN 1 ELSE 0 END AS BIGINT) ORDER BY b),
+        |    (a, x) -> a * 2 + x) AS sig
+        |  FROM contrib GROUP BY doc_id),
+        |banded AS (SELECT doc_id, sig, band, (sig >> CAST(32 - 8 * (band + 1) AS INT)) & 255 AS bval
+        |  FROM sig, (SELECT unnest(range(0, 4)) AS band) bs),
+        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.sig AS siga, b.sig AS sigb
+        |  FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+        |SELECT da, COUNT(*) AS n_pairs,
+        |  CAST(SUM(bit_count(xor(siga, sigb))) AS BIGINT) AS sum_hamming,
+        |  MIN(db) AS first_db
+        |FROM cand WHERE bit_count(xor(siga, sigb)) <= 3
+        |GROUP BY da ORDER BY da""".stripMargin,
+    "e14_dlq_rate_limit" ->
+      """WITH err AS (SELECT event_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+        |  FROM (SELECT event_id, ts, CAST(regexp_extract(props, '[0-9]+') AS INT) AS k FROM events)
+        |  WHERE k % 7 = 0),
+        |r AS (SELECT event_id, day,
+        |  ROW_NUMBER() OVER (PARTITION BY day ORDER BY event_id) AS rn FROM err)
+        |SELECT 'org.apache.spark.SparkArithmeticException' AS error_class, day,
+        |  COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  COUNT(*) - CAST(SUM(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppressed,
+        |  string_agg(CASE WHEN rn <= 3 THEN CAST(event_id AS VARCHAR) END, ',' ORDER BY event_id) AS kept_ids
+        |FROM r GROUP BY day ORDER BY day""".stripMargin,
   )
 }

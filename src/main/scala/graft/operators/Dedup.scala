@@ -264,6 +264,52 @@ object Dedup {
         graft.functions.Fence(graft.functions.SimHashSig(col("ts"), nBits)).as("simhash"))
       .filter(col("simhash").isNotNull)
 
+  /** SimHash near-dup via Hamming LSH (the Google-style complement of
+    * MinHash banding): the `nBits`-bit fingerprint splits into `bands`
+    * equal integer slices; by pigeonhole, any pair within Hamming
+    * distance < `bands` matches EXACTLY in at least one slice, so an
+    * equi-join on (band, slice-value) finds every such pair without an
+    * all-pairs scan, and the cheap `bit_count(xor)` verify co-located
+    * after the join is exact. All keys are integer bit-slices of the
+    * signature long — no strings ever shuffle (the signature pipeline
+    * runs once; candidates deduplicate before the verify).
+    *
+    * Scale note: a band slice has `nBits / bands` bits, so bucket
+    * count is 2^(nBits/bands) — size nBits for the corpus (64-bit
+    * signatures with 16-bit slices at web scale; the 32/8 default here
+    * matches the 32-bit oracle-reproducible [[simHash]]). Bucket skew
+    * is bounded the same way as MinHash LSH: near-identical corpora
+    * concentrate in few buckets, and the verify stays cheap because it
+    * is one xor per candidate pair, not a token join.
+    */
+  def simHashNearDup(docs: DataFrame, nBits: Int = 32, bands: Int = 4,
+      maxHamming: Int = 3, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(nBits % bands == 0, s"bands ($bands) must divide nBits ($nBits)")
+    require(maxHamming < bands,
+      s"detection is only guaranteed for hamming < bands: $maxHamming >= $bands")
+    val w = nBits / bands
+    val mask = (1L << w) - 1L
+    val sigs = simHash(docs, nBits, textCol, idCol)
+      .select(col("doc_id"), conv(col("simhash"), 2, 10).cast("long").as("sig"))
+    // one long key per (band, slice): band index in the high bits so
+    // distinct bands never collide
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        (lit(b.toLong * (mask + 1L)) +
+          shiftrightunsigned(col("sig"), nBits - w * (b + 1)).bitwiseAND(lit(mask))).as(s"b$b")
+      }: _*)).as("bkey"))
+    val cand = banded.as("a")
+      .join(banded.as("b").hint("shuffle_hash"),
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.sig").as("siga"), col("b.sig").as("sigb"))
+      .distinct() // a pair matching in several bands must verify once
+    cand
+      .withColumn("hamming", expr("bit_count(siga ^ sigb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("da"), col("db"), col("hamming"))
+  }
+
   /** N-gram Jaccard near-dup with blocking: pairs inside the same block
     * (e.g. source) compared on word n-gram sets. Blocking bounds the
     * quadratic term to per-block sizes — at 100 TB the block is the unit

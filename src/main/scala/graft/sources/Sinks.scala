@@ -106,4 +106,35 @@ object Sinks {
     }
     acc
   }
+
+  /** DLQ rate limiting (error-storm suppression): keep only the FIRST
+    * `maxPerKey` error rows per key (typically (error_class, time
+    * bucket)) in a deterministic order, so a poisoned upstream can
+    * never flood the dead-letter store — the kept rows are the
+    * diagnostic sample, the suppressed tail is accounted, not stored.
+    *
+    * The selection runs through the TopKPerKey operator: bounded
+    * per-key heaps with map-side partial top-k BEFORE the key exchange
+    * — during an error storm (the exact moment this operator matters)
+    * the shuffle carries ≤ maxPerKey rows per key per partition, not
+    * the storm. Returns the kept rows unchanged; pair with
+    * [[rateLimitAccounting]] for the per-key totals.
+    */
+  def rateLimitDeadLetters(errors: DataFrame, keyCols: Seq[String],
+      orderBy: Seq[graft.operators.TopK.Sort], maxPerKey: Int): DataFrame =
+    graft.operators.TopK.perKey(errors, keyCols, orderBy, maxPerKey)
+
+  /** Per-key totals for a rate-limited DLQ: total, kept and suppressed
+    * counts per key — one count aggregate over the error frame joined
+    * to the kept counts (the kept side is ≤ maxPerKey rows per key by
+    * construction, so the join is against a tiny aggregate).
+    */
+  def rateLimitAccounting(errors: DataFrame, kept: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val key = keyCols.map(col)
+    val totals = errors.groupBy(key: _*).agg(count(lit(1)).as("n_total"))
+    val keptCounts = kept.groupBy(key: _*).agg(count(lit(1)).as("n_kept"))
+    totals.join(keptCounts, keyCols)
+      .withColumn("n_suppressed", col("n_total") - col("n_kept"))
+  }
 }

@@ -290,4 +290,33 @@ class OperatorsSpec extends SparkSpec {
     assert(feats.forall(_.getAs[Int]("batch_size") <= 2))
     assert(feats.forall(r => r.getAs[Long]("feat_l1") > 0))
   }
+
+  test("simHashNearDup equals brute-force pairs within hamming < bands") {
+    // 24 docs in 3 clusters of near-identical text + unrelated filler;
+    // the LSH guarantee: every pair with hamming < bands agrees on a
+    // band slice, so the banded join must find EXACTLY the brute-force
+    // pair set under maxHamming = bands - 1
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val many = (0 until 24).map { i =>
+      val base = words(i % 3)
+      (i.toLong, s"$base common shared tokens here plus ${words(i % 6)} tail", "s")
+    }.toDF("doc_id", "text", "source")
+    val bands = 4
+    val lsh = Dedup.simHashNearDup(many, nBits = 32, bands = bands, maxHamming = bands - 1)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // brute force over the same signatures
+    val sigs = Dedup.simHash(many).as[(Long, String)].collect()
+      .map { case (id, s) => id -> java.lang.Long.parseLong(s, 2) }.sortBy(_._1)
+    val brute = (for {
+      (ida, sa) <- sigs; (idb, sb) <- sigs if ida < idb
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= bands - 1
+    } yield (ida, idb) -> h.toLong).toMap
+    assert(lsh == brute, s"lsh=${lsh.size} brute=${brute.size}")
+    assert(brute.nonEmpty, "fixture produced no near pairs — not exercising the join")
+    // maxHamming filters (identical docs only at 0)
+    val tight = Dedup.simHashNearDup(many, nBits = 32, bands = bands, maxHamming = 0)
+      .as[(Long, Long, Long)].collect()
+    assert(tight.forall(_._3 == 0L))
+    assert(tight.length == brute.count(_._2 == 0L))
+  }
 }

@@ -139,4 +139,19 @@ class SinksAndSkewSpec extends SparkSpec {
     assert(plan.contains("ReusedExchange"), s"no exchange reuse in:\n$plan")
     assert(plan.linesIterator.count(_.contains("LocalTableScan")) == 1, plan)
   }
+
+  test("rateLimitDeadLetters keeps the first k per key; accounting is exact") {
+    import graft.operators.TopK
+    // class A floods (10 rows), class B stays under the cap (2 rows)
+    val errs = ((0 until 10).map(i => ("A", i.toLong)) ++
+      Seq(("B", 100L), ("B", 101L))).toDF("error_class", "event_id")
+    val kept = Sinks.rateLimitDeadLetters(errs, Seq("error_class"),
+      Seq(TopK.asc("event_id")), maxPerKey = 3)
+    val k = kept.as[(String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(k == Seq(("A", 0L), ("A", 1L), ("A", 2L), ("B", 100L), ("B", 101L)))
+    val acct = Sinks.rateLimitAccounting(errs, kept, Seq("error_class"))
+      .select($"error_class", $"n_total", $"n_kept", $"n_suppressed")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(acct == Seq(("A", 10L, 3L, 7L), ("B", 2L, 2L, 0L)))
+  }
 }
