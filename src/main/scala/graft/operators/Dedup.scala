@@ -289,25 +289,29 @@ object Dedup {
       s"detection is only guaranteed for hamming < bands: $maxHamming >= $bands")
     val w = nBits / bands
     val mask = (1L << w) - 1L
+    def slice(sig: Column, b: Int) =
+      shiftrightunsigned(sig, nBits - w * (b + 1)).bitwiseAND(lit(mask))
     val sigs = simHash(docs, nBits, textCol, idCol)
       .select(col("doc_id"), conv(col("simhash"), 2, 10).cast("long").as("sig"))
     // one long key per (band, slice): band index in the high bits so
     // distinct bands never collide
-    val banded = sigs.select(col("doc_id"), col("sig"),
-      explode(array((0 until bands).map { b =>
-        (lit(b.toLong * (mask + 1L)) +
-          shiftrightunsigned(col("sig"), nBits - w * (b + 1)).bitwiseAND(lit(mask))).as(s"b$b")
-      }: _*)).as("bkey"))
-    val cand = banded.as("a")
+    val banded = sigs.select(col("doc_id"), col("sig"), posexplode(
+      array((0 until bands).map(b =>
+        lit(b.toLong * (mask + 1L)) + slice(col("sig"), b)): _*)).as(Seq("band", "bkey")))
+    // emit each pair ONLY from its first matching band (for every
+    // earlier band the slices must differ) — exactly-once without the
+    // candidate-set distinct, whose exchange would otherwise dominate
+    // (a few bit ops per candidate vs shuffling every duplicate match)
+    val firstBand = (0 until bands - 1).map { bp =>
+      (col("a.band") <= bp) || (slice(col("a.sig"), bp) =!= slice(col("b.sig"), bp))
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    banded.as("a")
       .join(banded.as("b").hint("shuffle_hash"),
-        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id")
+          && firstBand)
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        col("a.sig").as("siga"), col("b.sig").as("sigb"))
-      .distinct() // a pair matching in several bands must verify once
-    cand
-      .withColumn("hamming", expr("bit_count(siga ^ sigb)").cast("long"))
+        expr("bit_count(a.sig ^ b.sig)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("da"), col("db"), col("hamming"))
   }
 
   /** N-gram Jaccard near-dup with blocking: pairs inside the same block
