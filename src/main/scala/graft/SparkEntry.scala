@@ -1123,6 +1123,54 @@ object SparkEntry {
       .orderBy($"day")
   }
 
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // set operations: INTERSECT / EXCEPT (distinct semantics) — which
+    // nations have customers, suppliers, or both. Small keys: Catalyst
+    // plans both as hash aggregates over a broadcast/shuffle join.
+    val cn = t(s, dir, "customer").select($"c_nationkey".as("nk"))
+    val sn = t(s, dir, "supplier").select($"s_nationkey".as("nk"))
+    cn.intersect(sn).withColumn("tag", lit("both"))
+      .unionByName(cn.except(sn).withColumn("tag", lit("cust_only")))
+      .unionByName(sn.except(cn).withColumn("tag", lit("supp_only")))
+      .select($"tag", $"nk")
+      .orderBy($"tag", $"nk")
+  }
+
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // time-RANGE window frame: per user, events and value in the
+    // PRECEDING HOUR of each event (not a row-count frame — q7 covers
+    // that). One (user) exchange + sort; the range frame is evaluated
+    // by a sliding pointer over the sorted run, never a per-row rescan.
+    val w = Window.partitionBy($"user_id").orderBy($"tus")
+      .rangeBetween(-3600000000L, 0L)
+    t(s, dir, "events")
+      .withColumn("tus", expr("ts div 1000"))
+      .select($"user_id", $"event_id",
+        count(lit(1)).over(w).as("n_1h"),
+        sum($"value".cast(DEC)).over(w).cast("double").as("sum_1h"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  private def x8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // incremental aggregate maintenance: the events stream arrives as
+    // three batches (split by event_id mod 3) folded into a per-user
+    // state table — the oracle states the fixed point, a direct
+    // aggregate over everything (independent formulation).
+    val ev = t(s, dir, "events")
+      .select($"user_id", $"event_id", $"value".cast(DEC).as("v"))
+    val state = (0 until 3).foldLeft(Option.empty[DataFrame]) { (st, i) =>
+      Some(operators.Pipeline.refreshAggState(st,
+        ev.filter(pmod($"event_id", lit(3)) === i),
+        keyCols = Seq("user_id"), sumCols = Seq("v")))
+    }.get
+    state.select($"user_id", $"n", $"sum_v".cast("double").as("total_value"))
+      .orderBy($"user_id")
+  }
+
   private[graft] def rmTree(path: String): Unit = {
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
@@ -1487,6 +1535,9 @@ object SparkEntry {
     "p11_temperature_mix" -> (p11 _),
     "d14_simhash_neardup" -> (d14 _),
     "e14_dlq_rate_limit" -> (e14 _),
+    "q32_set_ops" -> (q32 _),
+    "q33_range_window" -> (q33 _),
+    "x8_agg_refresh" -> (x8 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2628,5 +2679,27 @@ object SparkEntry {
         |  COUNT(*) - CAST(SUM(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppressed,
         |  string_agg(CASE WHEN rn <= 3 THEN CAST(event_id AS VARCHAR) END, ',' ORDER BY event_id) AS kept_ids
         |FROM r GROUP BY day ORDER BY day""".stripMargin,
+    "q32_set_ops" ->
+      """SELECT 'both' AS tag, nk FROM
+        |  (SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'cust_only' AS tag, nk FROM
+        |  (SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'supp_only' AS tag, nk FROM
+        |  (SELECT s_nationkey AS nk FROM supplier EXCEPT SELECT c_nationkey FROM customer)
+        |ORDER BY tag, nk""".stripMargin,
+    "q33_range_window" ->
+      """SELECT user_id, event_id,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+        |FROM (SELECT user_id, event_id, value, epoch_us(ts) AS tus FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tus
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "x8_agg_refresh" ->
+      """SELECT user_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

@@ -385,4 +385,31 @@ object Pipeline {
         sum(col("keep").cast("long")).as("n_sampled"),
         min(when(col("keep"), keyCol)).as("first_key"))
   }
+
+  /** Incremental aggregate-state maintenance (materialized-view
+    * refresh): fold a new batch of raw rows into a per-key aggregate
+    * table — `n` plus one `sum_<c>` per requested column — without ever
+    * recomputing history. The batch aggregates FIRST (map-side partials
+    * on the batch only), then merges with the state by re-aggregating
+    * the union: the only shuffled frames are key-cardinality-sized —
+    * at 100 TB the state table replaces an ever-growing reaggregation
+    * of the raw corpus, which is the entire point. Counts and sums are
+    * the self-mergeable aggregates; pass decimal-cast columns for
+    * oracle-exact money/value sums (min/max merge the same way;
+    * averages derive from n + sum at read time).
+    */
+  def refreshAggState(state: Option[DataFrame], batch: DataFrame,
+      keyCols: Seq[String], sumCols: Seq[String]): DataFrame = {
+    val key = keyCols.map(col)
+    val bAggs = count(lit(1)).cast("long").as("n") +:
+      sumCols.map(c => sum(col(c)).as(s"sum_$c"))
+    val b = batch.groupBy(key: _*).agg(bAggs.head, bAggs.tail: _*)
+    state match {
+      case None => b
+      case Some(st) =>
+        val mAggs = sum(col("n")).as("n") +:
+          sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c"))
+        st.unionByName(b).groupBy(key: _*).agg(mAggs.head, mAggs.tail: _*)
+    }
+  }
 }

@@ -79,6 +79,54 @@ object StreamErrorHandling {
       .start()
   }
 
+  /** [[captureToDlq]] with per-trigger DLQ rate limiting (error-storm
+    * suppression): each micro-batch keeps at most `maxPerClass` dead
+    * letters per error class (first by input_value — deterministic for
+    * a given batch) and writes an exact accounting row per class
+    * (total / kept / suppressed) beside them. A poisoned upstream can
+    * then never flood the DLQ store: per trigger the stored rows are
+    * bounded by classes × maxPerClass, while the accounting keeps the
+    * true error magnitude observable. Values are never limited.
+    * Same exactly-once layout as [[captureToDlq]] (batch_id=N dirs,
+    * idempotent overwrite on replay).
+    */
+  def captureToDlqRateLimited(
+      stream: DataFrame,
+      results: Map[String, Column],
+      input: Column,
+      description: String,
+      valuesPath: String,
+      dlqPath: String,
+      accountingPath: String,
+      checkpointPath: String,
+      maxPerClass: Int): StreamingQuery = {
+    val captured = capture(stream, results, input)
+    captured.df.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val cached = batch.toDF().persist()
+        try {
+          val ef = ErrorFrame(cached, captured.resultNames, input)
+          ef.values.write.mode("overwrite")
+            .parquet(s"$valuesPath/batch_id=$batchId")
+          val dl = ef.deadLetters(description)
+            .withColumn("__class", col("cause.error_class")).persist()
+          try {
+            val kept = graft.sources.Sinks.rateLimitDeadLetters(dl,
+              Seq("__class"), Seq(graft.operators.TopK.asc("input_value")), maxPerClass)
+            kept.drop("__class").write.mode("overwrite")
+              .parquet(s"$dlqPath/batch_id=$batchId")
+            graft.sources.Sinks.rateLimitAccounting(dl, kept, Seq("__class"))
+              .withColumnRenamed("__class", "error_class")
+              .write.mode("overwrite")
+              .parquet(s"$accountingPath/batch_id=$batchId")
+          } finally { dl.unpersist(); () }
+        } finally { cached.unpersist(); () }
+        ()
+      }
+      .start()
+  }
+
   /** Column names of the retry carry-over state (not CAPTURE_PREFIX'd:
     * they must survive ErrorFrame.values/errors projections).
     */

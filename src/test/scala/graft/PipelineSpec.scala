@@ -240,4 +240,23 @@ class PipelineSpec extends SparkSpec {
       .as[(String, Long, Double, Long)].collect().sortBy(_._1).toSeq
     assert(out == again)
   }
+
+  test("refreshAggState: batch folds reach the direct-aggregate fixed point") {
+    val rows = (0 until 90).map(i => (i % 7L, i.toLong)).toDF("k", "x")
+    // fold in three arbitrary batches
+    val state = (0 until 3).foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+      (st, i) => Some(Pipeline.refreshAggState(st,
+        rows.filter($"x" % 3 === i), keyCols = Seq("k"), sumCols = Seq("x")))
+    }.get
+    val folded = state.select($"k", $"n", $"sum_x")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val direct = rows.groupBy($"k").agg(count(lit(1)).as("n"), sum($"x").as("s"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(folded == direct)
+    // an empty batch is a no-op on the state
+    val after = Pipeline.refreshAggState(Some(state), rows.filter(lit(false)),
+        keyCols = Seq("k"), sumCols = Seq("x"))
+      .select($"k", $"n", $"sum_x").as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(after == folded)
+  }
 }

@@ -319,4 +319,41 @@ class StreamingSpec extends SparkSpec {
     val failed = rows.filter(_.errorClass.isDefined)
     assert(failed.length == 1 && failed.head.errorClass.get == "java.lang.NumberFormatException")
   }
+
+  test("captureToDlqRateLimited caps stored dead letters per class, accounts the rest") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val tmp = Files.createTempDirectory("graft-stream-rl").toString
+
+    val q = StreamErrorHandling.captureToDlqRateLimited(
+      mem.toDF().withColumnRenamed("value", "s"),
+      Map("v" -> expr("cast(s as int)")),
+      input = col("s"),
+      description = "storm test",
+      valuesPath = s"$tmp/values",
+      dlqPath = s"$tmp/dlq",
+      accountingPath = s"$tmp/acct",
+      checkpointPath = s"$tmp/ckpt",
+      maxPerClass = 2)
+
+    // trigger 1: an error storm — 5 poison rows, only 2 may be stored
+    mem.addData("1", "bad_a", "bad_b", "bad_c", "bad_d", "bad_e", "2")
+    q.processAllAvailable()
+    // trigger 2: under the cap
+    mem.addData("3", "bad_f")
+    q.processAllAvailable()
+    q.stop()
+
+    val values = spark.read.parquet(s"$tmp/values").select($"v").as[Int].collect().sorted
+    assert(values.toSeq == Seq(1, 2, 3), "values are never rate-limited")
+    // stored DLQ: first-2 by input_value in trigger 1, the single one in trigger 2
+    val dlq = spark.read.parquet(s"$tmp/dlq")
+      .select($"input_value").as[String].collect().sorted
+    assert(dlq.toSeq == Seq("bad_a", "bad_b", "bad_f"))
+    // accounting keeps the true magnitude per trigger
+    val acct = spark.read.parquet(s"$tmp/acct")
+      .select($"batch_id", $"n_total", $"n_kept", $"n_suppressed")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(acct == Seq((0L, 5L, 2L, 3L), (1L, 1L, 1L, 0L)))
+  }
 }
