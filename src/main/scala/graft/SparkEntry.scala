@@ -1171,6 +1171,23 @@ object SparkEntry {
       .orderBy($"user_id")
   }
 
+  private def p12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // leakage-safe split: the assignment unit is d8's dedup cluster, so
+    // near-dup groups never straddle train/val/test — the contamination
+    // mode a per-document split cannot prevent. Singletons (docs not in
+    // any near-dup pair) are their own cluster.
+    val clus = clusters(s, dir, driverSolveMaxEdges = 1L << 22)
+    operators.Pipeline.leakageSafeSplit(
+        t(s, dir, "documents").select($"doc_id"), clus,
+        Seq(("train", "8"), ("val", "c"), ("test", "g")))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"cluster_id").as("n_clusters"),
+        min($"doc_id").as("first_doc"))
+      .orderBy($"split")
+  }
+
   private[graft] def rmTree(path: String): Unit = {
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
@@ -1538,6 +1555,7 @@ object SparkEntry {
     "q32_set_ops" -> (q32 _),
     "q33_range_window" -> (q33 _),
     "x8_agg_refresh" -> (x8 _),
+    "p12_leakage_split" -> (p12 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2701,5 +2719,29 @@ object SparkEntry {
       """SELECT user_id, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "p12_leakage_split" ->
+      """WITH RECURSIVE g AS (SELECT doc_id, source,
+        |  list_distinct(list_transform(range(1, len(string_split(text,' '))),
+        |    i -> array_to_string(list_slice(string_split(text,' '), i, i+1), ' '))) AS ts
+        | FROM documents),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |  len(list_intersect(a.ts,b.ts))::DOUBLE/(len(a.ts)+len(b.ts)-len(list_intersect(a.ts,b.ts))) AS jaccard
+        | FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+        | WHERE jaccard >= CAST(0.1 AS DOUBLE)),
+        |e AS (SELECT da AS a, db AS b FROM p UNION SELECT db, da FROM p),
+        |r AS (
+        | SELECT DISTINCT a AS node, a AS reach FROM e
+        | UNION
+        | SELECT r.node, e.b AS reach FROM r JOIN e ON r.reach = e.a),
+        |c AS (SELECT node AS doc_id, MIN(reach) AS cluster_id FROM r GROUP BY node),
+        |asg AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        | FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id),
+        |k AS (SELECT doc_id, cluster_id,
+        |  CASE WHEN md5('graft:' || CAST(cluster_id AS VARCHAR)) < '8' THEN 'train'
+        |       WHEN md5('graft:' || CAST(cluster_id AS VARCHAR)) < 'c' THEN 'val'
+        |       ELSE 'test' END AS split FROM asg)
+        |SELECT split, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT cluster_id) AS n_clusters, MIN(doc_id) AS first_doc
+        |FROM k GROUP BY split ORDER BY split""".stripMargin,
   )
 }

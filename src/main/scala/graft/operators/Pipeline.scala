@@ -398,6 +398,33 @@ object Pipeline {
     * oracle-exact money/value sums (min/max merge the same way;
     * averages derive from n + sum at read time).
     */
+  /** Leakage-safe train/val/test split: the unit of assignment is the
+    * DEDUP CLUSTER, not the document — every near-dup group lands
+    * wholly inside one split, so no test example has a near-duplicate
+    * in train (the contamination mode a per-document split cannot
+    * prevent). `clusterAssignments` is (idCol, cluster_id) from the
+    * connected-components step (d8/d9); documents absent from it are
+    * singletons and become their own cluster. Assignment is a
+    * deterministic md5-hex cutoff on the salted CLUSTER id (p5's
+    * mechanism one level up) — reproducible, partitioning-independent,
+    * and stable when new corpus versions add documents to existing
+    * clusters. One left join (broadcast when the pair graph is sparse —
+    * cluster rows exist only for paired docs) + a per-row hash.
+    */
+  def leakageSafeSplit(docs: DataFrame, clusterAssignments: DataFrame,
+      cutoffs: Seq[(String, String)], idCol: String = "doc_id",
+      salt: String = "graft"): DataFrame = {
+    require(cutoffs.nonEmpty, "need at least one (split, hexCutoff)")
+    val withCluster = docs
+      .join(clusterAssignments.select(col(idCol), col("cluster_id")), Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+    val h = md5(concat(lit(salt), lit(":"), col("cluster_id").cast("string")))
+    val split = cutoffs.foldRight(lit(cutoffs.last._1)) { case ((name, cut), acc) =>
+      when(h < lit(cut), lit(name)).otherwise(acc)
+    }
+    withCluster.withColumn("split", split)
+  }
+
   def refreshAggState(state: Option[DataFrame], batch: DataFrame,
       keyCols: Seq[String], sumCols: Seq[String]): DataFrame = {
     val key = keyCols.map(col)

@@ -259,4 +259,26 @@ class PipelineSpec extends SparkSpec {
       .select($"k", $"n", $"sum_x").as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(after == folded)
   }
+
+  test("leakageSafeSplit: clusters never straddle splits; singletons covered") {
+    val docs = (0L until 100L).toDF("doc_id")
+    // clusters: {0,1,2}, {10,11}, rest singletons
+    val clus = Seq((0L, 0L), (1L, 0L), (2L, 0L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val out = Pipeline.leakageSafeSplit(docs, clus,
+        Seq(("train", "8"), ("val", "c"), ("test", "g")))
+      .select($"doc_id", $"cluster_id", $"split")
+      .as[(Long, Long, String)].collect()
+    assert(out.length == 100, "every document is assigned")
+    val byDoc = out.map(r => r._1 -> r._3).toMap
+    // the leakage property: same cluster -> same split
+    assert(byDoc(0L) == byDoc(1L) && byDoc(1L) == byDoc(2L))
+    assert(byDoc(10L) == byDoc(11L))
+    // singletons cluster to themselves
+    assert(out.filter(_._1 >= 50L).forall(r => r._2 == r._1))
+    // all three splits are populated and the cutoffs roughly partition
+    val counts = out.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(counts.keySet == Set("train", "val", "test"), counts.toString)
+    assert(counts("train") > counts("test"), counts.toString)
+  }
 }
