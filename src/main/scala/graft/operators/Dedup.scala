@@ -283,7 +283,8 @@ object Dedup {
     * is one xor per candidate pair, not a token join.
     */
   def simHashNearDup(docs: DataFrame, nBits: Int = 32, bands: Int = 4,
-      maxHamming: Int = 3, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      maxHamming: Int = 3, textCol: String = "text", idCol: String = "doc_id",
+      maxBucket: Int = 10000): DataFrame = {
     require(nBits % bands == 0, s"bands ($bands) must divide nBits ($nBits)")
     require(maxHamming < bands,
       s"detection is only guaranteed for hamming < bands: $maxHamming >= $bands")
@@ -291,28 +292,66 @@ object Dedup {
     val mask = (1L << w) - 1L
     def slice(sig: Column, b: Int) =
       shiftrightunsigned(sig, nBits - w * (b + 1)).bitwiseAND(lit(mask))
-    val sigs = simHash(docs, nBits, textCol, idCol)
-      .select(col("doc_id"), conv(col("simhash"), 2, 10).cast("long").as("sig"))
-    // one long key per (band, slice): band index in the high bits so
-    // distinct bands never collide
-    val banded = sigs.select(col("doc_id"), col("sig"), posexplode(
-      array((0 until bands).map(b =>
-        lit(b.toLong * (mask + 1L)) + slice(col("sig"), b)): _*)).as(Seq("band", "bkey")))
+    // candidates via a band-key SELF-JOIN, not d2's bucket grouping:
+    // this corpus has near-identical clusters of hundreds of docs, and
+    // an in-bucket HOF pair expansion is interpreted AND serializes
+    // each m²/2 bucket onto one task (measured 10.5 s vs 1.5 s here) —
+    // the hash join distributes the same m² work and both sides read
+    // ONE exchange (AQE ReusedExchange; the signature pipeline runs
+    // once). `maxBucket` drops degenerate band values (a bucket of m
+    // docs emits m²/2 candidates) via a broadcast anti-join; the count
+    // pass re-runs the scan-bound signature projection once — the
+    // price of the guard, noise next to the quadratic join. Dropped
+    // buckets are observable via [[oversizedHammingBuckets]].
+    val banded = bandedSimHash(docs, nBits, bands, textCol, idCol)
+    val oversized = banded.groupBy(col("bkey")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket).select(col("bkey"))
+    val pruned = banded.join(broadcast(oversized), Seq("bkey"), "left_anti")
     // emit each pair ONLY from its first matching band (for every
-    // earlier band the slices must differ) — exactly-once without the
+    // earlier band the slices must differ) — exactly-once without a
     // candidate-set distinct, whose exchange would otherwise dominate
     // (a few bit ops per candidate vs shuffling every duplicate match)
     val firstBand = (0 until bands - 1).map { bp =>
       (col("a.band") <= bp) || (slice(col("a.sig"), bp) =!= slice(col("b.sig"), bp))
     }.reduceOption(_ && _).getOrElse(lit(true))
-    banded.as("a")
-      .join(banded.as("b").hint("shuffle_hash"),
+    pruned.as("a")
+      .join(pruned.as("b").hint("shuffle_hash"),
         col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id")
           && firstBand)
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         expr("bit_count(a.sig ^ b.sig)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** (doc_id, sig, band, bkey) band rows shared by [[simHashNearDup]]
+    * and its monitoring twin: one long key per (band, slice) — band
+    * index in the high bits so distinct bands never collide.
+    */
+  private def bandedSimHash(docs: DataFrame, nBits: Int, bands: Int,
+      textCol: String, idCol: String): DataFrame = {
+    val w = nBits / bands
+    val mask = (1L << w) - 1L
+    simHash(docs, nBits, textCol, idCol)
+      .select(col("doc_id"), conv(col("simhash"), 2, 10).cast("long").as("sig"))
+      .select(col("doc_id"), col("sig"), posexplode(
+        array((0 until bands).map(b => lit(b.toLong * (mask + 1L)) +
+          shiftrightunsigned(col("sig"), nBits - w * (b + 1)).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bkey")))
+  }
+
+  /** Monitoring twin of [[simHashNearDup]]'s bucket cap (the
+    * [[oversizedLshBuckets]] pattern): band buckets exceeding
+    * `maxBucket` docs, which candidate generation skipped. A non-empty
+    * result means the banding is mistuned for the corpus (slices too
+    * narrow, or a degenerate constant prefix) — log it beside the dedup
+    * job rather than silently missing pairs.
+    */
+  def oversizedHammingBuckets(docs: DataFrame, nBits: Int = 32, bands: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id",
+      maxBucket: Int = 10000): DataFrame =
+    bandedSimHash(docs, nBits, bands, textCol, idCol)
+      .groupBy(col("bkey")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucket)
 
   /** N-gram Jaccard near-dup with blocking: pairs inside the same block
     * (e.g. source) compared on word n-gram sets. Blocking bounds the
