@@ -1080,9 +1080,15 @@ object SparkEntry {
 
   private def p11(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // temperature mixture sampling over the source column, α = 0.5
+    // temperature mixture sampling over the source column, α = 0.5;
+    // the operator returns the row-level keep/rate frame — this query
+    // aggregates it into the per-source accounting the oracle states
     operators.Pipeline.temperatureMixSample(
         t(s, dir, "documents"), "source", $"doc_id", targetFrac = 0.3)
+      .groupBy($"source")
+      .agg(first($"n_total").as("n_total"), first($"rate").as("rate"),
+        sum($"keep".cast("long")).as("n_sampled"),
+        min(when($"keep", $"doc_id")).as("first_key"))
       .orderBy($"source")
   }
 
@@ -1109,10 +1115,17 @@ object SparkEntry {
     // rows per (error_class, day) through the TopKPerKey operator,
     // account for the suppressed tail — the kept sample plus exact
     // totals is what a triage dashboard needs, not the storm itself.
+    // localCheckpoint: the kept branch's TopKPerKeyPartial exchange and
+    // the totals branch's hash-agg exchange are not canonically
+    // identical, so AQE cannot ReusedExchange them — without the pin
+    // the try_capture scan would run once per branch (the CLAUDE
+    // one-scan rule for capture pipelines); the pinned frame is 3
+    // narrow columns of error rows only.
     val errs = eventsCaptured(s, dir, stackTraces = false).errors
       .withColumn("day",
         to_date(timestamp_micros(expr("ts div 1000"))).cast("string"))
       .select($"error_class", $"day", $"event_id")
+      .localCheckpoint()
     val kept = sources.Sinks.rateLimitDeadLetters(errs,
       Seq("error_class", "day"), Seq(operators.TopK.asc("event_id")), maxPerKey = 3)
     val keptIds = kept.groupBy($"error_class", $"day")

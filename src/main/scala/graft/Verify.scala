@@ -7,8 +7,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // optional extra args: dump only these queries (dev iteration;
-    // the driver always runs the full registry)
+    // the driver always runs the full registry). Unknown names FAIL:
+    // a typo would otherwise select nothing, and with check.py
+    // --partial that reads as a vacuous green.
     val only = args.drop(2).toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -275,9 +275,12 @@ object Dedup {
     * runs once; candidates deduplicate before the verify).
     *
     * Scale note: a band slice has `nBits / bands` bits, so bucket
-    * count is 2^(nBits/bands) — size nBits for the corpus (64-bit
-    * signatures with 16-bit slices at web scale; the 32/8 default here
-    * matches the 32-bit oracle-reproducible [[simHash]]). Bucket skew
+    * count is 2^(nBits/bands) — size nBits for the corpus, within this
+    * signature's hard 32-bit ceiling ([[graft.functions.SimHashSig]]
+    * derives bit b from the b-th md5 hex digit, so nBits ≤ 32 is
+    * enforced, never silently truncated; a web-scale 64-bit variant
+    * needs a wider signature expression first, the banding here then
+    * works unchanged up to bit 62). Bucket skew
     * is bounded the same way as MinHash LSH: near-identical corpora
     * concentrate in few buckets, and the verify stays cheap because it
     * is one xor per candidate pair, not a token join.
@@ -285,6 +288,8 @@ object Dedup {
   def simHashNearDup(docs: DataFrame, nBits: Int = 32, bands: Int = 4,
       maxHamming: Int = 3, textCol: String = "text", idCol: String = "doc_id",
       maxBucket: Int = 10000): DataFrame = {
+    require(nBits >= 1 && nBits <= 32,
+      s"nBits must be in [1, 32] (SimHashSig's md5-hex derivation): $nBits")
     require(nBits % bands == 0, s"bands ($bands) must divide nBits ($nBits)")
     require(maxHamming < bands,
       s"detection is only guaranteed for hamming < bands: $maxHamming >= $bands")

@@ -314,7 +314,15 @@ object Pipeline {
     */
   def applyChangelog(snapshot: DataFrame, changes: DataFrame,
       idCol: String = "doc_id", opCol: String = "op"): DataFrame = {
-    val touched = changes.select(col(idCol))
+    // fail LOUDLY on an op outside {upsert, delete} (incl. null): the
+    // anti-join removes every touched id, so a typo'd "update" would
+    // otherwise silently DELETE the row. The check rides the id
+    // projection so column pruning cannot elide it.
+    val touched = changes.select(
+      when(col(opCol).isin("upsert", "delete"), col(idCol))
+        .otherwise(raise_error(concat(
+          lit(s"applyChangelog: unknown $opCol value: "), col(opCol))))
+        .as(idCol))
     val upserts = changes.filter(col(opCol) === "upsert").drop(opCol)
       .select(snapshot.columns.map(col): _*)
     snapshot.join(touched, Seq(idCol), "left_anti").unionByName(upserts)
@@ -360,6 +368,11 @@ object Pipeline {
     * Scale shape: one tiny per-source aggregate (broadcast back), one
     * scan for the sampling pass — rates are driver-free, RNG-free and
     * reproducible under any partitioning.
+    *
+    * Returns the ROW-LEVEL frame: every input row plus `n_total` /
+    * `rate` (its source's) and the `keep` verdict — filter on `keep`
+    * for the balanced sample, aggregate for accounting (p11's query
+    * does the latter).
     */
   def temperatureMixSample(df: DataFrame, sourceCol: String, keyCol: Column,
       targetFrac: Double, salt: String = "graft"): DataFrame = {
@@ -379,25 +392,8 @@ object Pipeline {
       1, 13), 16, 10).cast("double") / lit(4503599627370496.0)
     df.join(broadcast(rates), sourceCol)
       .withColumn("keep", u < col("rate"))
-      .groupBy(col(sourceCol))
-      .agg(first(col("n_total")).as("n_total"),
-        first(col("rate")).as("rate"),
-        sum(col("keep").cast("long")).as("n_sampled"),
-        min(when(col("keep"), keyCol)).as("first_key"))
   }
 
-  /** Incremental aggregate-state maintenance (materialized-view
-    * refresh): fold a new batch of raw rows into a per-key aggregate
-    * table — `n` plus one `sum_<c>` per requested column — without ever
-    * recomputing history. The batch aggregates FIRST (map-side partials
-    * on the batch only), then merges with the state by re-aggregating
-    * the union: the only shuffled frames are key-cardinality-sized —
-    * at 100 TB the state table replaces an ever-growing reaggregation
-    * of the raw corpus, which is the entire point. Counts and sums are
-    * the self-mergeable aggregates; pass decimal-cast columns for
-    * oracle-exact money/value sums (min/max merge the same way;
-    * averages derive from n + sum at read time).
-    */
   /** Leakage-safe train/val/test split: the unit of assignment is the
     * DEDUP CLUSTER, not the document — every near-dup group lands
     * wholly inside one split, so no test example has a near-duplicate
@@ -425,18 +421,40 @@ object Pipeline {
     withCluster.withColumn("split", split)
   }
 
+  /** Incremental aggregate-state maintenance (materialized-view
+    * refresh): fold a new batch of raw rows into a per-key aggregate
+    * table — `n` plus one `sum_<c>` per requested column — without ever
+    * recomputing history. The batch aggregates FIRST (map-side partials
+    * on the batch only), then merges with the state by re-aggregating
+    * the union: the only shuffled frames are key-cardinality-sized —
+    * at 100 TB the state table replaces an ever-growing reaggregation
+    * of the raw corpus, which is the entire point. Counts and sums are
+    * the self-mergeable aggregates; pass decimal-cast columns for
+    * oracle-exact money/value sums (min/max merge the same way;
+    * averages derive from n + sum at read time).
+    *
+    * The merged state is `localCheckpoint`ed each round (the iterative
+    * -loop rule): without it round N's plan would stack every
+    * historical batch scan and union layer, re-scanning all history on
+    * each action — the exact cost the operator exists to avoid. In a
+    * real refresh loop the state lives in a table between runs, which
+    * truncates lineage the same way; `materialize = false` opts out
+    * for single-action compositions.
+    */
   def refreshAggState(state: Option[DataFrame], batch: DataFrame,
-      keyCols: Seq[String], sumCols: Seq[String]): DataFrame = {
+      keyCols: Seq[String], sumCols: Seq[String],
+      materialize: Boolean = true): DataFrame = {
     val key = keyCols.map(col)
     val bAggs = count(lit(1)).cast("long").as("n") +:
       sumCols.map(c => sum(col(c)).as(s"sum_$c"))
     val b = batch.groupBy(key: _*).agg(bAggs.head, bAggs.tail: _*)
-    state match {
+    val merged = state match {
       case None => b
       case Some(st) =>
         val mAggs = sum(col("n")).as("n") +:
           sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c"))
         st.unionByName(b).groupBy(key: _*).agg(mAggs.head, mAggs.tail: _*)
     }
+    if (materialize) merged.localCheckpoint() else merged
   }
 }

@@ -100,7 +100,10 @@ object StreamErrorHandling {
       accountingPath: String,
       checkpointPath: String,
       maxPerClass: Int): StreamingQuery = {
-    val captured = capture(stream, results, input)
+    // same per-trigger telemetry as captureToDlq — rate limiting caps
+    // what is STORED, never what is observable (the storm's true
+    // magnitude must stay visible in the progress events)
+    val captured = capture(stream, results, input).observedNamed(TelemetryName)
     captured.df.writeStream
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>

@@ -194,6 +194,18 @@ class PipelineSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "one"), (2L, "TWO"), (4L, "four")))
   }
 
+  test("applyChangelog rejects unknown ops loudly (no silent delete)") {
+    val snap = Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text")
+    val bad = Seq((2L, "update", "TWO")).toDF("doc_id", "op", "text")
+    val e = intercept[Throwable] {
+      Pipeline.applyChangelog(snap, bad).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(e).exists(t => Option(t.getMessage).exists(_.contains("unknown op"))),
+      e.toString)
+  }
+
   test("applyChangelog roundtrip: diff(a,b) applied to a reproduces b") {
     val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
     val b = Seq((2L, "y"), (3L, "Z2"), (9L, "new")).toDF("doc_id", "text")
@@ -222,9 +234,18 @@ class PipelineSpec extends SparkSpec {
     val df = ((0 until 900).map(i => ("A", i.toLong)) ++
       (900 until 990).map(i => ("B", i.toLong)) ++
       (990 until 1000).map(i => ("C", i.toLong))).toDF("source", "doc_id")
-    val out = Pipeline.temperatureMixSample(df, "source", $"doc_id", targetFrac = 0.1)
-      .select($"source", $"n_total", $"rate", $"n_sampled")
-      .as[(String, Long, Double, Long)].collect().sortBy(_._1).toSeq
+    def sampleStats(d: org.apache.spark.sql.DataFrame) =
+      Pipeline.temperatureMixSample(d, "source", $"doc_id", targetFrac = 0.1)
+        .groupBy($"source")
+        .agg(first($"n_total").as("n_total"), first($"rate").as("rate"),
+          sum($"keep".cast("long")).as("n_sampled"))
+        .as[(String, Long, Double, Long)].collect().sortBy(_._1).toSeq
+    // row-level contract: every input row comes back with its verdict
+    val rows = Pipeline.temperatureMixSample(df, "source", $"doc_id", targetFrac = 0.1)
+    assert(rows.count() == 1000)
+    assert(rows.columns.toSet ==
+      Set("source", "doc_id", "n_total", "rate", "keep"))
+    val out = sampleStats(df)
     val bySrc = out.map(r => r._1 -> r).toMap
     // inclusion rates strictly favor the smaller sources
     assert(bySrc("C")._3 > bySrc("B")._3 && bySrc("B")._3 > bySrc("A")._3)
@@ -234,11 +255,7 @@ class PipelineSpec extends SparkSpec {
     val expected = out.map(r => r._2 * r._3).sum
     assert(math.abs(expected - 100.0) < 1e-9, s"expected draws $expected")
     // deterministic under repartitioning
-    val again = Pipeline.temperatureMixSample(
-        df.repartition(13), "source", $"doc_id", targetFrac = 0.1)
-      .select($"source", $"n_total", $"rate", $"n_sampled")
-      .as[(String, Long, Double, Long)].collect().sortBy(_._1).toSeq
-    assert(out == again)
+    assert(out == sampleStats(df.repartition(13)))
   }
 
   test("refreshAggState: batch folds reach the direct-aggregate fixed point") {

@@ -355,5 +355,9 @@ class StreamingSpec extends SparkSpec {
       .select($"batch_id", $"n_total", $"n_kept", $"n_suppressed")
       .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(acct == Seq((0L, 5L, 2L, 3L), (1L, 1L, 1L, 0L)))
+    // the per-trigger telemetry still reports the UNSUPPRESSED error
+    // magnitude — rate limiting caps storage, never observability
+    val tele = q.recentProgress.toSeq.flatMap(StreamErrorHandling.captureTelemetry)
+    assert(tele.map(_._2).sum == 6, tele.toString)
   }
 }
