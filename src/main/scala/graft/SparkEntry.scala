@@ -1201,6 +1201,33 @@ object SparkEntry {
       .orderBy($"split")
   }
 
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // grouped anomaly detection, exact two-pass z-score: per-type mean
+    // and variance from DECIMAL power sums (order-independent ⇒
+    // engine-reproducible), flagging via (v-μ)² > k²σ² — no sqrt, no
+    // libm, every double op in pinned order, so the oracle matches
+    // bit-for-bit even AT the threshold boundary. Stats are tiny and
+    // broadcast back; the probe scan never shuffles (the t11 shape).
+    val ev = t(s, dir, "events").select($"event_type", $"event_id", $"value")
+    val stats = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(DEC)).as("sv"),
+        sum($"value".cast(DEC) * $"value".cast(DEC)).as("svv"))
+      .select($"event_type", $"n",
+        ($"sv".cast("double") / $"n").as("mu"),
+        ($"svv".cast("double") / $"n"
+          - ($"sv".cast("double") / $"n") * ($"sv".cast("double") / $"n")).as("vr"))
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("flag", ($"value" - $"mu") * ($"value" - $"mu") > lit(9.0) * $"vr")
+      .groupBy($"event_type")
+      .agg(first($"n").as("n"), first($"mu").as("mu"),
+        first($"vr").as("variance"),
+        sum($"flag".cast("long")).as("n_anomalies"),
+        min(when($"flag", $"event_id")).as("first_anomaly"))
+      .orderBy($"event_type")
+  }
+
   private[graft] def rmTree(path: String): Unit = {
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
@@ -1569,6 +1596,7 @@ object SparkEntry {
     "q33_range_window" -> (q33 _),
     "x8_agg_refresh" -> (x8 _),
     "p12_leakage_split" -> (p12 _),
+    "q34_anomaly_zscore" -> (q34 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2756,5 +2784,20 @@ object SparkEntry {
         |SELECT split, COUNT(*) AS n_docs,
         |  COUNT(DISTINCT cluster_id) AS n_clusters, MIN(doc_id) AS first_doc
         |FROM k GROUP BY split ORDER BY split""".stripMargin,
+    "q34_anomaly_zscore" ->
+      """WITH s AS (SELECT event_type, COUNT(*) AS n,
+        |  SUM(CAST(value AS DECIMAL(18,4))) AS sv,
+        |  SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS svv
+        | FROM events GROUP BY 1),
+        |st AS (SELECT event_type, n, CAST(sv AS DOUBLE) / n AS mu,
+        |  CAST(svv AS DOUBLE) / n
+        |    - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n) AS vr FROM s),
+        |f AS (SELECT e.event_type, e.event_id, st.n, st.mu, st.vr,
+        |  (e.value - st.mu) * (e.value - st.mu) > CAST(9.0 AS DOUBLE) * st.vr AS flag
+        | FROM events e JOIN st USING (event_type))
+        |SELECT event_type, MIN(n) AS n, MIN(mu) AS mu, MIN(vr) AS variance,
+        |  CAST(SUM(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+        |  MIN(CASE WHEN flag THEN event_id END) AS first_anomaly
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -360,4 +360,36 @@ class StreamingSpec extends SparkSpec {
     val tele = q.recentProgress.toSeq.flatMap(StreamErrorHandling.captureTelemetry)
     assert(tele.map(_._2).sum == 6, tele.toString)
   }
+
+  test("maintainAggState: streaming folds reach the direct aggregate; replay is idempotent") {
+    import graft.streaming.StreamAggState
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val tmp = Files.createTempDirectory("graft-aggstate").toString
+
+    val q = StreamAggState.maintainAggState(
+      mem.toDF().toDF("k", "x"),
+      keyCols = Seq("k"), sumCols = Seq("x"),
+      statePath = s"$tmp/state", checkpointPath = s"$tmp/ckpt")
+    mem.addData(("a", 1L), ("b", 10L), ("a", 2L))
+    q.processAllAvailable()
+    mem.addData(("a", 4L), ("c", 100L))
+    q.processAllAvailable()
+    q.stop()
+
+    def state(): Seq[(String, Long, Long)] =
+      StreamAggState.readState(spark, s"$tmp/state").get
+        .select($"k", $"n", $"sum_x").as[(String, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+    val expected = Seq(("a", 3L, 7L), ("b", 1L, 10L), ("c", 1L, 100L))
+    assert(state() == expected)
+
+    // crash-replay: re-running the LAST trigger with the same batchId
+    // and the same input must leave the state unchanged (it reads the
+    // untouched epoch<N and overwrites its own epoch=N)
+    StreamAggState.processTrigger(
+      Seq(("a", 4L), ("c", 100L)).toDF("k", "x"), batchId = 1L,
+      keyCols = Seq("k"), sumCols = Seq("x"), statePath = s"$tmp/state")
+    assert(state() == expected, "replayed trigger double-counted")
+  }
 }
