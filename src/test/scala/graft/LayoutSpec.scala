@@ -120,12 +120,23 @@ class LayoutSpec extends SparkSpec {
       }
       z
     }
+    // fixed edge cases + 200 seeded-random 31-bit pairs (a session is
+    // required — Spark 4 function Columns stay unresolved until
+    // analysis, so a no-Spark ScalaCheck property cannot eval them)
+    val rnd = new scala.util.Random(42)
     val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 3L),
-      (12345L, 67890L), (2147483647L, 2147483647L), (1L << 30, 1L << 30))
+      (12345L, 67890L), (2147483647L, 2147483647L), (1L << 30, 1L << 30)) ++
+      Seq.fill(200)((rnd.nextLong() & 0x7FFFFFFFL, rnd.nextLong() & 0x7FFFFFFFL))
     val df = cases.toDF("a", "b")
       .select($"a", $"b", Layout.zOrderValue($"a", $"b").as("z"))
       .as[(Long, Long, Long)].collect()
     df.foreach { case (a, b, z) => assert(z === ref(a, b), s"interleave($a,$b)") }
+    // and the interleave inverts: no information loss on either dim
+    df.foreach { case (a, b, z) =>
+      def deinterleave(off: Int): Long =
+        (0 until 31).map(i => ((z >> (2 * i + off)) & 1L) << i).reduce(_ | _)
+      assert(deinterleave(0) == a && deinterleave(1) == b, s"invert($a,$b)")
+    }
   }
 
   test("writeZOrdered clusters BOTH dimensions per file; leading-sort only one") {
