@@ -319,4 +319,21 @@ class OperatorsSpec extends SparkSpec {
     assert(tight.forall(_._3 == 0L))
     assert(tight.length == brute.count(_._2 == 0L))
   }
+
+  test("simHashNearDup maxBucket drops degenerate buckets; monitor surfaces them") {
+    // 40 identical docs: every band bucket holds all 40 -> way over a
+    // cap of 10; the capped run must emit NO pairs while the monitor
+    // reports the oversized buckets (completeness traded for
+    // boundedness, loudly)
+    val same = (0L until 40L).map(i => (i, "identical text for every document here", "s"))
+      .toDF("doc_id", "text", "source")
+    val capped = Dedup.simHashNearDup(same, maxBucket = 10)
+    assert(capped.count() == 0L, "capped buckets still emitted pairs")
+    val over = Dedup.oversizedHammingBuckets(same, maxBucket = 10)
+      .as[(Long, Long)].collect()
+    assert(over.length == 4, s"expected all 4 band buckets oversized: ${over.toSeq}")
+    assert(over.forall(_._2 == 40L))
+    // with the cap above the bucket size the full pair set comes back
+    assert(Dedup.simHashNearDup(same, maxBucket = 40).count() == 40L * 39 / 2)
+  }
 }
