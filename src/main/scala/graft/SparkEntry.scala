@@ -1228,6 +1228,57 @@ object SparkEntry {
       .orderBy($"event_type")
   }
 
+  private def p13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // winsorization: clip values to the interpolated [p05, p95] of
+    // their event_type — the outlier-capping step before numeric
+    // features feed training. Quantiles via the bucketed-selection
+    // operator (no per-key sort, q25's proven interpolation), bounds
+    // broadcast into one clip scan. Output stays hash-exact: counts,
+    // the bit-exact bounds, and min/max of the clipped values — never
+    // an order-dependent double sum.
+    val ev = t(s, dir, "events").select($"event_type", $"value")
+    val qb = operators.Quantiles.boundaries(ev, "event_type", "value",
+      qs = Seq(0.05, 0.95))
+    def interp(q: Double, lo: Column, hi: Column) = {
+      val pos = lit(q) * ($"n" - 1)
+      lo + (pos - floor(pos)) * (hi - lo)
+    }
+    val bounds = qb.groupBy($"event_type")
+      .agg(max($"n").as("n"),
+        max(when($"q" === 0.05, $"lo")).as("lo05"),
+        max(when($"q" === 0.05, $"hi")).as("hi05"),
+        max(when($"q" === 0.95, $"lo")).as("lo95"),
+        max(when($"q" === 0.95, $"hi")).as("hi95"))
+      .select($"event_type", $"n",
+        interp(0.05, $"lo05", $"hi05").as("p05"),
+        interp(0.95, $"lo95", $"hi95").as("p95"))
+    ev.join(broadcast(bounds), "event_type")
+      .withColumn("w", least(greatest($"value", $"p05"), $"p95"))
+      .groupBy($"event_type")
+      .agg(first($"n").as("n"), first($"p05").as("p05"), first($"p95").as("p95"),
+        sum(($"value" < $"p05").cast("long")).as("n_clipped_lo"),
+        sum(($"value" > $"p95").cast("long")).as("n_clipped_hi"),
+        min($"w").as("min_w"), max($"w").as("max_w"))
+      .orderBy($"event_type")
+  }
+
+  private def e15q(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // DLQ quarantine: exact dedup applied to the dead-letter store —
+    // a poison input that recurs across the corpus is stored ONCE with
+    // an occurrence count (repeat-offender accounting), so the
+    // quarantine table stays proportional to DISTINCT poison inputs,
+    // not to how often the pipeline hit them.
+    eventsCaptured(s, dir, stackTraces = false)
+      .deadLetters("events k-division pipeline")
+      .groupBy(md5($"input_value").as("input_hash"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        min($"input_value").as("input_value"),
+        first($"cause.error_class").as("error_class"))
+      .orderBy($"input_hash")
+  }
+
   private[graft] def rmTree(path: String): Unit = {
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
@@ -1597,6 +1648,8 @@ object SparkEntry {
     "x8_agg_refresh" -> (x8 _),
     "p12_leakage_split" -> (p12 _),
     "q34_anomaly_zscore" -> (q34 _),
+    "p13_winsorize" -> (p13 _),
+    "e15_dlq_quarantine" -> (e15q _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2799,5 +2852,32 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
         |  MIN(CASE WHEN flag THEN event_id END) AS first_anomaly
         |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "p13_winsorize" ->
+      """WITH ranked AS (SELECT event_type, value,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) - 1 AS rn,
+        |  COUNT(*) OVER (PARTITION BY event_type) AS n FROM events),
+        |b AS (SELECT event_type, MAX(n) AS n,
+        |  MAX(CASE WHEN rn = floor(CAST(0.05 AS DOUBLE) * (n - 1)) THEN value END) AS lo05,
+        |  MAX(CASE WHEN rn = ceil(CAST(0.05 AS DOUBLE) * (n - 1)) THEN value END) AS hi05,
+        |  MAX(CASE WHEN rn = floor(CAST(0.95 AS DOUBLE) * (n - 1)) THEN value END) AS lo95,
+        |  MAX(CASE WHEN rn = ceil(CAST(0.95 AS DOUBLE) * (n - 1)) THEN value END) AS hi95
+        | FROM ranked GROUP BY event_type),
+        |p AS (SELECT event_type, n,
+        |  lo05 + (CAST(0.05 AS DOUBLE) * (n - 1) - floor(CAST(0.05 AS DOUBLE) * (n - 1))) * (hi05 - lo05) AS p05,
+        |  lo95 + (CAST(0.95 AS DOUBLE) * (n - 1) - floor(CAST(0.95 AS DOUBLE) * (n - 1))) * (hi95 - lo95) AS p95
+        | FROM b)
+        |SELECT e.event_type, MIN(p.n) AS n, MIN(p.p05) AS p05, MIN(p.p95) AS p95,
+        |  CAST(SUM(CASE WHEN e.value < p.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+        |  CAST(SUM(CASE WHEN e.value > p.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+        |  MIN(LEAST(GREATEST(e.value, p.p05), p.p95)) AS min_w,
+        |  MAX(LEAST(GREATEST(e.value, p.p05), p.p95)) AS max_w
+        |FROM events e JOIN p USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "e15_dlq_quarantine" ->
+      """SELECT md5(props) AS input_hash, COUNT(*) AS n_occurrences,
+        |  MIN(props) AS input_value,
+        |  'org.apache.spark.SparkArithmeticException' AS error_class
+        |FROM (SELECT props, CAST(regexp_extract(props, '[0-9]+') AS INT) AS k FROM events)
+        |WHERE k % 7 = 0 GROUP BY md5(props) ORDER BY input_hash""".stripMargin,
   )
 }
