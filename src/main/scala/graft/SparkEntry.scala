@@ -1279,6 +1279,82 @@ object SparkEntry {
       .orderBy($"input_hash")
   }
 
+  private def d15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Kafka-style log compaction in batch: the events changelog
+    // collapses to its latest record per (user, type) stream key via
+    // ONE max_by hash aggregate — map-side partial argmax, the shuffle
+    // carries one candidate per key per partition, never the log. The
+    // compacted-topic read path of the reference's ecosystem.
+    val ev = t(s, dir, "events").select($"user_id", $"event_type",
+      expr("ts div 1000").as("tus"), $"event_id", $"value", $"props")
+    operators.Pipeline.compactLog(ev,
+        keyCols = Seq("user_id", "event_type"),
+        orderCols = Seq("tus", "event_id"),
+        payloadCols = Seq("value", "props"))
+      .orderBy($"user_id", $"event_type")
+  }
+
+  private def e16(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // DLQ trend monitoring: hourly dead-letter counts per error class
+    // with integer-exact spike verdicts (count > mean + 2σ, compared
+    // cross-multiplied so no doubles exist anywhere) — the dashboard
+    // query over the error store, aggregated here to a per-class card.
+    val errs = eventsCaptured(s, dir, stackTraces = false).errors
+      .select($"error_class", $"ts")
+    sources.Sinks.errorTrend(errs, "error_class", "ts", k = 2)
+      .groupBy($"error_class")
+      .agg(count(lit(1)).as("n_hours"), sum($"c").as("total_errors"),
+        max($"c").as("max_hourly"),
+        sum($"spike".cast("long")).as("n_spike_hours"),
+        min(when($"spike", $"hour")).as("first_spike_hour"))
+      .orderBy($"error_class")
+  }
+
+  private def p14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // RAG chunking: 32-token windows every 24 tokens (8-token overlap),
+    // chunk ids + hashes ready for the embedding/dedup stages. Pure
+    // per-row explode — no shuffle before the ordered output.
+    operators.Pipeline.chunkDocuments(t(s, dir, "documents"),
+        window = 32, stride = 24)
+      .select($"doc_id", $"chunk_id", $"start_tok", $"n_tok", $"chunk_hash")
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  private def t13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    operators.TextAnalysis.bigramNovelty(t(s, dir, "documents"), rareDf = 2)
+      .orderBy($"doc_id")
+  }
+
+  private def d16(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // SemDeDup: coarse-quantizer clustering bounds the pair search to
+    // within-cell (Σ|cell|², never corpus²); cosine near-dups above the
+    // d5 threshold collapse keep-earliest. Survivors out, id-ordered.
+    operators.Similarity.semDedup(t(s, dir, "embeddings"), k = 8,
+        threshold = 0.3)
+      .orderBy($"vec_id")
+  }
+
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // statistical MODE per group via the two-level argmax aggregate:
+    // counts to (key, value) grain first (map-side partials), then one
+    // max_by hash aggregate ordered by (count, -value) — deterministic
+    // smallest-value tie-break, no window sort, the second shuffle
+    // carries one row per distinct (key, value).
+    val counts = t(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_quantity").agg(count(lit(1)).as("n"))
+    counts.groupBy($"l_returnflag")
+      .agg(max_by($"l_quantity", struct($"n", -$"l_quantity")).as("mode_qty"),
+        max($"n").as("mode_n"),
+        count(lit(1)).as("n_distinct_vals"))
+      .orderBy($"l_returnflag")
+  }
+
   private[graft] def rmTree(path: String): Unit = {
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
@@ -1650,6 +1726,12 @@ object SparkEntry {
     "q34_anomaly_zscore" -> (q34 _),
     "p13_winsorize" -> (p13 _),
     "e15_dlq_quarantine" -> (e15q _),
+    "d15_log_compact" -> (d15 _),
+    "e16_dlq_trend" -> (e16 _),
+    "p14_chunk" -> (p14 _),
+    "t13_bigram_novelty" -> (t13 _),
+    "q35_mode" -> (q35 _),
+    "d16_semdedup" -> (d16 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2879,5 +2961,90 @@ object SparkEntry {
         |  'org.apache.spark.SparkArithmeticException' AS error_class
         |FROM (SELECT props, CAST(regexp_extract(props, '[0-9]+') AS INT) AS k FROM events)
         |WHERE k % 7 = 0 GROUP BY md5(props) ORDER BY input_hash""".stripMargin,
+    "d15_log_compact" ->
+      """WITH v AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id,
+        |  value, props,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn,
+        |  COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_versions
+        | FROM events)
+        |SELECT user_id, event_type, tus, event_id, value, props,
+        |  CAST(n_versions AS BIGINT) AS n_versions
+        |FROM v WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "e16_dlq_trend" ->
+      """WITH err AS (SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour
+        |  FROM (SELECT ts, CAST(regexp_extract(props, '[0-9]+') AS INT) AS k FROM events)
+        |  WHERE k % 7 = 0),
+        |h AS (SELECT 'org.apache.spark.SparkArithmeticException' AS error_class,
+        |  hour, COUNT(*) AS c FROM err GROUP BY 2),
+        |st AS (SELECT error_class, COUNT(*) AS n_hours,
+        |  CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c * c) AS BIGINT) AS s2
+        | FROM h GROUP BY 1),
+        |f AS (SELECT h.error_class, h.hour, h.c, st.n_hours,
+        |  (h.c * st.n_hours - st.s1 > 0 AND
+        |   (h.c * st.n_hours - st.s1) * (h.c * st.n_hours - st.s1)
+        |     > 4 * (st.n_hours * st.s2 - st.s1 * st.s1)) AS spike
+        | FROM h JOIN st USING (error_class))
+        |SELECT error_class, MIN(n_hours) AS n_hours,
+        |  CAST(SUM(c) AS BIGINT) AS total_errors, MAX(c) AS max_hourly,
+        |  CAST(SUM(CASE WHEN spike THEN 1 ELSE 0 END) AS BIGINT) AS n_spike_hours,
+        |  MIN(CASE WHEN spike THEN hour END) AS first_spike_hour
+        |FROM f GROUP BY error_class ORDER BY error_class""".stripMargin,
+    "p14_chunk" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+        |  FROM documents),
+        |st AS (SELECT doc_id, ts,
+        |  unnest(range(0, greatest(len(ts), 1), 24)) AS start_tok FROM tok)
+        |SELECT doc_id, CAST(start_tok // 24 AS BIGINT) AS chunk_id,
+        |  CAST(start_tok AS BIGINT) AS start_tok,
+        |  CAST(len(list_slice(ts, start_tok + 1, least(start_tok + 32, len(ts)))) AS BIGINT) AS n_tok,
+        |  md5(array_to_string(list_slice(ts, start_tok + 1, least(start_tok + 32, len(ts))), ' ')) AS chunk_hash
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+    "t13_bigram_novelty" ->
+      """WITH g AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' '))) AS g
+        |  FROM documents)),
+        |f AS (SELECT g, COUNT(*) AS df FROM g GROUP BY g)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |  CAST(SUM(df) AS BIGINT) AS sum_df,
+        |  CAST(SUM(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS rare_frac,
+        |  CAST(SUM(df) AS DOUBLE) / COUNT(*) AS mean_df
+        |FROM g JOIN f USING (g) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q35_mode" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity, COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT l_returnflag, l_quantity, n,
+        |  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |    ORDER BY n DESC, l_quantity ASC) AS rn,
+        |  COUNT(*) OVER (PARTITION BY l_returnflag) AS nd
+        | FROM c)
+        |SELECT l_returnflag, l_quantity AS mode_qty, n AS mode_n,
+        |  CAST(nd AS BIGINT) AS n_distinct_vals
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+    "d16_semdedup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  list_reduce(list_transform(range(1, len(v)+1), i -> v[i]*v[i]), (x,y) -> x+y) AS vv
+        | FROM e),
+        |s AS (SELECT vec_id AS cid, v AS c, vv AS cc FROM n ORDER BY vec_id LIMIT 8),
+        |d AS (SELECT n.vec_id, s.cid,
+        |  n.vv + s.cc - 2 * list_reduce(list_transform(range(1, len(n.v)+1),
+        |    i -> n.v[i]*s.c[i]), (x,y) -> x+y) AS dist2
+        | FROM n CROSS JOIN s),
+        |r AS (SELECT vec_id, cid, dist2,
+        |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM d),
+        |a AS (SELECT vec_id, cid AS cluster_id FROM r WHERE rn = 1),
+        |cl AS (SELECT n.vec_id, a.cluster_id, n.v,
+        |  sqrt(list_reduce(list_transform(n.v, x -> x*x), (x,y) -> x+y)) AS nrm
+        | FROM n JOIN a USING (vec_id)),
+        |p AS (SELECT x.vec_id AS va, y.vec_id AS vb
+        | FROM cl x JOIN cl y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+        | WHERE list_reduce(list_transform(range(1, len(x.v)+1), i -> x.v[i]*y.v[i]),
+        |    (q,w) -> q+w) / (x.nrm * y.nrm) >= CAST(0.3 AS DOUBLE)),
+        |rm AS (SELECT DISTINCT vb AS vec_id FROM p)
+        |SELECT cl.vec_id, cl.cluster_id FROM cl
+        |WHERE cl.vec_id NOT IN (SELECT vec_id FROM rm) ORDER BY cl.vec_id""".stripMargin,
   )
 }

@@ -457,4 +457,96 @@ object Pipeline {
     }
     if (materialize) merged.localCheckpoint() else merged
   }
+
+  /** Kafka-style log compaction (the batch twin of a compacted topic,
+    * and the read-side complement of [[applyChangelog]]): collapse an
+    * append-only changelog to the LATEST record per key in ONE
+    * max_by hash aggregate. Map-side partial argmax means each upstream
+    * partition contributes at most one candidate row per key to the
+    * shuffle — never the log itself (the row_number window idiom would
+    * shuffle every version and sort them). The (orderCols) tuple must be
+    * a TOTAL order per key (tie-break with a unique id): then `max(ord)`
+    * IS the winning record's order tuple, recovered exactly beside the
+    * `max_by` payload. `tombstone` (a predicate over the record) enables
+    * the compacted-topic delete contract: a key whose WINNING record is
+    * a tombstone leaves the compacted view entirely — matching Kafka,
+    * where a newer tombstone deletes the key but an older one is
+    * superseded.
+    *
+    * Output: keyCols, orderCols (winner's), payloadCols (winner's),
+    * `n_versions` (how many log records the key collapsed from).
+    */
+  def compactLog(log: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      payloadCols: Seq[String], tombstone: Option[Column] = None): DataFrame = {
+    require(keyCols.nonEmpty && orderCols.nonEmpty && payloadCols.nonEmpty,
+      "compactLog needs key, order and payload columns")
+    val ord = struct(orderCols.map(col): _*)
+    val pay = struct(payloadCols.map(col) ++ tombstone.map(_.as("__tomb")): _*)
+    val agged = log.groupBy(keyCols.map(col): _*)
+      .agg(max_by(pay, ord).as("__last"), max(ord).as("__ord"),
+        count(lit(1)).as("n_versions"))
+    val kept =
+      if (tombstone.isDefined) agged.filter(!col("__last.__tomb")) else agged
+    kept.select(keyCols.map(col) ++
+      orderCols.map(c => col(s"__ord.$c").as(c)) ++
+      payloadCols.map(c => col(s"__last.$c").as(c)) :+ col("n_versions"): _*)
+  }
+
+  /** Merge two [[compactLog]] outputs into one — associative and
+    * commutative (compacted frames form a monoid under this merge): the
+    * surviving record per key is the max-(orderCols) row across both
+    * sides and `n_versions` adds. This is what lets compaction run
+    * INCREMENTALLY — per batch, per partition, per trigger
+    * (`StreamAggState.maintainCompactedLog`) — with bitwise the same
+    * result as one global [[compactLog]] pass over all history; only
+    * key-cardinality frames ever shuffle. Tombstoned keys must be
+    * RETAINED through incremental merges (compact with
+    * `tombstone = None` and filter at read time): dropping them early
+    * would let an older record resurrect a deleted key.
+    */
+  def mergeCompacted(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String], payloadCols: Seq[String]): DataFrame = {
+    val ord = struct(orderCols.map(col): _*)
+    val pay = struct(payloadCols.map(col): _*)
+    a.unionByName(b).groupBy(keyCols.map(col): _*)
+      .agg(max_by(pay, ord).as("__last"), max(ord).as("__ord"),
+        sum(col("n_versions")).as("n_versions"))
+      .select(keyCols.map(col) ++
+        orderCols.map(c => col(s"__ord.$c").as(c)) ++
+        payloadCols.map(c => col(s"__last.$c").as(c)) :+ col("n_versions"): _*)
+  }
+
+  /** RAG-style document chunking: fixed `window`-token chunks every
+    * `stride` tokens (overlap = window − stride), the corpus→retrieval
+    * prep step. Purely per-row — tokenize once, explode the start
+    * offsets, slice — no shuffle anywhere: at 100 TB this is a
+    * scan-bound map with ~n/stride output rows per n-token document.
+    * Chunk starts are 0, stride, 2·stride, … < n_tokens, so every token
+    * lands in ⌈window/stride⌉ chunks (tail chunks shorten); tokens are
+    * the t3 whitespace contract (`split(trim(text), "\s+")`) and the
+    * chunk text re-joins them with single spaces — byte-reproducible
+    * across engines.
+    *
+    * Output: idCol, chunk_id (0-based per doc), start_tok, n_tok,
+    * chunk_hash (md5 of the re-joined chunk — the id the embedding /
+    * dedup stages key on), chunk_text.
+    */
+  def chunkDocuments(docs: DataFrame, window: Int, stride: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(window >= 1 && stride >= 1,
+      s"window/stride must be >= 1: $window/$stride")
+    docs
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__ts"))
+      .select(col(idCol), col("__ts"),
+        posexplode(sequence(lit(0), greatest(size(col("__ts")) - 1, lit(0)),
+          lit(stride))).as(Seq("chunk_id", "start_tok")))
+      .select(col(idCol),
+        col("chunk_id").cast("long").as("chunk_id"),
+        col("start_tok").cast("long").as("start_tok"),
+        slice(col("__ts"), col("start_tok") + 1, lit(window)).as("__chunk"))
+      .select(col(idCol), col("chunk_id"), col("start_tok"),
+        size(col("__chunk")).cast("long").as("n_tok"),
+        md5(concat_ws(" ", col("__chunk"))).as("chunk_hash"),
+        concat_ws(" ", col("__chunk")).as("chunk_text"))
+  }
 }

@@ -414,6 +414,29 @@ object Similarity {
   /** Embedding near-duplicate pairs: same-partition blocking + cosine
     * threshold. Quadratic only within a block.
     */
+  /** SemDeDup (semantic deduplication, Abbas et al. 2023's recipe
+    * re-expressed relationally): cluster the embedding space with the
+    * coarse quantizer, then search near-duplicate pairs ONLY within a
+    * cluster — the cell-bounded pair search that makes semantic dedup
+    * tractable: the quadratic term is Σ|cell|², controlled by `k`, never
+    * corpus². Representative choice is deterministic keep-earliest-id
+    * (the paper keeps the vector closest to the centroid; earliest-id is
+    * the engine-reproducible variant and matches the d10 text-dedup
+    * contract). Assignment is the scan-bound seeded [[kmeansAssign]] —
+    * swap in [[kmeansTrain]] centroids (and a larger k) at real scale;
+    * the pair join shuffles once on cluster_id.
+    *
+    * Returns the SURVIVORS as (vec_id, cluster_id).
+    */
+  def semDedup(vectors: DataFrame, k: Int, threshold: Double): DataFrame = {
+    val assigned = kmeansAssign(vectors, k).select(col("vec_id"), col("cluster_id"))
+    val clustered = vectors.join(assigned, "vec_id")
+    val removed = nearDupPairs(clustered, "cluster_id", threshold)
+      .select(col("vb").as("vec_id")).distinct()
+    clustered.select(col("vec_id"), col("cluster_id"))
+      .join(removed, Seq("vec_id"), "left_anti")
+  }
+
   def nearDupPairs(vectors: DataFrame, blockCol: String, threshold: Double): DataFrame = {
     val e = vectors.select(col("vec_id"), col(blockCol).as("blk"),
       toDoubleVec(col("embedding")).as("v"))

@@ -200,6 +200,36 @@ object TextAnalysis {
         (col("sum_tf").cast("double") / col("n_tokens").cast("double")).as("commonness"))
   }
 
+  /** Bigram novelty scoring — the bigram complement of [[commonness]]
+    * and the signal the unigram proxy cannot see: a scrambled word
+    * salad has perfectly common unigrams but corpus-unseen bigrams.
+    * Per document, over its DISTINCT word bigrams (the one-pass
+    * `WordNGrams` expression — no token materialization, no HOFs):
+    * document frequency df(g) = #docs containing g is built by one
+    * bigram-keyed hash aggregate (vocabulary-sized result, map-side
+    * partials), then joined back onto the same exploded stream —
+    * past the broadcast threshold the probe exchange is canonically
+    * identical to the build's, so AQE reuses it (the t11 plan shape).
+    * `n_rare` counts bigrams with df ≤ `rareDf`; sums stay BIGINT
+    * end-to-end with exactly one double division per ratio — the
+    * oracle matches bit-for-bit.
+    */
+  def bigramNovelty(docs: DataFrame, rareDf: Long = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(rareDf >= 1, s"rareDf must be >= 1: $rareDf")
+    val grams = docs.select(col(idCol).as("doc_id"),
+      explode(graft.functions.WordNGrams(col(textCol), 2)).as("g"))
+    val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    grams.join(dfreq, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum((col("df") <= rareDf).cast("long")).as("n_rare"),
+        sum(col("df")).as("sum_df"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_rare"), col("sum_df"),
+        (col("n_rare").cast("double") / col("n_bigrams").cast("double")).as("rare_frac"),
+        (col("sum_df").cast("double") / col("n_bigrams").cast("double")).as("mean_df"))
+  }
+
   /** BPE merge training over the word HISTOGRAM — the tokenizer-training
     * core. The classic at-scale trick: byte-pair merges never touch the
     * token stream; they run on the (word, count) histogram, which is

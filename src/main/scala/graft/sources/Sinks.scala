@@ -137,4 +137,34 @@ object Sinks {
     totals.join(keptCounts, keyCols)
       .withColumn("n_suppressed", col("n_total") - col("n_kept"))
   }
+
+  /** Hourly DLQ trend with error-storm detection — the monitoring read
+    * over the dead-letter store: counts per (error class, hour), each
+    * hour flagged `spike` when its count exceeds the class mean by more
+    * than `k` standard deviations. The z-test is ALL-INTEGER: flag iff
+    * `c·n − S1 > 0` and `(c·n − S1)² > k²·(n·S2 − S1²)` — exactly
+    * `(c−μ)² > k²σ²` cross-multiplied by `n²` — so the verdict is
+    * engine-bit-exact with no doubles anywhere, even AT the boundary.
+    * Plan shape: one hash aggregate to (class, hour) grain (map-side
+    * partials absorb the storm — an hour's million errors arrive at the
+    * shuffle as one partial count per partition), then a per-class
+    * stats frame of #classes rows broadcast back. `tsNanosCol` follows
+    * the repo-wide long-nanos timestamp contract.
+    */
+  def errorTrend(errors: DataFrame, classCol: String, tsNanosCol: String,
+      k: Int = 2): DataFrame = {
+    require(k >= 1, s"spike threshold k must be >= 1: $k")
+    val hourly = errors
+      .withColumn("hour", date_trunc("hour",
+        timestamp_micros(expr(s"`$tsNanosCol` div 1000"))).cast("string"))
+      .groupBy(col(classCol), col("hour"))
+      .agg(count(lit(1)).as("c"))
+    val stats = hourly.groupBy(col(classCol))
+      .agg(count(lit(1)).as("n_hours"), sum(col("c")).as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+    val dev = col("c") * col("n_hours") - col("s1")
+    hourly.join(broadcast(stats), classCol)
+      .withColumn("spike", dev > 0 &&
+        dev * dev > lit(k.toLong * k) * (col("n_hours") * col("s2") - col("s1") * col("s1")))
+  }
 }

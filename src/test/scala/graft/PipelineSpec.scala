@@ -298,4 +298,69 @@ class PipelineSpec extends SparkSpec {
     assert(counts.keySet == Set("train", "val", "test"), counts.toString)
     assert(counts("train") > counts("test"), counts.toString)
   }
+
+  test("compactLog keeps the latest record per key, with the tombstone contract") {
+    // key A: v1 < v2 (winner v2); key B: winner is a tombstone -> gone;
+    // key C: tombstone SUPERSEDED by a later record -> present (Kafka:
+    // only the winning tombstone deletes)
+    val log = Seq(
+      ("A", 1L, 10L, "a1", false), ("A", 2L, 11L, "a2", false),
+      ("B", 1L, 20L, "b1", false), ("B", 2L, 21L, "b2", true),
+      ("C", 1L, 30L, "c1", true), ("C", 2L, 31L, "c2", false))
+      .toDF("k", "ver", "id", "payload", "tomb")
+    val out = Pipeline.compactLog(log, Seq("k"), Seq("ver", "id"),
+        Seq("payload"), tombstone = Some($"tomb"))
+      .select($"k", $"ver", $"id", $"payload", $"n_versions")
+      .as[(String, Long, Long, String, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(("A", 2L, 11L, "a2", 2L), ("C", 2L, 31L, "c2", 2L)))
+    // without a tombstone predicate B survives with its latest payload
+    val all = Pipeline.compactLog(log, Seq("k"), Seq("ver", "id"), Seq("payload"))
+      .select($"k", $"payload").as[(String, String)].collect().sortBy(_._1)
+    assert(all.toSeq == Seq(("A", "a2"), ("B", "b2"), ("C", "c2")))
+    // order ties broken by the unique id: same ver, higher id wins
+    val tied = Seq(("T", 1L, 1L, "lo"), ("T", 1L, 2L, "hi"))
+      .toDF("k", "ver", "id", "payload")
+    val w = Pipeline.compactLog(tied, Seq("k"), Seq("ver", "id"), Seq("payload"))
+      .select($"payload").as[String].collect()
+    assert(w.toSeq == Seq("hi"))
+  }
+
+  test("mergeCompacted is a monoid merge: incremental equals global") {
+    val log = Seq(
+      ("A", 1L, 10L, "a1"), ("A", 3L, 12L, "a3"), ("A", 2L, 11L, "a2"),
+      ("B", 1L, 20L, "b1"), ("C", 5L, 30L, "c5"))
+      .toDF("k", "ver", "id", "payload")
+    val (keys, ord, pay) = (Seq("k"), Seq("ver", "id"), Seq("payload"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"k", $"ver", $"id", $"payload", $"n_versions")
+        .as[(String, Long, Long, String, Long)].collect().sortBy(_._1).toSeq
+    val global = canon(Pipeline.compactLog(log, keys, ord, pay))
+    // split the log arbitrarily, compact each half, merge — same result
+    val h1 = Pipeline.compactLog(log.filter($"id" % 2 === 0), keys, ord, pay)
+    val h2 = Pipeline.compactLog(log.filter($"id" % 2 =!= 0), keys, ord, pay)
+    assert(canon(Pipeline.mergeCompacted(h1, h2, keys, ord, pay)) == global)
+    // commutes
+    assert(canon(Pipeline.mergeCompacted(h2, h1, keys, ord, pay)) == global)
+  }
+
+  test("chunkDocuments: stride/window/tail semantics and reassembly") {
+    // 10 tokens, window 4, stride 3 -> starts 0,3,6,9; last chunk length 1
+    val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val out = Pipeline.chunkDocuments(docs, window = 4, stride = 3)
+      .select($"doc_id", $"chunk_id", $"start_tok", $"n_tok", $"chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 4L), (3L, 9L, 1L)))
+    assert(d1.map(_._5).toSeq ==
+      Seq("t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9", "t9"))
+    // every token appears in ceil(window/stride) = 2 chunks except the
+    // stride-boundary residue — just assert full coverage here
+    val covered = d1.flatMap(_._5.split(" ")).toSet
+    assert(covered == (0 until 10).map(i => s"t$i").toSet)
+    // short doc: one chunk, whole text
+    assert(out.filter(_._1 == 2L).map(c => (c._2, c._4, c._5)).toSeq ==
+      Seq((0L, 2L, "a b")))
+  }
 }

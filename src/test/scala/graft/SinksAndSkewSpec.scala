@@ -154,4 +154,25 @@ class SinksAndSkewSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(acct == Seq(("A", 10L, 3L, 7L), ("B", 2L, 2L, 0L)))
   }
+
+  test("errorTrend: integer z-test flags spikes strictly above mean + k sigma") {
+    val H = 3600L * 1000000000L // one hour in the long-nanos ts contract
+    def rows(cls: String, counts: Seq[Int]): Seq[(String, Long)] =
+      counts.zipWithIndex.flatMap { case (c, h) =>
+        (0 until c).map(i => (cls, h * H + i * 1000000000L))
+      }
+    // class B is the exact algebraic boundary: for hourly counts
+    // [1,1,1,1,c] (n=5) the identity dev^2 = 4(n-1)(c-1)^2 = k^2(nS2-S1^2)
+    // holds for EVERY c — count 7 sits exactly at mean + 2 sigma, and the
+    // strict > must NOT flag it. Class S has a genuine outlier.
+    val errs = (rows("B", Seq(1, 1, 1, 1, 7)) ++
+      rows("S", Seq.fill(9)(1) :+ 20)).toDF("error_class", "ts")
+    val out = Sinks.errorTrend(errs, "error_class", "ts", k = 2)
+      .select($"error_class", $"c", $"spike")
+      .as[(String, Long, Boolean)].collect()
+    assert(out.filter(_._1 == "B").forall(!_._3), "boundary hour flagged")
+    val s = out.filter(_._1 == "S")
+    assert(s.filter(_._3).map(_._2).toSeq == Seq(20L), s.mkString(","))
+    assert(s.count(r => !r._3) == 9)
+  }
 }

@@ -392,4 +392,59 @@ class StreamingSpec extends SparkSpec {
       keyCols = Seq("k"), sumCols = Seq("x"), statePath = s"$tmp/state")
     assert(state() == expected, "replayed trigger double-counted")
   }
+
+  test("maintainCompactedLog: per-trigger merge equals one global compaction; replay rewrites") {
+    import graft.streaming.StreamAggState
+    val tmp = Files.createTempDirectory("graft-compact").toString
+    val st = s"$tmp/state"
+    val (keys, ord, pay) = (Seq("k"), Seq("ver", "id"), Seq("payload"))
+    def trig(rows: Seq[(String, Long, Long, String)], id: Long): Unit =
+      StreamAggState.processCompactTrigger(
+        rows.toDF("k", "ver", "id", "payload"), id, keys, ord, pay, st)
+    trig(Seq(("a", 1L, 1L, "a1"), ("a", 2L, 2L, "a2"), ("b", 1L, 3L, "b1")), 0L)
+    trig(Seq(("a", 3L, 4L, "a3"), ("c", 1L, 5L, "c1")), 1L)
+    def state(): Seq[(String, Long, String, Long)] =
+      StreamAggState.readState(spark, st).get
+        .select($"k", $"ver", $"payload", $"n_versions")
+        .as[(String, Long, String, Long)].collect().sortBy(_._1).toSeq
+    val expected = Seq(("a", 3L, "a3", 3L), ("b", 1L, "b1", 1L), ("c", 1L, "c1", 1L))
+    assert(state() == expected)
+    // crash replay of the last trigger: state unchanged, n_versions not doubled
+    trig(Seq(("a", 3L, 4L, "a3"), ("c", 1L, 5L, "c1")), 1L)
+    assert(state() == expected, "replayed compaction trigger double-merged")
+  }
+
+  test("detectAnomalies: prior-state z-verdicts, visible warmup, replay rewrites") {
+    import graft.streaming.StreamAggState
+    val tmp = Files.createTempDirectory("graft-anomaly").toString
+    val st = s"$tmp/state"
+    val outp = s"$tmp/out"
+    def trig(rows: Seq[(String, Double)], id: Long): Unit =
+      StreamAggState.processAnomalyTrigger(rows.toDF("k", "v"), id,
+        keyCols = Seq("k"), valueCol = "v", k = 2, minPrior = 4,
+        statePath = st, outPath = outp)
+    // trigger 0: no prior state -> every row is a visible warmup row
+    trig(Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("b", 1.0)), 0L)
+    val e0 = spark.read.parquet(s"$outp/epoch=0")
+    assert(e0.count() == 5 && e0.filter($"flag").count() == 0)
+    // trigger 1: key a has prior n=4, mu=2.5, sigma^2=1.25 -> k^2 sigma^2 = 5;
+    // (10-2.5)^2 = 56.25 flags, (3-2.5)^2 = 0.25 doesn't; key b is still
+    // under minPrior (n_prior=1) -> false, never null
+    trig(Seq(("a", 10.0), ("a", 3.0), ("b", 100.0)), 1L)
+    def verdicts(): Seq[(String, Double, Long, Boolean)] =
+      spark.read.parquet(s"$outp/epoch=1")
+        .select($"k", $"v", $"n_prior", $"flag")
+        .as[(String, Double, Long, Boolean)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+    val v1 = verdicts()
+    assert(v1 == Seq(("a", 3.0, 4L, false), ("a", 10.0, 4L, true),
+      ("b", 100.0, 1L, false)))
+    // crash replay of trigger 1: same verdicts, same state, nothing doubled
+    trig(Seq(("a", 10.0), ("a", 3.0), ("b", 100.0)), 1L)
+    assert(verdicts() == v1, "replayed trigger changed verdicts")
+    val a = StreamAggState.readState(spark, st).get.filter($"k" === "a")
+      .select($"n", $"sum___v".cast("double"))
+      .as[(Long, Double)].collect().toSeq
+    assert(a == Seq((6L, 23.0)), "replayed trigger double-counted state")
+  }
 }
