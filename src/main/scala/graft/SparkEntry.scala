@@ -1355,6 +1355,90 @@ object SparkEntry {
       .orderBy($"l_returnflag")
   }
 
+  private def q9(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // TPC-H Q9-flavored product-type profit by nation × year. This
+    // schema has no partsupp table, so supply cost is proxied as 60% of
+    // p_retailprice — the join/agg shape (filtered part + supplier +
+    // nation broadcast into the lineitem⋈orders stream) is the point.
+    // Decimal factors sized so every product stays exact (< 38 digits).
+    val part = t(s, dir, "part").filter($"p_name".contains("bolt"))
+    val ep = $"l_extendedprice".cast("decimal(12,2)")
+    val disc = lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(3,2)")
+    val cost = $"p_retailprice".cast("decimal(8,2)") *
+      lit(0.6).cast("decimal(2,1)") * $"l_quantity".cast("decimal(4,1)")
+    t(s, dir, "lineitem")
+      .join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .join(broadcast(t(s, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+      .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(t(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", year($"o_orderdate".cast("date")).as("yr"))
+      .agg(sum(ep * disc - cost).cast("double").as("profit"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"n_name", $"yr")
+  }
+
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // gaps-and-islands: longest consecutive-day activity streak per
+    // user. day - row_number is constant within a consecutive run, so
+    // one distinct + one window + one aggregate finds every island —
+    // all-integer day arithmetic (micros div 86400s), no date types.
+    val days = t(s, dir, "events")
+      .select($"user_id", expr("(ts div 1000) div 86400000000").as("day"))
+      .distinct()
+    val rn = row_number().over(Window.partitionBy($"user_id").orderBy($"day"))
+    val islands = days
+      .withColumn("grp", $"day" - rn)
+      .groupBy($"user_id", $"grp").agg(count(lit(1)).as("len"))
+    islands.groupBy($"user_id")
+      .agg(max($"len").as("longest_streak"), sum($"len").as("n_active_days"),
+        count(lit(1)).as("n_streaks"))
+      .orderBy($"user_id")
+  }
+
+  private def p15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // anti-domination cap: at most 12 documents per source domain, the
+    // k smallest doc_ids surviving (deterministic), selected by the
+    // custom TopKPerKey operator — bounded heaps, ≤ k rows per domain
+    // per upstream partition cross the exchange, never a window sort
+    // over the crawl. The accounting twin is spec-covered.
+    operators.Pipeline.capPerDomain(t(s, dir, "documents"), "source", k = 12)
+      .select($"doc_id", $"source", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  private def t14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    operators.TextAnalysis.tokenEntropy(t(s, dir, "documents"))
+      .orderBy($"doc_id")
+  }
+
+  private def e17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // DLQ crash grouping: three value-dependent failure modes (bad
+    // cast, invalid array index, division by zero) collapse to three
+    // fingerprint rows — digit runs and quoted fragments masked out of
+    // the message, one (class, template) hash aggregate over the store.
+    val ev = t(s, dir, "events")
+      .withColumn("k", regexp_extract($"props", "[0-9]+", 0).cast("int"))
+    val cap = ErrorFrame.captureErrors(
+      ev,
+      Map("res" -> expr(
+        "case when k % 11 = 0 then cast(concat('x', k) as int) " +
+          "when k % 13 = 0 then element_at(array(1, 2), k + 3) " +
+          "else 100 div (k % 7) end")),
+      input = $"props",
+      stackTraces = false) // fingerprints read class + message only
+    sources.Sinks.fingerprintErrors(
+        cap.errors.select($"error_class", $"error_message",
+          $"props".as("input_value")))
+      .select($"error_class", $"template", $"fp", $"n", $"example_input")
+      .orderBy($"error_class", $"template")
+  }
+
   private[graft] def rmTree(path: String): Unit = {
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
@@ -1732,6 +1816,11 @@ object SparkEntry {
     "t13_bigram_novelty" -> (t13 _),
     "q35_mode" -> (q35 _),
     "d16_semdedup" -> (d16 _),
+    "q9_profit" -> (q9 _),
+    "q36_streaks" -> (q36 _),
+    "p15_domain_cap" -> (p15 _),
+    "t14_token_entropy" -> (t14 _),
+    "e17_error_fingerprint" -> (e17 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3046,5 +3135,67 @@ object SparkEntry {
         |rm AS (SELECT DISTINCT vb AS vec_id FROM p)
         |SELECT cl.vec_id, cl.cluster_id FROM cl
         |WHERE cl.vec_id NOT IN (SELECT vec_id FROM rm) ORDER BY cl.vec_id""".stripMargin,
+    "q9_profit" ->
+      """SELECT n_name, CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))
+        |   - CAST(p_retailprice AS DECIMAL(8,2)) * CAST(0.6 AS DECIMAL(2,1)) * CAST(l_quantity AS DECIMAL(4,1))) AS DOUBLE) AS profit,
+        | COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%bolt%'
+        |GROUP BY n_name, CAST(year(CAST(o_orderdate AS DATE)) AS INT)
+        |ORDER BY n_name, yr""".stripMargin,
+    "q36_streaks" ->
+      """WITH days AS (
+        | SELECT DISTINCT user_id, (epoch_us(ts) // 86400000000) AS day FROM events),
+        |isl AS (
+        | SELECT user_id, day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        | FROM days),
+        |g AS (SELECT user_id, grp, COUNT(*) AS len FROM isl GROUP BY user_id, grp)
+        |SELECT user_id, MAX(len) AS longest_streak,
+        | CAST(SUM(len) AS BIGINT) AS n_active_days, COUNT(*) AS n_streaks
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "p15_domain_cap" ->
+      """SELECT doc_id, source, lang, n_chars FROM (
+        | SELECT doc_id, source, lang, n_chars,
+        |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        | FROM documents) WHERE rn <= 12 ORDER BY doc_id""".stripMargin,
+    "t14_token_entropy" ->
+      """WITH c AS (
+        | SELECT doc_id, tok, COUNT(*) AS c FROM (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents)
+        | GROUP BY doc_id, tok),
+        |agg AS (
+        | SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(list_sort(list(c)), x -> x * ln(CAST(x AS DOUBLE)))),
+        |   (a, b) -> a + b) AS s
+        | FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_distinct,
+        | CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+        | round(greatest(CAST(0 AS DOUBLE),
+        |   ln(CAST(n_tokens AS DOUBLE)) - s / CAST(n_tokens AS DOUBLE)), 6) AS entropy
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    // the oracle reconstructs the three fingerprints from the k
+    // classification; the template literals pin Spark 4.1's ANSI
+    // message text (first line, digits and quoted fragments masked) —
+    // same constant-pinning precedent as e4's error_class
+    "e17_error_fingerprint" ->
+      """WITH e AS (SELECT props, CAST(regexp_extract(props, '[0-9]+') AS INT) AS k FROM events),
+        |b AS (SELECT props,
+        |  CASE WHEN k % 11 = 0 THEN 'org.apache.spark.SparkNumberFormatException'
+        |       WHEN k % 13 = 0 THEN 'org.apache.spark.SparkArrayIndexOutOfBoundsException'
+        |       WHEN k % 7 = 0 THEN 'org.apache.spark.SparkArithmeticException' END AS error_class,
+        |  CASE WHEN k % 11 = 0 THEN '[CAST_INVALID_INPUT] The value ''?'' of the type "STRING" cannot be cast to "INT" because it is malformed. Correct the value as per the syntax, or change its target type. Use `try_cast` to tolerate malformed input and return NULL instead. SQLSTATE: #'
+        |       WHEN k % 13 = 0 THEN '[INVALID_ARRAY_INDEX_IN_ELEMENT_AT] The index # is out of bounds. The array has # elements. Use `try_element_at` to tolerate accessing element at invalid index and return NULL instead. SQLSTATE: #'
+        |       WHEN k % 7 = 0 THEN '[DIVIDE_BY_ZERO] Division by zero. Use `try_divide` to tolerate divisor being # and return NULL instead. If necessary set "spark.sql.ansi.enabled" to "false" to bypass this error. SQLSTATE: #' END AS template
+        | FROM e WHERE k % 11 = 0 OR k % 13 = 0 OR k % 7 = 0)
+        |SELECT error_class, template, md5(error_class || '|' || template) AS fp,
+        | COUNT(*) AS n, MIN(props) AS example_input
+        |FROM b GROUP BY error_class, template
+        |ORDER BY error_class, template""".stripMargin,
   )
 }

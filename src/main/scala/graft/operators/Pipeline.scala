@@ -531,6 +531,32 @@ object Pipeline {
     * chunk_hash (md5 of the re-joined chunk — the id the embedding /
     * dedup stages key on), chunk_text.
     */
+  /** Per-domain document cap: keep at most `k` documents per domain
+    * (the anti-domination pass every web-scale corpus needs — a handful
+    * of crawl hosts otherwise contribute millions of pages each).
+    * Deterministic: the k smallest `idCol` values per domain survive,
+    * selected by the custom TopKPerKey operator — bounded per-key heaps,
+    * the shuffle carries at most k rows per domain per upstream
+    * partition, never the domain's full page list. No window sort.
+    */
+  def capPerDomain(docs: DataFrame, domainCol: String, k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"domain cap must be >= 1: $k")
+    TopK.perKey(docs, Seq(domainCol), Seq(TopK.asc(idCol)), k)
+  }
+
+  /** Accounting twin of [[capPerDomain]]: per-domain totals plus how
+    * many rows the cap would keep / suppress — one hash aggregate of
+    * #domains rows, so the report is free next to the cap itself.
+    */
+  def domainCapAccounting(docs: DataFrame, domainCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"domain cap must be >= 1: $k")
+    docs.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_total"),
+        least(count(lit(1)), lit(k.toLong)).as("n_kept"),
+        greatest(count(lit(1)) - k, lit(0L)).as("n_suppressed"))
+  }
+
   def chunkDocuments(docs: DataFrame, window: Int, stride: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(window >= 1 && stride >= 1,

@@ -295,6 +295,35 @@ object TextAnalysis {
     } finally { base.unpersist(); () }
   }
 
+  /** Per-document token Shannon entropy (nats) — the information-density
+    * quality signal: word salad and keyword-stuffed spam sit at the
+    * extremes of H = ln(n) - (Σ c·ln c)/n over per-document token counts
+    * c. Plan: token explode → (doc, token) hash aggregate → doc-grain
+    * aggregate — two shuffles on explicit keys, partial-agg friendly,
+    * no per-token state past the first aggregate. Determinism: the
+    * Σ c·ln c fold runs over counts sorted ascending (ties contribute
+    * identical terms, so fold order within ties is immaterial) and the
+    * result is rounded to 6 decimals to absorb last-ulp libm ln
+    * differences between engines (the t5 precedent); H is clamped at 0
+    * first — single-token-type docs can land at -1e-16, and round()
+    * would keep DuckDB's -0.0 while Spark loses the sign.
+    */
+  def tokenEntropy(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val counts = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+    val n = col("n_tokens").cast("double")
+    val sumClnc = aggregate(sort_array(col("cs")), lit(0.0d),
+      (acc, c) => acc + c.cast("double") * log(c.cast("double")))
+    counts.groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        collect_list(col("c")).as("cs"))
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        (col("n_distinct").cast("double") / n).as("ttr"),
+        round(greatest(lit(0.0d), log(n) - sumClnc / n), 6).as("entropy"))
+  }
+
   /** Deterministic hash sampling: keep rows whose salted md5 falls under
     * a hex-prefix cutoff — reproducible across engines and runs, the
     * right way to cut a stable x% slice of a 100 TB corpus (no RNG

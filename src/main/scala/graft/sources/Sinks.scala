@@ -167,4 +167,31 @@ object Sinks {
       .withColumn("spike", dev > 0 &&
         dev * dev > lit(k.toLong * k) * (col("n_hours") * col("s2") - col("s1") * col("s1")))
   }
+
+  /** Crash-grouping fingerprints over a dead-letter store (the
+    * Sentry-style triage view): value-dependent error messages collapse
+    * to their TEMPLATE by masking digit runs and quoted fragments, so a
+    * million "invalid value 'x123'" dead letters group into one row.
+    * One hash aggregate keyed (error_class, template) — map-side
+    * partials mean each distinct crash signature crosses the exchange
+    * once per upstream partition, never once per dead letter.
+    * Output: error_class, template, fp (md5 of class|template — the
+    * stable cross-run issue id), n, example_input (min — deterministic).
+    */
+  def fingerprintErrors(errors: DataFrame, classCol: String = "error_class",
+      msgCol: String = "error_message",
+      inputCol: String = "input_value"): DataFrame = {
+    // first line only: runtime messages append the failing SQL fragment
+    // with caret markers — query context, not crash identity
+    val template = regexp_replace(
+      regexp_replace(
+        substring_index(coalesce(col(msgCol), lit("")), "\n", 1),
+        "'[^']*'", "'?'"),
+      "[0-9]+", "#")
+    errors
+      .groupBy(col(classCol), template.as("template"))
+      .agg(count(lit(1)).as("n"),
+        min(col(inputCol).cast("string")).as("example_input"))
+      .withColumn("fp", md5(concat(col(classCol), lit("|"), col("template"))))
+  }
 }

@@ -336,4 +336,18 @@ class OperatorsSpec extends SparkSpec {
     // with the cap above the bucket size the full pair set comes back
     assert(Dedup.simHashNearDup(same, maxBucket = 40).count() == 40L * 39 / 2)
   }
+
+  test("tokenEntropy: uniform doc hits ln(n), repeated-word doc hits 0") {
+    val df = Seq(
+      (1L, "a b c d"),       // 4 distinct tokens -> H = ln(4)
+      (2L, "w w w w w"),     // one token type -> H = 0
+      (3L, "x x y y")        // 2 types, uniform -> H = ln(2)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(df)
+      .select($"doc_id", $"n_tokens", $"n_distinct", $"ttr", $"entropy")
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 4L, 4L, 1.0, math.rint(math.log(4) * 1e6) / 1e6)))
+    assert(out(1) == ((2L, 5L, 1L, 0.2, 0.0)))
+    assert(out(2) == ((3L, 4L, 2L, 0.5, math.rint(math.log(2) * 1e6) / 1e6)))
+  }
 }

@@ -363,4 +363,16 @@ class PipelineSpec extends SparkSpec {
     assert(out.filter(_._1 == 2L).map(c => (c._2, c._4, c._5)).toSeq ==
       Seq((0L, 2L, "a b")))
   }
+
+  test("capPerDomain keeps the k smallest ids per domain; accounting matches") {
+    val docs = (1L to 10L).map(i => (i, if (i <= 7) "big.com" else "small.org"))
+      .toDF("doc_id", "source")
+    val kept = Pipeline.capPerDomain(docs, "source", k = 3)
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(kept.toSeq == Seq((1L, "big.com"), (2L, "big.com"), (3L, "big.com"),
+      (8L, "small.org"), (9L, "small.org"), (10L, "small.org")))
+    val acct = Pipeline.domainCapAccounting(docs, "source", k = 3)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(acct == Seq(("big.com", 7L, 3L, 4L), ("small.org", 3L, 3L, 0L)))
+  }
 }

@@ -175,4 +175,24 @@ class SinksAndSkewSpec extends SparkSpec {
     assert(s.filter(_._3).map(_._2).toSeq == Seq(20L), s.mkString(","))
     assert(s.count(r => !r._3) == 9)
   }
+
+  test("fingerprintErrors collapses value-dependent messages to templates") {
+    val errs = Seq(
+      ("j.l.N", "For input string: '123' at row 7", "r7"),
+      ("j.l.N", "For input string: '99' at row 41", "r41"),
+      ("j.l.A", "Index 5 out of bounds\n== SQL ==\ncontext line 1", "r2"),
+      ("j.l.A", "Index 9 out of bounds\n== SQL ==\ncontext line 2", "r1"),
+      ("j.l.N", null, "r9") // null message -> empty template, not a crash
+    ).toDF("error_class", "error_message", "input_value")
+    val out = Sinks.fingerprintErrors(errs)
+      .select($"error_class", $"template", $"n", $"example_input")
+      .as[(String, String, Long, String)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      ("j.l.A", "Index # out of bounds", 2L, "r1"), // SQL context stripped
+      ("j.l.N", "", 1L, "r9"),
+      ("j.l.N", "For input string: '?' at row #", 2L, "r41")))
+    // the md5 fp is a deterministic function of (class, template)
+    val fps = Sinks.fingerprintErrors(errs).select($"fp").distinct().count()
+    assert(fps == 3L)
+  }
 }
