@@ -1439,6 +1439,46 @@ object SparkEntry {
       .orderBy($"error_class", $"template")
   }
 
+  private def s10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // ANN quality harness: single-probe IVF retrieval (the s2 path)
+    // scored against exact brute force over the same query set — per-
+    // query recall@5. The eval joins touch only (qid, vec_id) id lists;
+    // no vector crosses an exchange beyond the two retrieval runs.
+    val emb = t(s, dir, "embeddings")
+    val queries = broadcast(emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"label".as("qlabel"),
+        operators.Similarity.toDoubleVec($"embedding").as("qv")))
+    val approx = operators.Similarity.partitionedTopK(emb, queries, k = 5)
+    val exact = operators.Similarity.bruteForceTopK(
+      emb, queries.select($"qid", $"qv"), k = 5)
+    operators.Similarity.recallAtK(approx, exact).orderBy($"qid")
+  }
+
+  private def d17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // crawl-store URL canonicalization: three synthetic raw variants per
+    // document (tracking params + fragment, clean lowercase, trailing
+    // slash) collapse under the canonicalizer; exact dedup on the
+    // canonical keys the store. Variants 1+2 merge, 3 stays distinct
+    // (no query string) — both outcomes visible in n_raw.
+    val id = $"doc_id".cast("string")
+    val base = concat(lit("https://"), upper($"source"),
+      lit(".example.com/d/"), id)
+    val raw1 = concat(base, lit("?utm_source=feed&utm_campaign="), id,
+      lit("&ref=abc#sec-"), id)
+    val raw2 = concat(lower(base), lit("?ref=abc"))
+    val raw3 = concat(lower(base), lit("/"))
+    t(s, dir, "documents")
+      .select($"doc_id", explode(array(raw1, raw2, raw3)).as("raw_url"))
+      .withColumn("canonical_url", operators.Pipeline.canonicalizeUrl($"raw_url"))
+      .groupBy($"canonical_url")
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_raw"),
+        min($"raw_url").as("first_raw"))
+      .select($"doc_id", $"canonical_url", $"n_raw", $"first_raw")
+      .orderBy($"doc_id", $"canonical_url")
+  }
+
   private[graft] def rmTree(path: String): Unit = {
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
@@ -1821,6 +1861,8 @@ object SparkEntry {
     "p15_domain_cap" -> (p15 _),
     "t14_token_entropy" -> (t14 _),
     "e17_error_fingerprint" -> (e17 _),
+    "s10_recall_eval" -> (s10 _),
+    "d17_url_canonical" -> (d17 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3197,5 +3239,56 @@ object SparkEntry {
         | COUNT(*) AS n, MIN(props) AS example_input
         |FROM b GROUP BY error_class, template
         |ORDER BY error_class, template""".stripMargin,
+    "s10_recall_eval" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e WHERE vec_id < 20),
+        |sc AS (
+        | SELECT qid, qlabel, vec_id, label,
+        |  list_reduce(list_transform(range(1, len(qv)+1), i -> qv[i]*v[i]), (x,y) -> x+y) /
+        |   (sqrt(list_reduce(list_transform(qv, x -> x*x), (x,y) -> x+y)) *
+        |    sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y))) AS cosine
+        | FROM q JOIN e ON qid <> vec_id),
+        |ex AS (SELECT qid, vec_id FROM (
+        |  SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rn
+        |  FROM sc) WHERE rn <= 5),
+        |ap AS (SELECT qid, vec_id FROM (
+        |  SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rn
+        |  FROM sc WHERE qlabel = label) WHERE rn <= 5),
+        |h AS (SELECT ex.qid, COUNT(*) AS n_hit FROM ex
+        |  JOIN ap ON ex.qid = ap.qid AND ex.vec_id = ap.vec_id GROUP BY ex.qid),
+        |ne AS (SELECT qid, COUNT(*) AS n_exact FROM ex GROUP BY qid)
+        |SELECT ne.qid, ne.n_exact, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+        | CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(ne.n_exact AS DOUBLE) AS recall
+        |FROM ne LEFT JOIN h ON ne.qid = h.qid ORDER BY ne.qid""".stripMargin,
+    "d17_url_canonical" ->
+      """WITH raws AS (
+        | SELECT doc_id, unnest([
+        |   'https://' || upper(source) || '.example.com/d/' || CAST(doc_id AS VARCHAR)
+        |     || '?utm_source=feed&utm_campaign=' || CAST(doc_id AS VARCHAR)
+        |     || '&ref=abc#sec-' || CAST(doc_id AS VARCHAR),
+        |   lower('https://' || upper(source) || '.example.com/d/' || CAST(doc_id AS VARCHAR)) || '?ref=abc',
+        |   lower('https://' || upper(source) || '.example.com/d/' || CAST(doc_id AS VARCHAR)) || '/'
+        |  ]) AS raw_url FROM documents),
+        |canon AS (
+        | SELECT doc_id, raw_url,
+        |  lower(regexp_extract(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      raw_url, '#.*$', ''), 'utm_[^=&#]*=[^&#]*&', '', 'g'),
+        |      '[?&]utm_[^=&#]*=[^&#]*$', ''), '[?&]$', ''), '/$', ''),
+        |    '^[^:/?#]+://[^/?#]*'))
+        |  || substr(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      raw_url, '#.*$', ''), 'utm_[^=&#]*=[^&#]*&', '', 'g'),
+        |      '[?&]utm_[^=&#]*=[^&#]*$', ''), '[?&]$', ''), '/$', ''),
+        |    length(regexp_extract(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |        raw_url, '#.*$', ''), 'utm_[^=&#]*=[^&#]*&', '', 'g'),
+        |        '[?&]utm_[^=&#]*=[^&#]*$', ''), '[?&]$', ''), '/$', ''),
+        |      '^[^:/?#]+://[^/?#]*')) + 1) AS canonical_url
+        | FROM raws)
+        |SELECT MIN(doc_id) AS doc_id, canonical_url, COUNT(*) AS n_raw,
+        | MIN(raw_url) AS first_raw
+        |FROM canon GROUP BY canonical_url
+        |ORDER BY doc_id, canonical_url""".stripMargin,
   )
 }

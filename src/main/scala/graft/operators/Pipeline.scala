@@ -531,6 +531,28 @@ object Pipeline {
     * chunk_hash (md5 of the re-joined chunk — the id the embedding /
     * dedup stages key on), chunk_text.
     */
+  /** URL canonicalization (crawl-store hygiene): collapse the raw-URL
+    * variants that point at one resource — fragment stripped, `utm_*`
+    * tracking params dropped (separators healed), trailing `/` and
+    * dangling `?`/`&` removed, scheme+host lowercased (path and query
+    * stay case-sensitive per RFC 3986). Pure per-row regex chain —
+    * codegen'd, zero shuffle, and every regex is RE2-safe (no
+    * lookarounds) so the same rules run on any engine. Canonical URLs
+    * then key exact dedup / revisit policies.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    // utm params with a successor keep the successor's separator…
+    val noUtmMid = regexp_replace(noFrag, "utm_[^=&#]*=[^&#]*&", "")
+    // …a trailing utm param takes its own leading separator with it
+    val noUtm = regexp_replace(noUtmMid, "[?&]utm_[^=&#]*=[^&#]*$", "")
+    val noDangle = regexp_replace(noUtm, "[?&]$", "")
+    val noSlash = regexp_replace(noDangle, "/$", "")
+    // lowercase scheme://host only — substring arithmetic, no callback
+    val prefix = regexp_extract(noSlash, "^[^:/?#]+://[^/?#]*", 0)
+    concat(lower(prefix), substr(noSlash, length(prefix) + 1, length(noSlash)))
+  }
+
   /** Per-domain document cap: keep at most `k` documents per domain
     * (the anti-domination pass every web-scale corpus needs — a handful
     * of crawl hosts otherwise contribute millions of pages each).

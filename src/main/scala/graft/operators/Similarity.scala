@@ -437,6 +437,26 @@ object Similarity {
       .join(removed, Seq("vec_id"), "left_anti")
   }
 
+  /** ANN quality evaluation: per-query recall@k of an approximate
+    * result list against exact ground truth — the harness that justifies
+    * every IVF/PQ knob (nprobe, k, codebook size) with a number. Both
+    * inputs are (qid, vec_id) lists of ≤ q×k rows, so the left-semi hit
+    * join and the two aggregates never touch a vector — at 100 TB the
+    * evaluation costs what the two retrieval runs cost, nothing more.
+    * Queries the approximate run missed entirely surface as recall 0.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val hits = exact.select(col("qid"), col("vec_id"))
+      .join(approx.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("qid"), "left_outer")
+      .select(col("qid"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_exact").cast("double")).as("recall"))
+  }
+
   def nearDupPairs(vectors: DataFrame, blockCol: String, threshold: Double): DataFrame = {
     val e = vectors.select(col("vec_id"), col(blockCol).as("blk"),
       toDoubleVec(col("embedding")).as("v"))

@@ -353,6 +353,90 @@ object StreamErrorHandling {
       && col(rightTs) >= col(leftTs) - expr(s"INTERVAL $window"))
   }
 
+  /** State for [[funnelDetect]]: the running min signup time plus the
+    * compressed purchase-time set — every purchase at or before the
+    * current min signup (a later, EARLIER signup could make any of them
+    * the conversion) and only the SMALLEST purchase after it (min signup
+    * only decreases, so a larger later purchase can never win).
+    */
+  final case class FunnelState(minSignup: Option[Long], purchases: List[Long],
+      maxSeenMs: Long)
+  final case class FunnelVerdict(user_id: Long, s0: Long, p0: Option[Long],
+      converted: Boolean)
+
+  private def compressFunnel(st: FunnelState): FunnelState = st.minSignup match {
+    case None => st
+    case Some(s0) =>
+      val (before, after) = st.purchases.partition(_ <= s0)
+      st.copy(purchases = (before ++ after.sorted.take(1)).distinct)
+  }
+
+  /** Streaming funnel detection — the streaming twin of batch q27:
+    * per user, did a purchase follow the FIRST signup, and when. The
+    * verdict is emitted exactly once, when the event-time timeout fires
+    * after the watermark passes the user's last activity — so the
+    * answer is ARRIVAL-ORDER INDEPENDENT (a signup arriving after the
+    * purchase it predates still wins funnel credit; naive emit-on-
+    * purchase streaming funnels get this wrong). State per user is the
+    * compressed purchase set of [[FunnelState]], bounded by the
+    * watermark horizon; users with no signup expire silently.
+    *
+    * `events` needs `userCol: long`, `tsCol: timestamp` (watermark
+    * anchor), `tsUsCol: long` (exact event-time micros — kept separate
+    * so verdict arithmetic is integer-exact, the q27 precedent), and
+    * `typeCol: string`.
+    */
+  def funnelDetect(events: DataFrame, userCol: String, tsCol: String,
+      tsUsCol: String, typeCol: String,
+      signupType: String, purchaseType: String,
+      watermarkDelay: String): Dataset[FunnelVerdict] = {
+    implicit val outEnc: Encoder[FunnelVerdict] = Encoders.product[FunnelVerdict]
+    implicit val stEnc: Encoder[FunnelState] = Encoders.product[FunnelState]
+    implicit val rowEnc: Encoder[(Long, Long, Long, String, java.sql.Timestamp)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.STRING, Encoders.TIMESTAMP)
+    events.withWatermark(tsCol, watermarkDelay)
+      // the watermarked timestamp column must ride into the stateful
+      // operator (the event-time-timeout checker requires it); the
+      // lambda ignores it
+      .select(col(userCol).cast("long"),
+        expr(s"unix_micros(`$tsCol`) div 1000"), // ms for timeouts
+        col(tsUsCol).cast("long"), col(typeCol), col(tsCol))
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[FunnelState, FunnelVerdict](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String, java.sql.Timestamp)],
+            state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val st = state.getOption.getOrElse(FunnelState(None, Nil, 0L))
+            state.remove()
+            st.minSignup match {
+              case Some(s0) =>
+                val p0 = st.purchases.filter(_ > s0).sorted.headOption
+                Iterator.single(FunnelVerdict(user, s0, p0, p0.isDefined))
+              case None => Iterator.empty // activity but never signed up
+            }
+          } else {
+            var st = state.getOption.getOrElse(FunnelState(None, Nil, 0L))
+            rows.foreach { case (_, tsMs, tsUs, typ, _) =>
+              if (tsMs > st.maxSeenMs) st = st.copy(maxSeenMs = tsMs)
+              if (typ == signupType)
+                st = st.copy(minSignup =
+                  Some(st.minSignup.fold(tsUs)(math.min(_, tsUs))))
+              else if (typ == purchaseType)
+                st = st.copy(purchases = tsUs :: st.purchases)
+            }
+            st = compressFunnel(st)
+            state.update(st)
+            // fire once the watermark passes the last activity seen
+            state.setTimeoutTimestamp(
+              math.max(st.maxSeenMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Per-key stateful processing with error capture — the analog of
     * ErrorCapturingProcessor/ValueProcessor (stateful `Processor`s with a
     * state store): tracks a running per-key count of processed and failed

@@ -337,6 +337,16 @@ class OperatorsSpec extends SparkSpec {
     assert(Dedup.simHashNearDup(same, maxBucket = 40).count() == 40L * 39 / 2)
   }
 
+  test("recallAtK: hits, misses, and zero-recall queries all score") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L))
+      .toDF("qid", "vec_id")
+    val approx = Seq((1L, 10L), (1L, 99L), (2L, 20L), (2L, 21L))
+      .toDF("qid", "vec_id") // query 3 entirely missed
+    val out = Similarity.recallAtK(approx, exact)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 2L, 1L, 0.5), (2L, 2L, 2L, 1.0), (3L, 1L, 0L, 0.0)))
+  }
+
   test("tokenEntropy: uniform doc hits ln(n), repeated-word doc hits 0") {
     val df = Seq(
       (1L, "a b c d"),       // 4 distinct tokens -> H = ln(4)

@@ -364,6 +364,26 @@ class PipelineSpec extends SparkSpec {
       Seq((0L, 2L, "a b")))
   }
 
+  test("canonicalizeUrl: fragments, utm params, separators, case, trailing slash") {
+    val cases = Seq(
+      // utm-only query collapses entirely, dangling ? stripped
+      ("https://Ex.COM/a?utm_source=x", "https://ex.com/a"),
+      // utm first, real param second: separator healed
+      ("https://ex.com/a?utm_a=1&id=3", "https://ex.com/a?id=3"),
+      // real param first, trailing utm takes its separator
+      ("https://ex.com/a?id=3&utm_a=1", "https://ex.com/a?id=3"),
+      // consecutive utms between real params
+      ("https://ex.com/a?id=1&utm_a=1&utm_b=2&z=9", "https://ex.com/a?id=1&z=9"),
+      // fragment stripped, host lowercased, PATH case preserved
+      ("HTTPS://EX.com/CaSe#frag", "https://ex.com/CaSe"),
+      // trailing slash off, bare host unchanged
+      ("https://ex.com/p/", "https://ex.com/p"),
+      ("https://ex.com", "https://ex.com"))
+    val out = cases.map(_._1).toDF("u")
+      .select(Pipeline.canonicalizeUrl($"u")).as[String].collect()
+    assert(out.toSeq == cases.map(_._2))
+  }
+
   test("capPerDomain keeps the k smallest ids per domain; accounting matches") {
     val docs = (1L to 10L).map(i => (i, if (i <= 7) "big.com" else "small.org"))
       .toDF("doc_id", "source")

@@ -124,4 +124,61 @@ class StreamingBatchEquivalenceSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got == want)
   }
+
+  test("ST12 funnelDetect equals batch q27; verdicts arrival-order independent") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamErrorHandling.FunnelVerdict
+    val rows = Tables.load(spark, sf, "events")
+      .select($"user_id", expr("ts div 1000").as("tus"), $"event_type")
+      .as[(Long, Long, String)].collect().toSeq
+    val maxTs = rows.map(_._2).max
+    val day = 86400L * 1000000L
+
+    // the corpus spans 30 days: a 60-day delay keeps every arrival
+    // on-time however the batches are scattered; two far-future
+    // sentinel triggers then walk the watermark past every real user
+    // so their event-time timeouts fire and the verdicts flush
+    def run(batches: Seq[Seq[(Long, Long, String)]], name: String)
+        : Map[Long, (Long, Option[Long], Boolean)] = {
+      val mem = MemoryStream[(Long, Long, String)]
+      val ev = mem.toDF().toDF("user_id", "tus", "event_type")
+        .withColumn("ets", timestamp_micros($"tus"))
+      val out = StreamErrorHandling.funnelDetect(ev, "user_id", "ets", "tus",
+        "event_type", "signup", "purchase", watermarkDelay = "60 days")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      mem.addData(Seq((-1L, maxTs + 61 * day, "noise"))); q.processAllAvailable()
+      mem.addData(Seq((-2L, maxTs + 122 * day, "noise"))); q.processAllAvailable()
+      q.stop()
+      spark.table(name).as[FunnelVerdict].collect()
+        .filter(_.user_id >= 0)
+        .map(v => v.user_id -> ((v.s0, v.p0, v.converted))).toMap
+    }
+
+    val got = run(Seq(rows), "sbe_funnel")
+    val expected = rows.groupBy(_._1).flatMap { case (u, rs) =>
+      val signups = rs.filter(_._3 == "signup").map(_._2)
+      if (signups.isEmpty) None
+      else {
+        val s0 = signups.min
+        val ps = rs.collect { case (_, t, "purchase") if t > s0 => t }
+        val p0 = if (ps.isEmpty) None else Some(ps.min)
+        Some(u -> ((s0, p0, p0.isDefined)))
+      }
+    }.toMap
+    assert(got == expected)
+    // aggregate equality with the oracle-verified q27 row
+    val q27 = SparkEntry.queries("q27_funnel")(spark, sf)
+      .as[(Long, Long, Long)].collect().head
+    assert(got.size.toLong == q27._1)
+    assert(got.values.count(_._3).toLong == q27._2)
+    assert(got.values.flatMap(v => v._2.map(_ - v._1)).sum == q27._3)
+    // arrival-order independence: the same events scattered over three
+    // arbitrary triggers (signups often arriving AFTER their purchases)
+    val scattered = rows.zipWithIndex.groupBy(_._2 % 3).toSeq.sortBy(_._1)
+      .map(_._2.map(_._1))
+    assert(run(scattered, "sbe_funnel3") == got)
+  }
 }
