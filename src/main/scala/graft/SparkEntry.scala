@@ -1479,6 +1479,38 @@ object SparkEntry {
       .orderBy($"doc_id", $"canonical_url")
   }
 
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // decile segmentation: customers ntile(10)-bucketed by total spend
+    // WITHIN their market segment — the window is partitioned by
+    // segment, so each decile sort is a per-key run, never a global
+    // single-partition sort (the global-ntile anti-pattern); the
+    // (spend, custkey) order key makes tie assignment deterministic.
+    val spend = t(s, dir, "orders").groupBy($"o_custkey")
+      .agg(sum($"o_totalprice".cast(DEC)).as("spend"),
+        count(lit(1)).as("n_orders"))
+      .join(broadcast(t(s, dir, "customer")
+        .select($"c_custkey", $"c_mktsegment")), $"o_custkey" === $"c_custkey")
+    val dec = spend.withColumn("decile", ntile(10).over(
+      Window.partitionBy($"c_mktsegment")
+        .orderBy($"spend".desc, $"o_custkey".asc)))
+    dec.groupBy($"c_mktsegment", $"decile")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"spend").cast("double").as("decile_spend"),
+        sum($"n_orders").as("n_orders"),
+        max($"spend").cast("double").as("max_spend"),
+        min($"spend").cast("double").as("min_spend"))
+      .orderBy($"c_mktsegment", $"decile")
+  }
+
+  private def d18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    operators.Dedup.ngramContainment(t(s, dir, "documents"), n = 2,
+        blockCol = "source", threshold = 0.2)
+      .orderBy($"da", $"db")
+  }
+
   private[graft] def rmTree(path: String): Unit = {
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
@@ -1863,6 +1895,8 @@ object SparkEntry {
     "e17_error_fingerprint" -> (e17 _),
     "s10_recall_eval" -> (s10 _),
     "d17_url_canonical" -> (d17 _),
+    "q37_deciles" -> (q37 _),
+    "d18_containment" -> (d18 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3290,5 +3324,35 @@ object SparkEntry {
         | MIN(raw_url) AS first_raw
         |FROM canon GROUP BY canonical_url
         |ORDER BY doc_id, canonical_url""".stripMargin,
+    "q37_deciles" ->
+      """WITH spend AS (
+        | SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS spend,
+        |  COUNT(*) AS n_orders
+        | FROM orders GROUP BY o_custkey),
+        |dec AS (
+        | SELECT c_mktsegment, spend, n_orders,
+        |  CAST(ntile(10) OVER (PARTITION BY c_mktsegment
+        |    ORDER BY spend DESC, o_custkey ASC) AS INT) AS decile
+        | FROM spend JOIN customer ON o_custkey = c_custkey)
+        |SELECT c_mktsegment, decile, COUNT(*) AS n_customers,
+        | CAST(SUM(spend) AS DOUBLE) AS decile_spend,
+        | CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+        | CAST(MAX(spend) AS DOUBLE) AS max_spend,
+        | CAST(MIN(spend) AS DOUBLE) AS min_spend
+        |FROM dec GROUP BY c_mktsegment, decile
+        |ORDER BY c_mktsegment, decile""".stripMargin,
+    "d18_containment" ->
+      """WITH g AS (SELECT doc_id, source,
+        |  list_distinct(list_transform(range(1, len(string_split(text,' '))),
+        |    i -> array_to_string(list_slice(string_split(text,' '), i, i+1), ' '))) AS ts
+        | FROM documents)
+        |SELECT da, db, contain_a, contain_b FROM (
+        | SELECT a.doc_id AS da, b.doc_id AS db,
+        |  len(list_intersect(a.ts,b.ts))::DOUBLE/len(a.ts) AS contain_a,
+        |  len(list_intersect(a.ts,b.ts))::DOUBLE/len(b.ts) AS contain_b
+        | FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  AND len(a.ts) > 0 AND len(b.ts) > 0)
+        |WHERE greatest(contain_a, contain_b) >= CAST(0.2 AS DOUBLE)
+        |ORDER BY da, db""".stripMargin,
   )
 }

@@ -399,6 +399,41 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric near-duplicate detection: n-gram CONTAINMENT. A wire
+    * story embedded verbatim in a longer page has Jaccard
+    * |A∩B|/|A∪B| ≈ |B|/|A| — diluted below any usable symmetric
+    * threshold — but containment |A∩B|/|B| ≈ 1. Emits, once per
+    * (smaller-id, larger-id) pair, BOTH directional scores
+    * (`contain_a` = fraction of A's grams inside B, `contain_b` vice
+    * versa) where either clears the threshold. Plan shape is exactly
+    * [[ngramJaccard]]'s Σ m² token self-join — one shuffle on the
+    * folded `xxhash64(block, gram)` long — so the same 100×-scale
+    * argument (and the same per-doc-pair hash-collision caveat)
+    * applies; only the final per-pair arithmetic differs.
+    */
+  def ngramContainment(docs0: DataFrame, n: Int, blockCol: String,
+      threshold: Double, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val docs = widen(docs0)
+    val grams = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
+      graft.functions.Fence(graft.functions.WordNGrams(col(textCol), n)).as("ts"))
+    val toks = grams.select(col("doc_id"), col("blk"), explode(col("ts")).as("g"))
+      .select(col("doc_id"), xxhash64(col("blk"), col("g")).as("tok"))
+    val sizes = grams.select(col("doc_id"), size(col("ts")).as("n"))
+    val inter = toks.as("ta").join(toks.as("tb").hint("shuffle_hash"),
+        col("ta.tok") === col("tb.tok")
+          && col("ta.doc_id") < col("tb.doc_id"))
+      .groupBy(col("ta.doc_id").as("da"), col("tb.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"),
+        (col("i").cast("double") / col("sa.n")).as("contain_a"),
+        (col("i").cast("double") / col("sb.n")).as("contain_b"))
+      .filter(greatest(col("contain_a"), col("contain_b")) >= threshold)
+  }
+
   /** Apply a near-dup pair list to the corpus with the deterministic
     * "keep the earliest" policy: any document having a smaller-id
     * near-duplicate neighbor is dropped (pairs are emitted as

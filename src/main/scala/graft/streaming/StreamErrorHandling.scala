@@ -353,6 +353,28 @@ object StreamErrorHandling {
       && col(rightTs) >= col(leftTs) - expr(s"INTERVAL $window"))
   }
 
+  /** Stream-static enrichment (slowly-changing dimension): every
+    * micro-batch re-READS the dimension path — a fresh file listing per
+    * trigger, so a dimension republished between triggers (the daily
+    * dim rebuild) enriches subsequent batches with the new attributes;
+    * plain parquet static DataFrames cache their file listing at plan
+    * time and would keep serving the old snapshot (or break on an
+    * overwrite), which is why the read lives inside foreachBatch. The
+    * dim is broadcast: enrichment is map-side, the stream never
+    * shuffles. Left-outer keeps unmatched events (dims lag facts).
+    */
+  def enrichToSink(stream: DataFrame, dimPath: String, keys: Seq[String],
+      valuesPath: String, checkpointPath: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val dim = batch.sparkSession.read.parquet(dimPath)
+        batch.join(broadcast(dim), keys, "left_outer")
+          .write.mode("append").parquet(valuesPath)
+        ()
+      }
+      .start()
+
   /** State for [[funnelDetect]]: the running min signup time plus the
     * compressed purchase-time set — every purchase at or before the
     * current min signup (a later, EARLIER signup could make any of them

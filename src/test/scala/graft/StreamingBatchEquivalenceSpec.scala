@@ -181,4 +181,37 @@ class StreamingBatchEquivalenceSpec extends SparkSpec {
       .map(_._2.map(_._1))
     assert(run(scattered, "sbe_funnel3") == got)
   }
+
+  test("ST13 enrichToSink: per-trigger dim refresh; enrichment equals batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tmp = Files.createTempDirectory("graft-sbe-enrich").toString
+    val dimPath = s"$tmp/dim"
+
+    // dim v1: users 1..2 tiered bronze
+    Seq((1L, "bronze"), (2L, "bronze")).toDF("user_id", "tier")
+      .write.mode("overwrite").parquet(dimPath)
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamErrorHandling.enrichToSink(
+      mem.toDF().toDF("user_id", "amount"),
+      dimPath, Seq("user_id"), s"$tmp/out", s"$tmp/ckpt")
+    mem.addData((1L, 10L), (3L, 30L)); q.processAllAvailable()
+    // dim REPUBLISHED between triggers: user 1 upgraded, user 3 appears
+    Seq((1L, "gold"), (2L, "bronze"), (3L, "silver")).toDF("user_id", "tier")
+      .write.mode("overwrite").parquet(dimPath)
+    mem.addData((1L, 11L), (3L, 31L)); q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.parquet(s"$tmp/out")
+      .select($"user_id", $"amount", $"tier")
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(got == Set(
+      (1L, 10L, Some("bronze")), (3L, 30L, None), // trigger 1: dim v1
+      (1L, 11L, Some("gold")), (3L, 31L, Some("silver")))) // trigger 2: v2
+    // batch twin: the same enrichment of trigger-2 rows as a plain join
+    val batch = Seq((1L, 11L), (3L, 31L)).toDF("user_id", "amount")
+      .join(broadcast(spark.read.parquet(dimPath)), Seq("user_id"), "left_outer")
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(got.filter(r => r._2 % 10 == 1) == batch) // trigger-2 amounts end in 1
+  }
 }
