@@ -1511,6 +1511,18 @@ object SparkEntry {
       .orderBy($"da", $"db")
   }
 
+  private def x9(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // data-contract gate: four expectations over lineitem, audited in
+    // one pass — the ingest-boundary complement of p7's document gate.
+    // NULL rule results count as violations (contracts are assertions).
+    operators.Pipeline.expectationReport(t(s, dir, "lineitem"), Seq(
+      "qty_range" -> $"l_quantity".between(1, 49),
+      "disc_max" -> ($"l_discount" <= 0.07),
+      "price_pos" -> ($"l_extendedprice" > 0),
+      "flag_known" -> $"l_returnflag".isin("A", "N", "R")))
+  }
+
   private[graft] def rmTree(path: String): Unit = {
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
@@ -1897,6 +1909,7 @@ object SparkEntry {
     "d17_url_canonical" -> (d17 _),
     "q37_deciles" -> (q37 _),
     "d18_containment" -> (d18 _),
+    "x9_expectations" -> (x9 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3354,5 +3367,19 @@ object SparkEntry {
         |  AND len(a.ts) > 0 AND len(b.ts) > 0)
         |WHERE greatest(contain_a, contain_b) >= CAST(0.2 AS DOUBLE)
         |ORDER BY da, db""".stripMargin,
+    // CASE WHEN pred THEN 0 ELSE 1: a NULL predicate falls to ELSE and
+    // counts as a violation — same null-is-failure semantics as the
+    // operator's coalesce(pred, false)
+    "x9_expectations" ->
+      """SELECT COUNT(*) AS n_rows,
+        | CAST(SUM(CASE WHEN (l_quantity BETWEEN 1 AND 49)
+        |     AND (l_discount <= CAST(0.07 AS DOUBLE))
+        |     AND (l_extendedprice > 0)
+        |     AND (l_returnflag IN ('A','N','R')) THEN 0 ELSE 1 END) AS BIGINT) AS n_quarantined,
+        | CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 49 THEN 0 ELSE 1 END) AS BIGINT) AS viol_qty_range,
+        | CAST(SUM(CASE WHEN l_discount <= CAST(0.07 AS DOUBLE) THEN 0 ELSE 1 END) AS BIGINT) AS viol_disc_max,
+        | CAST(SUM(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS viol_price_pos,
+        | CAST(SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS BIGINT) AS viol_flag_known
+        |FROM lineitem""".stripMargin,
   )
 }

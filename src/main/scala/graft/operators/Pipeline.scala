@@ -531,6 +531,36 @@ object Pipeline {
     * chunk_hash (md5 of the re-joined chunk — the id the embedding /
     * dedup stages key on), chunk_text.
     */
+  /** Declarative data-contract gate ("expectations"): each (name,
+    * predicate) rule becomes a boolean `ok_<name>` column and the
+    * `quarantined` verdict is their conjunction's negation — one
+    * codegen'd projection, zero shuffles, so validating 100 TB costs
+    * one scan shared with whatever reads the clean rows next. A NULL
+    * predicate result (null inputs) counts as a violation: contracts
+    * are assertions, unknown is a failure.
+    */
+  def expectations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "at least one expectation rule required")
+    val flagged = rules.foldLeft(df) { case (d, (name, pred)) =>
+      d.withColumn(s"ok_$name", coalesce(pred, lit(false)))
+    }
+    flagged.withColumn("quarantined",
+      !rules.map { case (name, _) => col(s"ok_$name") }.reduce(_ && _))
+  }
+
+  /** One-row audit card over [[expectations]]: total rows, quarantined
+    * rows, and per-rule violation counts from ONE aggregate over the
+    * flagged scan (rows violating several rules count once per rule).
+    */
+  def expectationReport(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    val flagged = expectations(df, rules)
+    val perRule = rules.map { case (name, _) =>
+      sum((!col(s"ok_$name")).cast("long")).as(s"viol_$name")
+    }
+    flagged.agg(count(lit(1)).as("n_rows"),
+      (sum(col("quarantined").cast("long")).as("n_quarantined") +: perRule): _*)
+  }
+
   /** URL canonicalization (crawl-store hygiene): collapse the raw-URL
     * variants that point at one resource — fragment stripped, `utm_*`
     * tracking params dropped (separators healed), trailing `/` and

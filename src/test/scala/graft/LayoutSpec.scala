@@ -161,4 +161,41 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(dir).agg(sum($"x" * 64L + $"y")).head.getLong(0)
       === (0L until 4096L).sum)
   }
+
+  test("Ingest ledger: each landed file processed exactly once; idempotent rerun") {
+    import graft.sources.Ingest
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val (data, ledger) = (s"$tmp/landing", s"$tmp/ledger")
+
+    // land two files
+    Seq(1L, 2L).toDF("v").coalesce(1).write.parquet(s"$data/b0")
+    new java.io.File(s"$data/b0").listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$data/f1.parquet")))
+    Seq(3L).toDF("v").coalesce(1).write.parquet(s"$data/b1")
+    new java.io.File(s"$data/b1").listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$data/f2.parquet")))
+
+    // run 1: both files pending, processed, committed
+    val Some((df1, names1)) = Ingest.readPendingRows(spark, data, ledger)
+    assert(names1 == Seq("f1.parquet", "f2.parquet"))
+    assert(df1.as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    Ingest.commit(spark, ledger, names1)
+
+    // run 2: nothing new -> no job at all
+    assert(Ingest.readPendingRows(spark, data, ledger).isEmpty)
+
+    // a third file lands: ONLY it is pending
+    Seq(9L).toDF("v").coalesce(1).write.parquet(s"$data/b2")
+    new java.io.File(s"$data/b2").listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$data/f3.parquet")))
+    val Some((df3, names3)) = Ingest.readPendingRows(spark, data, ledger)
+    assert(names3 == Seq("f3.parquet"))
+    assert(df3.as[Long].collect().toSeq == Seq(9L))
+    Ingest.commit(spark, ledger, names3)
+    assert(Ingest.ledger(spark, ledger) ==
+      Seq("f1.parquet", "f2.parquet", "f3.parquet"))
+  }
 }

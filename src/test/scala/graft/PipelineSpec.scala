@@ -364,6 +364,24 @@ class PipelineSpec extends SparkSpec {
       Seq((0L, 2L, "a b")))
   }
 
+  test("expectations: per-rule flags, null counts as violation, report adds up") {
+    val df = Seq[(java.lang.Long, String)](
+      (5L, "ok"), (500L, "ok"), (null, "ok"), (7L, "bad"))
+      .toDF("qty", "status")
+    val rules = Seq(
+      "qty_small" -> ($"qty" < 100L),
+      "status_ok" -> ($"status" === "ok"))
+    val flagged = Pipeline.expectations(df, rules)
+      .select($"qty", $"ok_qty_small", $"ok_status_ok", $"quarantined")
+      .as[(Option[Long], Boolean, Boolean, Boolean)].collect()
+    // null qty -> rule fails (contracts are assertions)
+    assert(flagged.find(_._1.isEmpty).get._2 == false)
+    assert(flagged.count(_._4) == 3) // 500 fails qty, null fails qty, 7 fails status
+    val rep = Pipeline.expectationReport(df, rules)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(rep == ((4L, 3L, 2L, 1L)))
+  }
+
   test("canonicalizeUrl: fragments, utm params, separators, case, trailing slash") {
     val cases = Seq(
       // utm-only query collapses entirely, dangling ? stripped
