@@ -1523,6 +1523,55 @@ object SparkEntry {
       "flag_known" -> $"l_returnflag".isin("A", "N", "R")))
   }
 
+  private def p16(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // dedup keeping the BEST member of each near-dup cluster: most
+    // lexically diverse document (distinct-token count, integer-exact),
+    // smallest id on ties — quality-aware canonical selection on top of
+    // the d8 cluster pipeline; singletons keep themselves.
+    val docs = t(s, dir, "documents")
+    val clus = clusters(s, dir, driverSolveMaxEdges = 1L << 22)
+      .select($"doc_id", $"cluster_id")
+    val scored = docs.select($"doc_id",
+      size(array_distinct(split($"text", " ", -1))).cast("long").as("score"))
+    operators.Pipeline.bestOfCluster(scored, clus, $"score")
+      .orderBy($"cluster_id")
+  }
+
+  private def t15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    operators.TextAnalysis.bigramLm(t(s, dir, "documents"),
+        topPerContext = 3, minContext = 5)
+      .orderBy($"w1", $"c".desc, $"w2")
+  }
+
+  private def j3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // schema-drift detection: a producer starts emitting an extra field
+    // (every 7th record) and dropping an expected one (every 11th) —
+    // neither is "malformed", so the FAILFAST DLQ boundary (j1) never
+    // sees it; the drift report ranks unknown keys and missing expected
+    // keys corpus-wide before the silent-drop bites.
+    val id = $"doc_id".cast("string")
+    val js = concat(lit("{\"id\": "), id,
+      when($"doc_id" % 11 === 0, lit(""))
+        .otherwise(concat(lit(", \"lang\": \""), coalesce($"lang", lit("")), lit("\""))),
+      when($"doc_id" % 7 === 0,
+        concat(lit(", \"xtra_"), ($"doc_id" % 3).cast("string"), lit("\": 1")))
+        .otherwise(lit("")),
+      lit("}"))
+    val drift = sources.JsonIngest.schemaDrift(
+      t(s, dir, "documents").select($"doc_id", js.as("js")),
+      "js", Seq("id", "lang"))
+    val unknown = drift.select($"doc_id", explode($"unknown_keys").as("key"))
+      .groupBy($"key").agg(count(lit(1)).as("n"), min($"doc_id").as("first_id"))
+      .select(lit("unknown").as("kind"), $"key", $"n", $"first_id")
+    val missing = drift.select($"doc_id", explode($"missing_keys").as("key"))
+      .groupBy($"key").agg(count(lit(1)).as("n"), min($"doc_id").as("first_id"))
+      .select(lit("missing").as("kind"), $"key", $"n", $"first_id")
+    unknown.union(missing).orderBy($"kind", $"key")
+  }
+
   private[graft] def rmTree(path: String): Unit = {
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
@@ -1910,6 +1959,9 @@ object SparkEntry {
     "q37_deciles" -> (q37 _),
     "d18_containment" -> (d18 _),
     "x9_expectations" -> (x9 _),
+    "p16_best_of_cluster" -> (p16 _),
+    "t15_bigram_lm" -> (t15 _),
+    "j3_schema_drift" -> (j3 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3381,5 +3433,56 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS viol_price_pos,
         | CAST(SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS BIGINT) AS viol_flag_known
         |FROM lineitem""".stripMargin,
+    "p16_best_of_cluster" ->
+      """WITH RECURSIVE g AS (SELECT doc_id, source,
+        |  list_distinct(list_transform(range(1, len(string_split(text,' '))),
+        |    i -> array_to_string(list_slice(string_split(text,' '), i, i+1), ' '))) AS ts
+        | FROM documents),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |  len(list_intersect(a.ts,b.ts))::DOUBLE/(len(a.ts)+len(b.ts)-len(list_intersect(a.ts,b.ts))) AS jaccard
+        | FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+        | WHERE jaccard >= CAST(0.1 AS DOUBLE)),
+        |e AS (SELECT da AS a, db AS b FROM p UNION SELECT db, da FROM p),
+        |r AS (
+        | SELECT DISTINCT a AS node, a AS reach FROM e
+        | UNION
+        | SELECT r.node, e.b AS reach FROM r JOIN e ON r.reach = e.a),
+        |c AS (SELECT node AS doc_id, MIN(reach) AS cluster_id FROM r GROUP BY node),
+        |asg AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+        |  CAST(len(list_distinct(string_split(d.text, ' '))) AS BIGINT) AS score
+        | FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id),
+        |rk AS (SELECT cluster_id, doc_id, score,
+        |  ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY score DESC, doc_id ASC) AS rn,
+        |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+        |  MAX(score) OVER (PARTITION BY cluster_id) AS best_score
+        | FROM asg)
+        |SELECT cluster_id, doc_id AS keeper_id, best_score,
+        | CAST(n_members AS BIGINT) AS n_members
+        |FROM rk WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+    "t15_bigram_lm" ->
+      """WITH ts AS (SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |bg AS (SELECT z[1] AS w1, z[2] AS w2 FROM (
+        |  SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z FROM ts)),
+        |bi AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+        |ctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c_ctx FROM bi GROUP BY w1
+        |  HAVING SUM(c) >= 5),
+        |sc AS (SELECT bi.w1, bi.w2, bi.c, ctx.c_ctx,
+        |  CAST(bi.c AS DOUBLE) / CAST(ctx.c_ctx AS DOUBLE) AS prob,
+        |  ROW_NUMBER() OVER (PARTITION BY bi.w1 ORDER BY bi.c DESC, bi.w2 ASC) AS rn
+        | FROM bi JOIN ctx ON bi.w1 = ctx.w1)
+        |SELECT w1, w2, c, c_ctx, prob FROM sc WHERE rn <= 3
+        |ORDER BY w1, c DESC, w2""".stripMargin,
+    // drift keys are known by construction (doc_id classification), so
+    // the oracle never parses JSON — the e17 constant-reconstruction
+    // precedent
+    "j3_schema_drift" ->
+      """WITH u AS (SELECT 'unknown' AS kind,
+        |  'xtra_' || CAST(doc_id % 3 AS VARCHAR) AS key, doc_id
+        | FROM documents WHERE doc_id % 7 = 0),
+        |m AS (SELECT 'missing' AS kind, 'lang' AS key, doc_id
+        | FROM documents WHERE doc_id % 11 = 0)
+        |SELECT kind, key, COUNT(*) AS n, MIN(doc_id) AS first_id
+        |FROM (SELECT * FROM u UNION ALL SELECT * FROM m)
+        |GROUP BY kind, key ORDER BY kind, key""".stripMargin,
   )
 }

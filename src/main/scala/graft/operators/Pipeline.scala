@@ -531,6 +531,29 @@ object Pipeline {
     * chunk_hash (md5 of the re-joined chunk — the id the embedding /
     * dedup stages key on), chunk_text.
     */
+  /** Quality-aware canonical selection: when a near-dup cluster
+    * collapses, keep its BEST member (highest score, smallest id on
+    * ties) instead of blindly the earliest id — dedup should not throw
+    * away the clean copy because a boilerplate-ridden one crawled
+    * first. Docs absent from `clusterAssignments` are their own
+    * singleton cluster (the leakageSafeSplit convention). The
+    * per-cluster argmax is ONE max_by hash aggregate — map-side partial
+    * argmax, one candidate row per cluster per partition crosses the
+    * exchange, never a window sort over the corpus.
+    */
+  def bestOfCluster(docs: DataFrame, clusterAssignments: DataFrame,
+      score: Column, idCol: String = "doc_id"): DataFrame =
+    docs
+      .withColumn("__score", score)
+      .join(clusterAssignments.select(col(idCol), col("cluster_id")),
+        Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .groupBy(col("cluster_id"))
+      .agg(
+        max_by(col(idCol), struct(col("__score"), -col(idCol))).as("keeper_id"),
+        max(col("__score")).as("best_score"),
+        count(lit(1)).as("n_members"))
+
   /** Declarative data-contract gate ("expectations"): each (name,
     * predicate) rule becomes a boolean `ok_<name>` column and the
     * `quarantined` verdict is their conjunction's negation — one

@@ -295,6 +295,36 @@ object TextAnalysis {
     } finally { base.unpersist(); () }
   }
 
+  /** Bigram language-model training: the corpus-wide conditional-
+    * probability table P(w2 | w1) = c(w1,w2) / c(w1,·), thinned to the
+    * top `topPerContext` transitions per context with at least
+    * `minContext` outgoing bigrams. OCCURRENCE counts (every bigram
+    * instance), not document frequency: pairs come from
+    * `arrays_zip(slice, slice)` — codegen'd array ops, no interpreted
+    * HOF lambdas — exploded into one (w1, w2) hash aggregate. The
+    * context totals re-aggregate the bigram table (vocab-sized, never
+    * the token stream), probabilities are ONE double division, and the
+    * per-context thinning is the custom TopKPerKey operator — bounded
+    * heaps against the Zipfian context fan-out, no window sort.
+    */
+  def bigramLm(docs: DataFrame, topPerContext: Int, minContext: Long,
+      textCol: String = "text"): DataFrame = {
+    val ts = split(trim(col(textCol)), "\\s+")
+    val n1 = greatest(size(ts) - 1, lit(0))
+    val pairs = arrays_zip(
+      slice(ts, lit(1), n1).as("w1"), slice(ts, lit(2), n1).as("w2"))
+    val bi = docs.select(explode(pairs).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val ctx = bi.groupBy(col("w1")).agg(sum(col("c")).as("c_ctx"))
+      .filter(col("c_ctx") >= minContext)
+    val scored = bi.join(ctx, "w1")
+      .select(col("w1"), col("w2"), col("c"), col("c_ctx"),
+        (col("c").cast("double") / col("c_ctx").cast("double")).as("prob"))
+    TopK.perKey(scored, Seq("w1"),
+      Seq(TopK.desc("c"), TopK.asc("w2")), topPerContext)
+  }
+
   /** Per-document token Shannon entropy (nats) — the information-density
     * quality signal: word salad and keyword-stuffed spam sit at the
     * extremes of H = ln(n) - (Σ c·ln c)/n over per-document token counts

@@ -43,6 +43,24 @@ object JsonIngest {
         options + ("mode" -> "FAILFAST"))),
       input = col(csvCol))
 
+  /** Schema-drift detection at the JSON ingest boundary: a fixed read
+    * schema silently DROPS fields a producer starts adding — the
+    * forward-compatibility failure mode FAILFAST cannot see (extra
+    * fields are not malformed). Parsing into `map<string,string>` and
+    * diffing `map_keys` against the expected set surfaces, per record,
+    * the unknown keys (drift) and the missing expected keys — pure
+    * per-row expressions, zero shuffle; aggregate the `unknown_keys`
+    * explode to rank drifting fields corpus-wide.
+    */
+  def schemaDrift(df: DataFrame, jsonCol: String,
+      expectedKeys: Seq[String]): DataFrame = {
+    val expected = array(expectedKeys.map(lit): _*)
+    val keys = map_keys(from_json(col(jsonCol), lit("map<string,string>")))
+    df.withColumn("unknown_keys", array_except(keys, expected))
+      .withColumn("missing_keys", array_except(expected, keys))
+      .withColumn("drifted", size(col("unknown_keys")) > 0)
+  }
+
   /** Read a line-delimited JSON corpus as raw text lines, then parse
     * with capture. Line splitting never fails; only per-line parses can,
     * and those dead-letter individually.

@@ -57,4 +57,17 @@ class JsonIngestSpec extends SparkSpec {
     assert(ef.values.select($"parsed.k").as[Int].collect().toSeq === Seq(10))
     assert(ef.errors.count() === 1L)
   }
+
+  test("schemaDrift flags unknown and missing keys per record") {
+    val df = Seq(
+      """{"id": 1, "lang": "en"}""",
+      """{"id": 2, "lang": "en", "new_field": "x"}""",
+      """{"id": 3, "new_field": "x", "other": 1}""").toDF("js")
+    val out = JsonIngest.schemaDrift(df, "js", Seq("id", "lang"))
+      .select($"unknown_keys", $"missing_keys", $"drifted")
+      .as[(Seq[String], Seq[String], Boolean)].collect()
+    assert(out(0) == ((Seq(), Seq(), false)))
+    assert(out(1) == ((Seq("new_field"), Seq(), true)))
+    assert(out(2) == ((Seq("new_field", "other"), Seq("lang"), true)))
+  }
 }
