@@ -1572,6 +1572,65 @@ object SparkEntry {
     unknown.union(missing).orderBy($"kind", $"key")
   }
 
+  private def p17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the training-data flagship END-TO-END: quality gate → near-dup
+    // dedup (keep-earliest over pairs mined on the survivors) → token
+    // packing — three oracle-verified operators composed into the
+    // corpus-prep flow, summarized per shard. Each stage keeps its own
+    // query's plan (p7 / d4+d10 / p3); composition adds only wiring.
+    val kept = operators.Pipeline.qualityGate(t(s, dir, "documents"),
+        minTokens = 8.0, maxAvgWordLen = 8.0, maxPunctRatio = 0.05,
+        minStopRatio = 0.02)
+      .filter($"keep")
+      .select($"doc_id", $"source", $"text")
+    val pairs = operators.Dedup.ngramJaccard(kept, n = 2,
+      blockCol = "source", threshold = 0.1)
+    val deduped = operators.Dedup.dropLaterDuplicates(kept, pairs)
+    operators.Pipeline.packSequences(deduped, budget = 512)
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), max($"seq_id").as("last_seq"),
+        sum($"toks").as("shard_tokens"))
+      .orderBy($"shard")
+  }
+
+  private def m4(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // shape-bucketed decode planning: payloads whose (fake-decoded)
+    // width × height agree batch together — the step that keeps a real
+    // GPU decode stage from re-padding every batch; per shape: payload
+    // count, bytes, and the number of size-64 batches the stage runs.
+    val withBin = t(s, dir, "documents")
+      .withColumn("payload", $"text".cast("binary"))
+    operators.Multimodal.binaryMetadata(withBin, "payload", "doc_id")
+      .groupBy($"width", $"height")
+      .agg(count(lit(1)).as("n_payloads"),
+        sum($"byte_len").as("total_bytes"),
+        expr("(count(1) + 63) div 64").as("n_batches"))
+      .orderBy($"width", $"height")
+  }
+
+  private def e18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // contract violations routed to the SAME dead-letter surface as
+    // thrown errors: x9's expectation rules over lineitem, quarantined
+    // rows rendered in the DeadLetter.avsc shape with the failed rule
+    // list as the cause message.
+    operators.Pipeline.quarantineToDeadLetters(
+        t(s, dir, "lineitem"),
+        Seq(
+          "qty_range" -> $"l_quantity".between(1, 49),
+          "disc_max" -> ($"l_discount" <= 0.07),
+          "price_pos" -> ($"l_extendedprice" > 0),
+          "flag_known" -> $"l_returnflag".isin("A", "N", "R")),
+        input = concat($"l_orderkey".cast("string"), lit(":"),
+          $"l_linenumber".cast("string")),
+        description = "lineitem ingest contract")
+      .select($"input_value", $"description",
+        $"cause.error_class".as("error_class"), $"cause.message".as("message"))
+      .orderBy($"input_value")
+  }
+
   private[graft] def rmTree(path: String): Unit = {
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
@@ -1962,6 +2021,9 @@ object SparkEntry {
     "p16_best_of_cluster" -> (p16 _),
     "t15_bigram_lm" -> (t15 _),
     "j3_schema_drift" -> (j3 _),
+    "p17_e2e_prep" -> (p17 _),
+    "m4_shape_batches" -> (m4 _),
+    "e18_contract_dlq" -> (e18 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3484,5 +3546,60 @@ object SparkEntry {
         |SELECT kind, key, COUNT(*) AS n, MIN(doc_id) AS first_id
         |FROM (SELECT * FROM u UNION ALL SELECT * FROM m)
         |GROUP BY kind, key ORDER BY kind, key""".stripMargin,
+    "p17_e2e_prep" ->
+      """WITH m AS (SELECT doc_id, source, text,
+        |  len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS n_tokens,
+        |  len(text)::DOUBLE AS n_chars,
+        |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE AS punct,
+        |  len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    t -> t IN ('the','a','of','and','is')))::DOUBLE AS stop
+        | FROM documents),
+        |k AS (SELECT doc_id, source, text FROM m
+        | WHERE n_tokens >= CAST(8.0 AS DOUBLE) AND n_tokens <= CAST(100000.0 AS DOUBLE)
+        |  AND (n_chars - n_tokens + CAST(1.0 AS DOUBLE)) / n_tokens <= CAST(8.0 AS DOUBLE)
+        |  AND punct / n_chars <= CAST(0.05 AS DOUBLE)
+        |  AND stop / n_tokens >= CAST(0.02 AS DOUBLE)),
+        |g AS (SELECT doc_id, source,
+        |  list_distinct(list_transform(range(1, len(string_split(text,' '))),
+        |    i -> array_to_string(list_slice(string_split(text,' '), i, i+1), ' '))) AS ts
+        | FROM k),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |  len(list_intersect(a.ts,b.ts))::DOUBLE/(len(a.ts)+len(b.ts)-len(list_intersect(a.ts,b.ts))) AS jac
+        | FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+        | WHERE jac >= CAST(0.1 AS DOUBLE)),
+        |dd AS (SELECT * FROM k WHERE doc_id NOT IN (SELECT db FROM p)),
+        |d AS (SELECT source AS shard, doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM dd),
+        |c AS (SELECT shard, doc_id, toks,
+        |  CAST(SUM(toks) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM d)
+        |SELECT shard, COUNT(*) AS n_docs,
+        | CAST(MAX((cum - toks) // 512) AS BIGINT) AS last_seq,
+        | CAST(SUM(toks) AS BIGINT) AS shard_tokens
+        |FROM c GROUP BY shard ORDER BY shard""".stripMargin,
+    "m4_shape_batches" ->
+      """SELECT width, height, COUNT(*) AS n_payloads,
+        | CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
+        | CAST((COUNT(*) + 63) // 64 AS BIGINT) AS n_batches
+        |FROM (SELECT
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  COALESCE(TRY_CAST('0x' || substr(hex(encode(text)),1,2) AS INT), 0) % 64 + 1 AS width,
+        |  COALESCE(TRY_CAST('0x' || substr(hex(encode(text)),3,2) AS INT), 0) % 64 + 1 AS height
+        | FROM documents)
+        |GROUP BY width, height ORDER BY width, height""".stripMargin,
+    "e18_contract_dlq" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR) AS input_value,
+        | 'lineitem ingest contract' AS description,
+        | 'graft.ContractViolation' AS error_class,
+        | concat_ws(',',
+        |   CASE WHEN l_quantity BETWEEN 1 AND 49 THEN NULL ELSE 'qty_range' END,
+        |   CASE WHEN l_discount <= CAST(0.07 AS DOUBLE) THEN NULL ELSE 'disc_max' END,
+        |   CASE WHEN l_extendedprice > 0 THEN NULL ELSE 'price_pos' END,
+        |   CASE WHEN l_returnflag IN ('A','N','R') THEN NULL ELSE 'flag_known' END) AS message
+        |FROM lineitem
+        |WHERE CASE WHEN l_quantity BETWEEN 1 AND 49 AND l_discount <= CAST(0.07 AS DOUBLE)
+        |  AND l_extendedprice > 0 AND l_returnflag IN ('A','N','R')
+        |  THEN 0 ELSE 1 END = 1
+        |ORDER BY input_value""".stripMargin,
   )
 }

@@ -531,6 +531,35 @@ object Pipeline {
     * chunk_hash (md5 of the re-joined chunk — the id the embedding /
     * dedup stages key on), chunk_text.
     */
+  /** Contract violations as reference-shaped dead letters: quarantined
+    * rows from [[expectations]] rendered in the exact DeadLetter.avsc
+    * shape — `input_value` from the caller's key expression, the
+    * comma-joined failed rule names as the cause message, a synthetic
+    * `graft.ContractViolation` class. The expectations gate thereby
+    * feeds the SAME DLQ store, replay loop, rate limiter and trend
+    * monitor as the runtime-error path — one triage surface for both
+    * "the code threw" and "the data broke its contract".
+    */
+  def quarantineToDeadLetters(df: DataFrame, rules: Seq[(String, Column)],
+      input: Column, description: String): DataFrame = {
+    val flagged = expectations(df, rules)
+    // concat_ws skips nulls: only failed rules appear, in rule order
+    val failed = concat_ws(",",
+      rules.map { case (n, _) => when(!col(s"ok_$n"), lit(n)) }: _*)
+    flagged.filter(col("quarantined"))
+      .select(
+        input.cast("string").as("input_value"),
+        lit(null).cast("string").as("topic"),
+        lit(null).cast("int").as("partition"),
+        lit(null).cast("bigint").as("offset"),
+        lit(description).as("description"),
+        struct(
+          lit("graft.ContractViolation").as("error_class"),
+          failed.as("message"),
+          lit(null).cast("string").as("stack_trace")).as("cause"),
+        lit(null).cast("timestamp").as("input_timestamp"))
+  }
+
   /** Quality-aware canonical selection: when a near-dup cluster
     * collapses, keep its BEST member (highest score, smallest id on
     * ties) instead of blindly the earliest id — dedup should not throw
