@@ -1579,11 +1579,15 @@ object SparkEntry {
     // packing — three oracle-verified operators composed into the
     // corpus-prep flow, summarized per shard. Each stage keeps its own
     // query's plan (p7 / d4+d10 / p3); composition adds only wiring.
+    // localCheckpoint: four downstream branches (grams, sizes, dedup
+    // anti-join probe, packing) would each re-run the regex-heavy
+    // quality scan — pin the survivor frame to one evaluation
     val kept = operators.Pipeline.qualityGate(t(s, dir, "documents"),
         minTokens = 8.0, maxAvgWordLen = 8.0, maxPunctRatio = 0.05,
         minStopRatio = 0.02)
       .filter($"keep")
       .select($"doc_id", $"source", $"text")
+      .localCheckpoint()
     val pairs = operators.Dedup.ngramJaccard(kept, n = 2,
       blockCol = "source", threshold = 0.1)
     val deduped = operators.Dedup.dropLaterDuplicates(kept, pairs)
