@@ -46,6 +46,32 @@ object Sinks {
       .mode("append")
       .parquet(path)
 
+  /** DLQ retention sweep: delete every `dlq_date=` partition strictly
+    * older than `cutoffDate` (ISO yyyy-MM-dd). Pure METADATA operation —
+    * directory names are compared as strings (the layout's dates are
+    * zero-padded ISO, so lexicographic = chronological) and expired
+    * dirs are removed recursively; no row is ever read, which is what
+    * makes retention affordable on a DLQ that has accumulated years.
+    * Returns the deleted partition names, oldest first.
+    */
+  def expireDeadLetters(spark: org.apache.spark.sql.SparkSession,
+      path: String, cutoffDate: String): Seq[String] = {
+    require(cutoffDate.matches("\\d{4}-\\d{2}-\\d{2}"),
+      s"cutoffDate must be ISO yyyy-MM-dd: $cutoffDate")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else {
+      val expired = fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("dlq_date="))
+        .map(_.getPath)
+        .filter(_.getName.stripPrefix("dlq_date=") < cutoffDate)
+        .sortBy(_.getName)
+      expired.foreach(p => fs.delete(p, true))
+      expired.map(_.getName)
+    }
+  }
+
   /** Read a partitioned DLQ back (partition filters prune on
     * dlq_date/error_class).
     */

@@ -353,6 +353,42 @@ object StreamErrorHandling {
       && col(rightTs) >= col(leftTs) - expr(s"INTERVAL $window"))
   }
 
+  /** Streaming data-contract gate: per trigger, rows passing every
+    * expectation rule land in the values sink, violators land in the
+    * DLQ in the exact DeadLetter shape with the failed rule list as
+    * the cause message (Pipeline.quarantineToDeadLetters) — contract
+    * breaks and thrown errors share one streaming DLQ store. Same
+    * exactly-once layout as [[captureToDlq]]: each micro-batch owns
+    * its batch_id=N partition dir, crash replay overwrites it.
+    */
+  def contractToDlq(
+      stream: DataFrame,
+      rules: Seq[(String, Column)],
+      input: Column,
+      description: String,
+      valuesPath: String,
+      dlqPath: String,
+      checkpointPath: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // one flagged scan feeds both sinks
+        val flagged = graft.operators.Pipeline
+          .expectations(batch.toDF(), rules).persist()
+        try {
+          val okCols = rules.map { case (n, _) => s"ok_$n" } :+ "quarantined"
+          flagged.filter(!col("quarantined"))
+            .drop(okCols: _*)
+            .write.mode("overwrite").parquet(s"$valuesPath/batch_id=$batchId")
+          graft.operators.Pipeline
+            .quarantineToDeadLetters(flagged.drop(okCols: _*), rules,
+              input, description)
+            .write.mode("overwrite").parquet(s"$dlqPath/batch_id=$batchId")
+        } finally { flagged.unpersist(); () }
+        ()
+      }
+      .start()
+
   /** Stream-static enrichment (slowly-changing dimension): every
     * micro-batch re-READS the dimension path — a fresh file listing per
     * trigger, so a dimension republished between triggers (the daily

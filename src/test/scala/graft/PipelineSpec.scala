@@ -402,6 +402,19 @@ class PipelineSpec extends SparkSpec {
     assert(out.toSeq == cases.map(_._2))
   }
 
+  test("canonicalizeUrl is idempotent over varied url shapes") {
+    val urls = (for {
+      host <- Seq("Ex.COM", "a.b.ex.com")
+      path <- Seq("", "/p", "/p/", "/A/B")
+      q <- Seq("", "?utm_a=1", "?id=1&utm_a=2", "?utm_a=1&id=2&utm_b=3", "?id=1")
+      frag <- Seq("", "#x")
+    } yield s"https://$host$path$q$frag").toDF("u")
+    val once = urls.select(Pipeline.canonicalizeUrl($"u").as("c"))
+    val twice = once.select(Pipeline.canonicalizeUrl($"c"))
+      .as[String].collect()
+    assert(twice.toSeq == once.as[String].collect().toSeq)
+  }
+
   test("capPerDomain keeps the k smallest ids per domain; accounting matches") {
     val docs = (1L to 10L).map(i => (i, if (i <= 7) "big.com" else "small.org"))
       .toDF("doc_id", "source")

@@ -176,6 +176,29 @@ class SinksAndSkewSpec extends SparkSpec {
     assert(s.count(r => !r._3) == 9)
   }
 
+  test("expireDeadLetters deletes only partitions older than the cutoff") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dlq-ttl").toString
+    val dlq = Seq(
+      ("a", "2024-01-01 00:00:00", "j.l.A"),
+      ("b", "2024-01-15 00:00:00", "j.l.A"),
+      ("c", "2024-02-01 00:00:00", "j.l.B"))
+      .toDF("input_value", "ts", "ec")
+      .select($"input_value", lit(null).cast("string").as("topic"),
+        lit(null).cast("int").as("partition"), lit(null).cast("bigint").as("offset"),
+        lit("d").as("description"),
+        struct($"ec".as("error_class"), lit(null).cast("string").as("message"),
+          lit(null).cast("string").as("stack_trace")).as("cause"),
+        $"ts".cast("timestamp").as("input_timestamp"))
+    Sinks.writeDeadLetters(dlq, tmp)
+    val deleted = Sinks.expireDeadLetters(spark, tmp, "2024-01-20")
+    assert(deleted == Seq("dlq_date=2024-01-01", "dlq_date=2024-01-15"))
+    // survivors still readable; nothing else touched
+    assert(Sinks.readDeadLetters(spark, tmp).select($"input_value")
+      .as[String].collect().toSeq == Seq("c"))
+    // idempotent: a second sweep deletes nothing
+    assert(Sinks.expireDeadLetters(spark, tmp, "2024-01-20").isEmpty)
+  }
+
   test("fingerprintErrors collapses value-dependent messages to templates") {
     val errs = Seq(
       ("j.l.N", "For input string: '123' at row 7", "r7"),

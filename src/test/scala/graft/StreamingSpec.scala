@@ -17,6 +17,32 @@ object FlakyState {
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("contractToDlq routes rule violations to the DLQ in DeadLetter shape") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val tmp = Files.createTempDirectory("graft-contract").toString
+    val q = StreamErrorHandling.contractToDlq(
+      mem.toDF().toDF("id", "qty"),
+      rules = Seq("qty_small" -> (col("qty") < 100L)),
+      input = col("id").cast("string"),
+      description = "qty contract",
+      valuesPath = s"$tmp/values",
+      dlqPath = s"$tmp/dlq",
+      checkpointPath = s"$tmp/ckpt")
+    mem.addData((1L, 5L), (2L, 500L)); q.processAllAvailable()
+    mem.addData((3L, 7L), (4L, 900L)); q.processAllAvailable()
+    q.stop()
+    val values = spark.read.parquet(s"$tmp/values")
+      .select($"id").as[Long].collect().sorted
+    assert(values.toSeq == Seq(1L, 3L))
+    val dlq = spark.read.parquet(s"$tmp/dlq")
+      .select($"input_value", $"cause.error_class", $"cause.message")
+      .as[(String, String, String)].collect().sortBy(_._1)
+    assert(dlq.toSeq == Seq(
+      ("2", "graft.ContractViolation", "qty_small"),
+      ("4", "graft.ContractViolation", "qty_small")))
+  }
+
   test("captureToDlq splits a stream into values and dead letters") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
