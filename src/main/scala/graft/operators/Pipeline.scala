@@ -531,6 +531,29 @@ object Pipeline {
     * chunk_hash (md5 of the re-joined chunk — the id the embedding /
     * dedup stages key on), chunk_text.
     */
+  /** Mergeable approximate-distinct sketches (Datasketches HLL): one
+    * sketch per group, each ~KB regardless of cardinality, that UNION
+    * into coarser grains without touching rows again — the property
+    * exact countDistinct lacks (its dedup state is cardinality-sized
+    * and never composes). At 100 TB the pattern is: maintain per-day /
+    * per-partition sketches incrementally, answer "distinct users this
+    * quarter" by merging ~90 sketch blobs in milliseconds. This is the
+    * documented swap for [[profile]]'s exact distincts at scale.
+    */
+  def distinctSketch(df: DataFrame, groupCol: String, valueCol: String,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
+      .withColumn("approx_distinct", hll_sketch_estimate(col("sketch")))
+
+  /** Merge per-group sketches to one global estimate — reads #groups
+    * sketch blobs, never the data.
+    */
+  def mergeDistinctSketches(sketches: DataFrame): DataFrame =
+    sketches.agg(
+      hll_sketch_estimate(hll_union_agg(col("sketch"), lit(true)))
+        .as("approx_distinct_total"))
+
   /** Contract violations as reference-shaped dead letters: quarantined
     * rows from [[expectations]] rendered in the exact DeadLetter.avsc
     * shape — `input_value` from the caller's key expression, the

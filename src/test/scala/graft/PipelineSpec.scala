@@ -402,6 +402,21 @@ class PipelineSpec extends SparkSpec {
     assert(out.toSeq == cases.map(_._2))
   }
 
+  test("distinctSketch: merged per-group sketches equal the global estimate, near exact") {
+    val df = (1L to 20000L).map(i => (s"g${i % 4}", i % 3000)).toDF("g", "v")
+    val perGroup = Pipeline.distinctSketch(df, "g", "v")
+    assert(perGroup.count() == 4)
+    // merge-of-parts == sketch-of-whole (the mergeability contract)
+    val merged = Pipeline.mergeDistinctSketches(perGroup)
+      .as[Long].collect().head
+    val whole = df.agg(hll_sketch_estimate(hll_sketch_agg($"v", lit(12))))
+      .as[Long].collect().head
+    assert(merged == whole)
+    // and the estimate is within 5% of the exact distinct count
+    val exact = 3000.0
+    assert(math.abs(merged - exact) / exact < 0.05, s"estimate $merged vs $exact")
+  }
+
   test("canonicalizeUrl is idempotent over varied url shapes") {
     val urls = (for {
       host <- Seq("Ex.COM", "a.b.ex.com")
