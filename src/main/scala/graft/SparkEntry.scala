@@ -1635,6 +1635,34 @@ object SparkEntry {
       .orderBy($"input_value")
   }
 
+  private def d19(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // dedup-QA harness (the text twin of s10's ANN recall): d2's
+    // MinHash-LSH pair list audited against EXACT blocked ground truth
+    // — all same-source pairs with 3-shingle Jaccard ≥ 0.5 from the d4
+    // token-join formulation. Restricting ground truth to one blocking
+    // partition keeps the audit affordable on any engine while
+    // measuring the only thing LSH can lose: banding misses. One row:
+    // exact pairs, LSH-found pairs, misses, recall.
+    val docs = t(s, dir, "documents")
+    val exact = operators.Dedup.ngramJaccard(docs, n = 3,
+        blockCol = "source", threshold = 0.5)
+      .select($"da", $"db")
+    val src = docs.select($"doc_id", $"source")
+    val lshBlocked = operators.Dedup.minHashLsh(docs, numHashes = 16,
+        rowsPerBand = 4, threshold = 0.5, shingleSize = 3)
+      .join(src.as("sa"), $"da" === $"sa.doc_id")
+      .join(src.as("sb"), $"db" === $"sb.doc_id")
+      .filter($"sa.source" === $"sb.source")
+      .select($"da", $"db")
+    val hit = exact.join(lshBlocked, Seq("da", "db"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact")).crossJoin(
+        hit.agg(count(lit(1)).as("n_found")))
+      .select($"n_exact", $"n_found",
+        ($"n_exact" - $"n_found").as("n_missed"),
+        ($"n_found".cast("double") / $"n_exact".cast("double")).as("recall"))
+  }
+
   private[graft] def rmTree(path: String): Unit = {
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
@@ -2028,6 +2056,7 @@ object SparkEntry {
     "p17_e2e_prep" -> (p17 _),
     "m4_shape_batches" -> (m4 _),
     "e18_contract_dlq" -> (e18 _),
+    "d19_lsh_recall" -> (d19 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3605,5 +3634,39 @@ object SparkEntry {
         |  AND l_extendedprice > 0 AND l_returnflag IN ('A','N','R')
         |  THEN 0 ELSE 1 END = 1
         |ORDER BY input_value""".stripMargin,
+    "d19_lsh_recall" ->
+      """WITH sh AS (SELECT doc_id, source,
+        |  list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |    i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' '))) AS ts FROM documents),
+        |ex AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |  len(list_intersect(a.ts,b.ts))::DOUBLE/(len(a.ts)+len(b.ts)-len(list_intersect(a.ts,b.ts))) AS jac
+        | FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        | WHERE jac >= CAST(0.5 AS DOUBLE)),
+        |toks AS (SELECT doc_id,
+        |  list_reduce(list_transform(range(1, 8),
+        |    i -> CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1 AS BIGINT)),
+        |    (x, y) -> x * 16 + y) AS h
+        |  FROM (SELECT doc_id, unnest(ts) AS tok FROM sh) t),
+        |seeds AS (SELECT s, ((2*s + 1) * 2654435761) % 2147483647 AS a, s * 40503 + 1 AS b
+        |          FROM (SELECT unnest(range(16)) AS s)),
+        |sigs AS (
+        |  SELECT doc_id, s, min((a * h + b) % 2147483647) AS mh
+        |  FROM toks CROSS JOIN seeds GROUP BY doc_id, s),
+        |bands AS (
+        |  SELECT doc_id, s // 4 AS band, md5(string_agg(mh::VARCHAR, ',' ORDER BY s)) AS bandsig
+        |  FROM sigs GROUP BY doc_id, s // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id),
+        |found AS (
+        |  SELECT da, db FROM cand JOIN sh x ON da = x.doc_id JOIN sh y ON db = y.doc_id
+        |  WHERE len(list_intersect(x.ts, y.ts))::DOUBLE /
+        |    (len(x.ts) + len(y.ts) - len(list_intersect(x.ts, y.ts))) >= CAST(0.5 AS DOUBLE)
+        |   AND x.source = y.source),
+        |hit AS (SELECT ex.da, ex.db FROM ex JOIN found ON ex.da = found.da AND ex.db = found.db)
+        |SELECT (SELECT COUNT(*) FROM ex) AS n_exact,
+        |  (SELECT COUNT(*) FROM hit) AS n_found,
+        |  (SELECT COUNT(*) FROM ex) - (SELECT COUNT(*) FROM hit) AS n_missed,
+        |  CAST((SELECT COUNT(*) FROM hit) AS DOUBLE) / CAST((SELECT COUNT(*) FROM ex) AS DOUBLE) AS recall""".stripMargin,
   )
 }

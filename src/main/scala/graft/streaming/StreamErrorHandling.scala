@@ -353,6 +353,32 @@ object StreamErrorHandling {
       && col(rightTs) >= col(leftTs) - expr(s"INTERVAL $window"))
   }
 
+  /** Streaming trending top-k ("top pages this hour", live): windowed
+    * counts under a watermark in APPEND mode — each window emits
+    * exactly once, complete, after the watermark passes it — then the
+    * finalized windows flow through the custom TopKPerKey operator
+    * per trigger, so the stored result is the exact per-window top-k
+    * (bounded heaps, never a window sort; per-key state in the agg is
+    * watermark-bounded). batch_id=N idempotent-overwrite layout.
+    */
+  def trendingToSink(stream: DataFrame, tsCol: String, windowDur: String,
+      watermarkDelay: String, keyCol: String, k: Int,
+      outPath: String, checkpointPath: String): StreamingQuery =
+    stream.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("string").as("window_start"),
+        col(keyCol), col("n"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.TopK.perKey(batch.toDF(), Seq("window_start"),
+            Seq(graft.operators.TopK.desc("n"), graft.operators.TopK.asc(keyCol)), k)
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        ()
+      }
+      .start()
+
   /** Streaming data-contract gate: per trigger, rows passing every
     * expectation rule land in the values sink, violators land in the
     * DLQ in the exact DeadLetter shape with the failed rule list as

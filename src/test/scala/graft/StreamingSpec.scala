@@ -17,6 +17,31 @@ object FlakyState {
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("trendingToSink stores the exact top-k of each finalized window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val tmp = Files.createTempDirectory("graft-trend").toString
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val q = StreamErrorHandling.trendingToSink(
+      mem.toDF().toDF("ts", "page"), "ts", "1 hour", "0 seconds",
+      "page", k = 2, s"$tmp/out", s"$tmp/ckpt")
+    // hour 10: a×3, b×2, c×1 -> top2 = a,b ; hour 11: c×2, a×1
+    mem.addData(Seq((ts(10, 1), "a"), (ts(10, 2), "a"), (ts(10, 3), "a"),
+      (ts(10, 4), "b"), (ts(10, 5), "b"), (ts(10, 6), "c"),
+      (ts(11, 1), "c"), (ts(11, 2), "c"), (ts(11, 3), "a")))
+    q.processAllAvailable()
+    // advance the watermark past both hours so they finalize
+    mem.addData(Seq((ts(13, 0), "zz"))); q.processAllAvailable()
+    mem.addData(Seq((ts(14, 0), "zz"))); q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(s"$tmp/out")
+      .select($"window_start", $"page", $"n")
+      .as[(String, String, Long)].collect().toSet
+    assert(got.filter(r => r._1.contains(" 10:") || r._1.contains(" 11:")) == Set(
+      ("2024-01-01 10:00:00", "a", 3L), ("2024-01-01 10:00:00", "b", 2L),
+      ("2024-01-01 11:00:00", "c", 2L), ("2024-01-01 11:00:00", "a", 1L)))
+  }
+
   test("contractToDlq routes rule violations to the DLQ in DeadLetter shape") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]
