@@ -1663,6 +1663,36 @@ object SparkEntry {
         ($"n_found".cast("double") / $"n_exact".cast("double")).as("recall"))
   }
 
+  private def d20(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // centrality inside the near-dup graph: five damped PageRank rounds
+    // over the d4 pair list — rank mass concentrating on one document
+    // exposes the cluster's hub/template. Engine-exact via the sorted
+    // contribution folds (see Components.pageRank).
+    val pairs = operators.Dedup.ngramJaccard(t(s, dir, "documents"), n = 2,
+      blockCol = "source", threshold = 0.1).select($"da", $"db")
+    operators.Components.pageRank(pairs, iterations = 5)
+      .orderBy($"v")
+  }
+
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // UNPIVOT (wide → long): the inverse of q21's pivot — per-flag
+    // metric columns melted back to (metric, value) rows with stack(),
+    // one projection over the aggregate, no extra shuffle. Decimal sums
+    // cast to double ONCE, in the wide frame, so both melted values
+    // and the oracle's UNION ALL see identical doubles.
+    val wide = t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(sum($"l_quantity".cast(DEC)).cast("double").as("sum_qty"),
+        sum($"l_extendedprice".cast(DEC)).cast("double").as("sum_price"),
+        count(lit(1)).cast("double").as("n_lines"))
+    wide.select($"l_returnflag",
+        expr("stack(3, 'sum_qty', sum_qty, 'sum_price', sum_price, " +
+          "'n_lines', n_lines) as (metric, value)"))
+      .orderBy($"l_returnflag", $"metric")
+  }
+
   private[graft] def rmTree(path: String): Unit = {
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
@@ -2057,6 +2087,8 @@ object SparkEntry {
     "m4_shape_batches" -> (m4 _),
     "e18_contract_dlq" -> (e18 _),
     "d19_lsh_recall" -> (d19 _),
+    "q38_unpivot" -> (q38 _),
+    "d20_pagerank" -> (d20 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3668,5 +3700,45 @@ object SparkEntry {
         |  (SELECT COUNT(*) FROM hit) AS n_found,
         |  (SELECT COUNT(*) FROM ex) - (SELECT COUNT(*) FROM hit) AS n_missed,
         |  CAST((SELECT COUNT(*) FROM hit) AS DOUBLE) / CAST((SELECT COUNT(*) FROM ex) AS DOUBLE) AS recall""".stripMargin,
+    "q38_unpivot" ->
+      """WITH wide AS (
+        | SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  CAST(COUNT(*) AS DOUBLE) AS n_lines
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, value FROM (
+        | SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+        | UNION ALL
+        | SELECT l_returnflag, 'sum_price', sum_price FROM wide
+        | UNION ALL
+        | SELECT l_returnflag, 'n_lines', n_lines FROM wide)
+        |ORDER BY l_returnflag, metric""".stripMargin,
+    // the iteration CTEs are generated (r1..r5); (1 - CAST(0.85 AS
+    // DOUBLE)) mirrors Spark's lit(1.0) - lit(0.85) — never a bare
+    // 0.15 literal, whose decimal parse differs from the subtraction
+    "d20_pagerank" -> {
+      val base =
+        """WITH g AS (SELECT doc_id, source,
+          |  list_distinct(list_transform(range(1, len(string_split(text,' '))),
+          |    i -> array_to_string(list_slice(string_split(text,' '), i, i+1), ' '))) AS ts
+          | FROM documents),
+          |p AS (SELECT a.doc_id AS da, b.doc_id AS db
+          | FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+          | WHERE len(list_intersect(a.ts,b.ts))::DOUBLE/(len(a.ts)+len(b.ts)-len(list_intersect(a.ts,b.ts))) >= CAST(0.1 AS DOUBLE)),
+          |e AS (SELECT da AS src, db AS dst FROM p UNION ALL SELECT db, da FROM p),
+          |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+          |r0 AS (SELECT src AS v, CAST(1.0 AS DOUBLE) AS rank FROM deg)""".stripMargin
+      val iters = (1 to 5).map { i =>
+        s""",
+           |r$i AS (SELECT e.dst AS v,
+           | (1 - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * list_reduce(
+           |   list_prepend(CAST(0 AS DOUBLE), list_sort(list(r${i - 1}.rank / deg.deg))),
+           |   (a, b) -> a + b) AS rank
+           | FROM e JOIN deg ON e.src = deg.src JOIN r${i - 1} ON r${i - 1}.v = e.src
+           | GROUP BY e.dst)""".stripMargin
+      }.mkString
+      base + iters + "\nSELECT v, rank FROM r5 ORDER BY v"
+    },
   )
 }

@@ -203,4 +203,45 @@ object Components {
     sym.unpersist() // labels are checkpointed; the star frame can go
     labels.select(col("v"), col("label").as("component"))
   }
+
+  /** PageRank over an undirected pair list (da, db) — centrality inside
+    * the near-dup graph: the highest-ranked member of a dup cluster is
+    * its best canonical candidate, and rank mass concentrating on one
+    * template exposes boilerplate hubs. Fixed `iterations` of the
+    * classic damped update; each round is one join + one hash
+    * aggregate over the (tiny, pair-list-sized) edge frame, with
+    * `localCheckpoint` per round so iterative lineage never stacks
+    * (the Components lesson). ENGINE-EXACT by construction: each
+    * node's contribution sum is a left fold over its SORTED
+    * contribution list (equal doubles are interchangeable under +, so
+    * the multiset order is total), making ranks bit-identical across
+    * engines after any number of rounds — no tolerance compare needed.
+    */
+  def pageRank(pairs: DataFrame, iterations: Int,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    // symmetrize via one explode pass (a self-union would plan the
+    // upstream pair pipeline twice)
+    val edges = pairs.select(explode(array(
+        struct(col("da").as("src"), col("db").as("dst")),
+        struct(col("db").as("src"), col("da").as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    var ranks = deg.select(col("src").as("v"), lit(1.0d).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contribs = edges
+        .join(deg, "src")
+        .join(ranks.withColumnRenamed("v", "src"), "src")
+        .select(col("dst"), (col("rank") / col("deg")).as("c"))
+      ranks = contribs.groupBy(col("dst"))
+        .agg(aggregate(sort_array(collect_list(col("c"))), lit(0.0d),
+          (a, x) => a + x).as("s"))
+        .select(col("dst").as("v"),
+          ((lit(1.0d) - lit(damping)) + lit(damping) * col("s")).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
 }
