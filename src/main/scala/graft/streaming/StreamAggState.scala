@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, when}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Streaming materialized-view maintenance — the streaming twin of
@@ -97,6 +98,63 @@ object StreamAggState {
           payloadCols)
       case None => bc
     }
+    merged.write.mode("overwrite").parquet(s"$statePath/epoch=$batchId")
+  }
+
+  /** Streaming CDC emission (ST16) — [[maintainCompactedLog]] plus a
+    * per-trigger CHANGELOG: alongside the new state, each trigger
+    * writes the after-image rows of exactly the keys it touched —
+    * `op = insert` for first-seen keys, `op = update` for keys whose
+    * version count advanced — the streaming complement of D11's
+    * snapshot diff and the feed D13's changelog apply consumes.
+    * Detection is one left-outer join of two key-cardinality frames
+    * (merged vs prior) on the key, comparing the monotone `n_versions`
+    * counter — no payload comparison, no history rescans. Both stores
+    * are epoch-keyed (crash replay rewrites, never re-appends), and
+    * because changelog rows are full after-images, "latest epoch
+    * mentioning the key" IS the state — the spec pins that fixed
+    * point.
+    */
+  def maintainCompactedLogCdc(stream: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String], payloadCols: Seq[String], statePath: String,
+      cdcPath: String, checkpointPath: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        processCdcTrigger(batch.toDF(), batchId, keyCols, orderCols,
+          payloadCols, statePath, cdcPath)
+      }
+      .start()
+
+  private[graft] def processCdcTrigger(batch: DataFrame, batchId: Long,
+      keyCols: Seq[String], orderCols: Seq[String], payloadCols: Seq[String],
+      statePath: String, cdcPath: String): Unit = {
+    val spark = batch.sparkSession
+    val bc = graft.operators.Pipeline.compactLog(batch, keyCols, orderCols,
+      payloadCols)
+    val prior = StreamErrorHandling
+      .readPendingBefore(spark, statePath, batchId).map(_._2)
+    // pin: the merged frame feeds the state write AND the diff join —
+    // unpinned it would re-run the merge aggregate once per consumer
+    val merged = (prior match {
+      case Some(st) =>
+        graft.operators.Pipeline.mergeCompacted(st, bc, keyCols, orderCols,
+          payloadCols)
+      case None => bc
+    }).localCheckpoint()
+    val cdc = prior match {
+      case None => merged.withColumn("op", lit("insert"))
+      case Some(st) =>
+        val pv = st.select((keyCols.map(col) :+
+          col("n_versions").as("__prior_nv")): _*)
+        merged.join(pv, keyCols, "left_outer")
+          .withColumn("op",
+            when(col("__prior_nv").isNull, lit("insert"))
+              .when(col("n_versions") > col("__prior_nv"), lit("update")))
+          .filter(col("op").isNotNull) // untouched keys emit nothing
+          .drop("__prior_nv")
+    }
+    cdc.write.mode("overwrite").parquet(s"$cdcPath/epoch=$batchId")
     merged.write.mode("overwrite").parquet(s"$statePath/epoch=$batchId")
   }
 

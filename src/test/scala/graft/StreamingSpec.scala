@@ -465,6 +465,44 @@ class StreamingSpec extends SparkSpec {
     assert(state() == expected, "replayed compaction trigger double-merged")
   }
 
+  test("CDC emission: per-trigger after-images replay to the final state; replay rewrites") {
+    import graft.streaming.StreamAggState
+    import org.apache.spark.sql.expressions.Window
+    val tmp = Files.createTempDirectory("graft-cdc").toString
+    val (st, cdc) = (s"$tmp/state", s"$tmp/cdc")
+    val (keys, ord, pay) = (Seq("k"), Seq("ver", "id"), Seq("payload"))
+    def trig(rows: Seq[(String, Long, Long, String)], id: Long): Unit =
+      StreamAggState.processCdcTrigger(
+        rows.toDF("k", "ver", "id", "payload"), id, keys, ord, pay, st, cdc)
+    trig(Seq(("a", 1L, 1L, "a1"), ("a", 2L, 2L, "a2"), ("b", 1L, 3L, "b1")), 0L)
+    trig(Seq(("a", 3L, 4L, "a3"), ("c", 1L, 5L, "c1")), 1L)
+
+    val log = spark.read.parquet(cdc)
+      .select($"epoch".cast("long"), $"k", $"ver", $"payload", $"n_versions", $"op")
+      .as[(Long, String, Long, String, Long, String)].collect()
+    // trigger 0: both keys are inserts; trigger 1: a updated, c inserted,
+    // UNTOUCHED b emits nothing
+    assert(log.filter(_._1 == 0L).map(r => (r._2, r._6)).sorted.toSeq ==
+      Seq(("a", "insert"), ("b", "insert")))
+    assert(log.filter(_._1 == 1L).map(r => (r._2, r._6)).sorted.toSeq ==
+      Seq(("a", "update"), ("c", "insert")))
+    // after-image fixed point: latest epoch mentioning a key IS the state
+    val latest = log.groupBy(_._2).map { case (_, rs) =>
+      val r = rs.maxBy(_._1); (r._2, r._3, r._4, r._5)
+    }.toSeq.sortBy(_._1)
+    val state = StreamAggState.readState(spark, st).get
+      .select($"k", $"ver", $"payload", $"n_versions")
+      .as[(String, Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(latest == state)
+    assert(state == Seq(("a", 3L, "a3", 3L), ("b", 1L, "b1", 1L), ("c", 1L, "c1", 1L)))
+    // crash replay of trigger 1: both stores rewritten, not re-appended
+    trig(Seq(("a", 3L, 4L, "a3"), ("c", 1L, 5L, "c1")), 1L)
+    assert(spark.read.parquet(cdc).count() == log.length)
+    assert(StreamAggState.readState(spark, st).get
+      .select($"k", $"ver", $"payload", $"n_versions")
+      .as[(String, Long, String, Long)].collect().sortBy(_._1).toSeq == state)
+  }
+
   test("detectAnomalies: prior-state z-verdicts, visible warmup, replay rewrites") {
     import graft.streaming.StreamAggState
     val tmp = Files.createTempDirectory("graft-anomaly").toString
