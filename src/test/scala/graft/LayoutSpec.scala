@@ -162,6 +162,42 @@ class LayoutSpec extends SparkSpec {
       === (0L until 4096L).sum)
   }
 
+  test("manifest audit: ok / modified / missing / unexpected all detected") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-manifest").toString
+    val (data, man) = (s"$tmp/data", s"$tmp/manifest")
+    (1L to 100L).toDF("v").repartition(3).write.parquet(data)
+    Layout.writeManifest(spark, data, man)
+    // pristine: everything ok
+    val s0 = Layout.verifyManifest(spark, data, man)
+      .select($"status").as[String].collect()
+    assert(s0.length == 3 && s0.forall(_ == "ok"))
+    // tamper: delete one file, modify another (rewrite with other rows),
+    // drop an unexpected one in
+    val files = new java.io.File(data).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(files.length == 3)
+    files(0).delete()
+    Seq(999L).toDF("v").coalesce(1).write.mode("overwrite")
+      .parquet(s"$tmp/stage")
+    val staged = new java.io.File(s"$tmp/stage").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(staged.toPath, files(1).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.copy(staged.toPath,
+      java.nio.file.Paths.get(s"$data/extra.parquet"))
+    // Hadoop's LOCAL fs keeps .crc sidecars; out-of-band tampering
+    // leaves them stale and the read fails on the sidecar instead of
+    // reaching the audit (object stores have no such sidecar) — drop them
+    new java.io.File(data).listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    val got = Layout.verifyManifest(spark, data, man)
+      .select($"file_name", $"status").as[(String, String)].collect().toMap
+    assert(got(files(0).getName) == "missing")
+    assert(got(files(1).getName) == "modified")
+    assert(got("extra.parquet") == "unexpected")
+    assert(got.values.count(_ == "ok") == 1)
+  }
+
   test("Ingest ledger: each landed file processed exactly once; idempotent rerun") {
     import graft.sources.Ingest
     val tmp = java.nio.file.Files.createTempDirectory("graft-ingest").toString
