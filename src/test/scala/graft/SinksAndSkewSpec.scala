@@ -73,6 +73,36 @@ class SinksAndSkewSpec extends SparkSpec {
       plain.as[(String, Int, String)].collect().toSet)
   }
 
+  test("AQE skew-join engages on a skewed sort-merge join (the runtime alternative to salting)") {
+    // thresholds shrunk so a toy partition counts as skewed; restore after
+    val keys = Seq("spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val payload = "x" * 200
+      val skewed = (1 to 4000)
+        .map(i => (if (i % 100 == 0) s"cold$i" else "hot", i, payload))
+        .toDF("k", "n", "pay")
+      val right = ((1 to 4000).map(i => (s"cold$i", s"c$i")) :+ (("hot", "H")))
+        .toDF("k", "label")
+      // collect() the EXACT frame whose executedPlan is inspected — a
+      // count() would spawn a fresh QueryExecution that never ran
+      val joined = skewed.join(right, "k").select($"n", $"label", $"pay")
+      assert(joined.collect().length == 4000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n${plan.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("saltedJoin preserves left-outer rows and rejects right-preserving types") {
     val skewed = Seq(("hot", 1), ("lonely", 2)).toDF("k", "n")
     val dimDf = Seq(("hot", "H"), ("unmatched", "U")).toDF("k", "label")
