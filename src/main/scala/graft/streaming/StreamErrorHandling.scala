@@ -322,6 +322,96 @@ object StreamErrorHandling {
     stream.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Unbounded-horizon streaming dedup via an accumulating Bloom state
+    * (ST17) — the complement of [[dedupStreaming]]'s exact
+    * watermark-bounded dedup: a record re-sent AFTER the watermark
+    * horizon slips past the exact operator, while the Bloom state (a
+    * KB-to-MB blob, fixed size forever) remembers every key ever seen.
+    * The trade is explicit: a true duplicate is ALWAYS dropped (Bloom
+    * has no false negatives); a bounded false-positive rate `fpp` drops
+    * some genuinely-new rows. Per trigger: exact in-batch dedup →
+    * probe the prior filter (broadcast bytes, mapPartitions — the
+    * bloomPrefilter pattern) → write survivors → OR the survivors'
+    * filter into the state. The state blob is epoch-keyed (crash
+    * replay rewrites; Bloom OR is idempotent anyway). `expectedItems`
+    * must stay constant across the query's life — merge requires
+    * equal-sized filters.
+    */
+  def dedupStreamingBloom(stream: DataFrame, keyCol: String,
+      expectedItems: Long, fpp: Double, valuesPath: String,
+      statePath: String, checkpointPath: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        processBloomDedupTrigger(batch.toDF(), batchId, keyCol,
+          expectedItems, fpp, valuesPath, statePath)
+      }
+      .start()
+
+  private def bloomEpochs(statePath: String): Seq[(Long, java.nio.file.Path)] = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(statePath)
+    if (!java.nio.file.Files.exists(root)) Seq.empty
+    else {
+      val s = java.nio.file.Files.list(root)
+      try s.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith("epoch="))
+        .map(p => (p.getFileName.toString.stripPrefix("epoch=").toLong,
+          p.resolve("bloom.bin")))
+        .sortBy(_._1)
+      finally s.close()
+    }
+  }
+
+  private[graft] def readBloomBefore(statePath: String, batchId: Long)
+      : Option[org.apache.spark.util.sketch.BloomFilter] =
+    bloomEpochs(statePath).filter(_._1 < batchId).lastOption.map { case (_, p) =>
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(java.nio.file.Files.readAllBytes(p)))
+    }
+
+  private[graft] def processBloomDedupTrigger(batch: DataFrame, batchId: Long,
+      keyCol: String, expectedItems: Long, fpp: Double,
+      valuesPath: String, statePath: String): Unit = {
+    val spark = batch.sparkSession
+    val inBatch = batch.dropDuplicates(keyCol) // exact within the trigger
+    val prior = readBloomBefore(statePath, batchId)
+    val fresh = prior match {
+      case None => inBatch
+      case Some(bf) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        val bytes = spark.sparkContext.broadcast(bos.toByteArray)
+        val idx = inBatch.schema.fieldIndex(keyCol)
+        val schema = inBatch.schema
+        inBatch.mapPartitions { it =>
+          val local = org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(bytes.value))
+          it.filter(r => !r.isNullAt(idx) && !local.mightContain(r.get(idx)))
+        }(org.apache.spark.sql.Encoders.row(schema))
+    }
+    // pin: survivors feed both the values sink and the filter build
+    val kept = fresh.localCheckpoint()
+    kept.write.mode("overwrite").parquet(s"$valuesPath/batch_id=$batchId")
+    // stat.bloomFilter NPEs on an EMPTY frame (null aggregate buffer) —
+    // an all-duplicates trigger must still write its (unchanged) state
+    val bfNew =
+      if (kept.isEmpty) None
+      else Some(kept.stat.bloomFilter(keyCol, expectedItems, fpp))
+    val merged = (prior, bfNew) match {
+      case (Some(p), Some(n)) => p.mergeInPlace(n); p
+      case (Some(p), None) => p
+      case (None, Some(n)) => n
+      case (None, None) =>
+        org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+    }
+    val dir = java.nio.file.Paths.get(s"$statePath/epoch=$batchId")
+    java.nio.file.Files.createDirectories(dir)
+    val bos = new java.io.ByteArrayOutputStream()
+    merged.writeTo(bos)
+    java.nio.file.Files.write(dir.resolve("bloom.bin"), bos.toByteArray)
+  }
+
   /** Gap-based sessionization — the streaming twin of the batch q26
     * query: a key's session closes after `gap` of silence. Uses the
     * native `session_window` aggregate (merging windows inside the

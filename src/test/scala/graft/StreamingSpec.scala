@@ -465,6 +465,29 @@ class StreamingSpec extends SparkSpec {
     assert(state() == expected, "replayed compaction trigger double-merged")
   }
 
+  test("bloom streaming dedup: duplicates dropped past any horizon; replay rewrites") {
+    import graft.streaming.StreamErrorHandling
+    val tmp = Files.createTempDirectory("graft-bloomdedup").toString
+    val (vals, st) = (s"$tmp/values", s"$tmp/state")
+    def trig(keys: Seq[String], id: Long): Unit =
+      StreamErrorHandling.processBloomDedupTrigger(
+        keys.map(k => (k, s"payload-$k")).toDF("k", "p"), id,
+        "k", expectedItems = 1000, fpp = 0.01, vals, st)
+    trig(Seq("a", "b", "c", "a"), 0L) // in-trigger dup removed exactly
+    trig(Seq("b", "c", "d"), 1L)      // b,c are cross-trigger dups
+    trig(Seq("a", "d", "e"), 2L)      // a returns far past any watermark
+    def values(): Seq[String] =
+      spark.read.parquet(vals).select($"k").as[String].collect().sorted.toSeq
+    // no false negatives: every true duplicate dropped, each key once
+    assert(values() == Seq("a", "b", "c", "d", "e"))
+    // crash replay of trigger 1: values rewritten, state not corrupted
+    trig(Seq("b", "c", "d"), 1L)
+    assert(values() == Seq("a", "b", "c", "d", "e"))
+    // and the post-replay state still rejects everything seen so far
+    trig(Seq("a", "b", "c", "d", "e"), 3L)
+    assert(values() == Seq("a", "b", "c", "d", "e"))
+  }
+
   test("CDC emission: per-trigger after-images replay to the final state; replay rewrites") {
     import graft.streaming.StreamAggState
     import org.apache.spark.sql.expressions.Window
