@@ -1675,6 +1675,26 @@ object SparkEntry {
       .orderBy($"v")
   }
 
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // LATERAL correlated subquery: each customer joined to their most
+    // recent order (per-row dependent top-1 — the classic lateral
+    // shape). Catalyst decorrelates the LIMIT 1 subquery into a
+    // window/aggregate plan rather than a per-row re-execution.
+    t(s, dir, "customer").createOrReplaceTempView("v_customer")
+    t(s, dir, "orders").createOrReplaceTempView("v_orders")
+    s.sql(
+      """SELECT c_custkey, c_name, o_orderkey AS last_orderkey,
+        | CAST(CAST(o_orderdate AS DATE) AS STRING) AS last_orderdate,
+        | o_totalprice AS last_totalprice
+        |FROM v_customer,
+        | LATERAL (SELECT o_orderkey, o_orderdate, o_totalprice
+        |   FROM v_orders WHERE o_custkey = c_custkey
+        |   ORDER BY CAST(o_orderdate AS DATE) DESC, o_orderkey DESC
+        |   LIMIT 1)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   private def q38(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // UNPIVOT (wide → long): the inverse of q21's pivot — per-flag
@@ -2089,6 +2109,7 @@ object SparkEntry {
     "d19_lsh_recall" -> (d19 _),
     "q38_unpivot" -> (q38 _),
     "d20_pagerank" -> (d20 _),
+    "q39_lateral" -> (q39 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3740,5 +3761,15 @@ object SparkEntry {
       }.mkString
       base + iters + "\nSELECT v, rank FROM r5 ORDER BY v"
     },
+    "q39_lateral" ->
+      """SELECT c_custkey, c_name, o_orderkey AS last_orderkey,
+        | CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS last_orderdate,
+        | o_totalprice AS last_totalprice
+        |FROM customer,
+        | LATERAL (SELECT o_orderkey, o_orderdate, o_totalprice
+        |   FROM orders WHERE o_custkey = c_custkey
+        |   ORDER BY CAST(o_orderdate AS DATE) DESC, o_orderkey DESC
+        |   LIMIT 1) l
+        |ORDER BY c_custkey""".stripMargin,
   )
 }
