@@ -337,6 +337,17 @@ class OperatorsSpec extends SparkSpec {
     assert(Dedup.simHashNearDup(same, maxBucket = 40).count() == 40L * 39 / 2)
   }
 
+  test("tokenEntropy and bigramLm drop null-text rows cleanly") {
+    val df = Seq[(java.lang.Long, String)]((1L, "a b a"), (2L, null))
+      .toDF("doc_id", "text")
+    // null text explodes to nothing: doc 2 simply absent, no NPE/null row
+    val ent = TextAnalysis.tokenEntropy(df).select($"doc_id").as[Long].collect()
+    assert(ent.toSeq == Seq(1L))
+    val lm = TextAnalysis.bigramLm(df, topPerContext = 2, minContext = 1)
+      .select($"w1", $"w2", $"c").as[(String, String, Long)].collect().toSet
+    assert(lm == Set(("a", "b", 1L), ("b", "a", 1L)))
+  }
+
   test("recallAtK: hits, misses, and zero-recall queries all score") {
     val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L))
       .toDF("qid", "vec_id")
