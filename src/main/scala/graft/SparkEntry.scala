@@ -1675,6 +1675,30 @@ object SparkEntry {
       .orderBy($"v")
   }
 
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // RECURSIVE CTE (Spark 4's WITH RECURSIVE) — the canonical
+    // hierarchy walk: documents arranged as the binary tree
+    // parent = id div 2, depths assigned by recursive descent from the
+    // root. Tree edges give UNIQUE paths, so UNION ALL recursion
+    // terminates in tree-height rounds (Spark's recursive CTEs support
+    // UNION ALL only — a CYCLIC walk like the dup graph needs the d8/d9
+    // label-propagation operator instead, which is exactly why both
+    // surfaces exist). Summarized per level.
+    t(s, dir, "documents").filter($"doc_id" >= 2)
+      .select(expr("doc_id div 2").as("parent"), $"doc_id".as("child"))
+      .createOrReplaceTempView("v_tree_edges")
+    s.sql(
+      """WITH RECURSIVE walk AS (
+        | SELECT CAST(1 AS BIGINT) AS v, 0 AS depth
+        | UNION ALL
+        | SELECT e.child AS v, w.depth + 1 AS depth
+        | FROM walk w JOIN v_tree_edges e ON e.parent = w.v
+        |)
+        |SELECT depth, COUNT(*) AS n_nodes, MIN(v) AS first_id, MAX(v) AS last_id
+        |FROM walk GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
   private def q39(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // LATERAL correlated subquery: each customer joined to their most
@@ -2110,6 +2134,7 @@ object SparkEntry {
     "q38_unpivot" -> (q38 _),
     "d20_pagerank" -> (d20 _),
     "q39_lateral" -> (q39 _),
+    "q40_recursive" -> (q40 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3771,5 +3796,15 @@ object SparkEntry {
         |   ORDER BY CAST(o_orderdate AS DATE) DESC, o_orderkey DESC
         |   LIMIT 1) l
         |ORDER BY c_custkey""".stripMargin,
+    "q40_recursive" ->
+      """WITH RECURSIVE e AS (
+        | SELECT doc_id // 2 AS parent, doc_id AS child FROM documents WHERE doc_id >= 2),
+        |walk AS (
+        | SELECT CAST(1 AS BIGINT) AS v, 0 AS depth
+        | UNION ALL
+        | SELECT e.child AS v, w.depth + 1 AS depth
+        | FROM walk w JOIN e ON e.parent = w.v)
+        |SELECT depth, COUNT(*) AS n_nodes, MIN(v) AS first_id, MAX(v) AS last_id
+        |FROM walk GROUP BY depth ORDER BY depth""".stripMargin,
   )
 }
