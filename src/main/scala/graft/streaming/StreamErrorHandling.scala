@@ -322,6 +322,55 @@ object StreamErrorHandling {
     stream.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Late-data quarantine (ST18): rows a watermarked stateful operator
+    * would silently DROP are preserved in a DLQ-style store instead.
+    * Spark's drop happens invisibly inside the stateful operator, so
+    * this maintains the watermark's twin itself — the same formula the
+    * engine uses (running max event time minus the delay), epoch-keyed
+    * like every graft stream state. Per trigger: rows older than the
+    * PRIOR trigger's watermark (exactly those the engine considers
+    * late) go to `latePath` with their lateness in ms; on-time rows go
+    * to `valuesPath`; the watermark state advances to
+    * max(prior, max(ts) − delay). Crash replay rewrites both batch
+    * dirs and recomputes against the prior epoch — idempotent.
+    */
+  def quarantineLate(stream: DataFrame, tsCol: String, delayMs: Long,
+      valuesPath: String, latePath: String, statePath: String,
+      checkpointPath: String): StreamingQuery = {
+    require(delayMs >= 0, s"watermark delay must be >= 0 ms: $delayMs")
+    stream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        processLateQuarantineTrigger(batch.toDF(), batchId, tsCol,
+          delayMs, valuesPath, latePath, statePath)
+      }
+      .start()
+  }
+
+  private[graft] def processLateQuarantineTrigger(batch: DataFrame,
+      batchId: Long, tsCol: String, delayMs: Long, valuesPath: String,
+      latePath: String, statePath: String): Unit = {
+    val spark = batch.sparkSession
+    val tsMs = expr(s"unix_micros(`$tsCol`) div 1000")
+    val priorWm: Long = readPendingBefore(spark, statePath, batchId)
+      .map(_._2.select(max(col("wm_ms"))).head.getLong(0))
+      .getOrElse(Long.MinValue)
+    val stamped = batch.withColumn("__ms", tsMs).localCheckpoint()
+    stamped.filter(col("__ms") >= priorWm).drop("__ms")
+      .write.mode("overwrite").parquet(s"$valuesPath/batch_id=$batchId")
+    stamped.filter(col("__ms") < priorWm)
+      .withColumn("lateness_ms", lit(priorWm) - col("__ms"))
+      .drop("__ms")
+      .write.mode("overwrite").parquet(s"$latePath/batch_id=$batchId")
+    val batchMax = stamped.select(max(col("__ms"))).head
+    val newWm = math.max(priorWm,
+      if (batchMax.isNullAt(0)) Long.MinValue
+      else batchMax.getLong(0) - delayMs)
+    import spark.implicits._
+    Seq(newWm).toDF("wm_ms").coalesce(1)
+      .write.mode("overwrite").parquet(s"$statePath/epoch=$batchId")
+  }
+
   /** Unbounded-horizon streaming dedup via an accumulating Bloom state
     * (ST17) — the complement of [[dedupStreaming]]'s exact
     * watermark-bounded dedup: a record re-sent AFTER the watermark

@@ -465,6 +465,33 @@ class StreamingSpec extends SparkSpec {
     assert(state() == expected, "replayed compaction trigger double-merged")
   }
 
+  test("late-data quarantine: engine-late rows preserved with lateness; replay rewrites") {
+    import graft.streaming.StreamErrorHandling
+    val tmp = Files.createTempDirectory("graft-late").toString
+    val (vals, late, st) = (s"$tmp/values", s"$tmp/late", s"$tmp/state")
+    def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    def trig(rows: Seq[(Long, Long)], id: Long): Unit =
+      StreamErrorHandling.processLateQuarantineTrigger(
+        rows.map { case (i, sec) => (i, ts(sec)) }.toDF("id", "ets"),
+        id, "ets", delayMs = 10_000L, vals, late, st)
+    // trigger 0: no prior watermark -> nothing can be late
+    trig(Seq((1L, 100L), (2L, 200L)), 0L) // wm becomes 200s - 10s = 190s
+    // trigger 1: 150s is BEHIND the 190s watermark -> quarantined, 40s late
+    trig(Seq((3L, 150L), (4L, 210L)), 1L)
+    val values = spark.read.parquet(vals).select($"id").as[Long].collect().sorted
+    assert(values.toSeq == Seq(1L, 2L, 4L))
+    val quarantined = spark.read.parquet(late)
+      .select($"id", $"lateness_ms").as[(Long, Long)].collect()
+    assert(quarantined.toSeq == Seq((3L, 40_000L)))
+    // crash replay of trigger 1: same split, no duplicates, state intact
+    trig(Seq((3L, 150L), (4L, 210L)), 1L)
+    assert(spark.read.parquet(vals).count() == 3)
+    assert(spark.read.parquet(late).count() == 1)
+    // trigger 2 still judges against wm = 210s - 10s = 200s
+    trig(Seq((5L, 199L)), 2L)
+    assert(spark.read.parquet(late).count() == 2)
+  }
+
   test("bloom streaming dedup: duplicates dropped past any horizon; replay rewrites") {
     import graft.streaming.StreamErrorHandling
     val tmp = Files.createTempDirectory("graft-bloomdedup").toString
