@@ -1675,6 +1675,24 @@ object SparkEntry {
       .orderBy($"v")
   }
 
+  private def m5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // modality alignment audit: text documents ↔ embedding vectors
+    // paired by id; orphans on EITHER side are the silent join losses a
+    // multimodal training run otherwise discovers at step -1. Two
+    // anti-joins (each one broadcast-or-shuffle join on the id), a
+    // 1-row card out.
+    val docs = t(s, dir, "documents").select($"doc_id")
+    val embs = t(s, dir, "embeddings").select($"vec_id")
+    val docOrphans = docs.join(embs, $"doc_id" === $"vec_id", "left_anti")
+    val embOrphans = embs.join(docs, $"doc_id" === $"vec_id", "left_anti")
+    docOrphans.agg(count(lit(1)).as("n_doc_orphans"),
+        min($"doc_id").as("first_doc_orphan"),
+        max($"doc_id").as("last_doc_orphan"))
+      .crossJoin(embOrphans.agg(count(lit(1)).as("n_emb_orphans"),
+        min($"vec_id").as("first_emb_orphan")))
+  }
+
   private def q40(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // RECURSIVE CTE (Spark 4's WITH RECURSIVE) — the canonical
@@ -2135,6 +2153,7 @@ object SparkEntry {
     "d20_pagerank" -> (d20 _),
     "q39_lateral" -> (q39 _),
     "q40_recursive" -> (q40 _),
+    "m5_modality_align" -> (m5 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3806,5 +3825,17 @@ object SparkEntry {
         | FROM walk w JOIN e ON e.parent = w.v)
         |SELECT depth, COUNT(*) AS n_nodes, MIN(v) AS first_id, MAX(v) AS last_id
         |FROM walk GROUP BY depth ORDER BY depth""".stripMargin,
+    "m5_modality_align" ->
+      """SELECT
+        | (SELECT COUNT(*) FROM documents d
+        |   WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)) AS n_doc_orphans,
+        | (SELECT MIN(doc_id) FROM documents d
+        |   WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)) AS first_doc_orphan,
+        | (SELECT MAX(doc_id) FROM documents d
+        |   WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)) AS last_doc_orphan,
+        | (SELECT COUNT(*) FROM embeddings e
+        |   WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)) AS n_emb_orphans,
+        | (SELECT MIN(vec_id) FROM embeddings e
+        |   WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)) AS first_emb_orphan""".stripMargin,
   )
 }
