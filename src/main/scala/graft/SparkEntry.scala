@@ -1675,6 +1675,27 @@ object SparkEntry {
       .orderBy($"v")
   }
 
+  private def e19(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // SRE multi-window burn-rate over the DLQ: a class pages only when
+    // BOTH the 1h and 6h windows burn the error budget — fast detection
+    // without blip pages. Same three-mode capture as e17; all-integer
+    // verdicts.
+    val ev = t(s, dir, "events")
+      .withColumn("k", regexp_extract($"props", "[0-9]+", 0).cast("int"))
+    val cap = ErrorFrame.captureErrors(
+      ev,
+      Map("res" -> expr(
+        "case when k % 11 = 0 then cast(concat('x', k) as int) " +
+          "when k % 13 = 0 then element_at(array(1, 2), k + 3) " +
+          "else 100 div (k % 7) end")),
+      input = $"props",
+      stackTraces = false)
+    sources.Sinks.burnRate(cap.errors.select($"error_class", $"ts"),
+        "error_class", "ts", budgetPerHour = 1L, factor = 1L)
+      .orderBy($"error_class")
+  }
+
   private def m5(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // modality alignment audit: text documents ↔ embedding vectors
@@ -2154,6 +2175,7 @@ object SparkEntry {
     "q39_lateral" -> (q39 _),
     "q40_recursive" -> (q40 _),
     "m5_modality_align" -> (m5 _),
+    "e19_burn_rate" -> (e19 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3837,5 +3859,21 @@ object SparkEntry {
         |   WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)) AS n_emb_orphans,
         | (SELECT MIN(vec_id) FROM embeddings e
         |   WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)) AS first_emb_orphan""".stripMargin,
+    "e19_burn_rate" ->
+      """WITH e AS (SELECT props, epoch_us(ts) AS tus,
+        |  CAST(regexp_extract(props, '[0-9]+') AS INT) AS k FROM events),
+        |b AS (SELECT tus,
+        |  CASE WHEN k % 11 = 0 THEN 'org.apache.spark.SparkNumberFormatException'
+        |       WHEN k % 13 = 0 THEN 'org.apache.spark.SparkArrayIndexOutOfBoundsException'
+        |       WHEN k % 7 = 0 THEN 'org.apache.spark.SparkArithmeticException' END AS error_class
+        | FROM e WHERE k % 11 = 0 OR k % 13 = 0 OR k % 7 = 0),
+        |n AS (SELECT MAX(tus) AS now FROM b),
+        |agg AS (SELECT error_class,
+        |  CAST(SUM(CASE WHEN tus > now - 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+        |  CAST(SUM(CASE WHEN tus > now - 6 * 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
+        | FROM b CROSS JOIN n GROUP BY error_class)
+        |SELECT error_class, n_short, n_long,
+        | (n_short > 1 AND n_long > 6) AS alert
+        |FROM agg ORDER BY error_class""".stripMargin,
   )
 }

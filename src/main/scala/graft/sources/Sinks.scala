@@ -194,6 +194,38 @@ object Sinks {
         dev * dev > lit(k.toLong * k) * (col("n_hours") * col("s2") - col("s1") * col("s1")))
   }
 
+  /** Multi-window error-budget burn-rate alerting (the SRE-workbook
+    * rule applied to the DLQ): a class alerts only when BOTH a short
+    * and a long window burn the budget at `factor`× — the short window
+    * gives fast detection, the long window suppresses blips. All
+    * comparisons are integer (counts vs factor × budget × hours); the
+    * "now" anchor is the store's max event time, broadcast from a
+    * 1-row aggregate into one conditional-count scan — two passes over
+    * the error store total, no window functions, no doubles.
+    * `tsNanosCol` follows the repo-wide long-nanos contract.
+    */
+  def burnRate(errors: DataFrame, classCol: String, tsNanosCol: String,
+      budgetPerHour: Long, factor: Long = 2L,
+      shortHours: Long = 1L, longHours: Long = 6L): DataFrame = {
+    require(budgetPerHour >= 0 && factor >= 1 && shortHours >= 1
+      && longHours > shortHours, "bad burn-rate parameters")
+    val us = expr(s"`$tsNanosCol` div 1000")
+    val anchored = errors
+      .select(col(classCol), us.as("__us"))
+      .crossJoin(broadcast(
+        errors.agg(max(us).as("__now"))))
+    val hUs = 3600L * 1000000L
+    anchored.groupBy(col(classCol))
+      .agg(
+        sum(when(col("__us") > col("__now") - shortHours * hUs, 1L)
+          .otherwise(0L)).as("n_short"),
+        sum(when(col("__us") > col("__now") - longHours * hUs, 1L)
+          .otherwise(0L)).as("n_long"))
+      .withColumn("alert",
+        col("n_short") > factor * budgetPerHour * shortHours &&
+          col("n_long") > factor * budgetPerHour * longHours)
+  }
+
   /** Crash-grouping fingerprints over a dead-letter store (the
     * Sentry-style triage view): value-dependent error messages collapse
     * to their TEMPLATE by masking digit runs and quoted fragments, so a

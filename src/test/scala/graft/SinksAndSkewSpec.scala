@@ -206,6 +206,26 @@ class SinksAndSkewSpec extends SparkSpec {
     assert(s.count(r => !r._3) == 9)
   }
 
+  test("burnRate pages only when BOTH windows burn (blips suppressed)") {
+    val h = 3600L * 1000000000L // ns
+    def rows(cls: String, tsH: Seq[Double]) = tsH.map(t => (cls, (t * h).toLong))
+    // anchor = max ts = 10h. A: a fresh 3-error blip (short window burns,
+    // long does not) -> suppressed. B: sustained ~2/h for 6h -> pages.
+    // C: only old errors -> quiet.
+    val errs = (rows("A", Seq(9.5, 9.6, 9.7)) ++
+      rows("B", (0 until 12).map(i => 4.05 + i * 0.5)) ++
+      rows("B", Seq(10.0)) ++
+      rows("C", Seq(1.0, 2.0))).toDF("error_class", "ts")
+    val out = Sinks.burnRate(errs, "error_class", "ts",
+        budgetPerHour = 1L, factor = 1L)
+      .select($"error_class", $"n_short", $"n_long", $"alert")
+      .as[(String, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      ("A", 3L, 3L, false),  // blip: short burns, long window saves it
+      ("B", 3L, 13L, true),  // sustained burn on both windows
+      ("C", 0L, 0L, false)))
+  }
+
   test("expireDeadLetters deletes only partitions older than the cutoff") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-dlq-ttl").toString
     val dlq = Seq(
