@@ -1691,7 +1691,10 @@ object SparkEntry {
           "else 100 div (k % 7) end")),
       input = $"props",
       stackTraces = false)
-    sources.Sinks.burnRate(cap.errors.select($"error_class", $"ts"),
+    // pin: the burn-rate now-anchor and the count scan would otherwise
+    // each re-run the capture pipeline
+    sources.Sinks.burnRate(
+        cap.errors.select($"error_class", $"ts").localCheckpoint(),
         "error_class", "ts", budgetPerHour = 1L, factor = 1L)
       .orderBy($"error_class")
   }
