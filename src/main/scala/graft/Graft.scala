@@ -30,6 +30,14 @@ object Graft {
       s"$what must be an integer literal, got: $other")
   }
 
+  /** SQL literal-string argument (`normalize_text(s, 'NFC')`). */
+  private def litString(e: Expression, what: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got: $other")
+  }
+
   val tryCaptureFn: FnReg =
     fn("try_capture", classOf[TryCapture])(children => TryCapture(children.head))
 
@@ -49,7 +57,10 @@ object Graft {
     fn("vector_dot", classOf[graft.functions.VectorDot])(c =>
       graft.functions.VectorDot(c(0), c(1))),
     fn("count_by_value", classOf[graft.functions.CountByValue])(c =>
-      graft.functions.CountByValue(c.head).toAggregateExpression()))
+      graft.functions.CountByValue(c.head).toAggregateExpression()),
+    fn("normalize_text", classOf[graft.functions.NormalizeText])(c =>
+      graft.functions.NormalizeText(c(0),
+        litString(c(1), "normalize_text form"))))
 
   /** Runtime registration for sessions built without the extensions conf. */
   def register(spark: SparkSession): Unit = {

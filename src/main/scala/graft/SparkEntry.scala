@@ -1675,6 +1675,22 @@ object SparkEntry {
       .orderBy($"v")
   }
 
+  private def t16(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Unicode normalization — step zero of text dedup: the same
+    // accented text arrives precomposed (á, U+00E1) and decomposed
+    // (a + U+0301 combining acute); byte hashes differ, NFC hashes
+    // agree. Two synthesized spellings per document, both md5'd raw
+    // and through the native normalize_text expression.
+    val v1 = regexp_replace($"text", "a", "\u00e1")  // precomposed
+    val v2 = regexp_replace($"text", "a", "a\u0301") // combining acute
+    t(s, dir, "documents").select($"doc_id",
+        (md5(v1) === md5(v2)).as("raw_equal"),
+        (md5(functions.NormalizeText(v1, "NFC")) ===
+          md5(functions.NormalizeText(v2, "NFC"))).as("nfc_equal"))
+      .orderBy($"doc_id")
+  }
+
   private def e19(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // SRE multi-window burn-rate over the DLQ: a class pages only when
@@ -2179,6 +2195,7 @@ object SparkEntry {
     "q40_recursive" -> (q40 _),
     "m5_modality_align" -> (m5 _),
     "e19_burn_rate" -> (e19 _),
+    "t16_unicode_norm" -> (t16 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3878,5 +3895,12 @@ object SparkEntry {
         |SELECT error_class, n_short, n_long,
         | (n_short > 1 AND n_long > 6) AS alert
         |FROM agg ORDER BY error_class""".stripMargin,
+    "t16_unicode_norm" ->
+      """SELECT doc_id,
+        | md5(regexp_replace(text, 'a', chr(225), 'g')) =
+        |  md5(regexp_replace(text, 'a', 'a' || chr(769), 'g')) AS raw_equal,
+        | md5(nfc_normalize(regexp_replace(text, 'a', chr(225), 'g'))) =
+        |  md5(nfc_normalize(regexp_replace(text, 'a', 'a' || chr(769), 'g'))) AS nfc_equal
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

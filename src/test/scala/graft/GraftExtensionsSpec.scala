@@ -57,4 +57,20 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("integer literal") ||
       Option(e.getCause).exists(_.getMessage.contains("integer literal")))
   }
+
+  test("normalize_text: NFC unifies precomposed and combining forms; NFKC folds compat") {
+    Graft.register(spark)
+    val r = spark.sql(
+      "SELECT normalize_text('a\u0301', 'NFC') = '\u00e1', " + // combining -> composed
+        "normalize_text('\ufb01', 'NFKC') = 'fi', " +           // fi ligature folds
+        "normalize_text('\ufb01', 'NFC') = '\ufb01', " +       // NFC keeps ligatures
+        "normalize_text(CAST(NULL AS STRING), 'NFC')").collect().head
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2) && r.isNullAt(3))
+    // a non-literal form is rejected at plan time
+    val e = intercept[Exception] {
+      spark.sql("SELECT normalize_text('x', concat('N','FC'))").collect()
+    }
+    assert(e.getMessage.contains("string literal") ||
+      Option(e.getCause).exists(_.getMessage.contains("string literal")))
+  }
 }
