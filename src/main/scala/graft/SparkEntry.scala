@@ -1675,6 +1675,35 @@ object SparkEntry {
       .orderBy($"v")
   }
 
+  private def d21(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // cluster-purity audit: transitive merging chains A~B~C even when
+    // A≁C — per cluster, the observed pair-Jaccard floor/mean say
+    // whether keep-earliest collapsed genuinely-similar documents or a
+    // chain. Mean via the sorted fold (engine-bit-exact, no round);
+    // pairs ride one broadcast-sized label join, clusters aggregate at
+    // cluster grain.
+    val docs = t(s, dir, "documents")
+    val pairs = operators.Dedup.ngramJaccard(docs, n = 2,
+      blockCol = "source", threshold = 0.1).localCheckpoint()
+    val cc = operators.Components.connected(pairs, "da", "db",
+      driverSolveMaxEdges = 1L << 22)
+    val sizes = cc.groupBy($"component").agg(count(lit(1)).as("n_members"))
+    val labeled = pairs.join(cc.withColumnRenamed("v", "da"), "da")
+    labeled.groupBy($"component")
+      .agg(count(lit(1)).as("n_pairs"),
+        min($"jaccard").as("min_jaccard"),
+        max($"jaccard").as("max_jaccard"),
+        sort_array(collect_list($"jaccard")).as("js"))
+      .select($"component", $"n_pairs", $"min_jaccard", $"max_jaccard",
+        (aggregate($"js", lit(0.0d), (a, x) => a + x) /
+          $"n_pairs".cast("double")).as("mean_jaccard"))
+      .join(sizes, "component")
+      .select($"component".as("cluster_id"), $"n_members", $"n_pairs",
+        $"min_jaccard", $"max_jaccard", $"mean_jaccard")
+      .orderBy($"cluster_id")
+  }
+
   private def t16(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // Unicode normalization — step zero of text dedup: the same
@@ -2196,6 +2225,7 @@ object SparkEntry {
     "m5_modality_align" -> (m5 _),
     "e19_burn_rate" -> (e19 _),
     "t16_unicode_norm" -> (t16 _),
+    "d21_cluster_purity" -> (d21 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3902,5 +3932,30 @@ object SparkEntry {
         | md5(nfc_normalize(regexp_replace(text, 'a', chr(225), 'g'))) =
         |  md5(nfc_normalize(regexp_replace(text, 'a', 'a' || chr(769), 'g'))) AS nfc_equal
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d21_cluster_purity" ->
+      """WITH RECURSIVE g AS (SELECT doc_id, source,
+        |  list_distinct(list_transform(range(1, len(string_split(text,' '))),
+        |    i -> array_to_string(list_slice(string_split(text,' '), i, i+1), ' '))) AS ts
+        | FROM documents),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |  len(list_intersect(a.ts,b.ts))::DOUBLE/(len(a.ts)+len(b.ts)-len(list_intersect(a.ts,b.ts))) AS jaccard
+        | FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+        | WHERE jaccard >= CAST(0.1 AS DOUBLE)),
+        |e AS (SELECT da AS a, db AS b FROM p UNION SELECT db, da FROM p),
+        |r AS (
+        | SELECT DISTINCT a AS node, a AS reach FROM e
+        | UNION
+        | SELECT r.node, e.b AS reach FROM r JOIN e ON r.reach = e.a),
+        |c AS (SELECT node AS doc_id, MIN(reach) AS cluster_id FROM r GROUP BY node),
+        |sz AS (SELECT cluster_id, COUNT(*) AS n_members FROM c GROUP BY cluster_id),
+        |lp AS (SELECT c.cluster_id, p.jaccard FROM p JOIN c ON p.da = c.doc_id),
+        |ag AS (SELECT cluster_id, COUNT(*) AS n_pairs,
+        |  MIN(jaccard) AS min_jaccard, MAX(jaccard) AS max_jaccard,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(list(jaccard))),
+        |    (a, b) -> a + b) / COUNT(*) AS mean_jaccard
+        | FROM lp GROUP BY cluster_id)
+        |SELECT ag.cluster_id, CAST(sz.n_members AS BIGINT) AS n_members,
+        | ag.n_pairs, ag.min_jaccard, ag.max_jaccard, ag.mean_jaccard
+        |FROM ag JOIN sz USING (cluster_id) ORDER BY ag.cluster_id""".stripMargin,
   )
 }
