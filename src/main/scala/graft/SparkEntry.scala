@@ -1675,6 +1675,20 @@ object SparkEntry {
       .orderBy($"v")
   }
 
+  private def s11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Matryoshka truncated-dimension retrieval: shortlist on the first
+    // 8 of 64 dims (1/8 of the FLOPs), exact rerank of q × 20 rows.
+    val emb = t(s, dir, "embeddings")
+    val queries = broadcast(emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"),
+        operators.Similarity.toDoubleVec($"embedding").as("qv")))
+    operators.Similarity.truncatedTopK(emb, queries,
+        dPrefix = 8, shortlist = 20, k = 5)
+      .select($"qid", $"rank", $"vec_id", $"cosine")
+      .orderBy($"qid", $"rank")
+  }
+
   private def d21(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // cluster-purity audit: transitive merging chains A~B~C even when
@@ -2226,6 +2240,7 @@ object SparkEntry {
     "e19_burn_rate" -> (e19 _),
     "t16_unicode_norm" -> (t16 _),
     "d21_cluster_purity" -> (d21 _),
+    "s11_mrl_truncated" -> (s11 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3957,5 +3972,29 @@ object SparkEntry {
         |SELECT ag.cluster_id, CAST(sz.n_members AS BIGINT) AS n_members,
         | ag.n_pairs, ag.min_jaccard, ag.max_jaccard, ag.mean_jaccard
         |FROM ag JOIN sz USING (cluster_id) ORDER BY ag.cluster_id""".stripMargin,
+    "s11_mrl_truncated" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |ap AS (
+        | SELECT qid, vec_id,
+        |  list_reduce(list_transform(range(1, 9), i -> qv[i]*v[i]), (x,y) -> x+y) /
+        |   (sqrt(list_reduce(list_transform(qv[1:8], x -> x*x), (x,y) -> x+y)) *
+        |    sqrt(list_reduce(list_transform(v[1:8], x -> x*x), (x,y) -> x+y))) AS approx_cos
+        | FROM q JOIN e ON qid <> vec_id),
+        |sh AS (SELECT qid, vec_id FROM (
+        |  SELECT qid, vec_id,
+        |   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx_cos DESC, vec_id ASC) AS rn
+        |  FROM ap) WHERE rn <= 20),
+        |re AS (
+        | SELECT sh.qid, sh.vec_id,
+        |  list_reduce(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*e.v[i]), (x,y) -> x+y) /
+        |   (sqrt(list_reduce(list_transform(q.qv, x -> x*x), (x,y) -> x+y)) *
+        |    sqrt(list_reduce(list_transform(e.v, x -> x*x), (x,y) -> x+y))) AS cosine
+        | FROM sh JOIN e ON sh.vec_id = e.vec_id JOIN q ON sh.qid = q.qid)
+        |SELECT qid, rank, vec_id, cosine FROM (
+        | SELECT qid, vec_id, cosine,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+        | FROM re) WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
   )
 }

@@ -437,6 +437,47 @@ object Similarity {
       .join(removed, Seq("vec_id"), "left_anti")
   }
 
+  /** Matryoshka-style truncated-dimension retrieval: shortlist by
+    * cosine over the PREFIX of each embedding (MRL-trained embeddings
+    * front-load information by dimension), then exact-rerank ONLY the
+    * shortlist with full vectors — the s9 two-stage shape with
+    * dimension truncation as the cheap metric. The shortlist pass does
+    * dPrefix/dim of the FLOPs (store the prefix as its own narrow
+    * column at scale and the scan reads dPrefix of dim values); the
+    * rerank touches q × shortlist rows. Shortlisting runs through the
+    * TopKPerKey operator (bounded heaps), the final top-k is a window
+    * over q × shortlist rows only.
+    */
+  def truncatedTopK(vectors: DataFrame, queries: DataFrame, dPrefix: Int,
+      shortlist: Int, k: Int): DataFrame = {
+    require(dPrefix >= 1 && shortlist >= k && k >= 1,
+      s"bad truncation parameters: dPrefix=$dPrefix shortlist=$shortlist k=$k")
+    val v = vectors.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val vp = v.select(col("vec_id"), slice(col("v"), 1, dPrefix).as("vp"))
+      .withColumn("vpn", norm(col("vp")))
+    val q = queries.select(col("qid"), col("qv"),
+        slice(col("qv"), 1, dPrefix).as("qp"))
+      .withColumn("qpn", norm(col("qp")))
+      .withColumn("qn", norm(col("qv")))
+    val scored = vp.join(broadcast(q.select(col("qid"), col("qp"), col("qpn"))),
+        col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        (dot(col("qp"), col("vp")) / (col("qpn") * col("vpn"))).as("approx_cos"))
+    val short = TopK.perKey(scored, Seq("qid"),
+      Seq(TopK.desc("approx_cos"), TopK.asc("vec_id")), shortlist)
+    // exact rerank: join the shortlist ids back to full vectors — raw
+    // vectors are read in this scan, never carried through the heaps
+    val rer = short.select(col("qid"), col("vec_id"))
+      .join(v, "vec_id")
+      .join(broadcast(q.select(col("qid"), col("qv"), col("qn"))), "qid")
+      .select(col("qid"), col("vec_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * norm(col("v")))).as("cosine"))
+    rer.withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+  }
+
   /** ANN quality evaluation: per-query recall@k of an approximate
     * result list against exact ground truth — the harness that justifies
     * every IVF/PQ knob (nprobe, k, codebook size) with a number. Both
