@@ -322,6 +322,63 @@ object StreamErrorHandling {
     stream.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Enrichment with PENDING RETRY for dim-lagging events (ST19):
+    * facts routinely arrive BEFORE their dimension row (a new user's
+    * first order lands hours before the user-dim rebuild). Plain
+    * left-outer enrichment permanently nulls them; inner join silently
+    * drops them. Here every trigger joins batch ∪ carried-over pending
+    * rows against the freshly-read dim (the ST13 re-read contract):
+    * matches land enriched in the values sink; misses carry over in
+    * the epoch-keyed pending store with their attempt count and
+    * automatically re-join on a later trigger once the dim
+    * republishes. After `maxAttempts` a row gives up and lands
+    * null-enriched WITH its attempt count visible — never silently
+    * dropped, which is the failure mode this operator exists to
+    * prevent. Values are written append-per-epoch-dir (idempotent on
+    * replay); the pending store follows the retry-store crash
+    * contract.
+    */
+  def enrichWithPendingRetry(stream: DataFrame, dimPath: String,
+      keys: Seq[String], maxAttempts: Int, valuesPath: String,
+      pendingPath: String, checkpointPath: String): StreamingQuery = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1: $maxAttempts")
+    stream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        processEnrichRetryTrigger(batch.toDF(), batchId, dimPath, keys,
+          maxAttempts, valuesPath, pendingPath)
+      }
+      .start()
+  }
+
+  private[graft] def processEnrichRetryTrigger(batch: DataFrame,
+      batchId: Long, dimPath: String, keys: Seq[String], maxAttempts: Int,
+      valuesPath: String, pendingPath: String): Unit = {
+    val spark = batch.sparkSession
+    val dim = spark.read.parquet(dimPath).withColumn("__hit", lit(true))
+    val incoming = batch.withColumn("__attempts", lit(0))
+    val all = readPendingBefore(spark, pendingPath, batchId) match {
+      case Some((_, pending)) => incoming.unionByName(pending)
+      case None => incoming
+    }
+    val joined = all.join(broadcast(dim), keys, "left_outer").localCheckpoint()
+    val dimCols = dim.columns.filterNot(c => keys.contains(c) || c == "__hit")
+    // matched: enriched rows out, bookkeeping stripped
+    joined.filter(col("__hit"))
+      .drop("__hit").withColumnRenamed("__attempts", "attempts")
+      .write.mode("overwrite").parquet(s"$valuesPath/batch_id=$batchId")
+    val missed = joined.filter(col("__hit").isNull)
+      .withColumn("__attempts", col("__attempts") + 1)
+    // exhausted: give up loudly — null-enriched, attempts visible
+    missed.filter(col("__attempts") >= maxAttempts)
+      .drop("__hit").withColumnRenamed("__attempts", "attempts")
+      .write.mode("overwrite").parquet(s"$valuesPath/batch_id=${batchId}_exhausted")
+    // still pending: original shape + attempt count, epoch-keyed
+    missed.filter(col("__attempts") < maxAttempts)
+      .drop("__hit").drop(dimCols: _*)
+      .write.mode("overwrite").parquet(s"$pendingPath/epoch=$batchId")
+  }
+
   /** Late-data quarantine (ST18): rows a watermarked stateful operator
     * would silently DROP are preserved in a DLQ-style store instead.
     * Spark's drop happens invisibly inside the stateful operator, so

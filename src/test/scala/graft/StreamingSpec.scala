@@ -465,6 +465,37 @@ class StreamingSpec extends SparkSpec {
     assert(state() == expected, "replayed compaction trigger double-merged")
   }
 
+  test("enrichWithPendingRetry: dim-lagging facts retry and enrich late; exhausted rows land loudly") {
+    import graft.streaming.StreamErrorHandling
+    val tmp = Files.createTempDirectory("graft-enrich-retry").toString
+    val (dimp, vals, pend) = (s"$tmp/dim", s"$tmp/values", s"$tmp/pending")
+    def trig(rows: Seq[(Long, Long)], id: Long): Unit =
+      StreamErrorHandling.processEnrichRetryTrigger(
+        rows.toDF("user_id", "amount"), id, dimp, Seq("user_id"),
+        maxAttempts = 2, vals, pend)
+
+    // dim v1 knows only user 1
+    Seq((1L, "gold")).toDF("user_id", "tier").write.mode("overwrite").parquet(dimp)
+    trig(Seq((1L, 10L), (2L, 20L), (3L, 30L)), 0L) // users 2,3 pending
+    // dim republished: user 2 appears; user 3 still unknown
+    Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+      .write.mode("overwrite").parquet(dimp)
+    trig(Seq((1L, 11L)), 1L) // user 2 retries and enriches; user 3 exhausts
+    trig(Seq.empty, 2L)
+
+    val enriched = spark.read.parquet(vals)
+      .select($"user_id", $"amount", $"tier", $"attempts")
+      .as[(Long, Long, Option[String], Int)].collect().toSet
+    // user 2 enriched on its SECOND attempt with the republished dim;
+    // user 3 exhausted after 2 attempts, null-enriched but visible
+    assert(enriched == Set(
+      (1L, 10L, Some("gold"), 0), (1L, 11L, Some("gold"), 0),
+      (2L, 20L, Some("silver"), 1),
+      (3L, 30L, None, 2)))
+    // nothing left pending
+    assert(StreamErrorHandling.readPending(spark, pend).get.count() == 0)
+  }
+
   test("late-data quarantine: engine-late rows preserved with lateness; replay rewrites") {
     import graft.streaming.StreamErrorHandling
     val tmp = Files.createTempDirectory("graft-late").toString
