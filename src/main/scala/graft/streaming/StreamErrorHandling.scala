@@ -415,7 +415,9 @@ object StreamErrorHandling {
     val stamped = batch.withColumn("__ms", tsMs).localCheckpoint()
     stamped.filter(col("__ms") >= priorWm).drop("__ms")
       .write.mode("overwrite").parquet(s"$valuesPath/batch_id=$batchId")
-    stamped.filter(col("__ms") < priorWm)
+    // a NULL event time cannot be judged — it goes to quarantine with
+    // null lateness rather than silently vanishing from both sinks
+    stamped.filter(col("__ms") < priorWm || col("__ms").isNull)
       .withColumn("lateness_ms", lit(priorWm) - col("__ms"))
       .drop("__ms")
       .write.mode("overwrite").parquet(s"$latePath/batch_id=$batchId")
@@ -493,7 +495,9 @@ object StreamErrorHandling {
         inBatch.mapPartitions { it =>
           val local = org.apache.spark.util.sketch.BloomFilter.readFrom(
             new java.io.ByteArrayInputStream(bytes.value))
-          it.filter(r => !r.isNullAt(idx) && !local.mightContain(r.get(idx)))
+          // null keys never dedup (the sketch can't hold them): they
+          // pass through rather than silently vanishing at the probe
+          it.filter(r => r.isNullAt(idx) || !local.mightContain(r.get(idx)))
         }(org.apache.spark.sql.Encoders.row(schema))
     }
     // pin: survivors feed both the values sink and the filter build
