@@ -148,6 +148,55 @@ object Layout {
     }.flatten
   }
 
+  /** Right-to-erasure delete on a plain-parquet table: remove every row
+    * whose `keyCol` is in `keys`, REWRITING ONLY THE FILES THAT CONTAIN
+    * THEM — one `_metadata.file_name` probe scan finds the touched
+    * files (on a layout clustered/z-ordered by the key that is a
+    * handful of files, not the lake), each is read back minus the
+    * erased rows and swapped in write-aside; untouched files keep
+    * their bytes. This is the Delta-DELETE essence at 100 TB: the cost
+    * scales with data CONTAINING the keys, never the table. Returns
+    * (rewritten file names, erased row count). Erasure keys broadcast
+    * (a deletion batch is small by nature).
+    */
+  def eraseKeys(spark: SparkSession, path: String, keyCol: String,
+      keys: Seq[Any]): (Seq[String], Long) = {
+    require(keys.nonEmpty, "no keys to erase")
+    spark.catalog.refreshByPath(path)
+    val keyLit = keys.map(lit)
+    val touched = spark.read.parquet(path)
+      .filter(col(keyCol).isin(keyLit: _*))
+      .select(col("_metadata.file_name").as("f"))
+      .groupBy(col("f")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    if (touched.isEmpty) (Seq.empty, 0L)
+    else {
+      val rootPath = new org.apache.hadoop.fs.Path(path)
+      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      touched.foreach { case (name, _) =>
+        val file = new org.apache.hadoop.fs.Path(rootPath, name)
+        val tmp = new org.apache.hadoop.fs.Path(rootPath, s".$name.erasing")
+        // write-aside, then swap: the rewrite materializes fully before
+        // the original is deleted — a crash leaves the original intact
+        spark.read.parquet(file.toString)
+          .filter(!col(keyCol).isin(keyLit: _*))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(file, false)
+        fs.listStatus(tmp).toSeq
+          .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+          .foreach(s => fs.rename(s.getPath,
+            new org.apache.hadoop.fs.Path(rootPath, name)))
+        fs.delete(tmp, true)
+        // drop the LocalFS crc sidecar of the replaced file if present
+        val crc = new org.apache.hadoop.fs.Path(rootPath, s".$name.crc")
+        if (fs.exists(crc)) { fs.delete(crc, false); () }
+      }
+      spark.catalog.refreshByPath(path)
+      (touched.map(_._1), touched.map(_._2).sum)
+    }
+  }
+
   /** Per-file content fingerprints of a parquet table: row count plus
     * an ORDER-INDEPENDENT content hash (`bit_xor` of the per-row
     * xxhash64 over all columns — no overflow semantics, any row order

@@ -162,6 +162,32 @@ class LayoutSpec extends SparkSpec {
       === (0L until 4096L).sum)
   }
 
+  test("eraseKeys rewrites ONLY the files containing the keys") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-erase").toString
+    val data = s"$tmp/data"
+    // range-partitioned by key: each file holds a known id range
+    (1L to 900L).toDF("id").withColumn("payload", concat(lit("p"), $"id"))
+      .repartitionByRange(3, $"id").write.parquet(data)
+    val before = Layout.fingerprintFiles(spark, data)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(before.size == 3)
+
+    // erase three ids that live in one range file
+    val (rewritten, erased) = Layout.eraseKeys(spark, data, "id", Seq(5L, 7L, 9L))
+    assert(erased == 3L && rewritten.size == 1)
+    val after = Layout.fingerprintFiles(spark, data)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // untouched files byte-identical (same fingerprint), touched changed
+    assert(after.keySet == before.keySet)
+    (before.keySet - rewritten.head).foreach(f => assert(after(f) == before(f)))
+    assert(after(rewritten.head)._1 == before(rewritten.head)._1 - 3)
+    // the rows are gone, everything else intact
+    val ids = spark.read.parquet(data).select($"id").as[Long].collect().toSet
+    assert(!ids.exists(Set(5L, 7L, 9L)) && ids.size == 897)
+    // erasing absent keys is a no-op
+    assert(Layout.eraseKeys(spark, data, "id", Seq(99999L)) == ((Seq(), 0L)))
+  }
+
   test("manifest audit: ok / modified / missing / unexpected all detected") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-manifest").toString
     val (data, man) = (s"$tmp/data", s"$tmp/manifest")
