@@ -1675,6 +1675,21 @@ object SparkEntry {
       .orderBy($"v")
   }
 
+  private def p18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // bootstrap error bars for total order value: five deterministic
+    // Poisson-bootstrap replicas; the spread of the per-replica totals
+    // is the confidence interval — one pass over 5× the data, no RNG.
+    val w = operators.Pipeline.bootstrapWeights(
+      t(s, dir, "orders").select($"o_orderkey", $"o_totalprice"),
+      keyCol = $"o_orderkey", replicas = 5)
+    w.groupBy($"replica")
+      .agg(sum($"weight").as("n_eff"),
+        sum($"weight".cast("decimal(2,0)") * $"o_totalprice".cast("decimal(12,2)"))
+          .cast("double").as("total_value"))
+      .orderBy($"replica")
+  }
+
   private def s11(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // Matryoshka truncated-dimension retrieval: shortlist on the first
@@ -2241,6 +2256,7 @@ object SparkEntry {
     "t16_unicode_norm" -> (t16 _),
     "d21_cluster_purity" -> (d21 _),
     "s11_mrl_truncated" -> (s11 _),
+    "p18_bootstrap" -> (p18 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3996,5 +4012,17 @@ object SparkEntry {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
         | FROM re) WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
+    "p18_bootstrap" -> {
+      val draws = (1 to 8).map(i =>
+        s"(CASE WHEN md5('graft:' || CAST(replica AS VARCHAR) || ':$i:' || CAST(o_orderkey AS VARCHAR)) < '2' THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH w AS (
+         | SELECT o_orderkey, o_totalprice, replica,
+         |  $draws AS weight
+         | FROM orders CROSS JOIN (SELECT unnest(range(1, 6)) AS replica))
+         |SELECT CAST(replica AS INT) AS replica, CAST(SUM(weight) AS BIGINT) AS n_eff,
+         | CAST(SUM(CAST(weight AS DECIMAL(2,0)) * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+         |FROM w GROUP BY replica ORDER BY replica""".stripMargin
+    },
   )
 }

@@ -531,6 +531,33 @@ object Pipeline {
     * chunk_hash (md5 of the re-joined chunk — the id the embedding /
     * dedup stages key on), chunk_text.
     */
+  /** Deterministic bootstrap resampling: `replicas` copies of the
+    * dataset where each row's multiplicity in replica b is
+    * Binomial(draws, 1/draws) — mean 1, the classic Poisson-bootstrap
+    * approximation — computed from salted md5 draws, so the resample
+    * is reproducible on any engine and any partitioning (no RNG
+    * state, the weightedSample philosophy). One narrow explode (row ×
+    * replicas) and per-row hash arithmetic; aggregating each replica's
+    * statistic and reading the spread across replicas IS the bootstrap
+    * confidence interval, computed in one pass over B× the data — the
+    * only way a 100 TB table gets error bars. Rows with weight 0 are
+    * kept (weight column) so downstream aggregates stay one groupBy.
+    */
+  def bootstrapWeights(df: DataFrame, keyCol: Column, replicas: Int,
+      draws: Int = 8, salt: String = "graft"): DataFrame = {
+    require(replicas >= 1 && draws >= 2 && 16 % draws == 0,
+      s"replicas >= 1 and draws in {2,4,8,16}: replicas=$replicas draws=$draws")
+    // each draw succeeds iff the first hex digit of an independent md5
+    // falls below 16/draws — exactly p = 1/draws, engine-portable
+    val cutoff = java.lang.Integer.toHexString(16 / draws)
+    val weight = (1 to draws).map { i =>
+      when(md5(concat(lit(salt), lit(":"), col("replica").cast("string"),
+        lit(s":$i:"), keyCol.cast("string"))) < cutoff, 1L).otherwise(0L)
+    }.reduce(_ + _)
+    df.withColumn("replica", explode(sequence(lit(1), lit(replicas))))
+      .withColumn("weight", weight)
+  }
+
   /** Mergeable approximate-distinct sketches (Datasketches HLL): one
     * sketch per group, each ~KB regardless of cardinality, that UNION
     * into coarser grains without touching rows again — the property
