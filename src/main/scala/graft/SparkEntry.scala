@@ -4014,12 +4014,16 @@ object SparkEntry {
         |ORDER BY qid, rank""".stripMargin,
     "p18_bootstrap" -> {
       val draws = (1 to 8).map(i =>
-        s"(CASE WHEN md5('graft:' || CAST(replica AS VARCHAR) || ':$i:' || CAST(o_orderkey AS VARCHAR)) < '2' THEN 1 ELSE 0 END)")
+        s"(CASE WHEN substr(h, $i, 1) < '2' THEN 1 ELSE 0 END)")
         .mkString(" + ")
-      s"""WITH w AS (
+      s"""WITH hh AS (
+         | SELECT o_orderkey, o_totalprice, replica,
+         |  md5('graft:' || CAST(replica AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)) AS h
+         | FROM orders CROSS JOIN (SELECT unnest(range(1, 6)) AS replica)),
+         |w AS (
          | SELECT o_orderkey, o_totalprice, replica,
          |  $draws AS weight
-         | FROM orders CROSS JOIN (SELECT unnest(range(1, 6)) AS replica))
+         | FROM hh)
          |SELECT CAST(replica AS INT) AS replica, CAST(SUM(weight) AS BIGINT) AS n_eff,
          | CAST(SUM(CAST(weight AS DECIMAL(2,0)) * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_value
          |FROM w GROUP BY replica ORDER BY replica""".stripMargin

@@ -547,15 +547,22 @@ object Pipeline {
       draws: Int = 8, salt: String = "graft"): DataFrame = {
     require(replicas >= 1 && draws >= 2 && 16 % draws == 0,
       s"replicas >= 1 and draws in {2,4,8,16}: replicas=$replicas draws=$draws")
-    // each draw succeeds iff the first hex digit of an independent md5
-    // falls below 16/draws — exactly p = 1/draws, engine-portable
+    // ONE md5 per (row, replica); draw i succeeds iff the i-th hex
+    // digit falls below 16/draws — each digit is uniform over 16
+    // values and the digits are independent, so the draws are
+    // Bernoulli(1/draws) at an 8th of the per-draw-hash cost
     val cutoff = java.lang.Integer.toHexString(16 / draws)
+    val h = md5(concat(lit(salt), lit(":"), col("replica").cast("string"),
+      lit(":"), keyCol.cast("string")))
     val weight = (1 to draws).map { i =>
-      when(md5(concat(lit(salt), lit(":"), col("replica").cast("string"),
-        lit(s":$i:"), keyCol.cast("string"))) < cutoff, 1L).otherwise(0L)
+      when(substring(col("__bh"), i, 1) < cutoff, 1L).otherwise(0L)
     }.reduce(_ + _)
+    // Fence pins the digest to ONE evaluation — project collapsing
+    // would otherwise inline the md5 into every digit test
     df.withColumn("replica", explode(sequence(lit(1), lit(replicas))))
+      .withColumn("__bh", graft.functions.Fence(h))
       .withColumn("weight", weight)
+      .drop("__bh")
   }
 
   /** Mergeable approximate-distinct sketches (Datasketches HLL): one
