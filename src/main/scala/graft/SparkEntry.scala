@@ -1118,7 +1118,7 @@ object SparkEntry {
     // localCheckpoint: the kept branch's TopKPerKeyPartial exchange and
     // the totals branch's hash-agg exchange are not canonically
     // identical, so AQE cannot ReusedExchange them — without the pin
-    // the try_capture scan would run once per branch (the CLAUDE
+    // the try_capture scan would run once per branch (the repo-wide
     // one-scan rule for capture pipelines); the pinned frame is 3
     // narrow columns of error rows only.
     val errs = eventsCaptured(s, dir, stackTraces = false).errors

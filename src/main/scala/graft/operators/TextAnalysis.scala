@@ -175,7 +175,7 @@ object TextAnalysis {
     * per-document signal a perplexity filter thresholds on, without a
     * trained LM. All aggregation is BIGINT (`sum(tf)`, `count(*)`);
     * the only floating-point op is ONE final division, so the result is
-    * bit-exact in any engine (the CLAUDE invariant that keeps doubles
+    * bit-exact in any engine (the repo-wide invariant that keeps doubles
     * out of multi-row sums).
     *
     * Scale shape (verified in the AQE-final plan): the frequency table
