@@ -1416,22 +1416,32 @@ object SparkEntry {
       .orderBy($"doc_id")
   }
 
-  private def e17(s: SparkSession, dir: String): DataFrame = {
+  /** Three value-dependent failure modes over events (bad cast, invalid
+    * array index, division by zero) — the multi-class error source
+    * shared by the e17 fingerprint and e19 burn-rate queries.
+    * Stackless: both consumers read class/message only.
+    */
+  private def threeModeCaptured(s: SparkSession, dir: String): ErrorFrame = {
     import s.implicits._
-    // DLQ crash grouping: three value-dependent failure modes (bad
-    // cast, invalid array index, division by zero) collapse to three
-    // fingerprint rows — digit runs and quoted fragments masked out of
-    // the message, one (class, template) hash aggregate over the store.
     val ev = t(s, dir, "events")
       .withColumn("k", regexp_extract($"props", "[0-9]+", 0).cast("int"))
-    val cap = ErrorFrame.captureErrors(
+    ErrorFrame.captureErrors(
       ev,
       Map("res" -> expr(
         "case when k % 11 = 0 then cast(concat('x', k) as int) " +
           "when k % 13 = 0 then element_at(array(1, 2), k + 3) " +
           "else 100 div (k % 7) end")),
       input = $"props",
-      stackTraces = false) // fingerprints read class + message only
+      stackTraces = false)
+  }
+
+  private def e17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // DLQ crash grouping: three value-dependent failure modes (bad
+    // cast, invalid array index, division by zero) collapse to three
+    // fingerprint rows — digit runs and quoted fragments masked out of
+    // the message, one (class, template) hash aggregate over the store.
+    val cap = threeModeCaptured(s, dir) // class + message only
     sources.Sinks.fingerprintErrors(
         cap.errors.select($"error_class", $"error_message",
           $"props".as("input_value")))
@@ -1755,16 +1765,7 @@ object SparkEntry {
     // BOTH the 1h and 6h windows burn the error budget — fast detection
     // without blip pages. Same three-mode capture as e17; all-integer
     // verdicts.
-    val ev = t(s, dir, "events")
-      .withColumn("k", regexp_extract($"props", "[0-9]+", 0).cast("int"))
-    val cap = ErrorFrame.captureErrors(
-      ev,
-      Map("res" -> expr(
-        "case when k % 11 = 0 then cast(concat('x', k) as int) " +
-          "when k % 13 = 0 then element_at(array(1, 2), k + 3) " +
-          "else 100 div (k % 7) end")),
-      input = $"props",
-      stackTraces = false)
+    val cap = threeModeCaptured(s, dir)
     // pin: the burn-rate now-anchor and the count scan would otherwise
     // each re-run the capture pipeline
     sources.Sinks.burnRate(
