@@ -1685,6 +1685,43 @@ object SparkEntry {
       .orderBy($"v")
   }
 
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // CUBE — the third member of the grouping family (q18 ROLLUP, q28
+    // GROUPING SETS): all 2^2 margin combinations in one pass, one
+    // Expand + one hash aggregate; grouping_id disambiguates the
+    // all-NULL margins from genuine NULL keys.
+    t(s, dir, "lineitem")
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(grouping_id().as("gid"),
+        sum($"l_quantity".cast(DEC)).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(coalesce($"l_returnflag", lit("ALL")).as("rf"),
+        coalesce($"l_linestatus", lit("ALL")).as("ls"),
+        $"gid", $"sum_qty", $"n")
+      .orderBy($"gid", $"rf", $"ls")
+  }
+
+  private def t17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // tokenizer fertility by language — the tokenizer-quality metric
+    // (chars consumed per emitted token; a tokenizer that fragments a
+    // language inflates its training cost and context usage). BIGINT
+    // sums, ONE double division per ratio.
+    val tc = operators.TextAnalysis.tokenCounts(t(s, dir, "documents"))
+    t(s, dir, "documents").select($"doc_id", $"lang", $"n_chars")
+      .join(tc, "doc_id")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("chars"),
+        sum($"ws_tokens").as("ws_toks"),
+        sum($"re_tokens").as("re_toks"))
+      .select($"lang", $"n_docs", $"chars",
+        ($"chars".cast("double") / $"ws_toks".cast("double")).as("fertility_ws"),
+        ($"chars".cast("double") / $"re_toks".cast("double")).as("fertility_re"))
+      .orderBy($"lang")
+  }
+
   private def p18(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // bootstrap error bars for total order value: five deterministic
@@ -2258,6 +2295,8 @@ object SparkEntry {
     "d21_cluster_purity" -> (d21 _),
     "s11_mrl_truncated" -> (s11 _),
     "p18_bootstrap" -> (p18 _),
+    "q41_cube" -> (q41 _),
+    "t17_fertility" -> (t17 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4029,5 +4068,21 @@ object SparkEntry {
          | CAST(SUM(CAST(weight AS DECIMAL(2,0)) * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_value
          |FROM w GROUP BY replica ORDER BY replica""".stripMargin
     },
+    "q41_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, rf, ls""".stripMargin,
+    "t17_fertility" ->
+      """WITH tc AS (SELECT doc_id, lang, n_chars,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS re_tokens
+        | FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars,
+        | CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(ws_tokens) AS DOUBLE) AS fertility_ws,
+        | CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(re_tokens) AS DOUBLE) AS fertility_re
+        |FROM tc GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }
