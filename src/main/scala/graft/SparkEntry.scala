@@ -1722,6 +1722,16 @@ object SparkEntry {
       .orderBy($"lang")
   }
 
+  private def t18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // bigram-LM perplexity (the CCNet-style quality filter): LM trained
+    // on the doc_id % 5 != 0 split, every doc scored against it — the
+    // held-out fifth actually exercises the unseen-bigram backoff.
+    operators.TextAnalysis.bigramPerplexity(
+        t(s, dir, "documents"), trainFilter = pmod($"doc_id", lit(5)) =!= 0)
+      .orderBy($"doc_id")
+  }
+
   private def p18(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // bootstrap error bars for total order value: five deterministic
@@ -2297,6 +2307,7 @@ object SparkEntry {
     "p18_bootstrap" -> (p18 _),
     "q41_cube" -> (q41 _),
     "t17_fertility" -> (t17 _),
+    "t18_perplexity" -> (t18 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4084,5 +4095,33 @@ object SparkEntry {
         | CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(ws_tokens) AS DOUBLE) AS fertility_ws,
         | CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(re_tokens) AS DOUBLE) AS fertility_re
         |FROM tc GROUP BY lang ORDER BY lang""".stripMargin,
+    // the sorted-fold + round(6) determinism pattern (t14); the floor
+    // constant −ln(N+1) is built from the same ops as the Spark side
+    "t18_perplexity" ->
+      """WITH ts AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |bg AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM (
+        |  SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z FROM ts)),
+        |bi AS (SELECT w1, w2, COUNT(*) AS c FROM bg WHERE doc_id % 5 <> 0 GROUP BY w1, w2),
+        |ctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c_ctx FROM bi GROUP BY w1),
+        |lm AS (SELECT bi.w1, bi.w2,
+        |  ln(CAST(bi.c AS DOUBLE) / CAST(ctx.c_ctx AS DOUBLE)) AS lnp
+        | FROM bi JOIN ctx ON bi.w1 = ctx.w1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_train FROM bi),
+        |sc AS (SELECT bg.doc_id,
+        |  COALESCE(lm.lnp, -ln(CAST(tot.n_train + 1 AS DOUBLE))) AS lnp_eff,
+        |  CASE WHEN lm.lnp IS NULL THEN 1 ELSE 0 END AS unseen
+        | FROM bg LEFT JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2 CROSS JOIN tot),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(unseen) AS BIGINT) AS n_unseen,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(list(lnp_eff))),
+        |   (a, b) -> a + b) AS s
+        | FROM sc GROUP BY doc_id),
+        |h AS (SELECT doc_id, n_bigrams, n_unseen,
+        |  round(greatest(CAST(0 AS DOUBLE),
+        |    (CAST(0 AS DOUBLE) - s) / CAST(n_bigrams AS DOUBLE)), 6) AS cross_entropy
+        | FROM agg)
+        |SELECT doc_id, n_bigrams, n_unseen, cross_entropy,
+        | round(exp(cross_entropy), 6) AS perplexity
+        |FROM h ORDER BY doc_id""".stripMargin,
   )
 }

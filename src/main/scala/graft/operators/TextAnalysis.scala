@@ -325,6 +325,67 @@ object TextAnalysis {
       Seq(TopK.desc("c"), TopK.asc("w2")), topPerContext)
   }
 
+  /** Bigram-LM perplexity scoring — the CCNet-style quality filter:
+    * documents are scored by how surprising they are under a bigram
+    * language model trained on a (deterministic) train split of the
+    * same corpus; high perplexity flags word salad / OCR garbage, very
+    * low flags boilerplate. The LM is the [[bigramLm]] conditional
+    * table WITHOUT thinning (scoring needs every seen transition):
+    * lnp(w1,w2) = ln(c / c_ctx). Unseen bigrams (the held-out docs'
+    * novelty) back off to a floor ln-prob of −ln(N_train + 1), so the
+    * floor sharpens as the LM sees more data. Per doc:
+    * H = −(Σ lnp)/n_bigrams (clamped at 0 — an all-prob-1 doc folds to
+    * −0.0 and round() would keep DuckDB's sign), perplexity = exp(H).
+    *
+    * Plan: one (w1,w2) hash aggregate builds the LM (vocab²-bounded,
+    * realistically Zipf-small), the probe stream left-joins it — past
+    * the broadcast threshold both exchanges key on the same columns.
+    * Determinism: the per-doc Σ lnp folds over the ASCENDING-sorted
+    * ln-prob list and rounds to 6 decimals, absorbing last-ulp libm
+    * ln/exp differences between engines (the t5/t14 precedent);
+    * everything else is BIGINT or exact IEEE arithmetic. Docs with
+    * fewer than 2 tokens have no bigrams and are absent from the
+    * output (both engines drop them at the explode).
+    */
+  def bigramPerplexity(docs: DataFrame, trainFilter: Column,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val ts = split(trim(col(textCol)), "\\s+")
+    val n1 = greatest(size(ts) - 1, lit(0))
+    val pairs = arrays_zip(
+      slice(ts, lit(1), n1).as("w1"), slice(ts, lit(2), n1).as("w2"))
+    val bg = docs
+      .select(col(idCol).as("doc_id"), trainFilter.as("is_train"),
+        explode(pairs).as("p"))
+      .select(col("doc_id"), col("is_train"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bi = bg.filter(col("is_train"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val ctx = bi.groupBy(col("w1")).agg(sum(col("c")).as("c_ctx"))
+    val lm = bi.join(ctx, "w1").select(col("w1"), col("w2"),
+      log(col("c").cast("double") / col("c_ctx").cast("double")).as("lnp"))
+    // 1-row train-mass total — broadcast into the probe scan (the
+    // e19 now-anchor pattern); the +1 keeps the floor below any seen
+    // transition's probability.
+    val tot = bi.agg(sum(col("c")).as("n_train"))
+    val scored = bg.join(lm, Seq("w1", "w2"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        coalesce(col("lnp"),
+          -log((col("n_train") + lit(1L)).cast("double"))).as("lnp_eff"),
+        col("lnp").isNull.cast("long").as("unseen"))
+    val sumLn = aggregate(sort_array(col("ls")), lit(0.0d), (a, x) => a + x)
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("unseen")).as("n_unseen"),
+        collect_list(col("lnp_eff")).as("ls"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_unseen"),
+        round(greatest(lit(0.0d),
+          (lit(0.0d) - sumLn) / col("n_bigrams").cast("double")), 6)
+          .as("cross_entropy"))
+      // separate projection: CollapseProject never inlines the fold
+      // into exp (multi-referenced non-cheap expressions stay pinned)
+      .withColumn("perplexity", round(exp(col("cross_entropy")), 6))
+  }
+
   /** Per-document token Shannon entropy (nats) — the information-density
     * quality signal: word salad and keyword-stuffed spam sit at the
     * extremes of H = ln(n) - (Σ c·ln c)/n over per-document token counts

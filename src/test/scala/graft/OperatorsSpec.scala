@@ -358,6 +358,28 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 1L, 0.5), (2L, 2L, 2L, 1.0), (3L, 1L, 0L, 0.0)))
   }
 
+  test("bigramPerplexity: seen docs score by the LM, unseen bigrams back off") {
+    val df = Seq(
+      (1L, "a b a b a b"),   // train: bigrams ab×3, ba×2
+      (2L, "a b a b"),       // train: ab×2, ba×1
+      (3L, "a b z q"),       // held out: ab seen, bz/zq unseen
+      (4L, "x")              // held out, <2 tokens: absent from output
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramPerplexity(df, trainFilter = $"doc_id" <= 2)
+      .select($"doc_id", $"n_bigrams", $"n_unseen", $"cross_entropy", $"perplexity")
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 3L))
+    // LM: c(a,b)=5 c_ctx(a)=5 -> p=1; c(b,a)=3 c_ctx(b)=3 -> p=1; N=8
+    // doc 1: all bigrams prob 1 -> H clamps to +0.0 exactly, ppl = 1
+    assert(out(0) == ((1L, 5L, 0L, 0.0, 1.0)))
+    assert(java.lang.Double.doubleToRawLongBits(out(0)._4) == 0L) // not -0.0
+    // doc 3: lnp = [0, floor, floor], floor = -ln(9)
+    val floor = -math.log(9.0)
+    val h = math.rint(-(2 * floor) / 3.0 * 1e6) / 1e6
+    assert(out(2)._2 == 3L && out(2)._3 == 2L && out(2)._4 == h)
+    assert(out(2)._5 == math.rint(math.exp(h) * 1e6) / 1e6)
+  }
+
   test("tokenEntropy: uniform doc hits ln(n), repeated-word doc hits 0") {
     val df = Seq(
       (1L, "a b c d"),       // 4 distinct tokens -> H = ln(4)
