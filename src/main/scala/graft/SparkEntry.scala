@@ -1732,6 +1732,21 @@ object SparkEntry {
       .orderBy($"doc_id")
   }
 
+  private def d22(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // SCD Type-2 over the event stream treated as a per-user state
+    // changelog: runs of equal event_type collapse to versions with
+    // half-open validity bounds. Micros (ts div 1000): DuckDB truncates
+    // parquet ns-timestamps to micros on read — the q26 precedent.
+    val ev = t(s, dir, "events")
+      .select($"user_id", $"event_type", expr("ts div 1000").as("tus"), $"event_id")
+    operators.Pipeline.scd2(ev, Seq("user_id"), Seq("event_type"),
+        tsCol = "tus", tieCol = "event_id")
+      .select($"user_id", $"event_type", $"version".cast("long").as("version"),
+        $"effective_from", $"effective_to", $"is_current")
+      .orderBy($"user_id", $"version")
+  }
+
   private def p18(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // bootstrap error bars for total order value: five deterministic
@@ -2308,6 +2323,7 @@ object SparkEntry {
     "q41_cube" -> (q41 _),
     "t17_fertility" -> (t17 _),
     "t18_perplexity" -> (t18 _),
+    "d22_scd2" -> (d22 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4123,5 +4139,19 @@ object SparkEntry {
         |SELECT doc_id, n_bigrams, n_unseen, cross_entropy,
         | round(exp(cross_entropy), 6) AS perplexity
         |FROM h ORDER BY doc_id""".stripMargin,
+    "d22_scd2" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events),
+        |g AS (SELECT user_id, event_type, tus, event_id,
+        |  ROW_NUMBER() OVER w AS rn, lag(event_type) OVER w AS prev
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |c AS (SELECT user_id, event_type, tus, event_id FROM g
+        | WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        |v AS (SELECT user_id, event_type,
+        |  ROW_NUMBER() OVER w2 AS version, tus AS effective_from,
+        |  lead(tus) OVER w2 AS effective_to
+        | FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY tus, event_id))
+        |SELECT user_id, event_type, version, effective_from, effective_to,
+        | effective_to IS NULL AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin,
   )
 }

@@ -328,6 +328,44 @@ object Pipeline {
     snapshot.join(touched, Seq(idCol), "left_anti").unionByName(upserts)
   }
 
+  /** SCD Type-2 dimension build — the historized complement of
+    * [[compactLog]]'s latest-wins view and the consumer of the same
+    * change stream [[applyChangelog]] applies: per key, consecutive
+    * runs of IDENTICAL tracked values (in (ts, tie) order) collapse to
+    * one version row carrying `effective_from` / `effective_to`
+    * half-open validity bounds, `version` ordinal and an `is_current`
+    * flag — the as-of-queryable dimension shape (join on
+    * `effective_from <= t AND (t < effective_to OR is_current)`).
+    *
+    * Plan: ONE exchange on the key — the change-detection window
+    * (lag + row_number, same spec → one Window exec) and the
+    * post-filter version window (row_number + lead) reuse the same
+    * partitioning AND sort, so the filter costs no second exchange or
+    * sort. Value comparison is null-safe (`<=>`): a tracked value
+    * moving to/from NULL opens a version. `tieCol` must make
+    * (ts, tie) unique per key or version boundaries are
+    * nondeterministic under ties.
+    */
+  def scd2(log: DataFrame, keyCols: Seq[String], valueCols: Seq[String],
+      tsCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(valueCols.nonEmpty, "scd2 needs at least one tracked value column")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val valueChanged = valueCols
+      .map(c => !(lag(col(c), 1).over(w) <=> col(c)))
+      .reduce(_ || _)
+    log
+      .select((keyCols ++ valueCols :+ tsCol :+ tieCol).map(col): _*)
+      .withColumn("__opens", row_number().over(w) === 1 || valueChanged)
+      .filter(col("__opens"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("effective_from", col(tsCol))
+      .withColumn("effective_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("effective_to").isNull)
+      .drop("__opens", tsCol, tieCol)
+  }
+
   /** One-pass exact column profiler (the ANALYZE-style stats card):
     * per column — row count, null count, exact distinct count, min and
     * max (rendered as strings AFTER aggregating on the native type).

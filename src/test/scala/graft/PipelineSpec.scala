@@ -219,6 +219,28 @@ class PipelineSpec extends SparkSpec {
     assert(merged.toSeq == Seq((2L, "y"), (3L, "Z2"), (9L, "new")))
   }
 
+  test("scd2: equal runs collapse, re-emergence reopens, null transitions open versions") {
+    val log = Seq(
+      // key 1: A A B A -> versions A[10,30) B[30,40) A[40,null)
+      (1L, Option("A"), 10L, 1L), (1L, Option("A"), 20L, 2L),
+      (1L, Option("B"), 30L, 3L), (1L, Option("A"), 40L, 4L),
+      // key 2: A null null A -> null transitions are versions too
+      (2L, Option("A"), 10L, 5L), (2L, None, 20L, 6L),
+      (2L, None, 30L, 7L), (2L, Option("A"), 40L, 8L)
+    ).toDF("k", "v", "ts", "id")
+    val out = Pipeline.scd2(log, Seq("k"), Seq("v"), "ts", "id")
+      .select($"k", $"v", $"version", $"effective_from", $"effective_to", $"is_current")
+      .as[(Long, Option[String], Int, Long, Option[Long], Boolean)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(out == Seq(
+      (1L, Some("A"), 1, 10L, Some(30L), false),
+      (1L, Some("B"), 2, 30L, Some(40L), false),
+      (1L, Some("A"), 3, 40L, None, true),
+      (2L, Some("A"), 1, 10L, Some(20L), false),
+      (2L, None, 2, 20L, Some(40L), false),
+      (2L, Some("A"), 3, 40L, None, true)))
+  }
+
   test("profile: one row per column with exact null/distinct/min/max") {
     val df = Seq(
       (Some(1L), Some("b")), (Some(2L), None),
