@@ -1747,6 +1747,18 @@ object SparkEntry {
       .orderBy($"user_id", $"version")
   }
 
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // deterministic EWMA (alpha = 0.25, exactly representable -> the
+    // whole query is pure IEEE multiply/add, bit-exact vs the oracle
+    // with NO round()): per-user smoothed event value over time.
+    val ev = t(s, dir, "events")
+      .select($"user_id", expr("ts div 1000").as("tus"), $"event_id", $"value")
+    operators.Pipeline.ewma(ev, Seq("user_id"), Seq("tus", "event_id"),
+        valueCol = "value", alpha = 0.25)
+      .orderBy($"user_id")
+  }
+
   private def p18(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // bootstrap error bars for total order value: five deterministic
@@ -2324,6 +2336,7 @@ object SparkEntry {
     "t17_fertility" -> (t17 _),
     "t18_perplexity" -> (t18 _),
     "d22_scd2" -> (d22 _),
+    "q42_ewma" -> (q42 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4153,5 +4166,16 @@ object SparkEntry {
         |SELECT user_id, event_type, version, effective_from, effective_to,
         | effective_to IS NULL AS is_current
         |FROM v ORDER BY user_id, version""".stripMargin,
+    // pure IEEE multiply/add fold in identical order on both engines
+    // (alpha 0.25 and 0.75 are exact doubles): hash-equal, no round()
+    "q42_ewma" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, value FROM events),
+        |g AS (SELECT user_id, COUNT(*) AS n_obs,
+        |  list_transform(list_sort(list({'tus': tus, 'event_id': event_id, 'value': value})),
+        |   z -> z.value) AS vs
+        | FROM e GROUP BY user_id)
+        |SELECT user_id, n_obs, vs[len(vs)] AS last_value,
+        | list_reduce(vs, (a, b) -> CAST(0.25 AS DOUBLE) * b + CAST(0.75 AS DOUBLE) * a) AS ewma
+        |FROM g ORDER BY user_id""".stripMargin,
   )
 }

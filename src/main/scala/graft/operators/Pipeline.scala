@@ -328,6 +328,39 @@ object Pipeline {
     snapshot.join(touched, Seq(idCol), "left_anti").unionByName(upserts)
   }
 
+  /** Per-key exponentially weighted moving average — the recursive
+    * smoother s_i = α·v_i + (1−α)·s_{i−1}, s_1 = v_1, folded in
+    * (orderCols) order. A recursion is not a window aggregate, so this
+    * runs as ONE hash aggregate collecting each key's series plus a
+    * sorted left fold over it (the d20/t14 exactness pattern): with an
+    * exactly-representable α (0.25, 0.5, 0.0625, …) every step is pure
+    * IEEE multiply/add — ENGINE-BIT-EXACT, no tolerance, no round().
+    * orderCols must be unique per key (fold order IS the semantics);
+    * null values poison the fold — filter them upstream. Per-key state
+    * is the key's full series in one row — bounded by per-key
+    * observation count, never corpus size; for unbounded streams use
+    * the X8-style incremental state instead (EWMA needs only the last
+    * s to continue).
+    */
+  def ewma(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha out of (0,1]: $alpha")
+    val a = lit(alpha)
+    val b = lit(1.0d - alpha)
+    val key = keyCols.map(col)
+    val vs = transform(sort_array(col("__zs")), z => z(valueCol))
+    df.groupBy(key: _*)
+      .agg(count(lit(1)).as("n_obs"),
+        collect_list(struct((orderCols :+ valueCol).map(col): _*)).as("__zs"))
+      .select(key ++ Seq(col("n_obs"), vs.as("__vs")): _*)
+      .select(key ++ Seq(col("n_obs"),
+        element_at(col("__vs"), size(col("__vs"))).as("last_value"),
+        aggregate(
+          slice(col("__vs"), lit(2), greatest(size(col("__vs")) - 1, lit(0))),
+          element_at(col("__vs"), 1),
+          (acc, v) => a * v + b * acc).as("ewma")): _*)
+  }
+
   /** SCD Type-2 dimension build — the historized complement of
     * [[compactLog]]'s latest-wins view and the consumer of the same
     * change stream [[applyChangelog]] applies: per key, consecutive

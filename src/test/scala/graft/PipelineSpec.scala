@@ -241,6 +241,18 @@ class PipelineSpec extends SparkSpec {
       (2L, Some("A"), 3, 40L, None, true)))
   }
 
+  test("ewma: exact recursive fold in order, input-order independent") {
+    val rows = Seq((1L, 3L, 0L, 4.0), (1L, 1L, 0L, 8.0), (1L, 2L, 0L, 0.0),
+      (2L, 1L, 0L, 5.0))
+    // shuffled input: fold must follow (ts, tie), not arrival order
+    val out = Pipeline.ewma(rows.toDF("k", "ts", "tie", "v"),
+        Seq("k"), Seq("ts", "tie"), "v", alpha = 0.25)
+      .select($"k", $"n_obs", $"last_value", $"ewma")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    // k=1 ordered values: 8, 0, 4 -> s1=8, s2=.25*0+.75*8=6, s3=.25*4+.75*6=5.5
+    assert(out == Seq((1L, 3L, 4.0, 5.5), (2L, 1L, 5.0, 5.0)))
+  }
+
   test("profile: one row per column with exact null/distinct/min/max") {
     val df = Seq(
       (Some(1L), Some("b")), (Some(2L), None),
