@@ -1759,6 +1759,15 @@ object SparkEntry {
       .orderBy($"user_id")
   }
 
+  private def x10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // order-value distribution in 20 equi-width buckets over [0, 600k)
+    // — out-of-range mass clamps visibly into the edge buckets.
+    operators.Pipeline.histogram(t(s, dir, "orders"), "o_totalprice",
+        lo = 0.0, hi = 600000.0, nBuckets = 20)
+      .orderBy($"bucket")
+  }
+
   private def p18(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // bootstrap error bars for total order value: five deterministic
@@ -2337,6 +2346,7 @@ object SparkEntry {
     "t18_perplexity" -> (t18 _),
     "d22_scd2" -> (d22 _),
     "q42_ewma" -> (q42 _),
+    "x10_histogram" -> (x10 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4177,5 +4187,21 @@ object SparkEntry {
         |SELECT user_id, n_obs, vs[len(vs)] AS last_value,
         | list_reduce(vs, (a, b) -> CAST(0.25 AS DOUBLE) * b + CAST(0.75 AS DOUBLE) * a) AS ewma
         |FROM g ORDER BY user_id""".stripMargin,
+    // width and edges built from the SAME IEEE ops as the Spark side
+    // (the d20 derived-constant rule); floor agrees on both engines
+    "x10_histogram" ->
+      """WITH w AS (SELECT (CAST(600000 AS DOUBLE) - CAST(0 AS DOUBLE)) / CAST(20 AS DOUBLE) AS width),
+        |b AS (SELECT CAST(least(greatest(
+        |   floor((o_totalprice - CAST(0 AS DOUBLE)) / w.width), 0), 19) AS BIGINT) AS bucket,
+        |  o_totalprice, w.width
+        | FROM orders CROSS JOIN w),
+        |g AS (SELECT bucket, ANY_VALUE(width) AS width, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        | FROM b GROUP BY bucket)
+        |SELECT bucket,
+        | CAST(0 AS DOUBLE) + CAST(bucket AS DOUBLE) * width AS bucket_lo,
+        | CAST(0 AS DOUBLE) + CAST(bucket + 1 AS DOUBLE) * width AS bucket_hi,
+        | n, sum_value
+        |FROM g ORDER BY bucket""".stripMargin,
   )
 }

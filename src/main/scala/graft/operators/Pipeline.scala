@@ -328,6 +328,35 @@ object Pipeline {
     snapshot.join(touched, Seq(idCol), "left_anti").unionByName(upserts)
   }
 
+  /** Equi-width histogram — the distribution view X7's [[profile]]
+    * stats card can't give (min/max/distinct say nothing about shape).
+    * ONE hash aggregate over one scan; the bucket id is
+    * floor((v−lo)/width) clamped into [0, n−1] (out-of-range mass
+    * lands in the edge buckets, visibly — never dropped), width is
+    * (hi−lo)/n built with the same IEEE ops on both engines so bucket
+    * boundaries are bit-identical. Empty buckets are absent from the
+    * output (the aggregate never sees them); NULL values are filtered
+    * (count them via [[profile]]). Value sums go through exact decimal
+    * and cast to double at the end.
+    */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+      nBuckets: Int, sumDecimal: String = "decimal(18,4)"): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    require(hi > lo, s"empty range: [$lo, $hi)")
+    val width = (hi - lo) / nBuckets
+    val v = col(valueCol)
+    val bucket = least(greatest(floor((v - lit(lo)) / lit(width)), lit(0L)),
+      lit((nBuckets - 1).toLong))
+    df.filter(v.isNotNull)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(v.cast(sumDecimal)).cast("double").as("sum_value"))
+      .select(col("bucket"),
+        (lit(lo) + col("bucket").cast("double") * lit(width)).as("bucket_lo"),
+        (lit(lo) + (col("bucket") + lit(1L)).cast("double") * lit(width)).as("bucket_hi"),
+        col("n"), col("sum_value"))
+  }
+
   /** Per-key exponentially weighted moving average — the recursive
     * smoother s_i = α·v_i + (1−α)·s_{i−1}, s_1 = v_1, folded in
     * (orderCols) order. A recursion is not a window aggregate, so this

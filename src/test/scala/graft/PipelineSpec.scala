@@ -253,6 +253,17 @@ class PipelineSpec extends SparkSpec {
     assert(out == Seq((1L, 3L, 4.0, 5.5), (2L, 1L, 5.0, 5.0)))
   }
 
+  test("histogram: equi-width buckets, edge clamping, null filter, empty buckets absent") {
+    val df = Seq[Option[Double]](Some(-1.0), Some(0.0), Some(1.5), Some(9.99),
+      Some(10.0), Some(25.0), None).toDF("v")
+    val out = Pipeline.histogram(df, "v", lo = 0.0, hi = 10.0, nBuckets = 5)
+      .select($"bucket", $"bucket_lo", $"bucket_hi", $"n", $"sum_value")
+      .as[(Long, Double, Double, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (0L, 0.0, 2.0, 3L, 0.5),     // -1 clamps up; 0 and 1.5 are in range
+      (4L, 8.0, 10.0, 3L, 44.99))) // 9.99 in range; 10 and 25 clamp down
+  }
+
   test("profile: one row per column with exact null/distinct/min/max") {
     val df = Seq(
       (Some(1L), Some("b")), (Some(2L), None),
