@@ -1759,6 +1759,30 @@ object SparkEntry {
       .orderBy($"user_id")
   }
 
+  private def m6(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // image near-dup: perceptual hash over the stub decode, candidate
+    // pairs via the generic Hamming-LSH banding (pigeonhole-exact for
+    // hamming <= 7 at 8 bands) — the d14 machinery fed by a signature
+    // that came from PIXELS, not text.
+    val withBin = t(s, dir, "documents").withColumn("payload", $"text".cast("binary"))
+    // pin the signature frame (16 bytes/doc): the banding consumers
+    // (oversized-bucket count + both join sides) otherwise re-run the
+    // 64-sample hex projection once each
+    val ph = operators.Multimodal.perceptualHash(withBin, "payload", "doc_id")
+      .localCheckpoint()
+    operators.Dedup.hammingNearDup(ph, sigCol = "phash",
+        nBits = 64, bands = 8, maxHamming = 7)
+      .orderBy($"da", $"db")
+  }
+
+  private def t19(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // token frequency-of-frequencies: Zipf/Heaps corpus-health card
+    operators.TextAnalysis.freqSpectrum(t(s, dir, "documents"))
+      .orderBy($"c")
+  }
+
   private def x10(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // order-value distribution in 20 equi-width buckets over [0, 600k)
@@ -2347,6 +2371,8 @@ object SparkEntry {
     "d22_scd2" -> (d22 _),
     "q42_ewma" -> (q42 _),
     "x10_histogram" -> (x10 _),
+    "t19_freq_spectrum" -> (t19 _),
+    "m6_phash_neardup" -> (m6 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4203,5 +4229,36 @@ object SparkEntry {
         | CAST(0 AS DOUBLE) + CAST(bucket + 1 AS DOUBLE) * width AS bucket_hi,
         | n, sum_value
         |FROM g ORDER BY bucket""".stripMargin,
+    "t19_freq_spectrum" ->
+      """WITH tc AS (
+        | SELECT tok, COUNT(*) AS c FROM (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents)
+        | GROUP BY tok)
+        |SELECT c, COUNT(*) AS n_types, c * COUNT(*) AS mass
+        |FROM tc GROUP BY c ORDER BY c""".stripMargin,
+    // the oracle states the SEMANTICS (all pairs within hamming <= 7),
+    // not the banding — pigeonhole makes the LSH exact below `bands`
+    // while no bucket exceeds the cap (the d14 caveat). phash pixels
+    // are rebuilt with the SAME IEEE/int ops as the Spark side.
+    "m6_phash_neardup" ->
+      """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS len FROM documents),
+        |px AS (SELECT doc_id, list_transform(range(0, 64), i ->
+        |   CAST(COALESCE(TRY_CAST('0x' || substr(hx,
+        |     CAST(CAST(floor(CAST(len AS DOUBLE) * CAST(i AS DOUBLE) / CAST(64 AS DOUBLE)) AS BIGINT) * 2 + 1 AS INT),
+        |     2) AS INT), 0) AS BIGINT)) AS p
+        | FROM d),
+        |m AS (SELECT doc_id, p, (CAST(list_sum(p) AS BIGINT) >> 6) AS mean FROM px),
+        |h AS (SELECT doc_id, list_aggregate(list_transform(range(0, 63), i ->
+        |   CASE WHEN p[CAST(i AS INT) + 1] > mean
+        |        THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END),
+        |  'bit_or') AS phash
+        | FROM m)
+        |SELECT a.doc_id AS da, b.doc_id AS db,
+        | CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 7
+        |ORDER BY da, db""".stripMargin,
   )
 }

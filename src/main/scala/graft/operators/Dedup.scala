@@ -328,6 +328,50 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Hamming-LSH near-dup over an ARBITRARY precomputed bit signature
+    * — the generic core of [[simHashNearDup]]'s pigeonhole banding,
+    * exposed for signatures that don't come from text (the multimodal
+    * perceptual hash, externally-computed fingerprints): any pair
+    * within hamming < `bands` agrees exactly on one bit-slice, so a
+    * slice equi-join finds ALL such pairs; `bit_count(xor)` verifies.
+    * Same scale shape as d14: long band keys, shuffle-hash self-join,
+    * first-matching-band emission (exactly-once, no candidate
+    * distinct), `maxBucket` guard against degenerate slices. `sigCol`
+    * must be a 64-bit long; for nBits < 64 the signature's high bits
+    * must be zero.
+    */
+  def hammingNearDup(sigs: DataFrame, nBits: Int = 64, bands: Int = 4,
+      maxHamming: Int = 3, idCol: String = "doc_id", sigCol: String = "sig",
+      maxBucket: Int = 10000): DataFrame = {
+    require(nBits >= 2 && nBits <= 64, s"nBits must be in [2, 64]: $nBits")
+    require(nBits % bands == 0, s"bands ($bands) must divide nBits ($nBits)")
+    require(maxHamming < bands,
+      s"detection is only guaranteed for hamming < bands: $maxHamming >= $bands")
+    val w = nBits / bands
+    val mask = if (w == 64) -1L else (1L << w) - 1L
+    def slice(sig: Column, b: Int) =
+      shiftrightunsigned(sig, nBits - w * (b + 1)).bitwiseAND(lit(mask))
+    val banded = sigs
+      .select(col(idCol).as("doc_id"), col(sigCol).cast("long").as("sig"))
+      .select(col("doc_id"), col("sig"), posexplode(
+        array((0 until bands).map(b => lit(b.toLong * (mask + 1L)) +
+          slice(col("sig"), b)): _*))
+        .as(Seq("band", "bkey")))
+    val oversized = banded.groupBy(col("bkey")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket).select(col("bkey"))
+    val pruned = banded.join(broadcast(oversized), Seq("bkey"), "left_anti")
+    val firstBand = (0 until bands - 1).map { bp =>
+      (col("a.band") <= bp) || (slice(col("a.sig"), bp) =!= slice(col("b.sig"), bp))
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    pruned.as("a")
+      .join(pruned.as("b").hint("shuffle_hash"),
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id")
+          && firstBand)
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        expr("bit_count(a.sig ^ b.sig)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** (doc_id, sig, band, bkey) band rows shared by [[simHashNearDup]]
     * and its monitoring twin: one long key per (band, slice) — band
     * index in the high bits so distinct bands never collide.

@@ -48,6 +48,41 @@ object Multimodal {
         (col("frame_idx") * expr("byte_len div n_frames")).as("byte_offset"))
   }
 
+  /** Perceptual hash (aHash) over the STUB decode — the image near-dup
+    * signature: 64 "pixels" sampled evenly through the payload bytes
+    * (what a real 8×8 grayscale resize does to an image, minus the
+    * codec), thresholded at their integer mean into a bit signature.
+    * Bits 0–62 carry pixels 0–62; the sign bit stays CLEAR (pixel 63
+    * joins the mean only) so 1<<i stays in BIGINT range on every
+    * engine. Pure codegen'd expressions — one hex() per row pinned in
+    * its own projection, 64 substr/conv samples, integer mean, no
+    * shuffle; swap the sampling projection for a real decode UDF and
+    * the rest of the pipeline (and its Hamming-LSH consumer) is
+    * unchanged.
+    */
+  def perceptualHash(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val b = col(binCol)
+    val step1 = df.select(col(idCol).as("doc_id"),
+      hex(b).as("__hx"), length(b).cast("long").as("__len"))
+    def pixAt(i: Int) = coalesce(
+      conv(col("__hx").substr(
+        (floor(col("__len").cast("double") * lit(i.toDouble) / lit(64.0d))
+          * lit(2L) + lit(1L)).cast("int"),
+        lit(2)), 16, 10).cast("long"),
+      lit(0L))
+    val px = step1.select(col("doc_id"),
+      array((0 until 64).map(pixAt): _*).as("__px"))
+    val mean = px
+      .select(col("doc_id"), col("__px"),
+        (1 to 64).map(i => element_at(col("__px"), i)).reduce(_ + _).as("__sum"))
+      .select(col("doc_id"), col("__px"), shiftright(col("__sum"), 6).as("__mean"))
+    val hash = (0 until 63)
+      .map(i => when(element_at(col("__px"), i + 1) > col("__mean"),
+        lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    mean.select(col("doc_id"), hash.as("phash"))
+  }
+
   val featureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("batch_size", IntegerType),

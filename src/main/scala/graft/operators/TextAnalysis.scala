@@ -415,6 +415,22 @@ object TextAnalysis {
         round(greatest(lit(0.0d), log(n) - sumClnc / n), 6).as("entropy"))
   }
 
+  /** Token frequency-of-frequencies spectrum — the corpus-health
+    * diagnostic behind Zipf/Heaps sanity checks and Good–Turing
+    * smoothing: for each occurrence count c, how many distinct token
+    * TYPES occur exactly c times, and how much token mass they carry.
+    * A healthy natural-language corpus shows a long hapax tail
+    * (n_types at c=1 around half the vocabulary); boilerplate-flooded
+    * or template corpora collapse it. Two hash aggregates — token →
+    * count (vocab-sized), then count → type-count (spectrum-sized,
+    * tiny) — all BIGINT, bit-exact.
+    */
+  def freqSpectrum(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("n_types"))
+      .select(col("c"), col("n_types"), (col("c") * col("n_types")).as("mass"))
+
   /** Deterministic hash sampling: keep rows whose salted md5 falls under
     * a hex-prefix cutoff — reproducible across engines and runs, the
     * right way to cut a stable x% slice of a 100 TB corpus (no RNG

@@ -380,6 +380,32 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2)._5 == math.rint(math.exp(h) * 1e6) / 1e6)
   }
 
+  test("hammingNearDup: generic signature banding — exactly-once, threshold, recall") {
+    val sigs = Seq(
+      (1L, 0x0F0F0F0F0F0F0F0FL),          // identical pair with 2: hamming 0,
+      (2L, 0x0F0F0F0F0F0F0F0FL),          //   matches in EVERY band -> must emit once
+      (3L, 0x0F0F0F0F0F0F0F00L),          // 4 bits from 1/2 (low byte cleared)
+      (4L, 0x70F0F0F0F0F0F0F0L)           // far from everything
+    ).toDF("doc_id", "sig")
+    val out = Dedup.hammingNearDup(sigs, nBits = 64, bands = 8, maxHamming = 7)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq((1L, 2L, 0L), (1L, 3L, 4L), (2L, 3L, 4L)))
+  }
+
+  test("perceptualHash: identical payloads hash equal, sign bit clear") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different content with other bytes entirely"),
+      (4L, "")).toDF("doc_id", "text")
+      .withColumn("payload", $"text".cast("binary"))
+    val out = Multimodal.perceptualHash(df, "payload", "doc_id")
+      .as[(Long, Long)].collect().sortBy(_._1).toMap
+    assert(out(1) == out(2))
+    assert(out(1) != out(3))
+    assert(out(4) == 0L)                  // empty payload -> all-zero pixels
+    assert(out.values.forall(_ >= 0L))    // bit 63 never set
+  }
+
   test("tokenEntropy: uniform doc hits ln(n), repeated-word doc hits 0") {
     val df = Seq(
       (1L, "a b c d"),       // 4 distinct tokens -> H = ln(4)
