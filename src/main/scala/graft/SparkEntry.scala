@@ -1776,6 +1776,15 @@ object SparkEntry {
       .orderBy($"da", $"db")
   }
 
+  private def d23(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // MOSS winnowing similarity report: doc pairs sharing >= 2 selected
+    // k-gram fingerprints (window-min selection, w+k-1 guarantee)
+    operators.Dedup.winnowMatches(t(s, dir, "documents"),
+        k = 3, w = 4, maxDf = 50, minShared = 2)
+      .orderBy($"da", $"db")
+  }
+
   private def t19(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // token frequency-of-frequencies: Zipf/Heaps corpus-health card
@@ -2373,6 +2382,7 @@ object SparkEntry {
     "x10_histogram" -> (x10 _),
     "t19_freq_spectrum" -> (t19 _),
     "m6_phash_neardup" -> (m6 _),
+    "d23_winnow" -> (d23 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4259,6 +4269,24 @@ object SparkEntry {
         | CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 7
+        |ORDER BY da, db""".stripMargin,
+    // winnowing rebuilt with the same md5-hex-prefix hash; k=3, w=4,
+    // maxDf=50, minShared=2 mirror the Spark call
+    "d23_winnow" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        | FROM documents WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3),
+        |h AS (SELECT doc_id, list_transform(range(1, len(t) - 1), i ->
+        |   TRY_CAST('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 8) AS BIGINT)) AS hs
+        | FROM t),
+        |wd AS (SELECT doc_id, list_distinct(list_transform(
+        |   range(1, greatest(len(hs) - 3, 1) + 1), j -> list_min(hs[j:j+3]))) AS fps
+        | FROM h),
+        |fp AS (SELECT doc_id, unnest(fps) AS fp FROM wd),
+        |common AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) > 50),
+        |pr AS (SELECT f.doc_id, f.fp FROM fp f ANTI JOIN common c ON f.fp = c.fp)
+        |SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_shared
+        |FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY da, db HAVING COUNT(*) >= 2
         |ORDER BY da, db""".stripMargin,
   )
 }

@@ -328,6 +328,58 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken, the MOSS
+    * algorithm): per document, hash every word k-gram (first 8 md5 hex
+    * digits — engine-agnostic 32-bit values), slide a window of `w`
+    * consecutive hashes and keep each window's MINIMUM — the selected
+    * set is a position-independent fingerprint with the winnowing
+    * guarantee: any shared token run of length ≥ w+k−1 shares at least
+    * one fingerprint. All per-row array expressions (no token
+    * explode); documents shorter than k tokens have no grams and are
+    * absent. Output: distinct (doc_id, fp) rows.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(w >= 1, s"w must be >= 1: $w")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val hashes = transform(sequence(lit(1), size(col("__t")) - (k - 1)),
+      i => conv(substring(md5(concat_ws(" ", slice(col("__t"), i, lit(k)))), 1, 8),
+        16, 10).cast("long"))
+    docs.select(col(idCol).as("doc_id"), toks.as("__t"))
+      .filter(size(col("__t")) >= k)
+      .select(col("doc_id"), hashes.as("__h"))
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), greatest(size(col("__h")) - (w - 1), lit(1))),
+          j => array_min(slice(col("__h"), j, lit(w)))))).as("fp"))
+  }
+
+  /** MOSS-style similarity report over [[winnowFingerprints]]: pairs
+    * of documents sharing ≥ `minShared` fingerprints, with the count.
+    * Fingerprints in more than `maxDf` documents are dropped before
+    * pairing (ubiquitous boilerplate would otherwise both flood the
+    * report and make the self-join quadratic in its df) — so the join
+    * cost is bounded by Σ df² over surviving fingerprints ≤ maxDf ×
+    * corpus fingerprint count. The fingerprint frame is pinned
+    * (localCheckpoint — id+long rows): the df-filter count pass and
+    * both join sides read it instead of re-running the md5 gram
+    * pipeline.
+    */
+  def winnowMatches(docs: DataFrame, k: Int = 3, w: Int = 4,
+      maxDf: Int = 50, minShared: Long = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val fps = winnowFingerprints(docs, k, w, textCol, idCol).localCheckpoint()
+    val common = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("fp"))
+    val pruned = fps.join(broadcast(common), Seq("fp"), "left_anti")
+    pruned.as("a")
+      .join(pruned.as("b").hint("shuffle_hash"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Hamming-LSH near-dup over an ARBITRARY precomputed bit signature
     * — the generic core of [[simHashNearDup]]'s pigeonhole banding,
     * exposed for signatures that don't come from text (the multimodal

@@ -380,6 +380,24 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2)._5 == math.rint(math.exp(h) * 1e6) / 1e6)
   }
 
+  test("winnowing: shared runs >= w+k-1 tokens share a fingerprint; short docs absent") {
+    val shared = "alpha beta gamma delta epsilon zeta" // 6 tokens = w+k-1
+    val df = Seq(
+      (1L, s"one two $shared three"),
+      (2L, s"$shared four five six"),
+      (3L, "entirely unrelated words with no overlap at all"),
+      (4L, "too short")                   // < k tokens -> no grams
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(df, k = 3, w = 4)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(!fps.contains(4L))
+    assert((fps(1L) & fps(2L)).nonEmpty)  // the winnowing guarantee
+    assert((fps(1L) & fps(3L)).isEmpty)
+    val pairs = Dedup.winnowMatches(df, k = 3, w = 4, maxDf = 50, minShared = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+  }
+
   test("hammingNearDup: generic signature banding — exactly-once, threshold, recall") {
     val sigs = Seq(
       (1L, 0x0F0F0F0F0F0F0F0FL),          // identical pair with 2: hamming 0,
