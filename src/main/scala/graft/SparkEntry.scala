@@ -1776,6 +1776,18 @@ object SparkEntry {
       .orderBy($"da", $"db")
   }
 
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Pareto frontier of orders: no other order is both cheaper AND
+    // earlier — bucket-pruned two-phase skyline, exact vs the global
+    // window rule by the monotone-bucket argument (see skyline2d).
+    val o = t(s, dir, "orders").select($"o_orderkey", $"o_totalprice",
+      expr("unix_micros(cast(o_orderdate as timestamp))").as("tus"))
+    operators.Pipeline.skyline2d(o, "o_totalprice", "tus", "o_orderkey",
+        xLo = 0.0, xHi = 600000.0, nBuckets = 256)
+      .orderBy($"o_orderkey")
+  }
+
   private def d23(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // MOSS winnowing similarity report: doc pairs sharing >= 2 selected
@@ -2383,6 +2395,7 @@ object SparkEntry {
     "t19_freq_spectrum" -> (t19 _),
     "m6_phash_neardup" -> (m6 _),
     "d23_winnow" -> (d23 _),
+    "q43_skyline" -> (q43 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4288,5 +4301,16 @@ object SparkEntry {
         |FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY da, db HAVING COUNT(*) >= 2
         |ORDER BY da, db""".stripMargin,
+    // the oracle states the GLOBAL-window skyline rule; the Spark plan
+    // is the bucket-pruned equivalent (monotone-bucket proof in the
+    // skyline2d scaladoc)
+    "q43_skyline" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice, epoch_us(o_orderdate) AS tus FROM orders),
+        |w AS (SELECT o_orderkey, o_totalprice, tus,
+        |  min(tus) OVER (ORDER BY o_totalprice, tus, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
+        | FROM o)
+        |SELECT o_orderkey, o_totalprice, tus FROM w
+        |WHERE m IS NULL OR m > tus ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -328,6 +328,47 @@ object Pipeline {
     snapshot.join(touched, Seq(idCol), "left_anti").unionByName(upserts)
   }
 
+  /** 2-D skyline (Pareto frontier), minimizing BOTH `xCol` and `yCol`:
+    * rows no other row beats on both axes — the multi-criteria filter
+    * (cheapest-AND-earliest, shortest-AND-highest-quality) a plain
+    * ORDER BY can't express. A naive formulation is one GLOBAL-window
+    * running min (a single-task sort at scale); this is the
+    * bucket-pruned two-phase equivalent: x is cut into `nBuckets`
+    * ranges, a bucket-grain frame (nBuckets rows — the only
+    * unpartitioned window) carries each bucket's strictly-previous
+    * y-minimum, and the full data sees ONE bucket-PARTITIONED window
+    * plus a broadcast join. Proof of equality to the global rule: the
+    * global lex-preceding set of a row = (all rows of strictly earlier
+    * buckets) ∪ (in-bucket lex-preceding rows) — bucket(x) is monotone
+    * in x — and a min over a union tests as either-part-≤. Exact-tie
+    * duplicates on (x, y) keep their first `tieCol` occurrence (one
+    * frontier representative per duplicate group).
+    */
+  def skyline2d(df: DataFrame, xCol: String, yCol: String, tieCol: String,
+      xLo: Double, xHi: Double, nBuckets: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    require(xHi > xLo, s"empty x range: [$xLo, $xHi)")
+    val x = col(xCol); val y = col(yCol)
+    val width = (xHi - xLo) / nBuckets
+    val bucket = least(greatest(floor((x - lit(xLo)) / lit(width)), lit(0L)),
+      lit((nBuckets - 1).toLong))
+    val withB = df.withColumn("__b", bucket)
+    val wPrev = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prev = withB.groupBy(col("__b")).agg(min(y).as("__bmin"))
+      .withColumn("__prevmin", min(col("__bmin")).over(wPrev))
+      .select(col("__b"), col("__prevmin"))
+    val wIn = Window.partitionBy(col("__b"))
+      .orderBy(x.asc, y.asc, col(tieCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withB.join(broadcast(prev), Seq("__b"))
+      .withColumn("__inmin", min(y).over(wIn))
+      .filter((col("__prevmin").isNull || col("__prevmin") > y)
+        && (col("__inmin").isNull || col("__inmin") > y))
+      .drop("__b", "__prevmin", "__inmin")
+  }
+
   /** Equi-width histogram — the distribution view X7's [[profile]]
     * stats card can't give (min/max/distinct say nothing about shape).
     * ONE hash aggregate over one scan; the bucket id is

@@ -253,6 +253,25 @@ class PipelineSpec extends SparkSpec {
     assert(out == Seq((1L, 3L, 4.0, 5.5), (2L, 1L, 5.0, 5.0)))
   }
 
+  test("skyline2d: frontier only, duplicate keeps first tie, matches brute force") {
+    val data = Seq(
+      (1L, 10.0, 100L), (2L, 20.0, 50L), (3L, 30.0, 10L), // frontier staircase
+      (4L, 25.0, 60L),  // dominated by 2 (cheaper and earlier)
+      (5L, 10.0, 100L), // exact duplicate of 1 -> only id 1 kept
+      (6L, 5.0, 200L),  // new cheapest -> frontier
+      (7L, 30.0, 10L)   // duplicate of 3 -> only id 3 kept
+    )
+    val out = Pipeline.skyline2d(data.toDF("id", "x", "y"), "x", "y", "id",
+        xLo = 0.0, xHi = 32.0, nBuckets = 4)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 2L, 3L, 6L))
+    // brute-force cross check: dominated iff a lex-smaller row has y <= theirs
+    val lex = data.sortBy(r => (r._2, r._3, r._1))
+    val keep = lex.zipWithIndex.collect { case ((id, _, y), i)
+      if !lex.take(i).exists(_._3 <= y) => id }.sorted
+    assert(out == keep)
+  }
+
   test("histogram: equi-width buckets, edge clamping, null filter, empty buckets absent") {
     val df = Seq[Option[Double]](Some(-1.0), Some(0.0), Some(1.5), Some(9.99),
       Some(10.0), Some(25.0), None).toDF("v")
