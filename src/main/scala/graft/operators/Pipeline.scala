@@ -729,6 +729,58 @@ object Pipeline {
       hll_sketch_estimate(hll_union_agg(col("sketch"), lit(true)))
         .as("approx_distinct_total"))
 
+  /** Mergeable Count-Min frequency sketches — the FREQUENCY complement
+    * of [[distinctSketch]]'s HLL: per-group KB-sized counter grids
+    * whose estimates are one-sided (estimate ≥ true count, ≤ true +
+    * eps·N with the configured confidence) — heavy hitters, join-skew
+    * probes and storm detection at 100 TB without exact per-key
+    * counts. Same fixed (eps, confidence, seed) across groups makes
+    * the grids dimension-compatible, so merging is counter addition —
+    * [[mergeFreqSketches]] runs it as a distributed binary aggregate
+    * (Spark's own CountMinSketch serialization, `mergeInPlace` per
+    * partial), never re-reading rows.
+    */
+  def freqSketch(df: DataFrame, groupCol: String, valueCol: String,
+      eps: Double = 0.001, confidence: Double = 0.99, seed: Int = 42): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count_min_sketch(col(valueCol), lit(eps), lit(confidence),
+        lit(seed)).as("sketch"), count(lit(1)).as("n_rows"))
+
+  private object CmsMergeAgg
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Array[Byte], Array[Byte], Array[Byte]] {
+    import org.apache.spark.util.sketch.CountMinSketch
+    private def read(b: Array[Byte]) =
+      CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b))
+    private def write(s: CountMinSketch): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      s.writeTo(bos); bos.toByteArray
+    }
+    def zero: Array[Byte] = Array.emptyByteArray
+    def reduce(buf: Array[Byte], in: Array[Byte]): Array[Byte] = merge(buf, in)
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      if (a.isEmpty) b else if (b.isEmpty) a
+      else { val s = read(a); s.mergeInPlace(read(b)); write(s) }
+    def finish(r: Array[Byte]): Array[Byte] = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** Union per-group CMS blobs into one (counter addition — exact, the
+    * merged sketch equals the sketch of the concatenated data). */
+  def mergeFreqSketches(sketches: DataFrame, sketchCol: String = "sketch"): DataFrame =
+    sketches.agg(org.apache.spark.sql.functions.udaf(CmsMergeAgg)
+      .apply(col(sketchCol)).as("sketch"))
+
+  /** Driver-side probe of a serialized CMS blob (the serving path:
+    * estimate a candidate key's frequency without touching data). */
+  def estimateFreq(sketchBytes: Array[Byte], value: Long): Long =
+    org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(sketchBytes))
+      .estimateCount(java.lang.Long.valueOf(value))
+
   /** Contract violations as reference-shaped dead letters: quarantined
     * rows from [[expectations]] rendered in the exact DeadLetter.avsc
     * shape — `input_value` from the caller's key expression, the

@@ -481,6 +481,27 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(merged - exact) / exact < 0.05, s"estimate $merged vs $exact")
   }
 
+  test("freqSketch: merged CMS equals sketch-of-whole; one-sided heavy-hitter bound") {
+    // skewed stream: value 7 is the heavy hitter (10k of 13k rows)
+    val df = ((1L to 10000L).map(_ => ("a", 7L)) ++
+      (1L to 3000L).map(i => (if (i % 2 == 0) "a" else "b", i % 100 + 100L)))
+      .toDF("g", "v")
+    val perGroup = Pipeline.freqSketch(df, "g", "v", eps = 0.001)
+    assert(perGroup.count() == 2)
+    val merged = Pipeline.mergeFreqSketches(perGroup)
+      .select($"sketch").as[Array[Byte]].collect().head
+    val whole = df.agg(count_min_sketch($"v", lit(0.001), lit(0.99), lit(42)))
+      .as[Array[Byte]].collect().head
+    // counter addition is exact: merged == sketch of the concatenated data
+    assert(java.util.Arrays.equals(merged, whole))
+    val n = 13000L
+    val est7 = Pipeline.estimateFreq(merged, 7L)
+    assert(est7 >= 10000L && est7 <= 10000L + (0.001 * n).toLong + 1)
+    val est150 = Pipeline.estimateFreq(merged, 150L)
+    assert(est150 >= 30L && est150 <= 30L + (0.001 * n).toLong + 1)
+    assert(est7 > 100 * est150) // the heavy hitter is unmistakable
+  }
+
   test("canonicalizeUrl is idempotent over varied url shapes") {
     val urls = (for {
       host <- Seq("Ex.COM", "a.b.ex.com")
