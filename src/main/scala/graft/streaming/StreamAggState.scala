@@ -158,6 +158,63 @@ object StreamAggState {
     merged.write.mode("overwrite").parquet(s"$statePath/epoch=$batchId")
   }
 
+  /** Streaming SCD Type-2 maintenance (ST20) — the historized
+    * dimension kept live from a change stream: [[maintainCompactedLog]]
+    * holds only latest-wins, this holds every version with validity
+    * bounds (`Pipeline.scd2`'s shape), maintained incrementally. Per
+    * trigger the CLOSED history is untouched; each key's OPEN version
+    * is replayed as a synthetic log row at its original
+    * `effective_from` (tie = Long.MinValue so it sorts first) and
+    * folded with the batch through the same scd2 operator — a run that
+    * continues the open value keeps its original start, a changed
+    * value closes it; version ordinals continue via the open row's
+    * offset. Cost per trigger: batch + one-row-per-key frames, never
+    * history. Requires per-key ts-monotone arrival relative to the
+    * open version (a batch row OLDER than a key's open
+    * `effective_from` would belong inside closed history — that's a
+    * batch d22 recompute, documented in SURVEY §6). `tieCol` must be a
+    * LONG. Epoch-keyed store: crash replay rewrites its own epoch.
+    */
+  def maintainScd2(stream: DataFrame, keyCols: Seq[String],
+      valueCols: Seq[String], tsCol: String, tieCol: String,
+      statePath: String, checkpointPath: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        processScd2Trigger(batch.toDF(), batchId, keyCols, valueCols, tsCol,
+          tieCol, statePath)
+      }
+      .start()
+
+  private[graft] def processScd2Trigger(batch: DataFrame, batchId: Long,
+      keyCols: Seq[String], valueCols: Seq[String], tsCol: String,
+      tieCol: String, statePath: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = batch.sparkSession
+    val prior = StreamErrorHandling
+      .readPendingBefore(spark, statePath, batchId).map(_._2)
+    val slim = batch.select((keyCols ++ valueCols :+ tsCol :+ tieCol).map(col): _*)
+    val merged = prior match {
+      case None => graft.operators.Pipeline.scd2(slim, keyCols, valueCols,
+        tsCol, tieCol)
+      case Some(st) =>
+        val closed = st.filter(!col("is_current"))
+        val open = st.filter(col("is_current"))
+        val synth = open.select((keyCols ++ valueCols).map(col)
+          :+ col("effective_from").as(tsCol)
+          :+ lit(Long.MinValue).as(tieCol): _*)
+        val recomputed = graft.operators.Pipeline.scd2(
+          synth.unionByName(slim), keyCols, valueCols, tsCol, tieCol)
+        val voff = open.select(keyCols.map(col)
+          :+ (col("version") - 1).as("__voff"): _*)
+        val adjusted = recomputed.join(voff, keyCols, "left_outer")
+          .withColumn("version", col("version") + coalesce(col("__voff"), lit(0)))
+          .drop("__voff")
+        closed.unionByName(adjusted)
+    }
+    merged.write.mode("overwrite").parquet(s"$statePath/epoch=$batchId")
+  }
+
   /** Streaming anomaly detection (ST10) — the streaming twin of q34's
     * grouped z-score: each micro-batch row is judged against the
     * per-key power sums ACCUMULATED OVER ALL PRIOR TRIGGERS (count,

@@ -465,6 +465,36 @@ class StreamingSpec extends SparkSpec {
     assert(state() == expected, "replayed compaction trigger double-merged")
   }
 
+  test("maintainScd2: incremental versions equal one batch scd2 over all history; replay rewrites") {
+    import graft.streaming.StreamAggState
+    val tmp = Files.createTempDirectory("graft-scd2").toString
+    val st = s"$tmp/state"
+    val t0 = Seq((1L, "A", 10L, 1L), (1L, "A", 20L, 2L), (1L, "B", 30L, 3L),
+      (2L, "A", 10L, 4L))
+    val t1 = Seq((1L, "B", 40L, 5L), (1L, "A", 50L, 6L), (2L, "A", 60L, 7L),
+      (3L, "C", 5L, 8L))
+    def trig(rows: Seq[(Long, String, Long, Long)], id: Long): Unit =
+      StreamAggState.processScd2Trigger(rows.toDF("k", "v", "ts", "tie"), id,
+        Seq("k"), Seq("v"), "ts", "tie", st)
+    trig(t0, 0L); trig(t1, 1L)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select($"k", $"version", $"v", $"effective_from", $"effective_to",
+          $"is_current")
+        .as[(Long, Int, String, Long, Option[Long], Boolean)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+    val expected = snap(graft.operators.Pipeline.scd2(
+      (t0 ++ t1).toDF("k", "v", "ts", "tie"), Seq("k"), Seq("v"), "ts", "tie"))
+    assert(snap(StreamAggState.readState(spark, st).get) == expected)
+    // k1 history: A[10,30) B[30,50) A[50,∞) -- the trigger-1 B continued
+    // the open B version across the trigger boundary
+    assert(expected.filter(_._1 == 1L).map(r => (r._3, r._4)) ==
+      Seq(("A", 10L), ("B", 30L), ("A", 50L)))
+    // crash replay of trigger 1: state rewritten, not re-extended
+    trig(t1, 1L)
+    assert(snap(StreamAggState.readState(spark, st).get) == expected,
+      "replayed scd2 trigger duplicated versions")
+  }
+
   test("enrichWithPendingRetry: dim-lagging facts retry and enrich late; exhausted rows land loudly") {
     import graft.streaming.StreamErrorHandling
     val tmp = Files.createTempDirectory("graft-enrich-retry").toString
