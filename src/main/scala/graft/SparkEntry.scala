@@ -1788,6 +1788,20 @@ object SparkEntry {
       .orderBy($"o_orderkey")
   }
 
+  private def d24(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // triangle census of the near-dup graph — the structural complement
+    // of d21's per-cluster purity: triangles vs wedges says whether CC
+    // clusters are cliques (true duplicates) or chains (transitive
+    // merges). Ordered 2-path join (a<b<c: each triangle counted once),
+    // wedges from the degree frame — two explicit-key joins over the
+    // LSH-bounded edge list, never the corpus.
+    val e = operators.Dedup.ngramJaccard(t(s, dir, "documents"), n = 2,
+        blockCol = "source", threshold = 0.1)
+      .select($"da", $"db").localCheckpoint() // pin: feeds 3 joins + 2 counts
+    operators.Components.triangleCensus(e, "da", "db")
+  }
+
   private def d23(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // MOSS winnowing similarity report: doc pairs sharing >= 2 selected
@@ -2396,6 +2410,7 @@ object SparkEntry {
     "m6_phash_neardup" -> (m6 _),
     "d23_winnow" -> (d23 _),
     "q43_skyline" -> (q43 _),
+    "d24_triangles" -> (d24 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4312,5 +4327,29 @@ object SparkEntry {
         | FROM o)
         |SELECT o_orderkey, o_totalprice, tus FROM w
         |WHERE m IS NULL OR m > tus ORDER BY o_orderkey""".stripMargin,
+    // same pair CTE as the d8 oracle; triangles via the ordered
+    // 2-path join (a<b<c), wedges = sum d*(d-1)//2 over degrees
+    "d24_triangles" ->
+      """WITH g AS (SELECT doc_id, source,
+        |  list_distinct(list_transform(range(1, len(string_split(text,' '))),
+        |    i -> array_to_string(list_slice(string_split(text,' '), i, i+1), ' '))) AS ts
+        | FROM documents),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |  len(list_intersect(a.ts,b.ts))::DOUBLE/(len(a.ts)+len(b.ts)-len(list_intersect(a.ts,b.ts))) AS jaccard
+        | FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+        | WHERE jaccard >= CAST(0.1 AS DOUBLE)),
+        |e AS (SELECT da, db FROM p),
+        |deg AS (SELECT v, COUNT(*) AS d FROM
+        |  (SELECT da AS v FROM e UNION ALL SELECT db AS v FROM e) GROUP BY v),
+        |tri AS (SELECT COUNT(*) AS n_triangles FROM e x
+        |  JOIN e y ON x.db = y.da
+        |  JOIN e z ON z.da = x.da AND z.db = y.db)
+        |SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+        | (SELECT COUNT(*) FROM e) AS n_edges,
+        | (SELECT CAST(SUM((d * (d - 1)) // 2) AS BIGINT) FROM deg) AS n_wedges,
+        | tri.n_triangles,
+        | CAST(3 * tri.n_triangles AS DOUBLE) /
+        |  CAST((SELECT SUM((d * (d - 1)) // 2) FROM deg) AS DOUBLE) AS global_clustering
+        |FROM tri""".stripMargin,
   )
 }

@@ -217,6 +217,35 @@ object Components {
     * the multiset order is total), making ranks bit-identical across
     * engines after any number of rounds — no tolerance compare needed.
     */
+  /** Triangle census + global clustering coefficient over an
+    * undirected pair list (src < dst, each edge once) — the structural
+    * audit beside the cluster-purity one: triangles ≈ wedges means the
+    * near-dup graph is cliquey (true duplicate groups), a low
+    * coefficient means chains (transitive-merge disease). Triangles
+    * via the ordered 2-path join — (a,b)⋈(b,c) then probe (a,c), so
+    * a<b<c counts each triangle exactly once; wedges = Σ d(d−1)/2 over
+    * the degree frame. Two explicit-key joins over the edge list
+    * (LSH/block-bounded upstream), never the corpus; the edge frame
+    * should be pinned by the caller if it comes from an expensive
+    * pair pipeline. One-row output; `global_clustering` = 3T/W is the
+    * single double division.
+    */
+  def triangleCensus(pairs: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = pairs.select(col(srcCol).as("da"), col(dstCol).as("db"))
+    val tri = e.as("x").join(e.as("y"), col("x.db") === col("y.da"))
+      .select(col("x.da").as("ta"), col("y.db").as("tc"))
+      .join(e.as("z"), col("ta") === col("z.da") && col("tc") === col("z.db"))
+    val degs = e.select(explode(array(col("da"), col("db"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    degs.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("(d * (d - 1)) div 2")).as("n_wedges"))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        ((lit(3L) * col("n_triangles")).cast("double")
+          / col("n_wedges").cast("double")).as("global_clustering"))
+  }
+
   def pageRank(pairs: DataFrame, iterations: Int,
       damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")

@@ -6,6 +6,20 @@ import graft.operators.Components
 class ComponentsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("triangleCensus: triangle + pendant graph counts exactly") {
+    // triangle {1,2,3} plus pendant 3-4: T=1, degrees (1,1)=2 (2)=2 (3)=3 (4)=1
+    // wedges = 1+1+3+0 = 5, clustering = 3*1/5
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("da", "db")
+    val out = Components.triangleCensus(e, "da", "db")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((4L, 4L, 5L, 1L, 3.0 / 5.0)))
+    // two triangles sharing edge (1,2): T=2, degrees 3,3,2,2 -> wedges 3+3+1+1=8
+    val e2 = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)).toDF("da", "db")
+    val out2 = Components.triangleCensus(e2, "da", "db")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out2 == Seq((4L, 5L, 8L, 2L, 6.0 / 8.0)))
+  }
+
   private def bfsComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
     edges.foreach { case (a, b) =>
