@@ -79,6 +79,62 @@ object Layout {
     }
   }
 
+  /** Per-partition-directory Bloom index (X16) — Delta/Iceberg-style
+    * data skipping on plain parquet for NON-partition keys: each
+    * partition dir gets a `_bloom/<dir>.bloom` sidecar built from ONE
+    * bounded per-dir job (`stat.bloomFilter` — the x3 machinery), and
+    * point lookups probe the KB-sized sidecars on the driver to read
+    * only dirs that might contain the key. No false negatives — a
+    * selected-dir set is always a superset of the true dirs — so the
+    * pruned lookup is EXACT; fpp only costs extra dirs read. Sidecars
+    * are idempotent overwrites; rebuild after compaction/erasure (the
+    * same freshness contract as X12's manifest).
+    */
+  def writeBloomIndex(spark: SparkSession, root: String, keyCol: String,
+      expectedItemsPerDir: Long, fpp: Double = 0.01): Seq[String] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(rootPath).filter(_.isDirectory)
+      .filterNot(_.getPath.getName.startsWith("_")).toSeq.map { d =>
+        val bf = spark.read.parquet(d.getPath.toString)
+          .stat.bloomFilter(keyCol, expectedItemsPerDir, fpp)
+        val out = new org.apache.hadoop.fs.Path(rootPath,
+          s"_bloom/${d.getPath.getName}.bloom")
+        val os = fs.create(out, true)
+        try bf.writeTo(os) finally os.close()
+        d.getPath.getName
+      }
+  }
+
+  /** Bloom-pruned point lookup: probe every sidecar (driver-side, KB
+    * each), then read ONLY the dirs whose filter might contain `key`
+    * (basePath keeps the partition column). Returns the selected dir
+    * names beside the frame so callers (and the spec) can assert the
+    * pruning. An empty selection reads nothing.
+    */
+  def bloomPrunedLookup(spark: SparkSession, root: String, keyCol: String,
+      key: Any): (Seq[String], DataFrame) = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bloomDir = new org.apache.hadoop.fs.Path(rootPath, "_bloom")
+    val selected = fs.listStatus(bloomDir).filter(_.isFile).toSeq
+      .filter { f =>
+        val in = fs.open(f.getPath)
+        try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+          .mightContain(key)
+        finally in.close()
+      }
+      .map(_.getPath.getName.stripSuffix(".bloom")).sorted
+    val df =
+      if (selected.isEmpty)
+        spark.read.parquet(root).filter(lit(false))
+      else
+        spark.read.option("basePath", root)
+          .parquet(selected.map(d => s"$root/$d"): _*)
+          .filter(col(keyCol) === lit(key))
+    (selected, df)
+  }
+
   /** Partition filters of the frame's file scan — non-empty means the
     * read is metadata-pruned to the matching directories (NOTE:
     * `inputFiles` is NOT this; it lists the whole relation unpruned).

@@ -111,6 +111,28 @@ class LayoutSpec extends SparkSpec {
     assert(leaks >= 0 && leaks < 100, s"leaks=$leaks")
   }
 
+  test("bloom index: point lookups prune to a superset of the true dirs, exact rows") {
+    val dir = java.nio.file.Files.createTempDirectory("bloomidx").toString
+    // 8 dirs of 500 disjoint keys each — doc_id is NOT the partition key
+    val df = (0 until 4000)
+      .map(i => (i.toLong, s"s${i / 500}", s"doc $i")).toDF("doc_id", "src", "text")
+    df.write.mode("overwrite").partitionBy("src").parquet(dir)
+    val indexed = Layout.writeBloomIndex(spark, dir, "doc_id",
+      expectedItemsPerDir = 500, fpp = 0.01)
+    assert(indexed.size == 8)
+    // present key: selected dirs must include the true dir and prune most others
+    val (sel, hit) = Layout.bloomPrunedLookup(spark, dir, "doc_id", 1234L)
+    assert(sel.contains("src=s2"))        // 1234 / 500 = 2
+    assert(sel.size <= 2, s"fpp 0.01 should not select $sel")
+    assert(hit.select($"doc_id", $"src").as[(Long, String)].collect().toSeq ==
+      Seq((1234L, "s2")))
+    // absent key: no false negatives required, near-empty selection expected
+    val (selAbsent, miss) = Layout.bloomPrunedLookup(spark, dir, "doc_id", 999999L)
+    assert(selAbsent.size <= 1 && miss.count() == 0L)
+    // rebuilding is an idempotent overwrite
+    assert(Layout.writeBloomIndex(spark, dir, "doc_id", 500, 0.01).size == 8)
+  }
+
   test("zOrderValue matches a bit-by-bit reference interleave") {
     def ref(a: Long, b: Long): Long = {
       var z = 0L
