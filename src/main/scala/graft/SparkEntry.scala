@@ -1818,6 +1818,16 @@ object SparkEntry {
       .orderBy($"c")
   }
 
+  private def t20(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // distribution drift between the even/odd doc_id corpus halves —
+    // two deterministic "snapshots" of the same corpus
+    val d = t(s, dir, "documents")
+    operators.TextAnalysis.klDrift(
+      d.filter(pmod($"doc_id", lit(2)) === 0),
+      d.filter(pmod($"doc_id", lit(2)) =!= 0))
+  }
+
   private def x10(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // order-value distribution in 20 equi-width buckets over [0, 600k)
@@ -2411,6 +2421,7 @@ object SparkEntry {
     "d23_winnow" -> (d23 _),
     "q43_skyline" -> (q43 _),
     "d24_triangles" -> (d24 _),
+    "t20_kl_drift" -> (t20 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4351,5 +4362,32 @@ object SparkEntry {
         | CAST(3 * tri.n_triangles AS DOUBLE) /
         |  CAST((SELECT SUM((d * (d - 1)) // 2) FROM deg) AS DOUBLE) AS global_clustering
         |FROM tri""".stripMargin,
+    // corpus-level sum of libm terms: per-term round(9) absorbs ln()
+    // ulp differences, the DECIMAL(20,12) cast makes the sum
+    // order-independent and exact — double only at the very end
+    "t20_kl_drift" ->
+      """WITH ta AS (SELECT unnest(regexp_split_to_array(trim(text),'\s+')) AS tok
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |tb AS (SELECT unnest(regexp_split_to_array(trim(text),'\s+')) AS tok
+        |  FROM documents WHERE doc_id % 2 <> 0),
+        |cca AS (SELECT tok, COUNT(*) AS ca FROM ta GROUP BY tok),
+        |ccb AS (SELECT tok, COUNT(*) AS cb FROM tb GROUP BY tok),
+        |j AS (SELECT cca.ca, ccb.cb FROM cca FULL OUTER JOIN ccb ON cca.tok = ccb.tok),
+        |tot AS (SELECT CAST(SUM(COALESCE(ca,0)) AS BIGINT) AS na,
+        |  CAST(SUM(COALESCE(cb,0)) AS BIGINT) AS nb, COUNT(*) AS vocab,
+        |  CAST(SUM(CASE WHEN cb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+        |  CAST(SUM(CASE WHEN ca IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b
+        | FROM j),
+        |terms AS (SELECT
+        |  CAST(COALESCE(ca,0)+1 AS DOUBLE)/CAST(na+vocab AS DOUBLE) AS pa,
+        |  CAST(COALESCE(cb,0)+1 AS DOUBLE)/CAST(nb+vocab AS DOUBLE) AS pb,
+        |  na, nb, vocab, n_only_a, n_only_b
+        | FROM j CROSS JOIN tot)
+        |SELECT
+        | CAST(SUM(CAST(round(pa*ln(pa/pb),9) AS DECIMAL(20,12))) AS DOUBLE) AS kl_ab,
+        | CAST(SUM(CAST(round(pb*ln(pb/pa),9) AS DECIMAL(20,12))) AS DOUBLE) AS kl_ba,
+        | MAX(na) AS n_tokens_a, MAX(nb) AS n_tokens_b, MAX(vocab) AS vocab,
+        | MAX(n_only_a) AS n_only_a, MAX(n_only_b) AS n_only_b
+        |FROM terms""".stripMargin,
   )
 }

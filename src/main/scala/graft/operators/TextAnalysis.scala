@@ -415,6 +415,50 @@ object TextAnalysis {
         round(greatest(lit(0.0d), log(n) - sumClnc / n), 6).as("entropy"))
   }
 
+  /** Corpus drift: smoothed token-distribution KL divergence between
+    * two corpus slices (snapshot N vs N+1, source A vs B) — the
+    * distribution-level monitor beside D11's row-level diff: a corpus
+    * can change every row while KL ≈ 0 (re-crawl) or change few rows
+    * while KL spikes (a language/domain shift). Add-one smoothing over
+    * the UNION vocabulary keeps every term finite; outputs both
+    * directions plus the vocab/only-in-one counts.
+    *
+    * Determinism of a corpus-level Σ of libm terms (a GLOBAL sum, so
+    * the per-doc sorted-fold pattern doesn't apply): each term
+    * p·ln(p/q) is rounded to 9 decimals — absorbing last-ulp ln()
+    * differences, the t5 discipline — then cast to DECIMAL(20,12),
+    * whose sum is order-independent and exact; the total casts to
+    * double at the END. The joined vocabulary frame is pinned
+    * (localCheckpoint, vocab-sized) — the totals aggregate and the
+    * term scan both read it.
+    */
+  def klDrift(docsA: DataFrame, docsB: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    def counts(d: DataFrame, as: String) =
+      d.select(explode(tokens(col(textCol))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as(as))
+    val joined = counts(docsA, "ca").join(counts(docsB, "cb"), Seq("tok"),
+      "full_outer").localCheckpoint()
+    val totals = joined.agg(
+      sum(coalesce(col("ca"), lit(0L))).as("na"),
+      sum(coalesce(col("cb"), lit(0L))).as("nb"),
+      count(lit(1)).as("vocab"),
+      sum(when(col("cb").isNull, 1L).otherwise(0L)).as("n_only_a"),
+      sum(when(col("ca").isNull, 1L).otherwise(0L)).as("n_only_b"))
+    val pa = (coalesce(col("ca"), lit(0L)) + lit(1L)).cast("double") /
+      (col("na") + col("vocab")).cast("double")
+    val pb = (coalesce(col("cb"), lit(0L)) + lit(1L)).cast("double") /
+      (col("nb") + col("vocab")).cast("double")
+    def term(p: Column, q: Column) =
+      round(p * log(p / q), 9).cast("decimal(20,12)")
+    joined.crossJoin(broadcast(totals))
+      .agg(sum(term(pa, pb)).cast("double").as("kl_ab"),
+        sum(term(pb, pa)).cast("double").as("kl_ba"),
+        max(col("na")).as("n_tokens_a"), max(col("nb")).as("n_tokens_b"),
+        max(col("vocab")).as("vocab"),
+        max(col("n_only_a")).as("n_only_a"), max(col("n_only_b")).as("n_only_b"))
+  }
+
   /** Token frequency-of-frequencies spectrum — the corpus-health
     * diagnostic behind Zipf/Heaps sanity checks and Good–Turing
     * smoothing: for each occurrence count c, how many distinct token

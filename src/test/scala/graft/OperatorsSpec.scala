@@ -380,6 +380,19 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2)._5 == math.rint(math.exp(h) * 1e6) / 1e6)
   }
 
+  test("klDrift: identical slices diverge zero, disjoint vocab shows in only-counts") {
+    val a = Seq((1L, "x y x z"), (2L, "x y")).toDF("doc_id", "text")
+    val same = TextAnalysis.klDrift(a, a)
+      .as[(Double, Double, Long, Long, Long, Long, Long)].collect().head
+    assert(same._1 == 0.0 && same._2 == 0.0) // p == q termwise -> ln(1) = 0
+    assert(same._3 == 6L && same._4 == 6L && same._5 == 3L)
+    val b = Seq((3L, "x y q q")).toDF("doc_id", "text")
+    val drift = TextAnalysis.klDrift(a, b)
+      .as[(Double, Double, Long, Long, Long, Long, Long)].collect().head
+    assert(drift._1 > 0.0 && drift._2 > 0.0)
+    assert(drift._6 == 1L && drift._7 == 1L) // z only in A, q only in B
+  }
+
   test("winnowing: shared runs >= w+k-1 tokens share a fingerprint; short docs absent") {
     val shared = "alpha beta gamma delta epsilon zeta" // 6 tokens = w+k-1
     val df = Seq(
