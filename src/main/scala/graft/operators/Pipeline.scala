@@ -729,6 +729,31 @@ object Pipeline {
       hll_sketch_estimate(hll_union_agg(col("sketch"), lit(true)))
         .as("approx_distinct_total"))
 
+  /** Sketch-algebra audience overlap — pairwise |A∩B| estimates via
+    * inclusion–exclusion over HLL sketches (|A|+|B|−|A∪B|): the
+    * segment-overlap / cross-source-dedup planning number at 100 TB
+    * for the cost of ONE scan (per-group sketches) plus #groups²
+    * KB-sized sketch unions — the data is never re-read and never
+    * joined. Builds on [[distinctSketch]]'s sketches; `hll_union`
+    * merges pairs. Estimates inherit HLL error (±~1.6% at lgK=12,
+    * amplified by subtraction for small overlaps — the spec pins the
+    * bound); exact intersection of two specific groups is one
+    * semi-join if a pair needs confirming.
+    */
+  def sketchOverlap(df: DataFrame, groupCol: String, valueCol: String,
+      lgK: Int = 12): DataFrame = {
+    val sk = distinctSketch(df, groupCol, valueCol, lgK)
+      .select(col(groupCol), col("sketch"), col("approx_distinct"))
+    sk.as("a").join(sk.as("b"),
+        col(s"a.$groupCol") < col(s"b.$groupCol"))
+      .select(col(s"a.$groupCol").as("ga"), col(s"b.$groupCol").as("gb"),
+        col("a.approx_distinct").as("nd_a"), col("b.approx_distinct").as("nd_b"),
+        hll_sketch_estimate(hll_union(col("a.sketch"), col("b.sketch")))
+          .as("nd_union"))
+      .withColumn("overlap_est",
+        greatest(col("nd_a") + col("nd_b") - col("nd_union"), lit(0L)))
+  }
+
   /** Mergeable Count-Min frequency sketches — the FREQUENCY complement
     * of [[distinctSketch]]'s HLL: per-group KB-sized counter grids
     * whose estimates are one-sided (estimate ≥ true count, ≤ true +

@@ -481,6 +481,17 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(merged - exact) / exact < 0.05, s"estimate $merged vs $exact")
   }
 
+  test("sketchOverlap: inclusion-exclusion estimates track exact intersections") {
+    // a: 0..5999, b: 4000..9999 (overlap 2000), c: 20000..20999 (disjoint)
+    val df = ((0L until 6000L).map(("a", _)) ++ (4000L until 10000L).map(("b", _))
+      ++ (20000L until 21000L).map(("c", _))).toDF("g", "v")
+    val out = Pipeline.sketchOverlap(df, "g", "v")
+      .select($"ga", $"gb", $"overlap_est")
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(math.abs(out(("a", "b")) - 2000L) <= 300L, s"ab ${out(("a", "b"))}")
+    assert(out(("a", "c")) <= 300L && out(("b", "c")) <= 300L)
+  }
+
   test("freqSketch: merged CMS equals sketch-of-whole; one-sided heavy-hitter bound") {
     // skewed stream: value 7 is the heavy hitter (10k of 13k rows)
     val df = ((1L to 10000L).map(_ => ("a", 7L)) ++
