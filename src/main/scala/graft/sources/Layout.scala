@@ -135,6 +135,84 @@ object Layout {
     (selected, df)
   }
 
+  /** Versioned table commits + time travel on plain parquet (X18) —
+    * the Delta/Iceberg ESSENCE without the format: a version is a
+    * manifest (`_versions/v<N>.manifest`) listing exactly the data
+    * files that comprise it. `append` commits write ONLY the new rows'
+    * files and carry the previous version's file list forward by
+    * reference — no data rewrite, metadata-only history — while
+    * `overwrite` starts a fresh list (old files stay on disk, still
+    * readable by older versions). The manifest is created AFTER its
+    * data files land (X10's commit-after-write): a crash leaves orphan
+    * data files, never a version pointing at missing data. Single
+    * writer assumed (no commit protocol — documented); X5 compaction /
+    * X13 erasure rewrite files in place and invalidate older
+    * manifests, the X12 freshness contract.
+    */
+  def commitVersion(df: DataFrame, root: String,
+      overwrite: Boolean = false): Long = {
+    val spark = df.sparkSession
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val stage = new org.apache.hadoop.fs.Path(rootPath, s"_stage_$stamp")
+    df.write.mode("overwrite").parquet(stage.toString)
+    val dataDir = new org.apache.hadoop.fs.Path(rootPath, "data")
+    fs.mkdirs(dataDir)
+    val moved = fs.listStatus(stage)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-")).toSeq
+      .map { f =>
+        val name = s"$stamp-${f.getPath.getName}"
+        fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dataDir, name))
+        name
+      }
+    fs.delete(stage, true)
+    val prior =
+      if (overwrite) Nil
+      else listVersions(spark, root).lastOption
+        .map(v => manifestFiles(fs, rootPath, v)).getOrElse(Nil)
+    val version = listVersions(spark, root).lastOption.getOrElse(0L) + 1L
+    val mf = new org.apache.hadoop.fs.Path(rootPath, s"_versions/v$version.manifest")
+    val os = fs.create(mf, false) // commit point; never overwrite a version
+    try os.write((prior ++ moved).mkString("\n").getBytes("UTF-8"))
+    finally os.close()
+    version
+  }
+
+  def listVersions(spark: SparkSession, root: String): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(root, "_versions")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).map(_.getPath.getName).toSeq
+      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toLong }
+      .sorted
+  }
+
+  private def manifestFiles(fs: org.apache.hadoop.fs.FileSystem,
+      rootPath: org.apache.hadoop.fs.Path, version: Long): Seq[String] = {
+    val in = fs.open(new org.apache.hadoop.fs.Path(rootPath,
+      s"_versions/v$version.manifest"))
+    try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      .split("\n").toSeq.filter(_.nonEmpty)
+    finally in.close()
+  }
+
+  /** Time travel: read the table AS OF `version` (default: latest).
+    * Reads exactly the manifest's files. */
+  def readVersion(spark: SparkSession, root: String,
+      version: Option[Long] = None): DataFrame = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = listVersions(spark, root)
+    require(versions.nonEmpty, s"no committed versions under $root")
+    val v = version.getOrElse(versions.last)
+    require(versions.contains(v), s"unknown version $v (have $versions)")
+    val files = manifestFiles(fs, rootPath, v).map(n => s"$root/data/$n")
+    spark.read.parquet(files: _*)
+  }
+
   /** Partition filters of the frame's file scan — non-empty means the
     * read is metadata-pruned to the matching directories (NOTE:
     * `inputFiles` is NOT this; it lists the whole relation unpruned).

@@ -133,6 +133,28 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.writeBloomIndex(spark, dir, "doc_id", 500, 0.01).size == 8)
   }
 
+  test("versioned commits: time travel, append by reference, crash leaves no bad version") {
+    val root = java.nio.file.Files.createTempDirectory("vtab").toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id").as[Long].collect().sorted.toSeq
+    val v1 = Layout.commitVersion(Seq(1L, 2L, 3L).toDF("id"), root)
+    val v2 = Layout.commitVersion(Seq(4L, 5L).toDF("id"), root)          // append
+    val v3 = Layout.commitVersion(Seq(9L).toDF("id"), root, overwrite = true)
+    assert((v1, v2, v3) == ((1L, 2L, 3L)))
+    assert(Layout.listVersions(spark, root) == Seq(1L, 2L, 3L))
+    assert(rows(Layout.readVersion(spark, root, Some(1L))) == Seq(1L, 2L, 3L))
+    assert(rows(Layout.readVersion(spark, root, Some(2L))) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(rows(Layout.readVersion(spark, root)) == Seq(9L))
+    // append carried v1's files by REFERENCE: v2's file set contains v1's
+    val f1 = Layout.readVersion(spark, root, Some(1L)).inputFiles.toSet
+    val f2 = Layout.readVersion(spark, root, Some(2L)).inputFiles.toSet
+    assert(f1.subsetOf(f2) && f2.size > f1.size)
+    // a crashed commit (staged data, no manifest) must not corrupt reads
+    Seq(99L).toDF("id").write.mode("overwrite").parquet(s"$root/_stage_dead")
+    assert(Layout.listVersions(spark, root) == Seq(1L, 2L, 3L))
+    assert(rows(Layout.readVersion(spark, root)) == Seq(9L))
+  }
+
   test("zOrderValue matches a bit-by-bit reference interleave") {
     def ref(a: Long, b: Long): Long = {
       var z = 0L
