@@ -423,6 +423,29 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 0L), (1L, 3L, 4L), (2L, 3L, 4L)))
   }
 
+  test("hammingNearDup equals brute force on random signatures (pigeonhole exactness)") {
+    val rnd = new scala.util.Random(4242)
+    // clustered signatures: base patterns with few-bit perturbations so
+    // near pairs actually exist
+    val bases = Seq.fill(6)(rnd.nextLong() & Long.MaxValue)
+    val sigs = (1L to 60L).map { id =>
+      val base = bases(rnd.nextInt(bases.size))
+      val flips = rnd.nextInt(6)
+      val sig = (0 until flips).foldLeft(base)((s, _) => s ^ (1L << rnd.nextInt(63)))
+      (id, sig)
+    }
+    val expected = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 7
+    } yield (ia, ib, h.toLong)).toSet
+    val got = Dedup.hammingNearDup(sigs.toDF("doc_id", "sig"),
+        nBits = 64, bands = 8, maxHamming = 7)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.toSet == expected)
+    // and exactly-once: no pair emitted twice (multi-band matches dedup)
+    assert(got.size == expected.size)
+  }
+
   test("perceptualHash: identical payloads hash equal, sign bit clear") {
     val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "the quick brown fox jumps over the lazy dog"),

@@ -283,6 +283,31 @@ class PipelineSpec extends SparkSpec {
       (4L, 8.0, 10.0, 3L, 44.99))) // 9.99 in range; 10 and 25 clamp down
   }
 
+  test("scd2 invariants hold on random logs: partition of the timeline, alternation") {
+    val rnd = new scala.util.Random(77)
+    val log = (1L to 400L).map { id =>
+      (rnd.nextInt(8).toLong, s"v${rnd.nextInt(3)}", rnd.nextInt(1000).toLong, id)
+    }
+    val out = Pipeline.scd2(log.toDF("k", "v", "ts", "id"),
+        Seq("k"), Seq("v"), "ts", "id")
+      .select($"k", $"v", $"version", $"effective_from", $"effective_to")
+      .as[(Long, String, Int, Long, Option[Long])]
+      .collect().groupBy(_._1).view.mapValues(_.sortBy(_._3).toSeq)
+    out.foreach { case (k, vs) =>
+      // versions are 1..n dense
+      assert(vs.map(_._3) == (1 to vs.size), s"key $k versions not dense")
+      // exactly the last version is open; ranges are contiguous and ordered
+      vs.init.foreach(v => assert(v._5.nonEmpty, s"key $k non-final open version"))
+      assert(vs.last._5.isEmpty, s"key $k final version not open")
+      vs.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._5.contains(b._4), s"key $k ranges not contiguous")
+          assert(a._2 != b._2, s"key $k equal consecutive values not collapsed")
+        case _ => ()
+      }
+    }
+  }
+
   test("profile: one row per column with exact null/distinct/min/max") {
     val df = Seq(
       (Some(1L), Some("b")), (Some(2L), None),
