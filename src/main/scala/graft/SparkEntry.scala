@@ -1802,6 +1802,26 @@ object SparkEntry {
     operators.Components.triangleCensus(e, "da", "db")
   }
 
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // MATCH_RECOGNIZE-lite: each user's time-ordered event-type string
+    // matched against a sequence regex (signup then later purchase,
+    // anything between) — the flexible sequence detector the fixed
+    // q27 funnel can't parameterize. One key exchange; the per-user
+    // string is bounded by that user's history; RE2-safe pattern so
+    // Java regex and DuckDB RE2 agree; all-integer/boolean output.
+    val z = struct($"tus", $"event_id", $"event_type")
+    t(s, dir, "events")
+      .select($"user_id", expr("ts div 1000").as("tus"), $"event_id", $"event_type")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), collect_list(z).as("zs"))
+      .select($"user_id", $"n_events",
+        concat_ws(" ", transform(sort_array($"zs"), x => x("event_type"))).as("seq"))
+      .select($"user_id", $"n_events",
+        $"seq".rlike("signup.*purchase").as("matched"))
+      .orderBy($"user_id")
+  }
+
   private def d23(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // MOSS winnowing similarity report: doc pairs sharing >= 2 selected
@@ -2422,6 +2442,7 @@ object SparkEntry {
     "q43_skyline" -> (q43 _),
     "d24_triangles" -> (d24 _),
     "t20_kl_drift" -> (t20 _),
+    "q44_seq_pattern" -> (q44 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4389,5 +4410,11 @@ object SparkEntry {
         | MAX(na) AS n_tokens_a, MAX(nb) AS n_tokens_b, MAX(vocab) AS vocab,
         | MAX(n_only_a) AS n_only_a, MAX(n_only_b) AS n_only_b
         |FROM terms""".stripMargin,
+    "q44_seq_pattern" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        | regexp_matches(array_to_string(list_transform(
+        |   list_sort(list({'tus': epoch_us(ts), 'event_id': event_id, 't': event_type})),
+        |   z -> z.t), ' '), 'signup.*purchase') AS matched
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }
