@@ -380,6 +380,25 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2)._5 == math.rint(math.exp(h) * 1e6) / 1e6)
   }
 
+  test("ninth-phase ops handle null text/payload without NPE or silent surprises") {
+    val df = Seq[(java.lang.Long, String)]((1L, "a b c d e"), (2L, null))
+      .toDF("doc_id", "text")
+    // explode-based ops: the null-text doc is cleanly ABSENT
+    assert(TextAnalysis.bigramPerplexity(df, trainFilter = lit(true))
+      .select($"doc_id").as[Long].collect().toSeq == Seq(1L))
+    assert(Dedup.winnowFingerprints(df, k = 2, w = 2)
+      .select($"doc_id").distinct().as[Long].collect().toSeq == Seq(1L))
+    assert(TextAnalysis.freqSpectrum(df).agg(sum($"mass")).as[Long].head == 5L)
+    val kl = TextAnalysis.klDrift(df, df)
+      .select($"kl_ab", $"vocab").as[(Double, Long)].head
+    assert(kl == ((0.0, 5L)))
+    // row-preserving op: null payload stays, hashing to the zero signature
+    val ph = Multimodal.perceptualHash(
+        df.withColumn("payload", $"text".cast("binary")), "payload", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(ph.keySet == Set(1L, 2L) && ph(2L) == 0L)
+  }
+
   test("klDrift: identical slices diverge zero, disjoint vocab shows in only-counts") {
     val a = Seq((1L, "x y x z"), (2L, "x y")).toDF("doc_id", "text")
     val same = TextAnalysis.klDrift(a, a)
