@@ -1838,6 +1838,16 @@ object SparkEntry {
       .orderBy($"c")
   }
 
+  private def t21(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // RAKE keywords: top-3 stopword-delimited phrases per doc by the
+    // degree/frequency statistic; the en marker list IS this corpus's
+    // stopword set
+    operators.TextAnalysis.rakeKeywords(t(s, dir, "documents"),
+        stopwords = operators.TextAnalysis.markers("en"), k = 3)
+      .orderBy($"doc_id", $"score".desc, $"phrase")
+  }
+
   private def t20(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // distribution drift between the even/odd doc_id corpus halves —
@@ -2443,6 +2453,7 @@ object SparkEntry {
     "d24_triangles" -> (d24 _),
     "t20_kl_drift" -> (t20 _),
     "q44_seq_pattern" -> (q44 _),
+    "t21_rake" -> (t21 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4416,5 +4427,35 @@ object SparkEntry {
         |   list_sort(list({'tus': epoch_us(ts), 'event_id': event_id, 't': event_type})),
         |   z -> z.t), ' '), 'signup.*purchase') AS matched
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // RAKE rebuilt with the islands trick; stopword set = the en marker
+    // list; per-phrase score fold sorted + round(6)
+    "t21_rake" ->
+      """WITH tk AS (SELECT doc_id, unnest(list_zip(
+        |    regexp_split_to_array(trim(text), '\s+'),
+        |    range(0, len(regexp_split_to_array(trim(text), '\s+'))))) AS z
+        |  FROM documents),
+        |tok AS (SELECT doc_id, z[1] AS tok, CAST(z[2] AS BIGINT) AS pos FROM tk),
+        |ns AS (SELECT doc_id, tok, pos,
+        |   pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |  FROM tok WHERE tok NOT IN ('the','a','of','and','is')),
+        |ph AS (SELECT doc_id, isl, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+        |   COUNT(*) AS plen, MIN(pos) AS phrase_pos
+        |  FROM ns GROUP BY doc_id, isl),
+        |w AS (SELECT doc_id, phrase, plen, phrase_pos,
+        |   unnest(string_split(phrase, ' ')) AS w FROM ph),
+        |st AS (SELECT w, COUNT(*) AS freq, CAST(SUM(plen) AS BIGINT) AS deg
+        |  FROM w GROUP BY w),
+        |sc AS (SELECT doc_id, phrase, phrase_pos,
+        |   round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |     list_sort(list(CAST(deg AS DOUBLE)/CAST(freq AS DOUBLE)))),
+        |    (a,b) -> a + b), 6) AS score
+        |  FROM w JOIN st ON w.w = st.w GROUP BY doc_id, phrase, phrase_pos),
+        |dd AS (SELECT doc_id, phrase, MAX(score) AS score, COUNT(*) AS n_occ,
+        |   MIN(phrase_pos) AS first_pos
+        |  FROM sc GROUP BY doc_id, phrase),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |   ORDER BY score DESC, phrase) AS rn FROM dd)
+        |SELECT doc_id, phrase, score, n_occ, first_pos FROM rk WHERE rn <= 3
+        |ORDER BY doc_id, score DESC, phrase""".stripMargin,
   )
 }

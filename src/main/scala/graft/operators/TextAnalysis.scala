@@ -415,6 +415,56 @@ object TextAnalysis {
         round(greatest(lit(0.0d), log(n) - sumClnc / n), 6).as("entropy"))
   }
 
+  /** RAKE keyword extraction (Rose et al.): candidate phrases are the
+    * maximal stopword-free token runs — found with the gaps-and-islands
+    * trick (pos − row_number over non-stop tokens is constant within a
+    * run; the R33 machinery, no regex splitting and its edge cases) —
+    * scored by the classic degree/frequency word statistic: freq(w) =
+    * occurrences of w across candidate phrases, deg(w) = Σ phrase
+    * length over w's phrases (co-occurrence degree), word score =
+    * deg/freq (ONE division), phrase score = Σ member word scores.
+    * Top-k phrases per document through the TopKPerKey operator.
+    *
+    * Plan: one token explode + one doc-partitioned window for islands,
+    * one vocab-sized word-stats aggregate joined back onto the word
+    * stream, per-phrase Σ via ASCENDING-sorted fold + round(6) (the
+    * t14 libm-free determinism — scores are rationals but the fold
+    * order still must not depend on partitioning).
+    */
+  def rakeKeywords(docs: DataFrame, stopwords: Seq[String], k: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(stopwords.nonEmpty, "rake needs a stopword list")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val phrases = toks.filter(!col("tok").isInCollection(stopwords))
+      .withColumn("isl", col("pos") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(concat_ws(" ", array_sort(collect_list(struct(col("pos"), col("tok"))))
+          .getField("tok")).as("phrase"),
+        count(lit(1)).as("plen"),
+        min(col("pos")).cast("long").as("phrase_pos"))
+    val words = phrases.select(col("doc_id"), col("phrase"), col("plen"),
+      col("phrase_pos"), explode(split(col("phrase"), " ")).as("w"))
+    val stats = words.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .withColumn("wscore", col("deg").cast("double") / col("freq").cast("double"))
+    val sumScores = aggregate(sort_array(col("ws")), lit(0.0d), (a, x) => a + x)
+    val scored = words.join(stats.select(col("w"), col("wscore")), "w")
+      .groupBy(col("doc_id"), col("phrase"), col("phrase_pos"))
+      .agg(collect_list(col("wscore")).as("ws"))
+      .select(col("doc_id"), col("phrase"), col("phrase_pos"),
+        round(sumScores, 6).as("score"))
+    // identical phrases within a doc score identically: keep one row
+    // with the occurrence count (classic RAKE candidates are a set)
+    val dedup = scored.groupBy(col("doc_id"), col("phrase"))
+      .agg(max(col("score")).as("score"), count(lit(1)).as("n_occ"),
+        min(col("phrase_pos")).as("first_pos"))
+    TopK.perKey(dedup, Seq("doc_id"),
+      Seq(TopK.desc("score"), TopK.asc("phrase")), k)
+  }
+
   /** Corpus drift: smoothed token-distribution KL divergence between
     * two corpus slices (snapshot N vs N+1, source A vs B) — the
     * distribution-level monitor beside D11's row-level diff: a corpus

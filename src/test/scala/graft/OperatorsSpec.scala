@@ -399,6 +399,25 @@ class OperatorsSpec extends SparkSpec {
     assert(ph.keySet == Set(1L, 2L) && ph(2L) == 0L)
   }
 
+  test("rakeKeywords: textbook degree/frequency scores, duplicate phrases collapse") {
+    val df = Seq((1L, "red apple the red the apple green")).toDF("doc_id", "text")
+    // phrases: "red apple"(len2) "red"(len1) "apple green"(len2)
+    // freq/deg: red 2/3 -> 1.5, apple 2/4 -> 2.0, green 1/2 -> 2.0
+    val out = TextAnalysis.rakeKeywords(df, stopwords = Seq("the"), k = 3)
+      .select($"doc_id", $"phrase", $"score", $"n_occ", $"first_pos")
+      .as[(Long, String, Double, Long, Long)].collect().sortBy(-_._3).toSeq
+    assert(out == Seq(
+      (1L, "apple green", 4.0, 1L, 5L),
+      (1L, "red apple", 3.5, 1L, 0L),
+      (1L, "red", 1.5, 1L, 3L)))
+    // identical repeated phrases collapse to one row with n_occ
+    val df2 = Seq((2L, "x y the x y")).toDF("doc_id", "text")
+    val out2 = TextAnalysis.rakeKeywords(df2, Seq("the"), k = 3)
+      .select($"phrase", $"n_occ", $"first_pos")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out2 == Seq(("x y", 2L, 0L)))
+  }
+
   test("klDrift: identical slices diverge zero, disjoint vocab shows in only-counts") {
     val a = Seq((1L, "x y x z"), (2L, "x y")).toDF("doc_id", "text")
     val same = TextAnalysis.klDrift(a, a)
