@@ -2297,6 +2297,53 @@ object SparkEntry {
         sum($"p0" - $"s0").as("total_latency_us")))
   }
 
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // interval coalescing (union of overlapping intervals): each event
+    // opens a 30-minute activity interval; overlapping/touching
+    // intervals per user merge via the running-max-end islands trick —
+    // a new island starts exactly when an interval opens after every
+    // earlier one has closed. ONE exchange on user_id: the running-max
+    // window, the break-sum window and the island aggregate all share
+    // it (the d22 shared-sort shape). All-integer micros arithmetic.
+    val durUs = 1800L * 1000000L
+    val w = Window.partitionBy($"user_id").orderBy($"s0", $"event_id")
+    val g = t(s, dir, "events")
+      .select($"user_id", expr("ts div 1000").as("s0"), $"event_id")
+      .withColumn("e0", $"s0" + durUs)
+      .withColumn("maxe",
+        max($"e0").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when($"maxe".isNull || $"s0" > $"maxe", 1L).otherwise(0L))
+      .withColumn("isl",
+        sum($"brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    g.groupBy($"user_id", $"isl")
+      .agg(min($"s0").as("m_start"), max($"e0").as("m_end"),
+        count(lit(1)).as("n_ev"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum($"m_end" - $"m_start").as("covered_us"),
+        max($"m_end" - $"m_start").as("longest_us"),
+        sum($"n_ev").as("n_events"))
+      .orderBy($"user_id")
+  }
+
+  private def s12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // binary-embedding retrieval: 63-sign-bit signatures, Hamming
+    // shortlist (one XOR + popcount per pair over 8-byte keys), exact
+    // cosine rerank of q × 20 rows only.
+    val emb = t(s, dir, "embeddings")
+    val queries = broadcast(emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"),
+        operators.Similarity.toDoubleVec($"embedding").as("qv")))
+    operators.Similarity.binaryTopK(emb, queries,
+        bits = 63, shortlist = 20, k = 5)
+      .select($"qid", $"rank", $"vec_id", $"hamming", $"cosine")
+      .orderBy($"qid", $"rank")
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2454,6 +2501,8 @@ object SparkEntry {
     "t20_kl_drift" -> (t20 _),
     "q44_seq_pattern" -> (q44 _),
     "t21_rake" -> (t21 _),
+    "q45_interval_coalesce" -> (q45 _),
+    "s12_binary_hamming" -> (s12 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4457,5 +4506,48 @@ object SparkEntry {
         |   ORDER BY score DESC, phrase) AS rn FROM dd)
         |SELECT doc_id, phrase, score, n_occ, first_pos FROM rk WHERE rn <= 3
         |ORDER BY doc_id, score DESC, phrase""".stripMargin,
+    // all-integer micros arithmetic; both windows ordered by the same
+    // total (s0, event_id) key on both engines
+    "q45_interval_coalesce" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS s0,
+        |  epoch_us(ts) + 1800000000 AS e0, event_id FROM events),
+        |w AS (SELECT user_id, s0, e0, event_id,
+        |  max(e0) OVER (PARTITION BY user_id ORDER BY s0, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+        | FROM e),
+        |b AS (SELECT *, CASE WHEN maxe IS NULL OR s0 > maxe THEN 1 ELSE 0 END AS brk FROM w),
+        |i AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY s0, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM b),
+        |m AS (SELECT user_id, isl, MIN(s0) AS ms, MAX(e0) AS me, COUNT(*) AS ne
+        | FROM i GROUP BY user_id, isl)
+        |SELECT user_id, COUNT(*) AS n_intervals,
+        | CAST(SUM(me - ms) AS BIGINT) AS covered_us,
+        | CAST(MAX(me - ms) AS BIGINT) AS longest_us,
+        | CAST(SUM(ne) AS BIGINT) AS n_events
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the shortlist is integer-exact (hamming, vec_id ties are total);
+    // the rerank cosine is the s1 fold, bit-identical on both engines
+    "s12_binary_hamming" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings),
+        |sg AS (SELECT vec_id, v, list_aggregate(list_transform(range(0, 63), i ->
+        |   CASE WHEN v[CAST(i AS INT) + 1] > CAST(0 AS DOUBLE)
+        |        THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END),
+        |  'bit_or') AS sig FROM e),
+        |q AS (SELECT vec_id AS qid, v AS qv, sig AS qsig FROM sg WHERE vec_id < 10),
+        |ham AS (SELECT qid, vec_id,
+        |  CAST(bit_count(xor(qsig, sig)) AS BIGINT) AS hamming
+        | FROM q JOIN sg ON qid <> vec_id),
+        |short AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |   ORDER BY hamming ASC, vec_id ASC) AS srn FROM ham),
+        |rer AS (SELECT s.qid, s.vec_id, s.hamming,
+        |  list_reduce(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*e.v[i]), (x,y) -> x+y) /
+        |   (sqrt(list_reduce(list_transform(q.qv, x -> x*x), (x,y) -> x+y)) *
+        |    sqrt(list_reduce(list_transform(e.v, x -> x*x), (x,y) -> x+y))) AS cosine
+        | FROM short s JOIN e ON s.vec_id = e.vec_id JOIN q ON s.qid = q.qid
+        | WHERE s.srn <= 20),
+        |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |   ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank FROM rer)
+        |SELECT qid, rank, vec_id, hamming, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
   )
 }

@@ -437,6 +437,58 @@ object Similarity {
       .join(removed, Seq("vec_id"), "left_anti")
   }
 
+  /** Sign-bit binary signature of an embedding: bit i is set iff
+    * element i+1 is strictly positive. `bits` ≤ 63 keeps the sign bit
+    * clear (the m6 precedent — BIGINT shifts stay in range on every
+    * engine). Built as a static OR-chain of per-bit conditionals —
+    * fully codegen'd, no interpreted higher-order fold.
+    */
+  def binarySignature(vec: Column, bits: Int = 63): Column = {
+    require(bits >= 1 && bits <= 63, s"bits must be in [1, 63]: $bits")
+    (0 until bits).map(i =>
+        when(element_at(vec, i + 1) > lit(0d), lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+  }
+
+  /** Binary-embedding retrieval: Hamming-distance shortlist over
+    * [[binarySignature]] sign bits, exact-cosine rerank of the
+    * shortlist only — the s11 two-stage shape with the cheapest
+    * possible coarse metric. The shortlist pass reads 8-byte
+    * signatures instead of 64 floats (32× less I/O when the signature
+    * is stored as its own column) and replaces 64 multiply-adds per
+    * pair with one XOR + popcount; candidates stream through the
+    * TopKPerKey bounded heaps as (qid, vec_id, hamming) triples —
+    * vectors never ride the heaps. Ties are total on (hamming,
+    * vec_id), so the shortlist is deterministic and engine-exact; the
+    * rerank joins q × shortlist ids back to full vectors.
+    */
+  def binaryTopK(vectors: DataFrame, queries: DataFrame, bits: Int,
+      shortlist: Int, k: Int): DataFrame = {
+    require(shortlist >= k && k >= 1,
+      s"bad retrieval parameters: shortlist=$shortlist k=$k")
+    val v = vectors.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+    val vs = v.select(col("vec_id"), binarySignature(col("v"), bits).as("sig"))
+    val q = queries.select(col("qid"), col("qv"),
+        binarySignature(col("qv"), bits).as("qsig"), norm(col("qv")).as("qn"))
+    val scored = vs.join(broadcast(q.select(col("qid"), col("qsig"))),
+        col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        bit_count(col("qsig").bitwiseXOR(col("sig"))).cast("long").as("hamming"))
+    val short = TopK.perKey(scored, Seq("qid"),
+      Seq(TopK.asc("hamming"), TopK.asc("vec_id")), shortlist)
+    // exact rerank: shortlist ids back to full vectors — raw vectors
+    // are read in this scan, never carried through the heaps
+    val rer = short.select(col("qid"), col("vec_id"), col("hamming"))
+      .join(v, "vec_id")
+      .join(broadcast(q.select(col("qid"), col("qv"), col("qn"))), "qid")
+      .select(col("qid"), col("vec_id"), col("hamming"),
+        (dot(col("qv"), col("v")) / (col("qn") * norm(col("v")))).as("cosine"))
+    rer.withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+  }
+
   /** Matryoshka-style truncated-dimension retrieval: shortlist by
     * cosine over the PREFIX of each embedding (MRL-trained embeddings
     * front-load information by dimension), then exact-rerank ONLY the
