@@ -2344,6 +2344,31 @@ object SparkEntry {
       .orderBy($"qid", $"rank")
   }
 
+  private def d25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // persisted LSH band index: the corpus banded ONCE into a bucketed
+    // table, the new batch probes it — incremental dedup where the
+    // corpus is never re-signatured per batch and the index side of the
+    // probe join contributes zero exchange (bucketed by the join key).
+    // Result is the d6 fixed point: identical to the direct
+    // minHashLshIncremental run, which the oracle states.
+    val docs = t(s, dir, "documents")
+    val half = 250L // corpus = ids < 250 at every SF (the d6 split)
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_d25_lsh_").toString
+    val it = s"graft_lshidx_$tag"
+    try {
+      operators.Dedup.writeLshIndex(docs.filter($"doc_id" < half), it, s"$tmp/idx")
+      operators.Dedup.probeLshIndex(docs.filter($"doc_id" >= half),
+          docs.filter($"doc_id" < half), it)
+        .orderBy($"da", $"db")
+        .localCheckpoint()
+    } finally {
+      scala.util.Try(s.sql(s"DROP TABLE IF EXISTS $it"))
+      rmTree(tmp)
+    }
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2503,6 +2528,7 @@ object SparkEntry {
     "t21_rake" -> (t21 _),
     "q45_interval_coalesce" -> (q45 _),
     "s12_binary_hamming" -> (s12 _),
+    "d25_lsh_persisted" -> (d25 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4549,5 +4575,33 @@ object SparkEntry {
         |   ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank FROM rer)
         |SELECT qid, rank, vec_id, hamming, cosine FROM ranked WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
+    // the d6 fixed point: probing the persisted index must equal the
+    // direct incremental run, so the oracle is d6's SQL verbatim
+    "d25_lsh_persisted" ->
+      """WITH sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |    i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' '))) AS ts FROM documents),
+        |toks AS (SELECT doc_id,
+        |  list_reduce(list_transform(range(1, 8),
+        |    i -> CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1 AS BIGINT)),
+        |    (x, y) -> x * 16 + y) AS h
+        |  FROM (SELECT doc_id, unnest(ts) AS tok FROM sh) t),
+        |seeds AS (SELECT s, ((2*s + 1) * 2654435761) % 2147483647 AS a, s * 40503 + 1 AS b
+        |          FROM (SELECT unnest(range(16)) AS s)),
+        |sigs AS (
+        |  SELECT doc_id, s, min((a * h + b) % 2147483647) AS mh
+        |  FROM toks CROSS JOIN seeds GROUP BY doc_id, s),
+        |bands AS (
+        |  SELECT doc_id, s // 4 AS band, md5(string_agg(mh::VARCHAR, ',' ORDER BY s)) AS bandsig
+        |  FROM sigs GROUP BY doc_id, s // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bandsig = b.bandsig
+        |  WHERE a.doc_id < 250 AND b.doc_id >= 250)
+        |SELECT da, db,
+        |  len(list_intersect(x.ts, y.ts))::DOUBLE /
+        |  (len(x.ts) + len(y.ts) - len(list_intersect(x.ts, y.ts))) AS jaccard
+        |FROM cand JOIN sh x ON da = x.doc_id JOIN sh y ON db = y.doc_id
+        |WHERE jaccard >= CAST(0.5 AS DOUBLE)
+        |ORDER BY da, db""".stripMargin,
   )
 }

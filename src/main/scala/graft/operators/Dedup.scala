@@ -210,6 +210,61 @@ object Dedup {
     verifyJaccard(cand, tsets, threshold)
   }
 
+  /** Persist the LSH band index of a corpus as a BUCKETED table — the
+    * disk-serving complement of [[minHashLshIncremental]] (the s7
+    * pattern applied to dedup): the corpus is shingled, minhashed and
+    * banded ONCE at ingest, and every later batch probes the stored
+    * (band, bandsig) rows instead of re-running the signature pipeline
+    * over 100 TB. Bucketing by the join key means the probe join plans
+    * with ZERO exchange on the index side — the bucketed write IS the
+    * index's shuffle, paid once (the x4 argument); a small daily batch
+    * can alternatively broadcast into the index scan.
+    */
+  def writeLshIndex(corpus: DataFrame, table: String, path: String,
+      numHashes: Int = 16, rowsPerBand: Int = 4, shingleSize: Int = 3,
+      buckets: Int = 8, textCol: String = "text", idCol: String = "doc_id"): Unit =
+    lshBands(minHashSignatures(corpus, numHashes, shingleSize, textCol, idCol),
+        rowsPerBand)
+      // one task per bucket -> one file per bucket, not tasks × buckets
+      // slivers (the x4 discipline)
+      .repartition(buckets, col("band"), col("bandsig"))
+      .write.format("parquet")
+      .bucketBy(buckets, "band", "bandsig").sortBy("band", "bandsig")
+      .option("path", path).saveAsTable(table)
+
+  /** Probe a [[writeLshIndex]] table with a new batch: the batch alone
+    * is signed per run (incremental cost ∝ batch size), candidates come
+    * from the (band, bandsig) equi-join against the stored index — the
+    * bucketed side contributes no exchange — and only the corpus docs
+    * that actually appear in a candidate pair are re-read for exact
+    * Jaccard verification (left-semi on the candidate id list), so
+    * verification cost scales with the candidate set, never the corpus.
+    * Same result as [[minHashLshIncremental]] over (corpus, batch) —
+    * the fixed point the oracle states.
+    */
+  def probeLshIndex(newDocs: DataFrame, corpus: DataFrame, table: String,
+      numHashes: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.5,
+      shingleSize: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val idx = newDocs.sparkSession.table(table)
+    val nb = lshBands(
+      minHashSignatures(newDocs, numHashes, shingleSize, textCol, idCol), rowsPerBand)
+    // hint("merge"): pin the bucketed SMJ shape (exchange-free index
+    // side) — without it Catalyst would broadcast the small batch side,
+    // which is ALSO a fine at-scale plan (zero shuffle anywhere) but
+    // makes the spec's exchange-count assertion nondeterministic
+    val cand = idx.as("a").hint("merge")
+      .join(nb.as("b"), col("a.band") === col("b.band")
+        && col("a.bandsig") === col("b.bandsig"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val corpusCand = corpus.join(cand.select(col("da")).distinct(),
+      corpus(idCol) === col("da"), "left_semi")
+    val tsets = shingleSets(corpusCand, shingleSize, textCol, idCol)
+      .union(shingleSets(newDocs, shingleSize, textCol, idCol))
+    verifyJaccard(cand, tsets, threshold)
+  }
+
   /** Exact Jaccard over candidate pairs given per-doc token sets.
     *
     * Computed by a token-level join, not per-pair array intersection: the

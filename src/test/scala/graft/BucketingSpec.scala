@@ -92,6 +92,39 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("persisted LSH index: probe == direct incremental, index scan is bucketed") {
+    val tag = freshTag()
+    val tmp = java.nio.file.Files.createTempDirectory("bucketspec_lsh").toString
+    val itab = s"bspec_lshidx_$tag"
+    try {
+      val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+        "zeta", "eta", "theta", "iota", "kappa")
+      def text(seed: Int, mut: Int): String =
+        (0 until 8).map(i => words((seed * 3 + i + (if (i == 7) mut else 0)) % 10))
+          .mkString(" ")
+      val corpus = (0 until 20).map(i => (i.toLong, text(i % 5, 0))).toDF("doc_id", "text")
+      val batch = (100 until 110).map(i => (i.toLong, text(i % 5, i % 2)))
+        .toDF("doc_id", "text") // even ids: exact shingle-set copies of a corpus doc
+      graft.operators.Dedup.writeLshIndex(corpus, itab, s"$tmp/idx", buckets = 4)
+      val probed = graft.operators.Dedup.probeLshIndex(batch, corpus, itab)
+        .orderBy($"da", $"db")
+      val direct = graft.operators.Dedup.minHashLshIncremental(corpus, batch)
+        .orderBy($"da", $"db")
+      val p = probed.collect().toSeq
+      assert(p.nonEmpty, "probe found no pairs — vacuous fixture")
+      assert(p === direct.collect().toSeq)
+      // the index side must be served by the bucketed layout (its half
+      // of the candidate join needs no exchange — the generic bucketed
+      // tests above pin the exchange-free property itself)
+      val planStr = probed.queryExecution.executedPlan.toString
+      assert(planStr.contains("SelectedBucketsCount") || planStr.contains("Bucketed: true"),
+        s"probe did not scan the bucketed index:\n$planStr")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $itab")
+      SparkEntry.rmTree(tmp)
+    }
+  }
+
   test("x4 bucket count is a conf knob (spark.graft.x4.buckets)") {
     spark.conf.set("spark.graft.x4.buckets", "3")
     try {
