@@ -135,6 +135,58 @@ object Layout {
     (selected, df)
   }
 
+  /** Per-partition-directory zone map (X19) — min/max data skipping on
+    * plain parquet for RANGE predicates over non-partition keys, the
+    * ordered complement of [[writeBloomIndex]]'s point lookups (what
+    * Delta/Iceberg file statistics and classic warehouse zone maps do).
+    * Built from ONE parallel scan: the `_metadata.file_path` hidden
+    * column groups rows by partition dir, so the whole map is one
+    * dir-grain aggregate — never one job per dir. Values keep their
+    * own column types in the `_zonemap/` parquet sidecar (#dirs rows),
+    * so pruning comparisons use the engine's type semantics, not
+    * string round-trips. Idempotent overwrite; rebuild after
+    * compaction/erasure (X12's freshness contract).
+    */
+  def writeZoneMap(spark: SparkSession, root: String,
+      cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "zone map needs at least one column")
+    val dir = element_at(split(col("_metadata.file_path"), "/"), -2).as("dir")
+    spark.read.parquet(root)
+      .select(dir +: cols.map(c => col(c)): _*)
+      .groupBy(col("dir"))
+      .agg(min(col(cols.head)).as(s"min_${cols.head}"),
+        (Seq(max(col(cols.head)).as(s"max_${cols.head}")) ++
+          cols.tail.flatMap(c =>
+            Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))): _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/_zonemap")
+  }
+
+  /** Zone-map-pruned range scan: dirs whose [min, max] envelope
+    * intersects [lo, hi] are read (superset selection — min/max can
+    * never exclude a dir that holds a matching row, so the pruned
+    * result is EXACT); everything else is skipped without touching a
+    * data byte. The dir selection itself is a #dirs-row frame filter,
+    * so type coercion of `lo`/`hi` against the column follows engine
+    * rules. Returns the selected dirs beside the frame (the
+    * [[bloomPrunedLookup]] contract) so callers can assert pruning.
+    */
+  def zonePrunedRange(spark: SparkSession, root: String, keyCol: String,
+      lo: Any, hi: Any): (Seq[String], DataFrame) = {
+    val zm = spark.read.parquet(s"$root/_zonemap")
+    val selected = zm.filter(col(s"max_$keyCol") >= lit(lo)
+        && col(s"min_$keyCol") <= lit(hi))
+      .select(col("dir")).collect().map(_.getString(0)).toSeq.sorted
+    val df =
+      if (selected.isEmpty)
+        spark.read.parquet(root).filter(lit(false))
+      else
+        spark.read.option("basePath", root)
+          .parquet(selected.map(d => s"$root/$d"): _*)
+          .filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
+    (selected, df)
+  }
+
   /** Versioned table commits + time travel on plain parquet (X18) —
     * the Delta/Iceberg ESSENCE without the format: a version is a
     * manifest (`_versions/v<N>.manifest`) listing exactly the data

@@ -133,6 +133,33 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.writeBloomIndex(spark, dir, "doc_id", 500, 0.01).size == 8)
   }
 
+  test("zone map: range scans prune to intersecting dirs only, exact rows") {
+    val dir = java.nio.file.Files.createTempDirectory("zoneidx").toString
+    // 8 dirs, each holding a contiguous 500-wide doc_id range — the
+    // clustered-by-ingest-time shape zone maps exist for
+    val df = (0 until 4000)
+      .map(i => (i.toLong, s"s${i / 500}", s"doc $i")).toDF("doc_id", "src", "text")
+    df.write.mode("overwrite").partitionBy("src").parquet(dir)
+    Layout.writeZoneMap(spark, dir, Seq("doc_id"))
+    // a range spanning two dirs selects exactly those two
+    val (sel, got) = Layout.zonePrunedRange(spark, dir, "doc_id", 900L, 1100L)
+    assert(sel == Seq("src=s1", "src=s2"), s"selected $sel")
+    assert(got.select($"doc_id").as[Long].collect().sorted.toSeq ==
+      (900L to 1100L).toSeq)
+    // the pruned result equals the unpruned filter (exactness)
+    val full = spark.read.parquet(dir)
+      .filter($"doc_id" >= 900L && $"doc_id" <= 1100L)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(got.select($"doc_id").as[Long].collect().sorted.toSeq == full)
+    // a range beyond every envelope reads nothing
+    val (selNone, none) = Layout.zonePrunedRange(spark, dir, "doc_id", 50000L, 60000L)
+    assert(selNone.isEmpty && none.count() == 0L)
+    // rebuild is an idempotent overwrite
+    Layout.writeZoneMap(spark, dir, Seq("doc_id"))
+    val (sel2, _) = Layout.zonePrunedRange(spark, dir, "doc_id", 900L, 1100L)
+    assert(sel2 == sel)
+  }
+
   test("versioned commits: time travel, append by reference, crash leaves no bad version") {
     val root = java.nio.file.Files.createTempDirectory("vtab").toString
     def rows(df: org.apache.spark.sql.DataFrame) =
