@@ -806,6 +806,88 @@ object Pipeline {
       .readFrom(new java.io.ByteArrayInputStream(sketchBytes))
       .estimateCount(java.lang.Long.valueOf(value))
 
+  // ---- mergeable quantile sketches (X20) --------------------------------
+
+  private type QSum = org.apache.spark.sql.catalyst.util.QuantileSummaries
+
+  private def qsWrite(s: QSum): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(s); oos.close(); bos.toByteArray
+  }
+  private def qsRead(b: Array[Byte]): QSum =
+    new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(b))
+      .readObject().asInstanceOf[QSum]
+
+  private class QuantileSketchAgg(relativeError: Double)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Double, org.apache.spark.sql.catalyst.util.QuantileSummaries, Array[Byte]] {
+    def zero: QSum = new org.apache.spark.sql.catalyst.util.QuantileSummaries(
+      org.apache.spark.sql.catalyst.util.QuantileSummaries.defaultCompressThreshold,
+      relativeError)
+    def reduce(buf: QSum, v: Double): QSum = buf.insert(v)
+    def merge(a: QSum, b: QSum): QSum = a.compress().merge(b.compress())
+    def finish(r: QSum): Array[Byte] = qsWrite(r.compress())
+    def bufferEncoder: org.apache.spark.sql.Encoder[QSum] =
+      org.apache.spark.sql.Encoders.javaSerialization[QSum]
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** Mergeable quantile sketches — the ORDER-STATISTICS member of the
+    * sketch family beside X11's HLL distincts and X15's Count-Min
+    * frequencies: per-group Greenwald–Khanna summaries (Spark's own
+    * `QuantileSummaries`, the `approxQuantile` engine, run as a
+    * distributed object aggregate) whose `query(q)` returns a value of
+    * rank within ±relativeError·n of q·n. The summary size is bounded
+    * by O((1/ε)·log(εn)) — KB regardless of group size — and two
+    * summaries MERGE without re-reading rows, the composability the
+    * exact R22 bucketed-selection quantiles lack: maintain per-day
+    * sketches incrementally, answer "this quarter's p99" by merging ~90
+    * blobs. Null values are excluded (as every quantile definition
+    * does); `n_rows` counts what the sketch saw.
+    */
+  def quantileSketch(df: DataFrame, groupCol: String, valueCol: String,
+      relativeError: Double = 0.01): DataFrame = {
+    require(relativeError > 0 && relativeError < 1,
+      s"relativeError must be in (0, 1): $relativeError")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(org.apache.spark.sql.functions.udaf(new QuantileSketchAgg(relativeError))
+          .apply(col(valueCol).cast("double")).as("sketch"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  private object QsMergeAgg
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Array[Byte], Array[Byte], Array[Byte]] {
+    def zero: Array[Byte] = Array.emptyByteArray
+    def reduce(buf: Array[Byte], in: Array[Byte]): Array[Byte] = merge(buf, in)
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      if (a.isEmpty) b else if (b.isEmpty) a
+      else qsWrite(qsRead(a).compress().merge(qsRead(b).compress()))
+    def finish(r: Array[Byte]): Array[Byte] = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** Merge per-group quantile-summary blobs into one — GK merge keeps
+    * the rank-error guarantee, reads #groups KB blobs, never the data.
+    */
+  def mergeQuantileSketches(sketches: DataFrame,
+      sketchCol: String = "sketch"): DataFrame =
+    sketches.agg(org.apache.spark.sql.functions.udaf(QsMergeAgg)
+      .apply(col(sketchCol)).as("sketch"))
+
+  /** Driver-side quantile probe of a serialized summary blob (the
+    * serving path). NaN on an empty sketch. */
+  def estimateQuantile(sketchBytes: Array[Byte], q: Double): Double = {
+    require(q >= 0 && q <= 1, s"quantile must be in [0, 1]: $q")
+    qsRead(sketchBytes).query(q).getOrElse(Double.NaN)
+  }
+
   /** Contract violations as reference-shaped dead letters: quarantined
     * rows from [[expectations]] rendered in the exact DeadLetter.avsc
     * shape — `input_value` from the caller's key expression, the

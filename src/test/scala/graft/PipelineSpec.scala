@@ -538,6 +538,39 @@ class PipelineSpec extends SparkSpec {
     assert(est7 > 100 * est150) // the heavy hitter is unmistakable
   }
 
+  test("quantileSketch: per-group and merged estimates honor the rank-error bound") {
+    val eps = 0.01
+    // g=a holds 0..9999, g=b holds 10000..19999 — value == global rank,
+    // so rank error is directly readable off the estimate
+    val df = (0L until 20000L).map(i => (if (i < 10000) "a" else "b", i))
+      .toDF("g", "v")
+    val perGroup = Pipeline.quantileSketch(df, "g", "v", relativeError = eps)
+    val rows = perGroup.select($"g", $"sketch", $"n_rows")
+      .as[(String, Array[Byte], Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rows("a")._2 == 10000L && rows("b")._2 == 10000L)
+    // per-group median of g=a: rank 5000 of 0..9999, tolerance eps*n
+    val medA = Pipeline.estimateQuantile(rows("a")._1, 0.5)
+    assert(math.abs(medA - 5000.0) <= eps * 10000 + 1, s"median(a)=$medA")
+    // g=b's p99 lives near 19900
+    val p99b = Pipeline.estimateQuantile(rows("b")._1, 0.99)
+    assert(math.abs(p99b - 19900.0) <= eps * 10000 + 1, s"p99(b)=$p99b")
+    // merged sketch answers GLOBAL quantiles within the (2x post-merge)
+    // bound without re-reading rows
+    val merged = Pipeline.mergeQuantileSketches(perGroup)
+      .select($"sketch").as[Array[Byte]].collect().head
+    val gmed = Pipeline.estimateQuantile(merged, 0.5)
+    assert(math.abs(gmed - 10000.0) <= 2 * eps * 20000 + 1, s"global median $gmed")
+    val gp95 = Pipeline.estimateQuantile(merged, 0.95)
+    assert(math.abs(gp95 - 19000.0) <= 2 * eps * 20000 + 1, s"global p95 $gp95")
+    // null values are excluded, not folded in as zeros
+    val withNulls = df.union(Seq(("a", null.asInstanceOf[java.lang.Long]))
+      .map(t => (t._1, Option(t._2).map(_.toLong).getOrElse(0L))).toDF("g", "v")
+      .withColumn("v", lit(null).cast("long")))
+    val nr = Pipeline.quantileSketch(withNulls, "g", "v")
+      .filter($"g" === "a").select($"n_rows").as[Long].collect().head
+    assert(nr == 10000L)
+  }
+
   test("canonicalizeUrl is idempotent over varied url shapes") {
     val urls = (for {
       host <- Seq("Ex.COM", "a.b.ex.com")
