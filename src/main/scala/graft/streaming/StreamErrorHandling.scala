@@ -553,6 +553,31 @@ object StreamErrorHandling {
       && col(rightTs) >= col(leftTs) - expr(s"INTERVAL $window"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — the streaming twin of the
+    * batch q30 "errors WITHOUT a click within the window" shape: a left
+    * row that finds no right within its time bound emits null-extended
+    * exactly once, but only AFTER the watermark proves no matching
+    * right can still arrive (the latest admissible right carries the
+    * left's own timestamp, so the left finalizes once the watermark
+    * passes it). Until then the row sits in the join state; matched
+    * rows emit immediately like the inner join. Streaming-outer
+    * contract, documented: null results trail the watermark by design,
+    * and the engine emits them in a LATER micro-batch — a tail row
+    * whose horizon never closes (no further data) stays pending, which
+    * is why the equivalence spec drives the watermark past the data
+    * with a sentinel batch.
+    */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      watermarkDelay: String, window: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r, col(leftKey) === col(rightKey)
+      && col(rightTs) <= col(leftTs)
+      && col(rightTs) >= col(leftTs) - expr(s"INTERVAL $window"), "left_outer")
+  }
+
   /** Streaming trending top-k ("top pages this hour", live): windowed
     * counts under a watermark in APPEND mode — each window emits
     * exactly once, complete, after the watermark passes it — then the

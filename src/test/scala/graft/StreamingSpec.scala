@@ -330,6 +330,39 @@ class StreamingSpec extends SparkSpec {
     assert(tags == Seq("in-window"))
   }
 
+  test("intervalJoinOuter: unmatched lefts emit null-extended once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val lmem = MemoryStream[(Long, java.sql.Timestamp)]
+    val rmem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val joined = StreamErrorHandling.intervalJoinOuter(
+      lmem.toDF().toDF("uid", "lts"), rmem.toDF().toDF("ruid", "rts", "tag"),
+      "uid", "ruid", "lts", "rts", "1 hour", "1 hour")
+    val q = joined.writeStream.format("memory").queryName("ijo")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 0: u1 has a click in-window, u2 has none
+    rmem.addData((1L, ts("2024-01-01 09:30:00"), "in-window"))
+    lmem.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    val phase1 = spark.table("ijo").select($"uid", $"tag")
+      .as[(Long, Option[String])].collect().toSet
+    // the match emits immediately; the unmatched left is still pending
+    // (its horizon only closes when the watermark passes its own ts)
+    assert(phase1 == Set((1L, Some("in-window"))), s"got $phase1")
+    // two sentinel batches on BOTH streams (the global watermark is the
+    // MIN across inputs; emission lags eviction by one batch)
+    lmem.addData((90L, ts("2024-01-02 12:00:00")))
+    rmem.addData((91L, ts("2024-01-02 12:00:00"), "s1"))
+    q.processAllAvailable()
+    lmem.addData((92L, ts("2024-01-02 18:00:00")))
+    rmem.addData((93L, ts("2024-01-02 18:00:00"), "s2"))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("ijo").filter($"uid" < 10L).select($"uid", $"tag")
+      .as[(Long, Option[String])].collect().toSet
+    assert(all == Set((1L, Some("in-window")), (2L, None)), s"got $all")
+  }
+
   test("file-source stream: capture over parquet backfill splits values/DLQ") {
     val tmp = Files.createTempDirectory("graft-filestream").toString
     // stage a parquet "topic" directory
