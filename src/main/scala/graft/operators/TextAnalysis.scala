@@ -252,47 +252,128 @@ object TextAnalysis {
   def bpeSymbolHistogram(docs: DataFrame, rounds: Int, topK: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(rounds >= 1 && topK >= 1, s"need rounds/topK >= 1: $rounds/$topK")
-    val words = docs.select(explode(tokens(col(textCol))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("n"))
-    // chars joined by spaces; array_remove drops split's zero-width
-    // artifacts so the char list matches a per-index construction
-    val base = words.select(
-      concat_ws(" ", array_remove(split(col("w"), ""), "")).as("sym"), col("n"))
-      .persist()
-    var sym = base
+    val base = bpeBaseHistogram(docs, textCol).persist()
     try {
-      var r = 0
-      var exhausted = false
-      while (r < rounds && !exhausted) {
-        val a = split(col("sym"), " ")
-        val pc = sym.select(col("n"),
-            explode(zip_with(
-              slice(a, lit(1), size(a) - 1), slice(a, lit(2), size(a) - 1),
-              (x, y) => struct(x.as("x"), y.as("y")))).as("p"))
-          .select(col("n"), col("p.x").as("x"), col("p.y").as("y"))
-          .groupBy(col("x"), col("y")).agg(sum(col("n")).as("c"))
-        val best = pc.orderBy(col("c").desc, col("x").asc, col("y").asc)
-          .limit(1).collect()
-        if (best.isEmpty) exhausted = true
-        else {
-          val (bx, by) = (best.head.getString(0), best.head.getString(1))
-          sym = sym.withColumn("sym",
-            aggregate(split(col("sym"), " "), lit(""), (acc, s) =>
-              when(acc === lit(""), s)
-                .when(s === lit(by) && acc === lit(bx), lit(bx + by))
-                .when(s === lit(by) && acc.endsWith(lit(" " + bx)),
-                  concat(acc.substr(lit(1), length(acc) - lit(bx.length + 1)),
-                    lit(" " + bx + by)))
-                .otherwise(concat(acc, lit(" "), s))))
-        }
-        r += 1
-      }
+      val (sym, _) = bpeLoop(base, rounds)
       sym.select(col("n"), explode(split(col("sym"), " ")).as("symbol"))
         .groupBy(col("symbol")).agg(sum(col("n")).as("n_total"))
         .orderBy(col("n_total").desc, col("symbol").asc)
         .limit(topK)
         .localCheckpoint() // pin before unpersisting the histogram
     } finally { base.unpersist(); () }
+  }
+
+  /** The trained artifact of [[bpeSymbolHistogram]]'s loop: the ordered
+    * merge list itself — what a tokenizer's merges.txt holds and what
+    * [[bpeEncode]] consumes. Driver state is one (pair, rank) per
+    * round, bounded by `rounds`.
+    */
+  def bpeMerges(docs: DataFrame, rounds: Int,
+      textCol: String = "text", idCol: String = "doc_id"): Seq[(String, String)] = {
+    require(rounds >= 1, s"need rounds >= 1: $rounds")
+    val base = bpeBaseHistogram(docs, textCol).persist()
+    try bpeLoop(base, rounds)._2 finally { base.unpersist(); () }
+  }
+
+  /** (word → space-joined chars, count) histogram the BPE loop runs on.
+    * array_remove drops split's zero-width artifacts so the char list
+    * matches a per-index construction.
+    */
+  private def bpeBaseHistogram(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(concat_ws(" ", array_remove(split(col("w"), ""), "")).as("sym"),
+        col("n"))
+
+  /** One merge round per iteration over the symbol histogram; returns
+    * the post-merge frame and the ordered merge list. */
+  private def bpeLoop(base: DataFrame, rounds: Int): (DataFrame, Seq[(String, String)]) = {
+    var sym = base
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      val a = split(col("sym"), " ")
+      val pc = sym.select(col("n"),
+          explode(zip_with(
+            slice(a, lit(1), size(a) - 1), slice(a, lit(2), size(a) - 1),
+            (x, y) => struct(x.as("x"), y.as("y")))).as("p"))
+        .select(col("n"), col("p.x").as("x"), col("p.y").as("y"))
+        .groupBy(col("x"), col("y")).agg(sum(col("n")).as("c"))
+      val best = pc.orderBy(col("c").desc, col("x").asc, col("y").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (bx, by) = (best.head.getString(0), best.head.getString(1))
+        merges += ((bx, by))
+        sym = sym.withColumn("sym",
+          aggregate(split(col("sym"), " "), lit(""), (acc, s) =>
+            when(acc === lit(""), s)
+              .when(s === lit(by) && acc === lit(bx), lit(bx + by))
+              .when(s === lit(by) && acc.endsWith(lit(" " + bx)),
+                concat(acc.substr(lit(1), length(acc) - lit(bx.length + 1)),
+                  lit(" " + bx + by)))
+              .otherwise(concat(acc, lit(" "), s))))
+      }
+      r += 1
+    }
+    (sym, merges.toSeq)
+  }
+
+  /** Apply an ordered merge list to ONE word — the imperative twin of
+    * the training fold (left-to-right, non-cascading within a merge:
+    * "a a a" under (a,a) becomes "aa a"), so encoding a training-corpus
+    * word reproduces its training-time segmentation exactly.
+    */
+  private[graft] def applyBpeMerges(word: String,
+      merges: Array[(String, String)]): Array[String] = {
+    var syms: Array[String] = word.map(_.toString).toArray
+    var mi = 0
+    while (mi < merges.length) {
+      val (x, y) = merges(mi)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        val s = syms(i)
+        if (out.nonEmpty && out.last == x && s == y)
+          out(out.length - 1) = x + y
+        else out += s
+        i += 1
+      }
+      syms = out.toArray
+      mi += 1
+    }
+    syms
+  }
+
+  /** BPE ENCODING — apply a trained merge list to every word of the
+    * corpus (the step between [[bpeMerges]] training and T10's id
+    * assignment / P3's packing): each (doc, word) row becomes its
+    * symbol sequence. The merge table is broadcast (rounds entries);
+    * the encode is ONE scan-bound mapPartitions pass — per word
+    * O(merges × word length), no shuffle, exactly how a production
+    * tokenizer worker runs (no Catalyst expression exists for the
+    * sequential merge recursion, the E-family typed-capture precedent).
+    * Concatenating a word's symbols always reproduces the word
+    * (merges only ever join adjacent symbols) — the spec's roundtrip
+    * invariant — and re-aggregating encoded symbols equals the
+    * training histogram.
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "word")))
+      .select(col("doc_id"), col("pos").cast("int").as("pos"), col("word"))
+      .as[(Long, Int, String)]
+      .mapPartitions { it =>
+        val ms = bc.value
+        it.map { case (d, p, w) => (d, p, w, applyBpeMerges(w, ms).toSeq) }
+      }
+      .toDF("doc_id", "pos", "word", "symbols")
+      .withColumn("n_symbols", size(col("symbols")).cast("long"))
   }
 
   /** Bigram language-model training: the corpus-wide conditional-

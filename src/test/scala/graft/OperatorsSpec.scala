@@ -234,6 +234,33 @@ class OperatorsSpec extends SparkSpec {
     assert(r2 == Seq(("aa", 2L), ("ab", 1L)))
   }
 
+  test("bpeEncode: roundtrip, training-histogram fixed point, unseen words") {
+    val d = Seq((0L, "aaa aaa aa ab banana band"), (1L, "banana ban aa")).toDF("doc_id", "text")
+    val merges = operators.TextAnalysis.bpeMerges(d, rounds = 4)
+    assert(merges.size == 4 && merges.head == ("a", "a"))
+    val enc = operators.TextAnalysis.bpeEncode(d, merges)
+      .select($"doc_id", $"word", $"symbols")
+      .as[(Long, String, Seq[String])].collect()
+    // roundtrip: symbols always concatenate back to the word
+    enc.foreach { case (_, w, syms) =>
+      assert(syms.mkString("") == w, s"roundtrip broke: $w -> $syms")
+    }
+    // fixed point: re-aggregating encoded symbols == the training
+    // histogram (encoding reproduces training-time segmentation)
+    val got = enc.flatMap(_._3).groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(t => (-t._2, t._1))
+    val want = operators.TextAnalysis.bpeSymbolHistogram(d, rounds = 4, topK = 1000)
+      .as[(String, Long)].collect().toSeq
+    assert(got == want, s"got $got\nwant $want")
+    // an UNSEEN word still encodes (only learned merges apply) and
+    // roundtrips
+    val unseen = Seq((9L, "aaab zzz")).toDF("doc_id", "text")
+    val e2 = operators.TextAnalysis.bpeEncode(unseen, merges)
+      .select($"word", $"symbols").as[(String, Seq[String])].collect().toMap
+    assert(e2("zzz") == Seq("z", "z", "z"))
+    assert(e2("aaab").mkString("") == "aaab")
+  }
+
   test("commonness: integer-exact mean corpus frequency per document") {
     val d = Seq(
       (0L, "a a b"),   // corpus tf: a=3, b=2, c=1
