@@ -2369,6 +2369,24 @@ object SparkEntry {
     }
   }
 
+  private def d26(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // content-defined chunking accounting: corpus-wide storage dedup at
+    // chunk grain — n_chunks/n_distinct and the byte ratio a
+    // chunk-store would realize. One scan (in-row chunking), one
+    // hash-grain aggregate, one 1-row total.
+    val ch = operators.Dedup.cdcChunks(t(s, dir, "documents"))
+    ch.groupBy($"chunk_hash")
+      .agg(count(lit(1)).as("c"), max($"chunk_len").as("l"))
+      .agg(sum($"c").as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        sum($"c" * $"l").as("total_bytes"),
+        sum($"l").as("stored_bytes"))
+      .select($"n_chunks", $"n_distinct", $"total_bytes", $"stored_bytes",
+        ($"stored_bytes".cast("double") / $"total_bytes".cast("double"))
+          .as("dedup_ratio"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2529,6 +2547,7 @@ object SparkEntry {
     "q45_interval_coalesce" -> (q45 _),
     "s12_binary_hamming" -> (s12 _),
     "d25_lsh_persisted" -> (d25 _),
+    "d26_cdc_chunks" -> (d26 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4603,5 +4622,24 @@ object SparkEntry {
         |FROM cand JOIN sh x ON da = x.doc_id JOIN sh y ON db = y.doc_id
         |WHERE jaccard >= CAST(0.5 AS DOUBLE)
         |ORDER BY da, db""".stripMargin,
+    // identical md5-prefix window hashing and slicing on both engines;
+    // one division at the very end
+    "d26_cdc_chunks" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |b AS (SELECT doc_id, text, len,
+        |   list_filter(range(8, greatest(len, 8)), p ->
+        |     (TRY_CAST('0x' || substr(md5(substr(text, CAST(p - 7 AS INT), 8)), 1, 8) AS BIGINT) % 64) = 0) AS bs
+        |  FROM d),
+        |z AS (SELECT doc_id, text, unnest(list_zip(list_prepend(CAST(0 AS BIGINT), bs),
+        |   list_append(bs, CAST(len AS BIGINT)))) AS se FROM b),
+        |ch AS (SELECT md5(substr(text, CAST(se[1] + 1 AS INT), CAST(se[2] - se[1] AS INT))) AS h,
+        |   CAST(se[2] - se[1] AS BIGINT) AS l FROM z),
+        |g AS (SELECT h, COUNT(*) AS c, MAX(l) AS l FROM ch GROUP BY h)
+        |SELECT CAST(SUM(c) AS BIGINT) AS n_chunks,
+        | CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        | CAST(SUM(c * l) AS BIGINT) AS total_bytes,
+        | CAST(SUM(l) AS BIGINT) AS stored_bytes,
+        | CAST(SUM(l) AS DOUBLE) / CAST(SUM(c * l) AS DOUBLE) AS dedup_ratio
+        |FROM g""".stripMargin,
   )
 }

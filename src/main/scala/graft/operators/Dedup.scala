@@ -585,6 +585,48 @@ object Dedup {
       .filter(greatest(col("contain_a"), col("contain_b")) >= threshold)
   }
 
+  /** Content-defined chunking (the rsync/LBFS/backup-dedup technique):
+    * a position ends a chunk when the hash of the `window` bytes ending
+    * there satisfies `hash % divisor == 0` — boundaries depend only on
+    * LOCAL content, so inserting or deleting bytes early in a document
+    * shifts nothing downstream once the window re-synchronizes. This is
+    * the shift-ROBUST complement of [[spanDedup]]'s fixed-size spans
+    * (which break on any offset change); expected chunk length is
+    * `divisor` bytes. All per-row array expressions — the boundary
+    * scan, the chunk slicing and the chunk hashing never leave the row,
+    * so the operator is scan-bound at any corpus size (the m6/d23 CPU
+    * class); Fence pins the boundary array to one evaluation (starts
+    * and ends both read it).
+    *
+    * Returns one row per chunk: (doc_id, chunk_idx, chunk_hash,
+    * chunk_len). Identical md5-prefix arithmetic reproduces the
+    * boundaries in any engine.
+    */
+  def cdcChunks(docs0: DataFrame, window: Int = 8, divisor: Int = 64,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    require(divisor >= 1, s"divisor must be >= 1: $divisor")
+    val docs = widen(docs0)
+    val len = length(col("__t"))
+    def winHash(p: Column) =
+      pmod(conv(substring(md5(col("__t").substr(p - (window - 1), lit(window))),
+        1, 8), 16, 10).cast("long"), lit(divisor.toLong))
+    val bounds = when(len >= window + 1,
+        filter(sequence(lit(window), len - 1), p => winHash(p) === 0L))
+      .otherwise(expr("array()").cast("array<int>"))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .select(col("doc_id"), col("__t"),
+        graft.functions.Fence(bounds).as("__b"))
+      .select(col("doc_id"),
+        posexplode(zip_with(
+          concat(array(lit(0)), col("__b")),
+          concat(col("__b"), array(len)),
+          (s, e) => col("__t").substr(s + 1, e - s))).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"),
+        md5(col("chunk")).as("chunk_hash"),
+        length(col("chunk")).cast("long").as("chunk_len"))
+  }
+
   /** Apply a near-dup pair list to the corpus with the deterministic
     * "keep the earliest" policy: any document having a smaller-id
     * near-duplicate neighbor is dropped (pairs are emitted as

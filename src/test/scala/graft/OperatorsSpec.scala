@@ -261,6 +261,29 @@ class OperatorsSpec extends SparkSpec {
     assert(e2("aaab").mkString("") == "aaab")
   }
 
+  test("cdcChunks: lossless cover, boundaries re-synchronize after insertion") {
+    // aperiodic tokens: a periodic text has few DISTINCT windows and can
+    // legitimately produce no boundary at all
+    val base = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val shifted = "inserted prefix text " + base
+    val d = Seq((0L, base), (1L, shifted)).toDF("doc_id", "text")
+    val ch = operators.Dedup.cdcChunks(d, window = 8, divisor = 16)
+      .select($"doc_id", $"chunk_hash", $"chunk_len")
+      .as[(Long, String, Long)].collect()
+    // lossless cover: per doc, chunk lengths sum to the text length
+    val lens = ch.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(lens(0L) == base.length.toLong && lens(1L) == shifted.length.toLong)
+    // shift robustness: the insertion may change the first chunk(s), but
+    // boundaries re-synchronize — most of the base doc's chunks survive
+    // byte-identical in the shifted doc (fixed-size spans would share
+    // none, the d12 limitation this operator removes)
+    val h0 = ch.filter(_._1 == 0L).map(_._2).toSet
+    val h1 = ch.filter(_._1 == 1L).map(_._2).toSet
+    val shared = (h0 & h1).size
+    assert(h0.size >= 3, s"fixture too short: ${h0.size} chunks")
+    assert(shared >= h0.size / 2, s"only $shared of ${h0.size} chunks survived the shift")
+  }
+
   test("commonness: integer-exact mean corpus frequency per document") {
     val d = Seq(
       (0L, "a a b"),   // corpus tf: a=3, b=2, c=1
