@@ -2387,6 +2387,19 @@ object SparkEntry {
           .as("dedup_ratio"))
   }
 
+  private def x11psi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // PSI between the two order-key parities over the x10 bucket grid —
+    // a near-zero PSI fixture (the parities draw from one distribution);
+    // the operator's job is the engine-exact number, the knobs are the
+    // monitoring story.
+    val o = t(s, dir, "orders")
+    operators.Pipeline.psiDrift(
+      o.filter(pmod($"o_orderkey", lit(2)) === 0),
+      o.filter(pmod($"o_orderkey", lit(2)) === 1),
+      "o_totalprice", lo = 0.0, hi = 600000.0, nBuckets = 20)
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2548,6 +2561,7 @@ object SparkEntry {
     "s12_binary_hamming" -> (s12 _),
     "d25_lsh_persisted" -> (d25 _),
     "d26_cdc_chunks" -> (d26 _),
+    "x11_psi" -> (x11psi _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4641,5 +4655,33 @@ object SparkEntry {
         | CAST(SUM(l) AS BIGINT) AS stored_bytes,
         | CAST(SUM(l) AS DOUBLE) / CAST(SUM(c * l) AS DOUBLE) AS dedup_ratio
         |FROM g""".stripMargin,
+    // x10's bucket arithmetic + t20's quantized libm sum; every PSI
+    // term is >= 0 (factors share sign) so round(9) has no zero-sign
+    // hazard
+    "x11_psi" ->
+      """WITH w AS (SELECT (CAST(600000 AS DOUBLE) - CAST(0 AS DOUBLE)) / CAST(20 AS DOUBLE) AS width),
+        |ba AS (SELECT CAST(least(greatest(
+        |   floor((o_totalprice - CAST(0 AS DOUBLE)) / w.width), 0), 19) AS BIGINT) AS bucket
+        |  FROM orders CROSS JOIN w WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL),
+        |bb AS (SELECT CAST(least(greatest(
+        |   floor((o_totalprice - CAST(0 AS DOUBLE)) / w.width), 0), 19) AS BIGINT) AS bucket
+        |  FROM orders CROSS JOIN w WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL),
+        |ca AS (SELECT bucket, COUNT(*) AS ca FROM ba GROUP BY bucket),
+        |cb AS (SELECT bucket, COUNT(*) AS cb FROM bb GROUP BY bucket),
+        |j AS (SELECT COALESCE(ca.ca, 0) AS ca, COALESCE(cb.cb, 0) AS cb
+        |  FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket),
+        |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+        |   COUNT(*) AS k,
+        |   CAST(SUM(CASE WHEN cb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+        |   CAST(SUM(CASE WHEN ca = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b
+        |  FROM j),
+        |terms AS (SELECT CAST(ca + 1 AS DOUBLE) / CAST(na + k AS DOUBLE) AS pa,
+        |   CAST(cb + 1 AS DOUBLE) / CAST(nb + k AS DOUBLE) AS pb,
+        |   na, nb, k, n_only_a, n_only_b
+        |  FROM j CROSS JOIN tot)
+        |SELECT CAST(SUM(CAST(round((pa - pb) * ln(pa / pb), 9) AS DECIMAL(20,12))) AS DOUBLE) AS psi,
+        | MAX(na) AS n_a, MAX(nb) AS n_b, MAX(k) AS n_buckets,
+        | MAX(n_only_a) AS n_only_a, MAX(n_only_b) AS n_only_b
+        |FROM terms""".stripMargin,
   )
 }

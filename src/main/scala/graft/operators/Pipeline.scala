@@ -398,6 +398,56 @@ object Pipeline {
         col("n"), col("sum_value"))
   }
 
+  /** Population Stability Index between two slices — the BINNED drift
+    * monitor beside t20's token-distribution KL: both slices bucket
+    * through [[histogram]]'s clamped equi-width rule (identical IEEE
+    * width/edge arithmetic on any engine), add-one-smoothed proportions
+    * over the observed-bucket union, PSI = Σ (pa−pb)·ln(pa/pb). The
+    * classic model-monitoring read: < 0.1 stable, 0.1–0.25 drifting,
+    * > 0.25 shifted. Each term is ≥ 0 (the factors share sign), so the
+    * t20 exactness pattern applies cleanly: per-term round(9) absorbs
+    * ln ulp, DECIMAL(20,12) quantization makes the global sum
+    * order-independent — hash-exact, double only at the very end. The
+    * joined bucket frame (≤ nBuckets rows) is localCheckpoint-pinned so
+    * the totals aggregate and the term scan read it once instead of
+    * re-planning both histogram scans.
+    */
+  def psiDrift(a: DataFrame, b: DataFrame, valueCol: String,
+      lo: Double, hi: Double, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    require(hi > lo, s"empty range: [$lo, $hi)")
+    val width = (hi - lo) / nBuckets
+    def buckets(df: DataFrame, out: String) = {
+      val v = col(valueCol)
+      val bucket = least(greatest(floor((v - lit(lo)) / lit(width)), lit(0L)),
+        lit((nBuckets - 1).toLong))
+      df.filter(v.isNotNull).groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as(out))
+    }
+    val j = buckets(a, "ca").join(buckets(b, "cb"), Seq("bucket"), "full_outer")
+      .select(coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .localCheckpoint()
+    val tot = j.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      count(lit(1)).as("k"),
+      sum(when(col("cb") === 0L, 1L).otherwise(0L)).as("n_only_a"),
+      sum(when(col("ca") === 0L, 1L).otherwise(0L)).as("n_only_b"))
+    j.crossJoin(tot)
+      .select(
+        ((col("ca") + lit(1L)).cast("double") /
+          (col("na") + col("k")).cast("double")).as("pa"),
+        ((col("cb") + lit(1L)).cast("double") /
+          (col("nb") + col("k")).cast("double")).as("pb"),
+        col("na"), col("nb"), col("k"), col("n_only_a"), col("n_only_b"))
+      .agg(
+        sum(round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 9)
+          .cast("decimal(20,12)")).cast("double").as("psi"),
+        max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(col("k")).as("n_buckets"),
+        max(col("n_only_a")).as("n_only_a"),
+        max(col("n_only_b")).as("n_only_b"))
+  }
+
   /** Per-key exponentially weighted moving average — the recursive
     * smoother s_i = α·v_i + (1−α)·s_{i−1}, s_1 = v_1, folded in
     * (orderCols) order. A recursion is not a window aggregate, so this
