@@ -2400,6 +2400,42 @@ object SparkEntry {
       "o_totalprice", lo = 0.0, hi = 600000.0, nBuckets = 20)
   }
 
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // NEAREST-event join (the bidirectional as-of R21 can't express):
+    // each error matched to the temporally closest purchase by the same
+    // user, either direction — sensor-alignment semantics. ONE user_id
+    // exchange: purchases and errors ride a single tagged union, the
+    // backward candidate is last_value(ignoreNulls) over the preceding
+    // frame and the forward candidate first_value over the following
+    // frame — both windows share the (tus, event_id) sort. Ties prefer
+    // the backward match. All-integer micros.
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    val ev = t(s, dir, "events")
+      .filter($"event_type".isin("error", "purchase"))
+      .select($"user_id", expr("ts div 1000").as("tus"), $"event_id", $"event_type")
+      .withColumn("pt", when($"event_type" === "purchase", $"tus"))
+      .withColumn("pid", when($"event_type" === "purchase", $"event_id"))
+    val cand = ev
+      .withColumn("prev_t", last($"pt", ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("prev_id", last($"pid", ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("next_t", first($"pt", ignoreNulls = true)
+        .over(w.rowsBetween(1, Window.unboundedFollowing)))
+      .withColumn("next_id", first($"pid", ignoreNulls = true)
+        .over(w.rowsBetween(1, Window.unboundedFollowing)))
+      .filter($"event_type" === "error")
+    val takePrev = $"next_t".isNull ||
+      ($"prev_t".isNotNull && ($"tus" - $"prev_t") <= ($"next_t" - $"tus"))
+    cand.filter($"prev_t".isNotNull || $"next_t".isNotNull)
+      .select($"user_id", $"event_id",
+        when(takePrev, $"prev_id").otherwise($"next_id").as("matched_id"),
+        (when(takePrev, $"prev_t").otherwise($"next_t") - $"tus").as("dt_us"))
+      .orderBy($"event_id")
+  }
+
   // ---------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2562,6 +2598,7 @@ object SparkEntry {
     "d25_lsh_persisted" -> (d25 _),
     "d26_cdc_chunks" -> (d26 _),
     "x11_psi" -> (x11psi _),
+    "q46_nearest_join" -> (q46 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4683,5 +4720,30 @@ object SparkEntry {
         | MAX(na) AS n_a, MAX(nb) AS n_b, MAX(k) AS n_buckets,
         | MAX(n_only_a) AS n_only_a, MAX(n_only_b) AS n_only_b
         |FROM terms""".stripMargin,
+    // both windows ordered by the same total (tus, event_id) key;
+    // all-integer micros; ties prefer the backward match on both sides
+    "q46_nearest_join" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, event_type,
+        |  CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END AS pt,
+        |  CASE WHEN event_type = 'purchase' THEN event_id END AS pid
+        | FROM events WHERE event_type IN ('error', 'purchase')),
+        |c AS (SELECT user_id, tus, event_id, event_type,
+        |  last_value(pt IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_t,
+        |  last_value(pid IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_id,
+        |  first_value(pt IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_t,
+        |  first_value(pid IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_id
+        | FROM e),
+        |r AS (SELECT *, next_t IS NULL OR (prev_t IS NOT NULL
+        |   AND (tus - prev_t) <= (next_t - tus)) AS take_prev
+        | FROM c WHERE event_type = 'error'
+        |   AND (prev_t IS NOT NULL OR next_t IS NOT NULL))
+        |SELECT user_id, event_id,
+        | CASE WHEN take_prev THEN prev_id ELSE next_id END AS matched_id,
+        | CAST(CASE WHEN take_prev THEN prev_t ELSE next_t END - tus AS BIGINT) AS dt_us
+        |FROM r ORDER BY event_id""".stripMargin,
   )
 }
