@@ -50,7 +50,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Durable copy: the driver captures only a stdout TAIL, which has
+    // truncated the per-query map in past rounds (BENCH_r06 lost 94/160
+    // times). Write the full JSON to a file so the evidence survives;
+    // SPARK_GRAFT_BENCH_OUT overrides the default repo-relative path.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case t: Throwable => System.err.println(s"[bench] write $outPath failed: $t") }
     spark.stop()
   }
 }

@@ -222,7 +222,7 @@ object Dedup {
     */
   def writeLshIndex(corpus: DataFrame, table: String, path: String,
       numHashes: Int = 16, rowsPerBand: Int = 4, shingleSize: Int = 3,
-      buckets: Int = 8, textCol: String = "text", idCol: String = "doc_id"): Unit =
+      buckets: Int = 8, textCol: String = "text", idCol: String = "doc_id"): Unit = {
     lshBands(minHashSignatures(corpus, numHashes, shingleSize, textCol, idCol),
         rowsPerBand)
       // one task per bucket -> one file per bucket, not tasks × buckets
@@ -231,6 +231,15 @@ object Dedup {
       .write.format("parquet")
       .bucketBy(buckets, "band", "bandsig").sortBy("band", "bandsig")
       .option("path", path).saveAsTable(table)
+    // Record the banding parameters ON the table: a probe with
+    // different parameters produces silently-wrong candidates (missed
+    // or spurious dups), so [[probeLshIndex]] validates these and
+    // fails fast instead.
+    corpus.sparkSession.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+      s"'graft.lsh.numHashes'='$numHashes'," +
+      s"'graft.lsh.rowsPerBand'='$rowsPerBand'," +
+      s"'graft.lsh.shingleSize'='$shingleSize')")
+  }
 
   /** Probe a [[writeLshIndex]] table with a new batch: the batch alone
     * is signed per run (incremental cost ∝ batch size), candidates come
@@ -246,6 +255,19 @@ object Dedup {
       numHashes: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.5,
       shingleSize: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // Fail fast on banding mismatch: compare against the parameters
+    // [[writeLshIndex]] recorded (legacy tables without the properties
+    // are tolerated — nothing to validate against).
+    val props = newDocs.sparkSession.sql(s"SHOW TBLPROPERTIES $table")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    Seq("numHashes" -> numHashes, "rowsPerBand" -> rowsPerBand,
+        "shingleSize" -> shingleSize).foreach { case (k, v) =>
+      props.get(s"graft.lsh.$k").foreach { stored =>
+        require(stored == v.toString,
+          s"LSH index $table was written with $k=$stored but probed with " +
+            s"$k=$v — a banding mismatch silently corrupts candidate pairs")
+      }
+    }
     val idx = newDocs.sparkSession.table(table)
     val nb = lshBands(
       minHashSignatures(newDocs, numHashes, shingleSize, textCol, idCol), rowsPerBand)

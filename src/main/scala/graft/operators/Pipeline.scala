@@ -923,8 +923,10 @@ object Pipeline {
       org.apache.spark.sql.Encoders.BINARY
   }
 
-  /** Merge per-group quantile-summary blobs into one — GK merge keeps
-    * the rank-error guarantee, reads #groups KB blobs, never the data.
+  /** Merge per-group quantile-summary blobs into one — reads #groups
+    * KB blobs, never the data. GK merge APPROXIMATELY preserves the
+    * rank-error bound (Spark's `QuantileSummaries.merge` is not
+    * strictly ε-preserving; the spec pins a 2ε post-merge tolerance).
     */
   def mergeQuantileSketches(sketches: DataFrame,
       sketchCol: String = "sketch"): DataFrame =
@@ -935,7 +937,10 @@ object Pipeline {
     * serving path). NaN on an empty sketch. */
   def estimateQuantile(sketchBytes: Array[Byte], q: Double): Double = {
     require(q >= 0 && q <= 1, s"quantile must be in [0, 1]: $q")
-    qsRead(sketchBytes).query(q).getOrElse(Double.NaN)
+    // QsMergeAgg.zero (an all-empty merge) is a zero-length blob, not a
+    // serialized empty summary — honor the NaN contract before qsRead.
+    if (sketchBytes == null || sketchBytes.isEmpty) Double.NaN
+    else qsRead(sketchBytes).query(q).getOrElse(Double.NaN)
   }
 
   /** Contract violations as reference-shaped dead letters: quarantined

@@ -445,9 +445,13 @@ object Similarity {
     */
   def binarySignature(vec: Column, bits: Int = 63): Column = {
     require(bits >= 1 && bits <= 63, s"bits must be in [1, 63]: $bits")
-    (0 until bits).map(i =>
-        when(element_at(vec, i + 1) > lit(0d), lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
+    // NaN elements map to bit 0 EXPLICITLY: engines disagree on NaN>0
+    // (Spark's total order ranks NaN above all values, IEEE says false),
+    // so signatures must not depend on comparison semantics.
+    (0 until bits).map { i =>
+      val e = element_at(vec, i + 1)
+      when(!isnan(e) && e > lit(0d), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
   }
 
   /** Binary-embedding retrieval: Hamming-distance shortlist over

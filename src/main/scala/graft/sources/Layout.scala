@@ -150,7 +150,20 @@ object Layout {
   def writeZoneMap(spark: SparkSession, root: String,
       cols: Seq[String]): Unit = {
     require(cols.nonEmpty, "zone map needs at least one column")
-    val dir = element_at(split(col("_metadata.file_path"), "/"), -2).as("dir")
+    // dir = the file's parent path RELATIVE to root ("" for files
+    // sitting directly in root) — not the second-to-last path
+    // component, which breaks on nested partitioning (a=1/b=2) and on
+    // flat layouts. Root is qualified with the same FileSystem
+    // machinery that renders `_metadata.file_path`, so prefix-stripping
+    // is exact; [[writeZoneMap]] validates the strip after the write so
+    // a mismatch fails HERE, not at scan time.
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val qualRoot = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .makeQualified(rootPath).toString
+    val parent = regexp_replace(col("_metadata.file_path"), "/[^/]*$", "")
+    val dir = when(length(parent) <= lit(qualRoot.length), lit(""))
+      .otherwise(parent.substr(lit(qualRoot.length + 2), lit(Int.MaxValue)))
+      .as("dir")
     spark.read.parquet(root)
       .select(dir +: cols.map(c => col(c)): _*)
       .groupBy(col("dir"))
@@ -160,6 +173,12 @@ object Layout {
             Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))): _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$root/_zonemap")
+    // Loud failure at build time: an unstripped qualified prefix in a
+    // dir name means `$root/$dir` reconstruction would resolve nowhere.
+    val bad = spark.read.parquet(s"$root/_zonemap")
+      .filter(col("dir").contains(":")).select(col("dir")).collect()
+    require(bad.isEmpty,
+      s"zone-map dir derivation failed for root=$qualRoot: ${bad.mkString(",")}")
   }
 
   /** Zone-map-pruned range scan: dirs whose [min, max] envelope
@@ -182,7 +201,8 @@ object Layout {
         spark.read.parquet(root).filter(lit(false))
       else
         spark.read.option("basePath", root)
-          .parquet(selected.map(d => s"$root/$d"): _*)
+          // "" = files directly in root (flat layout)
+          .parquet(selected.map(d => if (d.isEmpty) root else s"$root/$d"): _*)
           .filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
     (selected, df)
   }
