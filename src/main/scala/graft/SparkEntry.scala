@@ -668,13 +668,31 @@ object SparkEntry {
       .orderBy($"lang")
   }
 
+  /** ONE materialization of the d4 verified-pair list per (session,
+    * sf dir). ~10 sweep queries (CC, dedup apply, PageRank, purity /
+    * triangle audits, leakage splits, best-of-cluster) consume the
+    * SAME pair list; before this each re-ran the full
+    * shingle→candidate→verify pipeline — ~10× the sweep's heaviest
+    * stage. The pair list is tiny (near-dup PAIRS, not documents), so
+    * one localCheckpoint pins it; at 100 TB the same amortization is
+    * [[operators.Dedup.writePairStore]] (mine once at ingest, every
+    * consumer reads the store — the d25 band-index pattern one step
+    * further). d4 keeps the full recompute under the oracle and
+    * d27_pair_store pins store-roundtrip == recompute.
+    */
+  private val pairCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def verifiedPairs(s: SparkSession, dir: String): DataFrame =
+    pairCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", _ =>
+      operators.Dedup.ngramJaccard(t(s, dir, "documents"), n = 2,
+        blockCol = "source", threshold = 0.1).localCheckpoint())
+
   private def clusters(s: SparkSession, dir: String, driverSolveMaxEdges: Long): DataFrame = {
     import s.implicits._
     // pairs → clusters: connected components over the blocked-Jaccard
     // near-dup graph (operators.Components: min-label propagation with
     // pointer jumping, O(log diameter) rounds, localCheckpoint'ed).
-    val pairs = operators.Dedup.ngramJaccard(t(s, dir, "documents"), n = 2,
-      blockCol = "source", threshold = 0.1)
+    val pairs = verifiedPairs(s, dir)
     val cc = operators.Components.connected(pairs, "da", "db",
       driverSolveMaxEdges = driverSolveMaxEdges)
     // cluster sizes via a window count: one exchange on component over
@@ -701,8 +719,7 @@ object SparkEntry {
     // the apply step of dedup: corpus minus every doc with a smaller-id
     // near-dup neighbor (deterministic keep-earliest policy)
     val docs = t(s, dir, "documents")
-    val pairs = operators.Dedup.ngramJaccard(docs, n = 2, blockCol = "source",
-      threshold = 0.1)
+    val pairs = verifiedPairs(s, dir)
     operators.Dedup.dropLaterDuplicates(docs, pairs)
       .select($"doc_id", $"lang", $"source")
       .orderBy($"doc_id")
@@ -1679,8 +1696,7 @@ object SparkEntry {
     // over the d4 pair list — rank mass concentrating on one document
     // exposes the cluster's hub/template. Engine-exact via the sorted
     // contribution folds (see Components.pageRank).
-    val pairs = operators.Dedup.ngramJaccard(t(s, dir, "documents"), n = 2,
-      blockCol = "source", threshold = 0.1).select($"da", $"db")
+    val pairs = verifiedPairs(s, dir).select($"da", $"db")
     operators.Components.pageRank(pairs, iterations = 5)
       .orderBy($"v")
   }
@@ -1796,9 +1812,7 @@ object SparkEntry {
     // merges). Ordered 2-path join (a<b<c: each triangle counted once),
     // wedges from the degree frame — two explicit-key joins over the
     // LSH-bounded edge list, never the corpus.
-    val e = operators.Dedup.ngramJaccard(t(s, dir, "documents"), n = 2,
-        blockCol = "source", threshold = 0.1)
-      .select($"da", $"db").localCheckpoint() // pin: feeds 3 joins + 2 counts
+    val e = verifiedPairs(s, dir).select($"da", $"db") // already pinned
     operators.Components.triangleCensus(e, "da", "db")
   }
 
@@ -1904,9 +1918,7 @@ object SparkEntry {
     // chain. Mean via the sorted fold (engine-bit-exact, no round);
     // pairs ride one broadcast-sized label join, clusters aggregate at
     // cluster grain.
-    val docs = t(s, dir, "documents")
-    val pairs = operators.Dedup.ngramJaccard(docs, n = 2,
-      blockCol = "source", threshold = 0.1).localCheckpoint()
+    val pairs = verifiedPairs(s, dir) // already pinned
     val cc = operators.Components.connected(pairs, "da", "db",
       driverSolveMaxEdges = 1L << 22)
     val sizes = cc.groupBy($"component").agg(count(lit(1)).as("n_members"))
@@ -2387,6 +2399,26 @@ object SparkEntry {
           .as("dedup_ratio"))
   }
 
+  private def d27(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // persisted verified-pair store: the d25 pattern one step further —
+    // mine the pair list ONCE (write + parameter sidecar), every
+    // consumer reads the store. The roundtrip must be the d4 fixed
+    // point (pairs-from-store == recompute), which the oracle states:
+    // this row is the contract that lets d8/d10/d20/d21/d24/p12/p16
+    // share one materialization instead of re-paying the
+    // shingle→candidate→verify pipeline ~10× per sweep.
+    val params = Map("n" -> "2", "block" -> "source", "threshold" -> "0.1")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_d27_pairs_").toString
+    try {
+      operators.Dedup.writePairStore(verifiedPairs(s, dir), s"$tmp/pairs", params)
+      s.catalog.refreshByPath(s"$tmp/pairs")
+      operators.Dedup.readPairStore(s, s"$tmp/pairs", params)
+        .orderBy($"da", $"db")
+        .localCheckpoint()
+    } finally rmTree(tmp)
+  }
+
   private def x11psi(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // PSI between the two order-key parities over the x10 bucket grid —
@@ -2599,6 +2631,7 @@ object SparkEntry {
     "d26_cdc_chunks" -> (d26 _),
     "x11_psi" -> (x11psi _),
     "q46_nearest_join" -> (q46 _),
+    "d27_pair_store" -> (d27 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2950,6 +2983,17 @@ object SparkEntry {
         |SELECT doc_id, string_agg(CASE WHEN sgn > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
         |FROM contrib GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d4_ngram_jaccard" ->
+      """WITH g AS (SELECT doc_id, source,
+        |  list_distinct(list_transform(range(1, len(string_split(text,' '))),
+        |    i -> array_to_string(list_slice(string_split(text,' '), i, i+1), ' '))) AS ts
+        | FROM documents)
+        |SELECT a.doc_id AS da, b.doc_id AS db,
+        | len(list_intersect(a.ts,b.ts))::DOUBLE/(len(a.ts)+len(b.ts)-len(list_intersect(a.ts,b.ts))) AS jaccard
+        |FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE jaccard >= CAST(0.1 AS DOUBLE) ORDER BY da, db""".stripMargin,
+    // the pair-store fixed point: the persisted-and-reread pair list
+    // must equal the d4 recompute, so the oracle is d4's SQL verbatim
+    "d27_pair_store" ->
       """WITH g AS (SELECT doc_id, source,
         |  list_distinct(list_transform(range(1, len(string_split(text,' '))),
         |    i -> array_to_string(list_slice(string_split(text,' '), i, i+1), ' '))) AS ts

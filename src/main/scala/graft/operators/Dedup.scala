@@ -287,6 +287,58 @@ object Dedup {
     verifyJaccard(cand, tsets, threshold)
   }
 
+  /** Persist a VERIFIED near-dup pair list — the [[writeLshIndex]]
+    * pattern extended one step: the band index amortizes CANDIDATE
+    * generation across ingest batches; the pair store amortizes the
+    * whole shingle→candidate→verify pipeline across its many
+    * consumers (connected components, dedup apply, PageRank ranking,
+    * purity/triangle audits, leakage-safe splits — each otherwise
+    * re-pays the full pipeline per job). The pair list is tiny
+    * relative to the corpus (near-dup pairs, not documents), so the
+    * store is a cheap parquet table; the mining parameters ride a
+    * `_pair_params.json` sidecar so [[readPairStore]] can fail fast
+    * when a consumer assumes a different mining configuration
+    * (the probeLshIndex discipline).
+    */
+  def writePairStore(pairs: DataFrame, path: String,
+      params: Map[String, String] = Map.empty): Unit = {
+    pairs.write.mode("overwrite").parquet(path)
+    val spark = pairs.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path, "_pair_params.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val json = params.toSeq.sorted
+      .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    val out = fs.create(p, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Read a [[writePairStore]] table, validating the recorded mining
+    * parameters against what the caller expects (mismatch = silently
+    * wrong dedup semantics downstream, so it throws instead). Stores
+    * without a sidecar — or expectations not recorded — pass through.
+    */
+  def readPairStore(spark: org.apache.spark.sql.SparkSession, path: String,
+      expect: Map[String, String] = Map.empty): DataFrame = {
+    if (expect.nonEmpty) {
+      val p = new org.apache.hadoop.fs.Path(path, "_pair_params.json")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        expect.foreach { case (k, v) =>
+          val re = ("\"" + java.util.regex.Pattern.quote(k) + "\":\"([^\"]*)\"").r
+          re.findFirstMatchIn(json).map(_.group(1)).foreach { stored =>
+            require(stored == v,
+              s"pair store $path was mined with $k=$stored but consumed " +
+                s"expecting $k=$v — downstream dedup semantics would differ")
+          }
+        }
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   /** Exact Jaccard over candidate pairs given per-doc token sets.
     *
     * Computed by a token-level join, not per-pair array intersection: the
