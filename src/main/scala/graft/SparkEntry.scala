@@ -2203,6 +2203,29 @@ object SparkEntry {
       .orderBy($"user_id")
   }
 
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // FULL-OUTER interval join — both sides preserved in one aligned
+    // frame: errors with their clicks in the NEXT 6 h, matchless errors
+    // null-extended once, matchless clicks null-extended once (the
+    // unmatched-right set mined by a mirrored anti pass — see
+    // IntervalJoin.binnedFullOuter for why plain full_outer over the
+    // replicated side is wrong). Grain: coalesced user.
+    val ev = t(s, dir, "events").withColumn("tus", expr("ts div 1000"))
+    val err = ev.filter($"event_type" === "error")
+      .select($"user_id".as("e_user"), $"event_id".as("e_id"), $"tus".as("e_t"))
+    val clk = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"event_id".as("c_id"), $"tus".as("c_t"))
+    operators.IntervalJoin.binnedFullOuter(err, clk, "e_user", "c_user",
+        "e_t", "c_t", lower = 0L, upper = 21600000000L)
+      .groupBy(coalesce($"e_user", $"c_user").as("user_id"))
+      .agg(countDistinct($"e_id").as("n_errors"),
+        countDistinct(when($"c_t".isNull, $"e_id")).as("n_unmatched_errors"),
+        countDistinct(when($"e_t".isNull, $"c_id")).as("n_unmatched_clicks"),
+        count(when($"e_t".isNotNull && $"c_t".isNotNull, lit(1))).as("n_pairs"))
+      .orderBy($"user_id")
+  }
+
   private def t9(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // boilerplate mining: trigrams present in ≥ 5% of all documents
@@ -2632,6 +2655,7 @@ object SparkEntry {
     "x11_psi" -> (x11psi _),
     "q46_nearest_join" -> (q46 _),
     "d27_pair_store" -> (d27 _),
+    "q47_interval_full" -> (q47 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3468,6 +3492,16 @@ object SparkEntry {
         |  COUNT(c.t) AS n_pairs
         |FROM err e LEFT JOIN clk c ON e.user_id = c.user_id AND c.t - e.t BETWEEN 0 AND 21600000000
         |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
+    "q47_interval_full" ->
+      """WITH err AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events WHERE event_type = 'error'),
+        |clk AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events WHERE event_type = 'click')
+        |SELECT COALESCE(e.user_id, c.user_id) AS user_id,
+        |  COUNT(DISTINCT e.event_id) AS n_errors,
+        |  COUNT(DISTINCT CASE WHEN c.t IS NULL THEN e.event_id END) AS n_unmatched_errors,
+        |  COUNT(DISTINCT CASE WHEN e.t IS NULL THEN c.event_id END) AS n_unmatched_clicks,
+        |  COUNT(CASE WHEN e.t IS NOT NULL AND c.t IS NOT NULL THEN 1 END) AS n_pairs
+        |FROM err e FULL JOIN clk c ON e.user_id = c.user_id AND c.t - e.t BETWEEN 0 AND 21600000000
+        |GROUP BY COALESCE(e.user_id, c.user_id) ORDER BY user_id""".stripMargin,
     "s7_ivf_persisted" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
         |n AS (SELECT vec_id, v,

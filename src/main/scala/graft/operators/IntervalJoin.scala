@@ -111,4 +111,37 @@ object IntervalJoin {
         joinType)
       .drop("__ij_b")
   }
+
+  /** Both-sides-preserved (FULL OUTER) binned interval join — "left
+    * rows with no right partner AND right rows with no left partner in
+    * the window", each null-extended exactly once.
+    *
+    * NOT expressible as `joinType = "full_outer"` on [[binned]]: the
+    * right side is replicated into ≤ 2 buckets, so a plain full-outer
+    * equi-join would null-extend each matchless right REPLICA — up to
+    * two null rows per matchless right row, and a spurious null row for
+    * a right row that matches in one replica bucket but not the other.
+    * Composition instead: the `left_outer` pass preserves left exactly
+    * (a left row sits in ONE bucket), and the unmatched-right set comes
+    * from a second binned pass with the sides swapped and the bounds
+    * flipped to `[-upper, -lower]` — there the right frame is the
+    * preserved probe side, so `left_anti` emits each matchless right
+    * row exactly once (the q30 machinery mirrored). Two passes = the
+    * intrinsic cost: both-sides-preserved semantics needs each side
+    * probed as the preserved side once; shuffle volume stays the
+    * binned-join bound (≤ 2× replication, never a nested loop).
+    */
+  def binnedFullOuter(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      lower: Long, upper: Long): DataFrame = {
+    val matched = binned(left, right, leftKey, rightKey, leftTime, rightTime,
+      lower, upper, "left_outer")
+    val unmatchedRight = binned(right, left, rightKey, leftKey, rightTime,
+      leftTime, -upper, -lower, "left_anti")
+    val leftNulls = left.schema.fields
+      .map(f => lit(null).cast(f.dataType).as(f.name))
+    matched.unionByName(
+      unmatchedRight.select(leftNulls ++ right.columns.map(col): _*))
+  }
 }

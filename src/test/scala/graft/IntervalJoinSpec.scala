@@ -108,6 +108,34 @@ class IntervalJoinSpec extends SparkSpec {
     }
   }
 
+  test("full_outer: matched part = inner; each matchless row on EITHER side exactly once") {
+    for ((lo, hi) <- Seq((0L, 1000L), (-500L, 500L), (1L, 1L), (-2000L, -1L))) {
+      val fo = IntervalJoin.binnedFullOuter(
+          left.toDF("lk", "lid", "lt"), right.toDF("rk", "rt"),
+          "lk", "rk", "lt", "rt", lo, hi)
+        .select($"lid", $"lt", $"rk", $"rt")
+        .as[(Option[Long], Option[Long], Option[Long], Option[Long])]
+        .collect().toSeq
+      val inner = naive(left, right, lo, hi)
+      // matched rows equal the inner join, with multiplicity
+      assert(fo.filter(t => t._1.isDefined && t._4.isDefined)
+        .map(t => (t._1.get, t._2.get, t._4.get)).sorted === inner.sorted,
+        s"bounds [$lo,$hi]")
+      // every matchless left row exactly once, right-null-extended
+      val matchedL = inner.map(_._1).toSet
+      assert(fo.filter(t => t._1.isDefined && t._4.isEmpty).map(_._1.get).sorted
+        === left.map(_._2).filterNot(matchedL).sorted, s"bounds [$lo,$hi]")
+      // every matchless right row exactly once, left-null-extended —
+      // the ≤2× replication must NOT duplicate the null extension
+      val matchedR = (for {
+        (lk, _, lt) <- left; (rk, rt) <- right
+        if lk == rk && rt - lt >= lo && rt - lt <= hi
+      } yield (rk, rt)).toSet
+      assert(fo.filter(_._1.isEmpty).map(t => (t._3.get, t._4.get)).sorted
+        === right.filterNot(matchedR).sorted, s"bounds [$lo,$hi]")
+    }
+  }
+
   test("guards: shared names, reserved prefix, fractional times all fail fast") {
     val l = left.toDF("lk", "lid", "lt")
     val r = right.toDF("rk", "rt")
