@@ -1087,6 +1087,29 @@ object SparkEntry {
     } finally rmTree(tmp)
   }
 
+  private def x12z(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // 3-D z-order roundtrip: documents clustered on interleave(doc_id,
+    // n_chars, n_tokens) — the (tenant, day, key) shape real tables
+    // prune on. Content-lossless; the oracle recomputes the round-robin
+    // Morton arithmetic independently (21 bits/col). LayoutSpec holds
+    // the clustering-quality assertion (per-file spans shrink on ALL
+    // THREE dims vs a single-column sort).
+    val tmp = java.nio.file.Files.createTempDirectory("graft_x12_zorder3_").toString
+    try {
+      val docs = t(s, dir, "documents").select($"doc_id", $"n_chars",
+        size(split($"text", " ", -1)).cast("long").as("n_tokens"))
+      sources.Layout.writeZOrderedN(docs, tmp,
+        Seq("doc_id", "n_chars", "n_tokens"), numFiles = 8)
+      s.read.parquet(tmp)
+        .select($"doc_id", $"n_chars", $"n_tokens",
+          sources.Layout.zOrderValueN(Seq($"doc_id", $"n_chars", $"n_tokens"))
+            .as("zval"))
+        .orderBy($"doc_id")
+        .localCheckpoint()
+    } finally rmTree(tmp)
+  }
+
   private def x7(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // one-pass exact column profiler over every documents column
@@ -2656,6 +2679,7 @@ object SparkEntry {
     "q46_nearest_join" -> (q46 _),
     "d27_pair_store" -> (d27 _),
     "q47_interval_full" -> (q47 _),
+    "x12_zorder3" -> (x12z _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3749,6 +3773,18 @@ object SparkEntry {
         |  ((a4 | (a4 << 1)) & 6148914691236517205) |
         |  ((((b4 | (b4 << 1)) & 6148914691236517205)) << 1) AS zval
         |FROM s4 ORDER BY doc_id""".stripMargin,
+    // 3-D round-robin Morton recomputed independently: bit j of column
+    // k at output bit 3j+k, 21 bits per column (63/3)
+    "x12_zorder3" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |m AS (SELECT doc_id, n_chars, n_tokens,
+        |  doc_id & 2097151 AS xa, n_chars & 2097151 AS xb, n_tokens & 2097151 AS xc FROM d)
+        |SELECT doc_id, n_chars, n_tokens,
+        |  list_reduce(list_transform(range(0, 21), j ->
+        |    (((xa >> j) & 1) << (3*j)) | (((xb >> j) & 1) << (3*j+1)) | (((xc >> j) & 1) << (3*j+2))),
+        |   (x, y) -> x | y) AS zval
+        |FROM m ORDER BY doc_id""".stripMargin,
     "x7_profile" ->
       """SELECT * FROM (
         |  SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,

@@ -320,6 +320,47 @@ object Layout {
     spread(a).bitwiseOR(shiftleft(spread(b), 1))
   }
 
+  /** n-D Morton (z-order) interleave, round-robin: bit j of column k
+    * lands at output bit `j*n + k`, each column masked to
+    * `floor(63/n)` bits (n=3 → 21 bits/col, output fits bit 62; same
+    * aliasing-never-overflow contract as the 2-D path). Real tables
+    * prune on (tenant, day, key) — three-plus dimensions — which the
+    * 2-D interleave can't cluster. n=2 delegates to [[zOrderValue]]'s
+    * magic-mask spread (bit-identical layout: round-robin with n=2 IS
+    * the even/odd interleave); general n builds the static
+    * shift/mask/or chain per bit — all codegen'd integer ops,
+    * reproducible on any 64-bit engine.
+    */
+  def zOrderValueN(cols: Seq[org.apache.spark.sql.Column])
+      : org.apache.spark.sql.Column = {
+    require(cols.size >= 2 && cols.size <= 8,
+      s"z-order needs 2..8 columns: ${cols.size}")
+    val n = cols.size
+    if (n == 2) zOrderValue(cols(0), cols(1))
+    else {
+      val bitsPer = 63 / n
+      cols.zipWithIndex.map { case (c, k) =>
+        val x = c.cast("long").bitwiseAND(lit((1L << bitsPer) - 1))
+        (0 until bitsPer).map { j =>
+          shiftleft(shiftright(x, j).bitwiseAND(lit(1L)), j * n + k)
+        }.reduce(_.bitwiseOR(_))
+      }.reduce(_.bitwiseOR(_))
+    }
+  }
+
+  /** [[writeZOrdered]] on n columns: one range-partitioned shuffle on
+    * the n-D interleave, per-file clustering on EVERY listed dimension.
+    */
+  def writeZOrderedN(df: DataFrame, path: String, cols: Seq[String],
+      numFiles: Int = 8): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
+    df.withColumn("__z", zOrderValueN(cols.map(col)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Z-order-clustered write: range-partition on the interleaved value
     * (sampled range boundaries — balanced files regardless of the data
     * distribution), sort by it inside each file, write `numFiles`

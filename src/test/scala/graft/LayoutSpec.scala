@@ -233,6 +233,63 @@ class LayoutSpec extends SparkSpec {
       === (0L until 4096L).sum)
   }
 
+  test("zOrderValueN: 3-D round-robin matches reference, inverts, n=2 equals zOrderValue") {
+    def ref3(a: Long, b: Long, c: Long): Long = {
+      var z = 0L
+      for (j <- 0 until 21) {
+        z |= ((a >> j) & 1L) << (3 * j)
+        z |= ((b >> j) & 1L) << (3 * j + 1)
+        z |= ((c >> j) & 1L) << (3 * j + 2)
+      }
+      z
+    }
+    val rnd = new scala.util.Random(7)
+    val m = (1L << 21) - 1
+    val cases = Seq((0L, 0L, 0L), (1L, 2L, 4L), (m, m, m), (m, 0L, 1L)) ++
+      Seq.fill(200)((rnd.nextLong() & m, rnd.nextLong() & m, rnd.nextLong() & m))
+    val got = cases.toDF("a", "b", "c")
+      .select($"a", $"b", $"c",
+        Layout.zOrderValueN(Seq($"a", $"b", $"c")).as("z"),
+        Layout.zOrderValueN(Seq($"a", $"b")).as("z2"),
+        Layout.zOrderValue($"a", $"b").as("z2ref"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    got.foreach { case (a, b, c, z, z2, z2ref) =>
+      assert(z === ref3(a, b, c), s"interleave3($a,$b,$c)")
+      assert(z2 === z2ref, "n=2 must delegate to the 2-D interleave")
+      // inverts: no information loss on any of the three dims
+      def deinterleave(off: Int): Long =
+        (0 until 21).map(j => ((z >> (3 * j + off)) & 1L) << j).reduce(_ | _)
+      assert(deinterleave(0) == a && deinterleave(1) == b && deinterleave(2) == c)
+    }
+  }
+
+  test("writeZOrderedN clusters ALL THREE dimensions per file; leading-sort only one") {
+    // 4096 points on a 16×16×16 grid, dims independent — an x-sort
+    // leaves y and z spans at full range; 3-D z-order shrinks all three
+    val dir = java.nio.file.Files.createTempDirectory("zorder3").toString
+    val df = (0 until 4096).map { i => (i / 256L, (i / 16L) % 16L, i % 16L) }
+      .toDF("x", "y", "z")
+    Layout.writeZOrderedN(df, dir, Seq("x", "y", "z"), numFiles = 64)
+    val spans = spark.read.parquet(dir)
+      .groupBy(input_file_name())
+      .agg((max($"x") - min($"x")).as("sx"), (max($"y") - min($"y")).as("sy"),
+        (max($"z") - min($"z")).as("sz"))
+      .select($"sx", $"sy", $"sz").as[(Long, Long, Long)].collect()
+    assert(spans.length === 64)
+    // 64 files over a 16^3 z-curve -> each file covers a 4×4×4 block:
+    // per-file span ≈ 3 of the 0..15 range on EACH dim (an x-sort
+    // gives sy = sz = 15 for every file); ≤ 5 allows sampled
+    // range-boundary straddle
+    val (ax, ay, az) = (spans.map(_._1).sum / 64.0,
+      spans.map(_._2).sum / 64.0, spans.map(_._3).sum / 64.0)
+    assert(ax <= 5.0, s"x spans not clustered: avg $ax")
+    assert(ay <= 5.0, s"y spans not clustered: avg $ay")
+    assert(az <= 5.0, s"z spans not clustered: avg $az")
+    // content-lossless
+    assert(spark.read.parquet(dir).agg(sum($"x" * 256L + $"y" * 16L + $"z"))
+      .head.getLong(0) === (0L until 4096L).sum)
+  }
+
   test("eraseKeys rewrites ONLY the files containing the keys") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-erase").toString
     val data = s"$tmp/data"
