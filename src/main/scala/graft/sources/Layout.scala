@@ -216,13 +216,19 @@ object Layout {
     * `overwrite` starts a fresh list (old files stay on disk, still
     * readable by older versions). The manifest is created AFTER its
     * data files land (X10's commit-after-write): a crash leaves orphan
-    * data files, never a version pointing at missing data. Single
-    * writer assumed (no commit protocol — documented); X5 compaction /
-    * X13 erasure rewrite files in place and invalidate older
-    * manifests, the X12 freshness contract.
+    * data files, never a version pointing at missing data. Concurrent
+    * writers are safe via optimistic concurrency — the manifest claims
+    * its version number with create-no-overwrite and retries at the
+    * next number on conflict (see the commit-point comment in the
+    * body); X5 compaction / X13 erasure rewrite files in place and
+    * invalidate older manifests, the X12 freshness contract.
     */
   def commitVersion(df: DataFrame, root: String,
-      overwrite: Boolean = false): Long = {
+      overwrite: Boolean = false,
+      // test-only injection point: runs after a version number is
+      // computed, before the claim — lets a spec deterministically
+      // interleave a rival commit into the race window
+      preClaimHook: Long => Unit = _ => ()): Long = {
     val spark = df.sparkSession
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -239,16 +245,42 @@ object Layout {
         name
       }
     fs.delete(stage, true)
-    val prior =
-      if (overwrite) Nil
-      else listVersions(spark, root).lastOption
-        .map(v => manifestFiles(fs, rootPath, v)).getOrElse(Nil)
-    val version = listVersions(spark, root).lastOption.getOrElse(0L) + 1L
-    val mf = new org.apache.hadoop.fs.Path(rootPath, s"_versions/v$version.manifest")
-    val os = fs.create(mf, false) // commit point; never overwrite a version
-    try os.write((prior ++ moved).mkString("\n").getBytes("UTF-8"))
-    finally os.close()
-    version
+    // Optimistic concurrency (the Delta-essence commit protocol): data
+    // files land first under collision-free names; the manifest then
+    // CLAIMS the next version number via create-no-overwrite — the
+    // atomic commit point (NameNode-arbitrated on HDFS; LocalFS
+    // approximates). A concurrent writer that claimed our number
+    // surfaces as FileAlreadyExistsException: recompute the latest —
+    // re-reading the WINNER's file list when appending, so appends
+    // compose — and retry at N+1. Two interleaved committers land
+    // N+1 and N+2; no commit is ever silently dropped or overwritten.
+    var committed = -1L
+    var attempts = 0
+    while (committed < 0) {
+      attempts += 1
+      require(attempts <= 100,
+        s"gave up claiming a version under $root after 100 conflicts")
+      val latest = listVersions(spark, root).lastOption
+      val prior =
+        if (overwrite) Nil
+        else latest.map(v => manifestFiles(fs, rootPath, v)).getOrElse(Nil)
+      val version = latest.getOrElse(0L) + 1L
+      preClaimHook(version)
+      val mf = new org.apache.hadoop.fs.Path(rootPath,
+        s"_versions/v$version.manifest")
+      try {
+        val os = fs.create(mf, false) // the CAS: never overwrite a version
+        try os.write((prior ++ moved).mkString("\n").getBytes("UTF-8"))
+        finally os.close()
+        committed = version
+      } catch {
+        case e: java.io.IOException =>
+          // lost the race iff the manifest now exists; anything else is
+          // a genuine I/O failure and must propagate
+          if (!fs.exists(mf)) throw e
+      }
+    }
+    committed
   }
 
   def listVersions(spark: SparkSession, root: String): Seq[Long] = {

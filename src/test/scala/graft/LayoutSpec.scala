@@ -182,6 +182,32 @@ class LayoutSpec extends SparkSpec {
     assert(rows(Layout.readVersion(spark, root)) == Seq(9L))
   }
 
+  test("versioned commits: two interleaved committers land N+1 and N+2, nothing dropped") {
+    val root = java.nio.file.Files.createTempDirectory("vtab-occ").toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id").as[Long].collect().sorted.toSeq
+    assert(Layout.commitVersion(Seq(1L, 2L).toDF("id"), root) === 1L)
+    // committer A computes version 2, then — inside its race window,
+    // between number computation and the claim — rival B commits and
+    // takes v2. A must detect the conflict, re-read B's file list
+    // (append semantics compose) and land at v3.
+    var rivalVersion = -1L
+    val won = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val a = Layout.commitVersion(Seq(10L, 11L).toDF("id"), root,
+      preClaimHook = { _ =>
+        if (won.compareAndSet(false, true)) {
+          rivalVersion = Layout.commitVersion(Seq(20L).toDF("id"), root)
+        }
+      })
+    assert(rivalVersion === 2L, "rival must have claimed v2")
+    assert(a === 3L, "conflicted committer must retry and land at v3")
+    assert(Layout.listVersions(spark, root) === Seq(1L, 2L, 3L))
+    // both file sets fully readable — neither commit silently dropped
+    assert(rows(Layout.readVersion(spark, root, Some(2L))) === Seq(1L, 2L, 20L))
+    assert(rows(Layout.readVersion(spark, root, Some(3L)))
+      === Seq(1L, 2L, 10L, 11L, 20L))
+  }
+
   test("zOrderValue matches a bit-by-bit reference interleave") {
     def ref(a: Long, b: Long): Long = {
       var z = 0L
