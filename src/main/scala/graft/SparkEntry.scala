@@ -2249,6 +2249,26 @@ object SparkEntry {
       .orderBy($"user_id")
   }
 
+  private def t23(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // trained language ID scored honestly: per-language held-out
+    // accuracy of the hash-n-gram classifier against the corpus labels
+    // — the audit row that justifies replacing the stopword heuristic
+    // (t1) for every per-language downstream stat (t7/t17/p11).
+    // NOTE the driver's synthetic corpus draws text from ONE shared
+    // vocabulary regardless of the lang label, so ~chance accuracy here
+    // is the CORRECT measurement (no classifier can beat it); the
+    // OperatorsSpec twin proves ≥95% held-out accuracy the moment the
+    // labels actually carry signal (disjoint vocabularies).
+    operators.TextAnalysis.langIdTrained(t(s, dir, "documents"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(($"predicted" === $"lang").cast("long")).as("n_correct"))
+      .select($"lang", $"n_docs", $"n_correct",
+        ($"n_correct".cast("double") / $"n_docs".cast("double")).as("accuracy"))
+      .orderBy($"lang")
+  }
+
   private def t9(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // boilerplate mining: trigrams present in ≥ 5% of all documents
@@ -2680,6 +2700,7 @@ object SparkEntry {
     "d27_pair_store" -> (d27 _),
     "q47_interval_full" -> (q47 _),
     "x12_zorder3" -> (x12z _),
+    "t23_langid_trained" -> (t23 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3094,6 +3115,38 @@ object SparkEntry {
         |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rn FROM scored)
         |SELECT qid, vec_id, cosine FROM ranked WHERE rn <= 5
         |ORDER BY qid, cosine DESC, vec_id""".stripMargin,
+    // trained hash-n-gram language ID, held-out accuracy per language:
+    // char trigrams -> md5-derived 16-bit bucket (the d2 hex fold),
+    // per-language profile counts from the doc_id%10<8 train fold,
+    // score = matched-count / language-total (ONE integer-ratio IEEE
+    // division, engine-bit-exact), argmax with lexicographic tie-break
+    "t23_langid_trained" ->
+      """WITH t AS (SELECT doc_id, lang, text AS t FROM documents
+        |  WHERE lang IS NOT NULL AND len(text) >= 3),
+        |g AS (SELECT doc_id, lang,
+        |  unnest(list_transform(range(1, len(t) - 1), i -> substr(t, i, 3))) AS gram FROM t),
+        |h AS (SELECT doc_id, lang,
+        |  list_reduce(list_transform(range(1, 9),
+        |    i -> CAST(strpos('0123456789abcdef', substr(md5(gram), i, 1)) - 1 AS BIGINT)),
+        |    (x, y) -> x * 16 + y) % 65536 AS b FROM g),
+        |c AS (SELECT lang AS ml, b, COUNT(*) AS c FROM h WHERE doc_id % 10 < 8 GROUP BY 1, 2),
+        |d AS (SELECT ml, SUM(c) AS d FROM c GROUP BY 1),
+        |langs AS (SELECT DISTINCT lang AS ml FROM t),
+        |hb AS (SELECT doc_id, b, COUNT(*) AS m FROM h WHERE doc_id % 10 >= 8 GROUP BY 1, 2),
+        |numagg AS (SELECT hb.doc_id, c.ml, SUM(hb.m * c.c) AS num
+        |  FROM hb JOIN c ON c.b = hb.b GROUP BY 1, 2),
+        |held AS (SELECT doc_id, lang FROM t WHERE doc_id % 10 >= 8),
+        |scored AS (SELECT held.doc_id, held.lang, l.ml,
+        |  CAST(COALESCE(n.num, 0) AS DOUBLE) / CAST(d.d AS DOUBLE) AS score
+        |  FROM held CROSS JOIN langs l
+        |  LEFT JOIN numagg n ON n.doc_id = held.doc_id AND n.ml = l.ml
+        |  JOIN d ON d.ml = l.ml),
+        |pred AS (SELECT doc_id, lang, ml,
+        |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, ml ASC) AS rn FROM scored)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN ml = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |  CAST(SUM(CASE WHEN ml = lang THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS accuracy
+        |FROM pred WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin,
     "t1_lang_id" ->
       """WITH c AS (SELECT doc_id, lang,
         |  len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('the','a','of','and','is'))) AS c_en,

@@ -628,4 +628,64 @@ object TextAnalysis {
       md5(norm).as("content_md5"),
       roll.as("rolling_hash"))
   }
+
+  /** TRAINED language ID — the fastText idea in pure Spark, replacing
+    * [[languageId]]'s fixed stopword markers with a model learned from
+    * the corpus' own labels: char n-gram features under the hashing
+    * trick (md5-derived bucket in a fixed `buckets`-wide space — the
+    * model is bounded at `buckets × #langs` rows regardless of corpus
+    * size, the property that lets it train on 100 TB), per-language
+    * profile weights from a DETERMINISTIC doc_id-mod train fold, and
+    * held-out scoring as score(doc, l) = Σ_grams count_train(bucket, l)
+    * / total_train_grams(l) — each score ONE integer-ratio IEEE
+    * division (num, den < 2^53), so ranking is engine-bit-exact: no
+    * libm log-likelihoods, no tolerance compare. Prediction =
+    * highest-scoring language, ties to the lexicographically smallest.
+    *
+    * Plan shape: gram counts collapse to (doc, bucket) grain BEFORE
+    * joining the model (the join carries distinct buckets per doc, not
+    * gram tokens); the model and per-language totals are
+    * bucket-bounded and broadcast; one hash aggregate per stage.
+    * Returns held-out predictions: (doc_id, lang, predicted).
+    */
+  def langIdTrained(docs: DataFrame, n: Int = 3, buckets: Int = 1 << 16,
+      trainMod: Int = 10, trainFolds: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id",
+      langCol: String = "lang"): DataFrame = {
+    require(n >= 1 && buckets >= 2 && trainMod >= 2
+      && trainFolds >= 1 && trainFolds < trainMod, "bad langIdTrained config")
+    val base = docs.filter(col(langCol).isNotNull)
+      .filter(length(col(textCol)) >= n)
+      .select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+        col(textCol).as("t"))
+    val grams = base.select(col("doc_id"), col("lang"),
+      explode(expr(
+        s"transform(sequence(1, char_length(t) - ${n - 1}), i -> substring(t, i, $n))"))
+        .as("gram"))
+    val hashed = grams.select(col("doc_id"), col("lang"),
+      (conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long")
+        % buckets).as("b"))
+    val isTrain = pmod(col("doc_id"), lit(trainMod)) < trainFolds
+    val model = hashed.filter(isTrain)
+      .groupBy(col("lang").as("ml"), col("b")).agg(count(lit(1)).as("c"))
+    val totals = model.groupBy(col("ml")).agg(sum(col("c")).as("d"))
+    val langs = base.select(col("lang").as("ml")).distinct()
+    val heldBuckets = hashed.filter(!isTrain)
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("m"))
+    val numAgg = heldBuckets.join(broadcast(model), "b")
+      .groupBy(col("doc_id"), col("ml")).agg(sum(col("m") * col("c")).as("num"))
+    val heldDocs = base.filter(!isTrain).select(col("doc_id"), col("lang"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("ml").asc)
+    heldDocs.crossJoin(broadcast(langs))
+      .join(numAgg, Seq("doc_id", "ml"), "left")
+      .join(broadcast(totals), "ml")
+      .select(col("doc_id"), col("lang"), col("ml"),
+        (coalesce(col("num"), lit(0L)).cast("double") / col("d").cast("double"))
+          .as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("ml").as("predicted"))
+  }
 }

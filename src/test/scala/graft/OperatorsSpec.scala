@@ -561,4 +561,33 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1) == ((2L, 5L, 1L, 0.2, 0.0)))
     assert(out(2) == ((3L, 4L, 2L, 0.5, math.rint(math.log(2) * 1e6) / 1e6)))
   }
+
+  test("langIdTrained learns separable languages to high held-out accuracy") {
+    // three synthetic "languages" with disjoint vocabularies — the
+    // signal the driver's label-independent corpus lacks (there the
+    // t23 oracle row correctly measures ~chance; HERE the classifier
+    // must actually learn). 60 docs/lang, seeded word salad.
+    val vocab = Map(
+      "aa" -> Seq("karn", "velt", "simo", "drax", "pell"),
+      "bb" -> Seq("zuno", "mirt", "quel", "hoss", "tavi"),
+      "cc" -> Seq("wexa", "lorp", "ufti", "gamb", "ryne"))
+    val rnd = new scala.util.Random(11)
+    val docs = (for {
+      (lang, words) <- vocab.toSeq
+      i <- 0 until 60
+    } yield {
+      val text = Seq.fill(30)(words(rnd.nextInt(words.size))).mkString(" ")
+      (vocab.keys.toSeq.sorted.indexOf(lang) * 60L + i, lang, text)
+    }).toDF("doc_id", "lang", "text")
+    val pred = TextAnalysis.langIdTrained(docs)
+      .select($"lang", $"predicted").as[(String, String)].collect()
+    // held-out fold = doc_id % 10 >= 8 -> 12 docs per language
+    assert(pred.length === 36)
+    val acc = pred.count(p => p._1 == p._2).toDouble / pred.length
+    assert(acc >= 0.95, s"separable languages must classify: acc=$acc")
+    // deterministic: a second run returns the identical prediction set
+    val again = TextAnalysis.langIdTrained(docs)
+      .select($"lang", $"predicted").as[(String, String)].collect()
+    assert(pred.sortBy(_.toString).toSeq === again.sortBy(_.toString).toSeq)
+  }
 }
