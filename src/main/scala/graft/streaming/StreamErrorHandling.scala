@@ -668,8 +668,7 @@ object StreamErrorHandling {
     * the conversion) and only the SMALLEST purchase after it (min signup
     * only decreases, so a larger later purchase can never win).
     */
-  final case class FunnelState(minSignup: Option[Long], purchases: List[Long],
-      maxSeenMs: Long)
+  final case class FunnelState(minSignup: Option[Long], purchases: List[Long])
   final case class FunnelVerdict(user_id: Long, s0: Long, p0: Option[Long],
       converted: Boolean)
 
@@ -700,50 +699,75 @@ object StreamErrorHandling {
       signupType: String, purchaseType: String,
       watermarkDelay: String): Dataset[FunnelVerdict] = {
     implicit val outEnc: Encoder[FunnelVerdict] = Encoders.product[FunnelVerdict]
-    implicit val stEnc: Encoder[FunnelState] = Encoders.product[FunnelState]
+    implicit val stEnc: Encoder[Punctuate.PunctState[FunnelState]] =
+      Encoders.product[Punctuate.PunctState[FunnelState]]
+    implicit val kEnc: Encoder[Long] = Encoders.scalaLong
     implicit val rowEnc: Encoder[(Long, Long, Long, String, java.sql.Timestamp)] =
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
         Encoders.scalaLong, Encoders.STRING, Encoders.TIMESTAMP)
-    events.withWatermark(tsCol, watermarkDelay)
-      // the watermarked timestamp column must ride into the stateful
-      // operator (the event-time-timeout checker requires it); the
-      // lambda ignores it
+    // the watermarked timestamp column must ride into the stateful
+    // operator (the event-time-timeout checker requires it); the
+    // extractors ignore it. All timer plumbing lives in Punctuate —
+    // this operator is the fold/finish pair only.
+    val rows = events.withWatermark(tsCol, watermarkDelay)
       .select(col(userCol).cast("long"),
         expr(s"unix_micros(`$tsCol`) div 1000"), // ms for timeouts
         col(tsUsCol).cast("long"), col(typeCol), col(tsCol))
       .as[(Long, Long, Long, String, java.sql.Timestamp)]
-      .groupByKey(_._1)(Encoders.scalaLong)
-      .flatMapGroupsWithState[FunnelState, FunnelVerdict](
-        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (user: Long, rows: Iterator[(Long, Long, Long, String, java.sql.Timestamp)],
-            state: GroupState[FunnelState]) =>
-          if (state.hasTimedOut) {
-            val st = state.getOption.getOrElse(FunnelState(None, Nil, 0L))
-            state.remove()
-            st.minSignup match {
-              case Some(s0) =>
-                val p0 = st.purchases.filter(_ > s0).sorted.headOption
-                Iterator.single(FunnelVerdict(user, s0, p0, p0.isDefined))
-              case None => Iterator.empty // activity but never signed up
-            }
-          } else {
-            var st = state.getOption.getOrElse(FunnelState(None, Nil, 0L))
-            rows.foreach { case (_, tsMs, tsUs, typ, _) =>
-              if (tsMs > st.maxSeenMs) st = st.copy(maxSeenMs = tsMs)
-              if (typ == signupType)
-                st = st.copy(minSignup =
-                  Some(st.minSignup.fold(tsUs)(math.min(_, tsUs))))
-              else if (typ == purchaseType)
-                st = st.copy(purchases = tsUs :: st.purchases)
-            }
-            st = compressFunnel(st)
-            state.update(st)
-            // fire once the watermark passes the last activity seen
-            state.setTimeoutTimestamp(
-              math.max(st.maxSeenMs, state.getCurrentWatermarkMs() + 1))
-            Iterator.empty
-          }
-      }
+    Punctuate.eventTimePunctuate[
+        (Long, Long, Long, String, java.sql.Timestamp), Long,
+        FunnelState, FunnelVerdict](
+      rows, keyFn = _._1, tsMsFn = _._2,
+      zero = FunnelState(None, Nil),
+      fold = (st, r) =>
+        if (r._4 == signupType)
+          st.copy(minSignup = Some(st.minSignup.fold(r._3)(math.min(_, r._3))))
+        else if (r._4 == purchaseType) st.copy(purchases = r._3 :: st.purchases)
+        else st,
+      finish = (user, st) => st.minSignup match {
+        case Some(s0) =>
+          val p0 = st.purchases.filter(_ > s0).sorted.headOption
+          Iterator.single(FunnelVerdict(user, s0, p0, p0.isDefined))
+        case None => Iterator.empty // activity but never signed up
+      },
+      compact = compressFunnel)
+  }
+
+  /** Idle-key (missing-heartbeat) detection (ST22) — the canonical
+    * Kafka Streams punctuator use case: alert when a key goes SILENT.
+    * Per key, fold first/last/count of its event times; when the
+    * watermark proves no event arrived for `quietMs` beyond the last
+    * one, emit ONE alert with the activity summary and drop the state
+    * (a later event re-arms the key for a fresh alert). Built entirely
+    * by wiring [[Punctuate.eventTimePunctuate]] — fold/finish only, no
+    * timer plumbing: the helper's reuse contract demonstrated.
+    */
+  final case class IdleKeyAlert(key: Long, first_seen_ms: Long,
+      last_seen_ms: Long, n_events: Long)
+  final case class IdleKeyState(firstMs: Long, lastMs: Long, n: Long)
+
+  def detectIdleKeys(events: DataFrame, keyCol: String, tsCol: String,
+      quietMs: Long, watermarkDelay: String): Dataset[IdleKeyAlert] = {
+    require(quietMs > 0, s"quietMs must be > 0: $quietMs")
+    implicit val outEnc: Encoder[IdleKeyAlert] = Encoders.product[IdleKeyAlert]
+    implicit val stEnc: Encoder[Punctuate.PunctState[IdleKeyState]] =
+      Encoders.product[Punctuate.PunctState[IdleKeyState]]
+    implicit val kEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val rowEnc: Encoder[(Long, Long, java.sql.Timestamp)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.TIMESTAMP)
+    val rows = events.withWatermark(tsCol, watermarkDelay)
+      .select(col(keyCol).cast("long"),
+        expr(s"unix_micros(`$tsCol`) div 1000"), col(tsCol))
+      .as[(Long, Long, java.sql.Timestamp)]
+    Punctuate.eventTimePunctuate[(Long, Long, java.sql.Timestamp), Long,
+        IdleKeyState, IdleKeyAlert](
+      rows, keyFn = _._1, tsMsFn = _._2,
+      zero = IdleKeyState(Long.MaxValue, Long.MinValue, 0L),
+      fold = (st, r) => IdleKeyState(math.min(st.firstMs, r._2),
+        math.max(st.lastMs, r._2), st.n + 1),
+      finish = (k, st) =>
+        Iterator.single(IdleKeyAlert(k, st.firstMs, st.lastMs, st.n)),
+      quietMs = quietMs)
   }
 
   /** Per-key stateful processing with error capture — the analog of

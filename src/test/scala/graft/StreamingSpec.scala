@@ -680,4 +680,44 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq
     assert(a == Seq((6L, 23.0)), "replayed trigger double-counted state")
   }
+
+  test("ST22 detectIdleKeys: alert only after the quiet period, exactly once, key re-arms") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamErrorHandling.IdleKeyAlert
+    val mem = MemoryStream[(Long, Long)] // (key, event-time ms)
+    val ev = mem.toDF().toDF("key", "tms")
+      .withColumn("ets", timestamp_millis($"tms"))
+    val out = StreamErrorHandling.detectIdleKeys(ev, "key", "ets",
+      quietMs = 10000L, watermarkDelay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("idlekeys")
+      .outputMode("append").start()
+    def got: Set[(Long, Long, Long, Long)] =
+      spark.table("idlekeys").as[IdleKeyAlert].collect()
+        .map(a => (a.key, a.first_seen_ms, a.last_seen_ms, a.n_events)).toSet
+    def feed(rows: (Long, Long)*): Unit = {
+      mem.addData(rows.toSeq); q.processAllAvailable()
+    }
+    // key 1 active to t=5s, key 2 to t=14s; quiet = 10s. Each feed's
+    // processAllAvailable includes the trailing no-data micro-batch, so
+    // the watermark reaches the feed's max event time - delay (0s)
+    // before the next assertion.
+    feed((1L, 1000L), (1L, 5000L), (2L, 1000L)) // wm 5s — deadlines 15s/11s
+    assert(got.isEmpty, "fired before any quiet period elapsed")
+    feed((2L, 14000L))        // wm 14s < key1's 15s deadline — still quiet
+    assert(got.isEmpty, "fired exactly at the boundary, not past it")
+    feed((9L, 16000L))        // wm 16s > 15s: key 1 fires with its summary
+    assert(got === Set((1L, 1000L, 5000L, 2L)))
+    feed((9L, 30000L))        // wm 30s > key2's 24s deadline: key 2 fires
+    assert(got === Set((1L, 1000L, 5000L, 2L), (2L, 1000L, 14000L, 2L)))
+    // key 1 re-arms: new activity after its alert opens a fresh cycle
+    feed((1L, 60000L))        // wm 60s > key9's 40s deadline: key 9 fires
+    assert(got.contains((9L, 16000L, 30000L, 2L)))
+    feed((99L, 100000L))      // wm 100s > key1's 70s: second key-1 alert
+    assert(got.contains((1L, 60000L, 60000L, 1L)),
+      s"key did not re-arm after its alert: $got")
+    // exactly once per quiet cycle — no duplicates anywhere
+    val all = spark.table("idlekeys").as[IdleKeyAlert].collect()
+    assert(all.length === all.distinct.length)
+    q.stop()
+  }
 }
