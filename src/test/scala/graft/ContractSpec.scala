@@ -22,6 +22,31 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
+  test("SURVEY §2 front-matter counts derive from the tables and the registry") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), java.nio.charset.StandardCharsets.UTF_8)
+    val s2 = survey.substring(survey.indexOf("## §2"), survey.indexOf("## §3"))
+    // actual table rows per subsection: "| <OPID> |" lines
+    def rows(section: String): Int = {
+      val start = s2.indexOf(s"### $section")
+      assert(start >= 0, s"missing §2 subsection $section")
+      val rest = s2.substring(start + 4)
+      val end = rest.indexOf("### 2")
+      val body = if (end < 0) rest else rest.substring(0, end)
+      "(?m)^\\| [A-Z]{1,2}[0-9]+ \\|".r.findAllIn(body).length
+    }
+    val (a, b, c, d) = (rows("2a"), rows("2b"), rows("2c"), rows("2d"))
+    // claimed front-matter numbers
+    val claim = ("""\*\*(\d+) rows\*\* — (\d+)[^(]*\(2a\), (\d+)[^(]*\(2b\),\s*""" +
+      """(\d+)[^(]*\(2c\), (\d+)[^(]*\(2d\)[\s\S]*?\*\*(\d+) oracle\s*queries\*\*""").r
+    val m = claim.findFirstMatchIn(s2)
+      .getOrElse(fail("SURVEY §2 front-matter totals sentence not found"))
+    val claimed = (1 to 6).map(i => m.group(i).toInt)
+    assert(claimed == Seq(a + b + c + d, a, b, c, d, SparkEntry.queries.size),
+      s"front-matter claims $claimed but tables hold 2a=$a 2b=$b 2c=$c 2d=$d " +
+        s"(sum ${a + b + c + d}) and the registry holds ${SparkEntry.queries.size}")
+  }
+
   test("SURVEY §2 inventory and the query registry agree") {
     val survey = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("SURVEY.md")), java.nio.charset.StandardCharsets.UTF_8)
