@@ -578,6 +578,33 @@ object StreamErrorHandling {
       && col(rightTs) >= col(leftTs) - expr(s"INTERVAL $window"), "left_outer")
   }
 
+  /** Stream-stream FULL OUTER interval join — the streaming twin of the
+    * batch q47 both-sides-preserved alignment ("errors with their
+    * clicks, errors with NO click, AND clicks belonging to NO error in
+    * the window"). Unlike the batch path — where the bin replication
+    * forces a two-pass composition (IntervalJoin.binnedFullOuter) — the
+    * streaming engine's join state is per-ROW, so the engine's native
+    * `full_outer` null-extends each matchless row of either side exactly
+    * once. Eviction needs both horizons: the condition bounds rightTs
+    * within [leftTs - window, leftTs], so a left row finalizes once the
+    * watermark passes its own timestamp (the latest admissible right
+    * carries it) and a right row finalizes once the watermark passes
+    * rightTs + window (the latest admissible left). Same streaming-outer
+    * contract as [[intervalJoinOuter]]: null-extended rows trail the
+    * watermark and surface in a later micro-batch; the equivalence spec
+    * drives the horizon closed with sentinel batches on both inputs.
+    */
+  def intervalJoinFullOuter(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      watermarkDelay: String, window: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r, col(leftKey) === col(rightKey)
+      && col(rightTs) <= col(leftTs)
+      && col(rightTs) >= col(leftTs) - expr(s"INTERVAL $window"), "full_outer")
+  }
+
   /** Streaming trending top-k ("top pages this hour", live): windowed
     * counts under a watermark in APPEND mode — each window emits
     * exactly once, complete, after the watermark passes it — then the

@@ -151,6 +151,52 @@ class StreamingBatchEquivalenceSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("ST23 stream-stream FULL OUTER interval join equals batch binnedFullOuter") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.withNanosTs(spark.read.parquet(s"$sf/events.parquet"))
+      .withColumn("tus", expr("ts div 1000"))
+    def rows(tpe: String) = ev.filter($"event_type" === tpe)
+      .select($"user_id", $"event_id", timestamp_micros($"tus").as("ets"))
+      .as[(Long, Long, java.sql.Timestamp)].collect().toSeq
+    val lmem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val rmem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val out = StreamErrorHandling.intervalJoinFullOuter(
+      lmem.toDF().toDF("e_user", "e_id", "e_ts"),
+      rmem.toDF().toDF("c_user", "c_id", "c_ts"),
+      "e_user", "c_user", "e_ts", "c_ts",
+      watermarkDelay = "1 hour", window = "6 hours")
+    val q = out.writeStream.format("memory").queryName("sbe_ijf")
+      .outputMode("append").start()
+    lmem.addData(rows("error"): _*); rmem.addData(rows("click"): _*)
+    q.processAllAvailable()
+    def sentinel(u: Long, d: String) = (u, -u, java.sql.Timestamp.valueOf(d))
+    lmem.addData(sentinel(-1L, "2030-01-01 00:00:00"))
+    rmem.addData(sentinel(-2L, "2030-01-01 00:00:00"))
+    q.processAllAvailable()
+    lmem.addData(sentinel(-3L, "2030-01-02 00:00:00"))
+    rmem.addData(sentinel(-4L, "2030-01-02 00:00:00"))
+    q.processAllAvailable()
+    q.stop()
+    // sentinels never match real keys, so they surface only as their own
+    // null-extended rows — strip both sides' sentinel emissions
+    val got = spark.table("sbe_ijf")
+      .filter(coalesce($"e_user", lit(0L)) >= 0L && coalesce($"c_user", lit(0L)) >= 0L)
+      .select($"e_id", $"c_id").as[(Option[Long], Option[Long])].collect()
+      .sortBy(r => (r._1.getOrElse(Long.MinValue), r._2.getOrElse(Long.MinValue))).toSeq
+
+    val err = ev.filter($"event_type" === "error")
+      .select($"user_id".as("e_user"), $"event_id".as("e_id"), $"tus".as("e_t"))
+    val clk = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"event_id".as("c_id"), $"tus".as("c_t"))
+    val want = operators.IntervalJoin.binnedFullOuter(err, clk,
+        "e_user", "c_user", "e_t", "c_t", lower = -21600000000L, upper = 0L)
+      .select($"e_id", $"c_id").as[(Option[Long], Option[Long])].collect()
+      .sortBy(r => (r._1.getOrElse(Long.MinValue), r._2.getOrElse(Long.MinValue))).toSeq
+    assert(want.exists(_._1.isEmpty), "fixture has no unmatched clicks — vacuous")
+    assert(want.exists(_._2.isEmpty), "fixture has no unmatched errors — vacuous")
+    assert(got == want)
+  }
+
   test("ST7 session_window sessionize equals batch q26 per-user session stats") {
     val dir = staged("events")
     val stream = fileStream(dir)
