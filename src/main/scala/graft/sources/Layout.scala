@@ -393,6 +393,36 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** n-D Hilbert curve index over 2..8 columns, each masked to
+    * `floor(63/n)` bits (same admissible-range contract as
+    * [[zOrderValueN]]). Consecutive Hilbert indices are L1-distance-1
+    * grid neighbors (HilbertSpec proves it exhaustively), so a
+    * contiguous index range — one file after the clustered write — is a
+    * CONNECTED region of the key space, where a Morton range can span
+    * two far-apart rectangles across quadrant seams. Tighter per-file
+    * min/max boxes on every dimension = more files skipped at 100 TB.
+    */
+  def hilbertValue(cols: Seq[org.apache.spark.sql.Column])
+      : org.apache.spark.sql.Column = {
+    require(cols.size >= 2 && cols.size <= 8,
+      s"hilbert needs 2..8 columns: ${cols.size}")
+    graft.functions.HilbertIndex(cols.map(_.cast("long")), 63 / cols.size)
+  }
+
+  /** [[writeZOrderedN]] with Hilbert clustering: one range-partitioned
+    * shuffle on the curve index, per-file locality on every listed
+    * dimension — the strictly-better curve at identical write cost.
+    */
+  def writeHilbert(df: DataFrame, path: String, cols: Seq[String],
+      numFiles: Int = 8): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
+    df.withColumn("__h", hilbertValue(cols.map(col)))
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__h")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Z-order-clustered write: range-partition on the interleaved value
     * (sampled range boundaries — balanced files regardless of the data
     * distribution), sort by it inside each file, write `numFiles`
