@@ -112,4 +112,21 @@ object Quantiles {
       .select(col("__k").as(keyCol), col("__q").as("q"),
         col("lo"), col("hi"), col("__n").as("n"))
   }
+
+  /** SQL `percentile_cont`: the linear interpolation between
+    * [[boundaries]]' two exact boundary rows — `lo + (hi-lo) * frac`
+    * at `frac = q*(n-1) - floor(q*(n-1))`, every op a plain double
+    * (deterministic, engine-reproducible: the oracle states the SAME
+    * three ops). Same distributed-selection cost as boundaries — no
+    * per-key full sort ever; the interpolation is one projection.
+    */
+  def interpolated(df: DataFrame, keyCol: String, valCol: String,
+      qs: Seq[Double], buckets: Int = 1024): DataFrame = {
+    val pos = col("q") * (col("n") - lit(1))
+    boundaries(df, keyCol, valCol, qs, buckets)
+      .select(col(keyCol), col("q"),
+        (col("lo").cast("double")
+          + (col("hi").cast("double") - col("lo").cast("double"))
+            * (pos - floor(pos))).as("pct"))
+  }
 }
