@@ -1110,6 +1110,56 @@ object SparkEntry {
     } finally rmTree(tmp)
   }
 
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // SQL percentile_cont per group — document-length percentiles per
+    // language, the corpus-card stat every quality report opens with.
+    // Same bucketed distributed selection as q25 (two aggregate passes,
+    // local sort of ONLY the boundary buckets — never a per-key full
+    // sort); the interpolation is the operator's documented
+    // lo + (hi-lo)*frac double ops, mirrored verbatim in the oracle.
+    operators.Quantiles.interpolated(
+      t(s, dir, "documents").select($"lang", $"n_chars"),
+      keyCol = "lang", valCol = "n_chars", qs = Seq(0.1, 0.5, 0.9, 0.99))
+      .orderBy($"lang", $"q")
+  }
+
+  private def x13h(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Hilbert-clustered layout roundtrip: documents clustered on
+    // hilbert(doc_id, n_chars, n_tokens). The curve itself is proven
+    // exhaustively in HilbertSpec (bijection + unit-step adjacency over
+    // the whole grid — stronger than any sampled oracle); the index is
+    // iterative bit-state no SQL engine reproduces succinctly, so THIS
+    // row pins the layout contract over real data: the clustered write
+    // loses nothing, duplicates nothing, mutates nothing.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_x13_hilbert_").toString
+    try {
+      val docs = t(s, dir, "documents").select($"doc_id", $"n_chars",
+        size(split($"text", " ", -1)).cast("long").as("n_tokens"))
+      sources.Layout.writeHilbert(docs, tmp,
+        Seq("doc_id", "n_chars", "n_tokens"), numFiles = 8)
+      s.read.parquet(tmp)
+        .select($"doc_id", $"n_chars", $"n_tokens")
+        .orderBy($"doc_id")
+        .localCheckpoint()
+    } finally rmTree(tmp)
+  }
+
+  private def x14sd(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // trailing-7-day distinct users per day (DAU + WAU-ending-at-d):
+    // ONE (day,user) dedup shuffle, pairs exploded to the ≤7 window
+    // ends they serve — never a per-window rescan or a giant window
+    // sort. Day = integer nanos-epoch day, mirrored by the oracle's
+    // epoch_us // 86400000000. slidingDistinctSketch is the documented
+    // HLL swap at 100 TB (spec pins its error bound).
+    val ev = t(s, dir, "events")
+      .select(expr("ts div 86400000000000").as("day"), $"user_id")
+    operators.Pipeline.slidingDistinct(ev, "day", "user_id", windowDays = 7)
+      .orderBy($"day")
+  }
+
   private def x7(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // one-pass exact column profiler over every documents column
@@ -2269,6 +2319,14 @@ object SparkEntry {
       .orderBy($"lang")
   }
 
+  private def t24(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Zipf rank–frequency least squares over the corpus token
+    // histogram: slope ≈ −1 on natural language, bent by template
+    // flooding — the one-row law-fit beside t19's full spectrum
+    operators.TextAnalysis.zipfFit(t(s, dir, "documents"))
+  }
+
   private def t9(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // boilerplate mining: trigrams present in ≥ 5% of all documents
@@ -2701,6 +2759,10 @@ object SparkEntry {
     "q47_interval_full" -> (q47 _),
     "x12_zorder3" -> (x12z _),
     "t23_langid_trained" -> (t23 _),
+    "x13_hilbert" -> (x13h _),
+    "q48_percentile_cont" -> (q48 _),
+    "x14_sliding_distinct" -> (x14sd _),
+    "t24_zipf_fit" -> (t24 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3826,6 +3888,70 @@ object SparkEntry {
         |  ((a4 | (a4 << 1)) & 6148914691236517205) |
         |  ((((b4 | (b4 << 1)) & 6148914691236517205)) << 1) AS zval
         |FROM s4 ORDER BY doc_id""".stripMargin,
+    // Zipf fit: identical rank tie-break, round(9)+DECIMAL(20,12) sums
+    // (the t20 pattern), closed form stated with the same double ops
+    "t24_zipf_fit" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok),
+        |r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS r FROM c),
+        |t AS (SELECT round(ln(CAST(r AS DOUBLE)), 9) AS x,
+        |  round(ln(CAST(n AS DOUBLE)), 9) AS y FROM r),
+        |s AS (SELECT COUNT(*) AS n_types,
+        |  CAST(SUM(CAST(round(x, 9) AS DECIMAL(20,12))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(round(y, 9) AS DECIMAL(20,12))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(20,12))) AS DOUBLE) AS sxy,
+        |  CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(20,12))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(round(y * y, 9) AS DECIMAL(20,12))) AS DOUBLE) AS syy
+        | FROM t),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tokens FROM c)
+        |SELECT n_types, n_tokens,
+        | (CAST(n_types AS DOUBLE) * sxy - sx * sy)
+        |   / (CAST(n_types AS DOUBLE) * sxx - sx * sx) AS slope,
+        | (sy - ((CAST(n_types AS DOUBLE) * sxy - sx * sy)
+        |   / (CAST(n_types AS DOUBLE) * sxx - sx * sx)) * sx)
+        |   / CAST(n_types AS DOUBLE) AS intercept,
+        | ((CAST(n_types AS DOUBLE) * sxy - sx * sy)
+        |   * (CAST(n_types AS DOUBLE) * sxy - sx * sy))
+        |   / ((CAST(n_types AS DOUBLE) * sxx - sx * sx)
+        |   * (CAST(n_types AS DOUBLE) * syy - sy * sy)) AS r2
+        |FROM s CROSS JOIN tot""".stripMargin,
+    // trailing-window distincts: BETWEEN-join formulation — independent
+    // of the Spark side's explode-to-window-ends plan, same counts
+    "x14_sliding_distinct" ->
+      """WITH pairs AS (
+        | SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM pairs),
+        |w AS (SELECT dy.day AS day, COUNT(DISTINCT p.user_id) AS n_window
+        |      FROM days dy JOIN pairs p ON p.day BETWEEN dy.day - 6 AND dy.day
+        |      GROUP BY dy.day),
+        |o AS (SELECT day, COUNT(DISTINCT user_id) AS n_1d FROM pairs GROUP BY day)
+        |SELECT o.day, o.n_1d, w.n_window FROM o JOIN w USING (day)
+        |ORDER BY day""".stripMargin,
+    // percentile_cont: identical rank construction and the SAME three
+    // interpolation double ops as Quantiles.interpolated — hash-exact
+    "q48_percentile_cont" ->
+      """WITH ranked AS (
+        | SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) - 1 AS rn,
+        |  COUNT(*) OVER (PARTITION BY lang) AS n
+        | FROM documents),
+        |qs(q) AS (VALUES (CAST(0.1 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+        |  (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE))),
+        |b AS (
+        | SELECT lang, q,
+        |  MAX(CASE WHEN rn = floor(q * (n - 1)) THEN v END) AS lo,
+        |  MAX(CASE WHEN rn = ceil(q * (n - 1)) THEN v END) AS hi,
+        |  MAX(q * (n - 1)) AS pos
+        | FROM ranked CROSS JOIN qs GROUP BY lang, q)
+        |SELECT lang, q, lo + (hi - lo) * (pos - floor(pos)) AS pct
+        |FROM b ORDER BY lang, q""".stripMargin,
+    // Hilbert layout: the curve is proven exhaustively in HilbertSpec;
+    // the oracle pins the clustered write's content-losslessness
+    "x13_hilbert" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // 3-D round-robin Morton recomputed independently: bit j of column
     // k at output bit 3j+k, 21 bits per column (63/3)
     "x12_zorder3" ->

@@ -804,6 +804,63 @@ object Pipeline {
         greatest(col("nd_a") + col("nd_b") - col("nd_union"), lit(0L)))
   }
 
+  /** Exact trailing-window distinct counts per day — the DAU/WAU shape
+    * ("distinct users in the 7 days ending at d, for every d"). The
+    * naive plan re-scans the table once per window position (or window-
+    * sorts it); this is instead: dedup to (day, key) pairs ONCE (the
+    * only full-data shuffle), explode each pair to the `windowDays`
+    * window ends it contributes to — the blow-up is w × |deduped
+    * pairs|, never w × |rows| — and count distinct per window end (a
+    * key present on several days of one window still counts once).
+    * Output rows only for days that appear in the data (broadcast
+    * semi-filter); `n_1d` rides along from the same pair frame.
+    * At 100 TB the day→pairs dedup is incremental by partition (only
+    * new days' pairs are computed), and [[slidingDistinctSketch]] is
+    * the documented swap when w × pairs is still too hot: per-day HLL
+    * sketches, w KB-sized merges per window end, data read once ever.
+    */
+  def slidingDistinct(df: DataFrame, dayCol: String, keyCol: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
+    val pairs = df.select(col(dayCol).cast("long").as("__d"),
+      col(keyCol).as("__k")).filter(col("__k").isNotNull).distinct()
+    val days = pairs.select(col("__d").as("__target")).distinct()
+    val perDay = pairs.groupBy(col("__d").as("__target"))
+      .agg(countDistinct(col("__k")).as("n_1d"))
+    val windowed = pairs
+      .select(explode(sequence(col("__d"),
+        col("__d") + lit(windowDays - 1).cast("long"))).as("__target"), col("__k"))
+      .join(broadcast(days), Seq("__target"))
+      .groupBy(col("__target"))
+      .agg(countDistinct(col("__k")).as("n_window"))
+    perDay.join(windowed, Seq("__target"))
+      .select(col("__target").as(dayCol), col("n_1d"), col("n_window"))
+  }
+
+  /** [[slidingDistinct]]'s mergeable-sketch twin: per-day HLL sketches
+    * (one scan, ever), each unioned into the ≤ `windowDays` window ends
+    * it serves — per window end the merge touches w KB-sized blobs, not
+    * rows. Estimates carry HLL error (±~1.6% at lgK=12); the spec pins
+    * the bound against [[slidingDistinct]]'s exact counts.
+    */
+  def slidingDistinctSketch(df: DataFrame, dayCol: String, keyCol: String,
+      windowDays: Int, lgK: Int = 12): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
+    val rows = df.select(col(dayCol).cast("long").as("__d"), col(keyCol).as("__k"))
+      .filter(col("__k").isNotNull)
+    val daySketches = rows.groupBy(col("__d"))
+      .agg(hll_sketch_agg(col("__k"), lit(lgK)).as("sketch"))
+    val days = daySketches.select(col("__d").as("__target"))
+    daySketches
+      .select(explode(sequence(col("__d"),
+        col("__d") + lit(windowDays - 1).cast("long"))).as("__target"), col("sketch"))
+      .join(broadcast(days), Seq("__target"))
+      .groupBy(col("__target"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(true)))
+        .as("n_window_est"))
+      .select(col("__target").as(dayCol), col("n_window_est"))
+  }
+
   /** Mergeable Count-Min frequency sketches — the FREQUENCY complement
     * of [[distinctSketch]]'s HLL: per-group KB-sized counter grids
     * whose estimates are one-sided (estimate ≥ true count, ≤ true +

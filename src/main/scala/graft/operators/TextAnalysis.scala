@@ -590,6 +590,47 @@ object TextAnalysis {
         max(col("n_only_a")).as("n_only_a"), max(col("n_only_b")).as("n_only_b"))
   }
 
+  /** Zipf rank–frequency fit — the corpus-statistics law every scaling
+    * study plots: least squares of ln(freq) on ln(rank) over the
+    * whole-corpus token histogram, returning the slope (≈ −1 for
+    * natural language; the negated Zipf exponent), intercept and r².
+    * Template-flooded or synthetic corpora bend the line — this is the
+    * one-row monitor beside [[freqSpectrum]]'s full spectrum.
+    *
+    * Determinism: ranks tie-break (count desc, token asc) identically
+    * in the oracle; per-term round(9) absorbs ln ulp and DECIMAL(20,12)
+    * quantization makes each of the five regression sums exactly
+    * order-independent (the t20 pattern); the closed-form combination
+    * of the exact sums is a handful of double ops stated identically in
+    * the oracle. The only sort is the vocabulary-sized ranking — rows
+    * are never sorted, the histogram is.
+    */
+  def zipfFit(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val counts = docs.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val ranked = counts.select(col("n"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("tok").asc)).cast("long").as("r"))
+    val x = round(log(col("r").cast("double")), 9)
+    val y = round(log(col("n").cast("double")), 9)
+    def dec(c: Column) = round(c, 9).cast("decimal(20,12)")
+    val s = ranked.agg(
+      count(lit(1)).as("n_types"), sum(col("n")).as("n_tokens"),
+      sum(dec(x)).cast("double").as("sx"),
+      sum(dec(y)).cast("double").as("sy"),
+      sum(dec(x * y)).cast("double").as("sxy"),
+      sum(dec(x * x)).cast("double").as("sxx"),
+      sum(dec(y * y)).cast("double").as("syy"))
+    val nn = col("n_types").cast("double")
+    val cov = nn * col("sxy") - col("sx") * col("sy")
+    val vx = nn * col("sxx") - col("sx") * col("sx")
+    val vy = nn * col("syy") - col("sy") * col("sy")
+    s.select(col("n_types"), col("n_tokens"),
+      (cov / vx).as("slope"),
+      ((col("sy") - (cov / vx) * col("sx")) / nn).as("intercept"),
+      (cov * cov / (vx * vy)).as("r2"))
+  }
+
   /** Token frequency-of-frequencies spectrum — the corpus-health
     * diagnostic behind Zipf/Heaps sanity checks and Good–Turing
     * smoothing: for each occurrence count c, how many distinct token
@@ -654,10 +695,13 @@ object TextAnalysis {
       langCol: String = "lang"): DataFrame = {
     require(n >= 1 && buckets >= 2 && trainMod >= 2
       && trainFolds >= 1 && trainFolds < trainMod, "bad langIdTrained config")
-    val base = docs.filter(col(langCol).isNotNull)
+    // widen BEFORE the gram explode: the md5-per-gram bucketing is the
+    // CPU wall (chars × docs hashes) and a single-row-group parquet
+    // input would pin it to one core
+    val base = Dedup.widen(docs.filter(col(langCol).isNotNull)
       .filter(length(col(textCol)) >= n)
       .select(col(idCol).as("doc_id"), col(langCol).as("lang"),
-        col(textCol).as("t"))
+        col(textCol).as("t")))
     val grams = base.select(col("doc_id"), col("lang"),
       explode(expr(
         s"transform(sequence(1, char_length(t) - ${n - 1}), i -> substring(t, i, $n))"))

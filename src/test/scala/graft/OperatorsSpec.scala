@@ -113,6 +113,57 @@ class OperatorsSpec extends SparkSpec {
     assert(got.size == byKey.size * qs.size)
   }
 
+  test("Quantiles.interpolated equals brute-force percentile_cont bit-for-bit") {
+    import operators.Quantiles
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 500).map(_ => ("a", rnd.nextDouble() * 100)) ++
+      (1 to 87).map(_ => ("b", math.floor(rnd.nextDouble() * 5))) ++ // heavy ties
+      Seq(("c", 7.0)) // n = 1
+    val df = rows.toDF("k", "v").repartition(8)
+    val qs = Seq(0.0, 0.1, 0.5, 0.9, 0.99, 1.0)
+    val got = Quantiles.interpolated(df, "k", "v", qs, buckets = 16)
+      .as[(String, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val byKey = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    for ((k, sorted) <- byKey; q <- qs) {
+      val pos = q * (sorted.size - 1)
+      val (lo, hi) = (sorted(math.floor(pos).toInt), sorted(math.ceil(pos).toInt))
+      // BIT equality: the operator promises exactly these three double ops
+      val expect = lo + (hi - lo) * (pos - math.floor(pos))
+      assert(got((k, q)) == expect, s"key=$k q=$q")
+    }
+    assert(got.size == byKey.size * qs.size)
+    // and agrees with the engine's own exact percentile aggregate
+    val builtin = df.groupBy($"k").agg(percentile($"v", lit(0.9)).as("p"))
+      .as[(String, Double)].collect().toMap
+    byKey.keys.foreach { k =>
+      assert(math.abs(got((k, 0.9)) - builtin(k))
+        <= 1e-9 * math.max(1.0, math.abs(builtin(k))), s"builtin disagrees on $k")
+    }
+  }
+
+  test("zipfFit recovers an exact power law; bent corpus scores lower r2") {
+    import operators.TextAnalysis
+    // counts 420/r at ranks 1..7 (420 = lcm(1..7)): freq = C·rank⁻¹
+    // EXACTLY, so the regression must return slope −1, r² 1 (up to the
+    // documented 1e-9 per-term rounding)
+    val counts = (1 to 7).map(r => s"w$r" -> 420 / r)
+    val docs = counts.map { case (w, c) => Seq.fill(c)(w).mkString(" ") }
+      .toDF("text")
+    val got = TextAnalysis.zipfFit(docs)
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(got._1 == 7L)
+    assert(got._2 == counts.map(_._2).sum.toLong)
+    assert(math.abs(got._3 + 1.0) < 1e-6, s"slope ${got._3}")
+    assert(got._5 > 0.999999, s"r2 ${got._5}")
+    // a flat (template-flooded) corpus: every token equally frequent →
+    // zero variance in y → r² collapses
+    val flat = (1 to 7).map(r => Seq.fill(10)(s"w$r").mkString(" ")).toDF("text")
+    val flatR2 = TextAnalysis.zipfFit(flat)
+      .as[(Long, Long, Double, Double, Double)].collect().head._5
+    assert(flatR2.isNaN || flatR2 < 0.01, s"flat r2 $flatR2")
+  }
+
   test("Quantiles.boundaries ignores NULL values (SQL quantile semantics)") {
     import operators.Quantiles
     val rnd = new scala.util.Random(11)

@@ -506,6 +506,36 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(merged - exact) / exact < 0.05, s"estimate $merged vs $exact")
   }
 
+  test("slidingDistinct: exact trailing-window distincts; HLL twin within bound") {
+    // uneven day traffic, repeating users, a day-range GAP (days 7..9
+    // missing — no output rows for absent days, and day 10's window
+    // must look back ACROSS the gap), and null users (dropped)
+    val rows = (for { d <- 0 to 20; u <- 0 until (d % 5) * 10 + 5 }
+      yield (d.toLong, s"u${(u * 7 + d) % 37}"))
+      .filterNot(r => r._1 >= 7 && r._1 <= 9)
+    val df = (rows.map { case (d, u) => (d, Option(u)) } ++
+      Seq((3L, Option.empty[String]))).toDF("day", "uid").repartition(8)
+    val got = Pipeline.slidingDistinct(df, "day", "uid", windowDays = 7)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val presentDays = rows.map(_._1).distinct.sorted
+    assert(got.keySet == presentDays.toSet) // gap days emit nothing
+    for (d <- presentDays) {
+      val n1 = rows.filter(_._1 == d).map(_._2).distinct.size.toLong
+      val nw = rows.filter(r => r._1 >= d - 6 && r._1 <= d)
+        .map(_._2).distinct.size.toLong
+      assert(got(d) == ((n1, nw)), s"day $d: ${got(d)} vs ($n1, $nw)")
+    }
+    // the sketch twin tracks the exact counts within HLL error
+    val est = Pipeline.slidingDistinctSketch(df, "day", "uid", windowDays = 7)
+      .as[(Long, Long)].collect().toMap
+    assert(est.keySet == presentDays.toSet)
+    for (d <- presentDays) {
+      val exact = got(d)._2.toDouble
+      assert(math.abs(est(d) - exact) / exact < 0.05, s"day $d: ${est(d)} vs $exact")
+    }
+  }
+
   test("sketchOverlap: inclusion-exclusion estimates track exact intersections") {
     // a: 0..5999, b: 4000..9999 (overlap 2000), c: 20000..20999 (disjoint)
     val df = ((0L until 6000L).map(("a", _)) ++ (4000L until 10000L).map(("b", _))
