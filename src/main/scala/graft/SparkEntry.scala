@@ -2327,6 +2327,16 @@ object SparkEntry {
     operators.TextAnalysis.zipfFit(t(s, dir, "documents"))
   }
 
+  private def t25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // interpolated Kneser–Ney bigram LM (t15's serious upgrade):
+    // absolute discounting + continuation back-off, every probability
+    // per-row double arithmetic from exact BIGINT counts
+    operators.TextAnalysis.bigramKneserNey(t(s, dir, "documents"),
+        topPerContext = 3, minContext = 5)
+      .orderBy($"w1", $"c".desc, $"w2")
+  }
+
   private def t9(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // boilerplate mining: trigrams present in ≥ 5% of all documents
@@ -2763,6 +2773,7 @@ object SparkEntry {
     "q48_percentile_cont" -> (q48 _),
     "x14_sliding_distinct" -> (x14sd _),
     "t24_zipf_fit" -> (t24 _),
+    "t25_kneser_ney" -> (t25 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3888,6 +3899,28 @@ object SparkEntry {
         |  ((a4 | (a4 << 1)) & 6148914691236517205) |
         |  ((((b4 | (b4 << 1)) & 6148914691236517205)) << 1) AS zval
         |FROM s4 ORDER BY doc_id""".stripMargin,
+    // Kneser–Ney: every probability is per-row double arithmetic from
+    // exact BIGINT counts — the formula ops mirrored verbatim
+    "t25_kneser_ney" ->
+      """WITH ts AS (SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |bg AS (SELECT z[1] AS w1, z[2] AS w2 FROM (
+        |  SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z FROM ts)),
+        |bi AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+        |ctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c_ctx, COUNT(*) AS n_follow
+        |  FROM bi GROUP BY w1 HAVING SUM(c) >= 5),
+        |cont AS (SELECT w2, COUNT(*) AS n_precede FROM bi GROUP BY w2),
+        |tot AS (SELECT COUNT(*) AS n_bigrams FROM bi),
+        |sc AS (SELECT bi.w1, bi.w2, bi.c, ctx.c_ctx, ctx.n_follow, cont.n_precede,
+        |  greatest(CAST(bi.c AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+        |      / CAST(ctx.c_ctx AS DOUBLE)
+        |    + ((CAST(0.75 AS DOUBLE) * CAST(ctx.n_follow AS DOUBLE))
+        |      / CAST(ctx.c_ctx AS DOUBLE))
+        |      * (CAST(cont.n_precede AS DOUBLE) / CAST(tot.n_bigrams AS DOUBLE)) AS p_kn,
+        |  ROW_NUMBER() OVER (PARTITION BY bi.w1 ORDER BY bi.c DESC, bi.w2 ASC) AS rn
+        | FROM bi JOIN ctx ON bi.w1 = ctx.w1 JOIN cont ON bi.w2 = cont.w2
+        | CROSS JOIN tot)
+        |SELECT w1, w2, c, c_ctx, n_follow, n_precede, p_kn FROM sc WHERE rn <= 3
+        |ORDER BY w1, c DESC, w2""".stripMargin,
     // Zipf fit: identical rank tie-break, round(9)+DECIMAL(20,12) sums
     // (the t20 pattern), closed form stated with the same double ops
     "t24_zipf_fit" ->

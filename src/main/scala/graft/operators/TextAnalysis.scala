@@ -406,6 +406,56 @@ object TextAnalysis {
       Seq(TopK.desc("c"), TopK.asc("w2")), topPerContext)
   }
 
+  /** Interpolated Kneser–Ney bigram LM — the standard n-gram smoothing
+    * (the serious upgrade beside [[bigramLm]]'s raw conditional MLE):
+    *
+    *   P_KN(w2|w1) = max(c(w1,w2)−d, 0)/c(w1·)
+    *               + [d·N1+(w1·)/c(w1·)] · N1+(·w2)/N1+(··)
+    *
+    * — absolute discounting plus a CONTINUATION back-off: "w2's
+    * probability in a novel context is how many contexts it follows,
+    * not how often it occurs" (the 'San Francisco' fix: frequent-but-
+    * one-context words stop leaking mass into every context).
+    *
+    * Everything derives from integer counts of ONE bigram table —
+    * N1+(w1·) is the context's distinct-successor count, N1+(·w2) the
+    * word's distinct-predecessor count, N1+(··) the distinct-bigram
+    * total — so the probability is per-row double arithmetic from exact
+    * BIGINTs: no float aggregate anywhere, engine-exact with the ops
+    * mirrored in the oracle. The interpolation is exactly normalized
+    * (Σ_w2 over the full vocab = 1; the spec pins it). Plan: one
+    * (w1,w2) hash aggregate (pinned once — four consumers), two
+    * vocab-sized roll-ups, one 1-row total broadcast, then the same
+    * bounded-heap TopK thinning as [[bigramLm]].
+    */
+  def bigramKneserNey(docs: DataFrame, topPerContext: Int, minContext: Long,
+      textCol: String = "text"): DataFrame = {
+    val d = lit(0.75).cast("double")
+    val ts = split(trim(col(textCol)), "\\s+")
+    val n1 = greatest(size(ts) - 1, lit(0))
+    val pairs = arrays_zip(
+      slice(ts, lit(1), n1).as("w1"), slice(ts, lit(2), n1).as("w2"))
+    val bi = docs.select(explode(pairs).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // four consumers below — one explode pass, ever
+    val ctx = bi.groupBy(col("w1"))
+      .agg(sum(col("c")).as("c_ctx"), count(lit(1)).as("n_follow"))
+      .filter(col("c_ctx") >= minContext)
+    val cont = bi.groupBy(col("w2")).agg(count(lit(1)).as("n_precede"))
+    val tot = bi.agg(count(lit(1)).as("n_bigrams"))
+    val pkn = greatest(col("c").cast("double") - d, lit(0.0)) /
+        col("c_ctx").cast("double") +
+      ((d * col("n_follow").cast("double")) / col("c_ctx").cast("double")) *
+        (col("n_precede").cast("double") / col("n_bigrams").cast("double"))
+    val scored = bi.join(ctx, "w1").join(cont, "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c"), col("c_ctx"),
+        col("n_follow"), col("n_precede"), pkn.as("p_kn"))
+    TopK.perKey(scored, Seq("w1"),
+      Seq(TopK.desc("c"), TopK.asc("w2")), topPerContext)
+  }
+
   /** Bigram-LM perplexity scoring — the CCNet-style quality filter:
     * documents are scored by how surprising they are under a bigram
     * language model trained on a (deterministic) train split of the

@@ -142,6 +142,40 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("bigramKneserNey: driver-exact probabilities; full-vocab interpolation normalizes") {
+    import operators.TextAnalysis
+    val corpus = Seq("a b a b a c", "b a b c a b", "c a c b a a")
+    val got = TextAnalysis.bigramKneserNey(corpus.toDF("text"),
+        topPerContext = 1000, minContext = 1)
+      .select($"w1", $"w2", $"c", $"p_kn")
+      .as[(String, String, Long, Double)].collect()
+    val toks = corpus.map(_.split("\\s+").toSeq)
+    val cMap = toks.flatMap(t => t.zip(t.tail))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cCtx = cMap.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nFollow = cMap.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nPrec = cMap.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nBi = cMap.size.toLong
+    val d = 0.75
+    assert(got.length == cMap.size)
+    got.foreach { case (w1, w2, c, p) =>
+      assert(c == cMap((w1, w2)))
+      // bit-equal: the operator promises exactly these double ops
+      val expect = math.max(c.toDouble - d, 0.0) / cCtx(w1) +
+        ((d * nFollow(w1)) / cCtx(w1)) * (nPrec(w2).toDouble / nBi)
+      assert(p == expect, s"($w1,$w2): $p vs $expect")
+    }
+    // KN interpolation is exactly normalized: per context, discounted
+    // seen mass + λ·Σ_vocab P_cont = 1
+    for (w1 <- cCtx.keys) {
+      val seenMass = cMap.collect { case ((a, _), c) if a == w1 =>
+        (c - d) / cCtx(w1) }.sum
+      val lambda = d * nFollow(w1) / cCtx(w1)
+      val contSum = nPrec.values.map(_.toDouble / nBi).sum
+      assert(math.abs(seenMass + lambda * contSum - 1.0) < 1e-12, s"norm $w1")
+    }
+  }
+
   test("zipfFit recovers an exact power law; bent corpus scores lower r2") {
     import operators.TextAnalysis
     // counts 420/r at ranks 1..7 (420 = lcm(1..7)): freq = C·rank⁻¹
