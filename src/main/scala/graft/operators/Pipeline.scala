@@ -845,15 +845,35 @@ object Pipeline {
     */
   def slidingDistinctSketch(df: DataFrame, dayCol: String, keyCol: String,
       windowDays: Int, lgK: Int = 12): DataFrame = {
-    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
-    val rows = df.select(col(dayCol).cast("long").as("__d"), col(keyCol).as("__k"))
+    val daySketches = daySketchTable(df, dayCol, keyCol, lgK)
+    windowizeDaySketches(daySketches, dayCol, windowDays)
+  }
+
+  /** The per-day HLL sketch table (day, sketch) — the maintainable
+    * state behind [[slidingDistinctSketch]]: streaming maintenance
+    * (ST24) folds each trigger's day sketches into this table with
+    * `hll_union_agg`, whose monoid property makes the maintained state
+    * EQUAL the batch-computed table over all history.
+    */
+  def daySketchTable(df: DataFrame, dayCol: String, keyCol: String,
+      lgK: Int = 12): DataFrame =
+    df.select(col(dayCol).cast("long").as(dayCol), col(keyCol).as("__k"))
       .filter(col("__k").isNotNull)
-    val daySketches = rows.groupBy(col("__d"))
+      .groupBy(col(dayCol))
       .agg(hll_sketch_agg(col("__k"), lit(lgK)).as("sketch"))
-    val days = daySketches.select(col("__d").as("__target"))
+
+  /** [[slidingDistinctSketch]]'s read tail over a (day, sketch) table:
+    * each day's sketch unions into the ≤ `windowDays` window ends it
+    * serves — w KB-sized merges per window end, rows never touched.
+    */
+  def windowizeDaySketches(daySketches: DataFrame, dayCol: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
+    val days = daySketches.select(col(dayCol).cast("long").as("__target"))
     daySketches
-      .select(explode(sequence(col("__d"),
-        col("__d") + lit(windowDays - 1).cast("long"))).as("__target"), col("sketch"))
+      .select(explode(sequence(col(dayCol).cast("long"),
+        col(dayCol).cast("long") + lit(windowDays - 1).cast("long")))
+        .as("__target"), col("sketch"))
       .join(broadcast(days), Seq("__target"))
       .groupBy(col("__target"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(true)))

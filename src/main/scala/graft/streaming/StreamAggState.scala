@@ -281,4 +281,51 @@ object StreamAggState {
         materialize = false)
       .write.mode("overwrite").parquet(s"$statePath/epoch=$batchId")
   }
+
+  /** Streaming trailing-window distinct maintenance (ST24) — live
+    * DAU/WAU: the x14 sketch path kept current from a stream. Each
+    * trigger folds its (day → HLL sketch) aggregates into the persisted
+    * day-sketch table with `hll_union_agg`, whose monoid property makes
+    * the maintained table EQUAL `Pipeline.daySketchTable` batch-computed
+    * over all history (the spec pins exact estimate equality, not
+    * approximate) — so [[readWindowEstimates]] is exactly x14's sketch
+    * read tail over the state. Per trigger only day-cardinality sketch
+    * frames shuffle; rows are read once, on arrival, ever. Epoch-keyed
+    * store: crash replay rewrites its own epoch, pinned like the rest.
+    */
+  def maintainSlidingDistinct(stream: DataFrame, dayCol: String,
+      keyCol: String, statePath: String, checkpointPath: String,
+      lgK: Int = 12): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        processSlidingDistinctTrigger(batch.toDF(), batchId, dayCol, keyCol,
+          statePath, lgK)
+      }
+      .start()
+
+  private[graft] def processSlidingDistinctTrigger(batch: DataFrame,
+      batchId: Long, dayCol: String, keyCol: String, statePath: String,
+      lgK: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = batch.sparkSession
+    val bs = graft.operators.Pipeline.daySketchTable(batch, dayCol, keyCol, lgK)
+    val prior = StreamErrorHandling
+      .readPendingBefore(spark, statePath, batchId).map(_._2)
+    val merged = prior match {
+      case None => bs
+      case Some(st) => st.unionByName(bs)
+        .groupBy(col(dayCol))
+        .agg(hll_union_agg(col("sketch"), lit(true)).as("sketch"))
+    }
+    merged.write.mode("overwrite").parquet(s"$statePath/epoch=$batchId")
+  }
+
+  /** The live trailing-window estimates off the maintained day-sketch
+    * state — w KB-sized sketch merges per window end, rows untouched.
+    */
+  def readWindowEstimates(spark: SparkSession, statePath: String,
+      dayCol: String, windowDays: Int): Option[DataFrame] =
+    readState(spark, statePath).map(st =>
+      graft.operators.Pipeline.windowizeDaySketches(st, dayCol, windowDays))
 }

@@ -498,6 +498,41 @@ class StreamingSpec extends SparkSpec {
     assert(state() == expected, "replayed compaction trigger double-merged")
   }
 
+  test("maintainSlidingDistinct: maintained sketches equal batch over all history; replay rewrites") {
+    import graft.streaming.StreamAggState
+    val tmp = Files.createTempDirectory("graft-slidedd").toString
+    val st = s"$tmp/state"
+    // three triggers with overlapping days and repeating users
+    val t0 = (for { d <- 0L to 3L; u <- 0 until 40 } yield (d, s"u${(u + d) % 55}")).toSeq
+    val t1 = (for { d <- 2L to 6L; u <- 0 until 25 } yield (d, s"v${(u * 3 + d) % 41}")).toSeq
+    val t2 = (for { d <- 5L to 8L; u <- 0 until 30 } yield (d, s"u${(u * 7 + d) % 55}")).toSeq
+    def trig(rows: Seq[(Long, String)], id: Long): Unit =
+      StreamAggState.processSlidingDistinctTrigger(
+        rows.toDF("day", "uid"), id, "day", "uid", st, lgK = 12)
+    trig(t0, 0L); trig(t1, 1L); trig(t2, 2L)
+    def estimates(): Seq[(Long, Long)] =
+      StreamAggState.readWindowEstimates(spark, st, "day", windowDays = 3).get
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    // monoid contract: the maintained state's window estimates EXACTLY
+    // equal the batch sketch path over all history — not approximately
+    val want = operators.Pipeline.slidingDistinctSketch(
+        (t0 ++ t1 ++ t2).toDF("day", "uid"), "day", "uid", windowDays = 3)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(estimates() == want)
+    // and the estimates track the exact distinct counts within HLL error
+    val exact = operators.Pipeline.slidingDistinct(
+        (t0 ++ t1 ++ t2).toDF("day", "uid"), "day", "uid", windowDays = 3)
+      .select($"day", $"n_window").as[(Long, Long)].collect().toMap
+    estimates().foreach { case (d, est) =>
+      assert(math.abs(est - exact(d).toDouble) / exact(d) < 0.05, s"day $d")
+    }
+    // crash replay of the last trigger: state rewritten, never re-merged
+    // (a double hll_union is value-idempotent — the replay contract is
+    // pinned by the epoch rewrite leaving the SAME state)
+    trig(t2, 2L)
+    assert(estimates() == want, "replayed trigger changed the state")
+  }
+
   test("maintainScd2: incremental versions equal one batch scd2 over all history; replay rewrites") {
     import graft.streaming.StreamAggState
     val tmp = Files.createTempDirectory("graft-scd2").toString
