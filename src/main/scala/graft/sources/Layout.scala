@@ -304,7 +304,9 @@ object Layout {
   }
 
   /** Time travel: read the table AS OF `version` (default: latest).
-    * Reads exactly the manifest's files. */
+    * Reads exactly the manifest's files. Entries are bare names under
+    * `$root/data/` — except entries containing a path separator, which
+    * are BY-REFERENCE paths into another table (shallow clones). */
   def readVersion(spark: SparkSession, root: String,
       version: Option[Long] = None): DataFrame = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
@@ -313,8 +315,59 @@ object Layout {
     require(versions.nonEmpty, s"no committed versions under $root")
     val v = version.getOrElse(versions.last)
     require(versions.contains(v), s"unknown version $v (have $versions)")
-    val files = manifestFiles(fs, rootPath, v).map(n => s"$root/data/$n")
+    val files = manifestFiles(fs, rootPath, v)
+      .map(n => if (n.contains("/")) n else s"$root/data/$n")
     spark.read.parquet(files: _*)
+  }
+
+  /** CLONE a versioned table at a version into a fresh root (Delta's
+    * CLONE essence). `deep = true` byte-copies the version's files into
+    * the clone's own data dir — full isolation, storage paid once per
+    * clone. `deep = false` commits a manifest of BY-REFERENCE paths into
+    * the source's data dir — zero data movement, the dev/test-branch
+    * shape — with the standard shallow-clone contract: the clone pins
+    * the source's FILES, so it survives source APPENDS (new commits add
+    * new files) but a source erase/compaction that rewrites history
+    * invalidates it (document, as Delta does for vacuum). Either way the
+    * clone is a first-class table: its v1 equals `src@v`, later commits
+    * diverge privately (appends land in the clone's own data dir; the
+    * optimistic-concurrency protocol is inherited unchanged), and the
+    * source never observes them.
+    */
+  def cloneVersion(spark: SparkSession, srcRoot: String, dstRoot: String,
+      version: Option[Long] = None, deep: Boolean = true): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcPath = new org.apache.hadoop.fs.Path(srcRoot)
+    val fs = srcPath.getFileSystem(conf)
+    val versions = listVersions(spark, srcRoot)
+    require(versions.nonEmpty, s"no committed versions under $srcRoot")
+    val v = version.getOrElse(versions.last)
+    require(versions.contains(v), s"unknown version $v (have $versions)")
+    require(listVersions(spark, dstRoot).isEmpty,
+      s"clone target $dstRoot already has commits")
+    val files = manifestFiles(fs, srcPath, v)
+    val dstPath = new org.apache.hadoop.fs.Path(dstRoot)
+    val entries =
+      if (!deep) files.map(n =>
+        if (n.contains("/")) n // cloning a shallow clone keeps the ref
+        else new org.apache.hadoop.fs.Path(srcPath, s"data/$n").toString)
+      else {
+        val dataDir = new org.apache.hadoop.fs.Path(dstPath, "data")
+        fs.mkdirs(dataDir)
+        files.map { n =>
+          val from = if (n.contains("/")) new org.apache.hadoop.fs.Path(n)
+            else new org.apache.hadoop.fs.Path(srcPath, s"data/$n")
+          val name = from.getName
+          org.apache.hadoop.fs.FileUtil.copy(fs, from, fs,
+            new org.apache.hadoop.fs.Path(dataDir, name), false, conf)
+          name
+        }
+      }
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dstPath, "_versions"))
+    val mf = new org.apache.hadoop.fs.Path(dstPath, "_versions/v1.manifest")
+    val os = fs.create(mf, false) // same CAS as commitVersion
+    try os.write(entries.mkString("\n").getBytes("UTF-8")) finally os.close()
+    1L
   }
 
   /** Partition filters of the frame's file scan — non-empty means the

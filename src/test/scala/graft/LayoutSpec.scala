@@ -182,6 +182,46 @@ class LayoutSpec extends SparkSpec {
     assert(rows(Layout.readVersion(spark, root)) == Seq(9L))
   }
 
+  test("cloneVersion: deep isolates, shallow references; both diverge privately") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id").as[Long].collect().sorted.toSeq
+    val src = java.nio.file.Files.createTempDirectory("vtab-src").toString
+    Layout.commitVersion(Seq(1L, 2L, 3L).toDF("id"), src) // v1
+    Layout.commitVersion(Seq(4L, 5L).toDF("id"), src)     // v2 (append)
+
+    // deep clone AT v1: its v1 equals src@v1, with its OWN file copies
+    val deep = java.nio.file.Files.createTempDirectory("vtab-deep").toString
+    assert(Layout.cloneVersion(spark, src, deep, Some(1L), deep = true) === 1L)
+    assert(rows(Layout.readVersion(spark, deep)) == Seq(1L, 2L, 3L))
+    assert(Layout.readVersion(spark, deep).inputFiles
+      .forall(_.contains("vtab-deep")), "deep clone must not reference src files")
+
+    // shallow clone at latest: equal content, ZERO files of its own
+    val shal = java.nio.file.Files.createTempDirectory("vtab-shal").toString
+    assert(Layout.cloneVersion(spark, src, shal, None, deep = false) === 1L)
+    assert(rows(Layout.readVersion(spark, shal)) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(Layout.readVersion(spark, shal).inputFiles
+      .forall(_.contains("vtab-src")), "shallow clone must reference src files")
+
+    // clones diverge PRIVATELY: a commit on each lands in its own data
+    // dir and the source never observes it
+    Layout.commitVersion(Seq(7L).toDF("id"), deep)
+    Layout.commitVersion(Seq(8L).toDF("id"), shal)
+    assert(rows(Layout.readVersion(spark, deep)) == Seq(1L, 2L, 3L, 7L))
+    assert(rows(Layout.readVersion(spark, shal)) == Seq(1L, 2L, 3L, 4L, 5L, 8L))
+    assert(rows(Layout.readVersion(spark, src)) == Seq(1L, 2L, 3L, 4L, 5L))
+
+    // source APPENDS don't disturb either clone (new commits = new files)
+    Layout.commitVersion(Seq(6L).toDF("id"), src) // v3
+    assert(rows(Layout.readVersion(spark, deep)) == Seq(1L, 2L, 3L, 7L))
+    assert(rows(Layout.readVersion(spark, shal)) == Seq(1L, 2L, 3L, 4L, 5L, 8L))
+
+    // a clone target with history is refused (never silently merged)
+    intercept[IllegalArgumentException] {
+      Layout.cloneVersion(spark, src, shal, None, deep = false)
+    }
+  }
+
   test("versioned commits: two interleaved committers land N+1 and N+2, nothing dropped") {
     val root = java.nio.file.Files.createTempDirectory("vtab-occ").toString
     def rows(df: org.apache.spark.sql.DataFrame) =
