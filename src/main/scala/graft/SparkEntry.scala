@@ -1124,6 +1124,18 @@ object SparkEntry {
       .orderBy($"lang", $"q")
   }
 
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // robust price-outlier accounting per return flag: median/MAD with
+    // a 50% breakdown point where q34's mean/σ is dragged by the very
+    // rows a monitor exists to catch; two bucketed-selection passes,
+    // never a per-key full sort
+    operators.Pipeline.madOutliers(
+      t(s, dir, "lineitem").select($"l_returnflag", $"l_extendedprice"),
+      keyCol = "l_returnflag", valCol = "l_extendedprice", k = 5.0)
+      .orderBy($"l_returnflag")
+  }
+
   private def x13h(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // Hilbert-clustered layout roundtrip: documents clustered on
@@ -2774,6 +2786,7 @@ object SparkEntry {
     "x14_sliding_distinct" -> (x14sd _),
     "t24_zipf_fit" -> (t24 _),
     "t25_kneser_ney" -> (t25 _),
+    "q49_mad_outliers" -> (q49 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3899,6 +3912,34 @@ object SparkEntry {
         |  ((a4 | (a4 << 1)) & 6148914691236517205) |
         |  ((((b4 | (b4 << 1)) & 6148914691236517205)) << 1) AS zval
         |FROM s4 ORDER BY doc_id""".stripMargin,
+    // MAD outliers: two rank-based medians with the q48 interpolation
+    // ops, then |v-m| > 5*mad — every double op mirrored
+    "q49_mad_outliers" ->
+      """WITH v AS (SELECT l_returnflag AS k, l_extendedprice AS dv,
+        |  CAST(l_extendedprice AS DOUBLE) AS vd FROM lineitem),
+        |r1 AS (SELECT k, vd,
+        |  ROW_NUMBER() OVER (PARTITION BY k ORDER BY dv) - 1 AS rn,
+        |  COUNT(*) OVER (PARTITION BY k) AS n FROM v),
+        |m1 AS (SELECT k,
+        |  MAX(CASE WHEN rn = floor(CAST(0.5 AS DOUBLE) * (n - 1)) THEN vd END) AS lo,
+        |  MAX(CASE WHEN rn = ceil(CAST(0.5 AS DOUBLE) * (n - 1)) THEN vd END) AS hi,
+        |  MAX(CAST(0.5 AS DOUBLE) * (n - 1)) AS pos FROM r1 GROUP BY k),
+        |med AS (SELECT k, lo + (hi - lo) * (pos - floor(pos)) AS median FROM m1),
+        |d AS (SELECT v.k, abs(v.vd - med.median) AS dev FROM v JOIN med ON v.k = med.k),
+        |r2 AS (SELECT k, dev,
+        |  ROW_NUMBER() OVER (PARTITION BY k ORDER BY dev) - 1 AS rn,
+        |  COUNT(*) OVER (PARTITION BY k) AS n FROM d),
+        |m2 AS (SELECT k,
+        |  MAX(CASE WHEN rn = floor(CAST(0.5 AS DOUBLE) * (n - 1)) THEN dev END) AS lo,
+        |  MAX(CASE WHEN rn = ceil(CAST(0.5 AS DOUBLE) * (n - 1)) THEN dev END) AS hi,
+        |  MAX(CAST(0.5 AS DOUBLE) * (n - 1)) AS pos FROM r2 GROUP BY k),
+        |mad AS (SELECT k, lo + (hi - lo) * (pos - floor(pos)) AS mad FROM m2)
+        |SELECT v.k AS l_returnflag, MAX(med.median) AS median, MAX(mad.mad) AS mad,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN abs(v.vd - med.median) > CAST(5 AS DOUBLE) * mad.mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM v JOIN med ON v.k = med.k JOIN mad ON v.k = mad.k
+        |GROUP BY v.k ORDER BY l_returnflag""".stripMargin,
     // Kneser–Ney: every probability is per-row double arithmetic from
     // exact BIGINT counts — the formula ops mirrored verbatim
     "t25_kneser_ney" ->

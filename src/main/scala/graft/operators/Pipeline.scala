@@ -804,6 +804,38 @@ object Pipeline {
         greatest(col("nd_a") + col("nd_b") - col("nd_union"), lit(0L)))
   }
 
+  /** Robust per-group outlier accounting via MAD (median absolute
+    * deviation) — the breakdown-resistant complement of the z-score
+    * monitor (q34): mean/σ are dragged arbitrarily far by a single
+    * corrupt value (the exact rows an outlier monitor exists to catch),
+    * while median/MAD have a 50% breakdown point — the monitor stays
+    * calibrated WHILE the data is poisoned. `flagged` counts rows with
+    * |v − median| > k·MAD.
+    *
+    * Two [[Quantiles.interpolated]] passes (value median, then
+    * deviation median) — each the bucketed distributed selection, never
+    * a per-key full sort; the per-key stats frames broadcast. All
+    * arithmetic is the interpolation's documented double ops plus
+    * |v−m| and one compare, mirrored verbatim in the oracle.
+    */
+  def madOutliers(df: DataFrame, keyCol: String, valCol: String,
+      k: Double = 5.0): DataFrame = {
+    val v = col(valCol).cast("double")
+    val med = Quantiles.interpolated(
+        df.select(col(keyCol), col(valCol)), keyCol, valCol, Seq(0.5))
+      .select(col(keyCol), col("pct").as("median"))
+    val dev = df.join(broadcast(med), keyCol)
+      .select(col(keyCol), abs(v - col("median")).as("__dev"))
+    val mad = Quantiles.interpolated(dev, keyCol, "__dev", Seq(0.5))
+      .select(col(keyCol), col("pct").as("mad"))
+    df.join(broadcast(med), keyCol).join(broadcast(mad), keyCol)
+      .groupBy(col(keyCol))
+      .agg(max(col("median")).as("median"), max(col("mad")).as("mad"),
+        count(lit(1)).as("n"),
+        sum(when(abs(v - col("median")) > lit(k) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
   /** Exact trailing-window distinct counts per day — the DAU/WAU shape
     * ("distinct users in the 7 days ending at d, for every d"). The
     * naive plan re-scans the table once per window position (or window-

@@ -536,6 +536,38 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("madOutliers: driver-exact; median/MAD immune to poison a z-score monitor isn't") {
+    val rnd = new scala.util.Random(17)
+    val clean = (1 to 401).map(_ => ("a", 100.0 + rnd.nextDouble() * 10))
+    val poisoned = (1 to 301).map(_ => ("b", 50.0 + rnd.nextDouble() * 4)) ++
+      Seq(("b", 1e12), ("b", -1e12), ("b", 1e12))
+    val df = (clean ++ poisoned).toDF("k", "v").repartition(8)
+    val got = Pipeline.madOutliers(df, "k", "v", k = 5.0)
+      .as[(String, Double, Double, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    def q50(xs: IndexedSeq[Double]) = {
+      val pos = 0.5 * (xs.size - 1)
+      val (lo, hi) = (xs(math.floor(pos).toInt), xs(math.ceil(pos).toInt))
+      lo + (hi - lo) * (pos - math.floor(pos))
+    }
+    def brute(rows: Seq[Double]) = {
+      val m = q50(rows.sorted.toIndexedSeq)
+      val mad = q50(rows.map(x => math.abs(x - m)).sorted.toIndexedSeq)
+      (m, mad, rows.size.toLong,
+        rows.count(x => math.abs(x - m) > 5.0 * mad).toLong)
+    }
+    // bit-equal: the operator promises exactly the interpolation ops
+    assert(got("a") == brute(clean.map(_._2)))
+    assert(got("b") == brute(poisoned.map(_._2)))
+    // the robustness point: ±1e12 poison leaves b's median/MAD in the
+    // clean bulk (a mean/σ monitor would swallow the poison whole), and
+    // the poison rows are EXACTLY the flagged set
+    assert(got("b")._1 > 49 && got("b")._1 < 55, s"median ${got("b")._1}")
+    assert(got("b")._2 < 5, s"mad ${got("b")._2}")
+    assert(got("b")._4 == 3L)
+    assert(got("a")._4 == 0L)
+  }
+
   test("sketchOverlap: inclusion-exclusion estimates track exact intersections") {
     // a: 0..5999, b: 4000..9999 (overlap 2000), c: 20000..20999 (disjoint)
     val df = ((0L until 6000L).map(("a", _)) ++ (4000L until 10000L).map(("b", _))
