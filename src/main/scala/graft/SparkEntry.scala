@@ -1124,6 +1124,17 @@ object SparkEntry {
       .orderBy($"lang", $"q")
   }
 
+  private def d28(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // exact global similarity join (prefix filtering): every Jaccard ≥
+    // 0.5 pair over word sets, NO blocking, NO LSH recall loss — on a
+    // deterministic corpus slice so the oracle's brute-force pair join
+    // stays tractable at sf0.1
+    operators.Dedup.prefixJaccardJoin(
+      t(s, dir, "documents").filter($"doc_id" % 5 === 0), threshold = 0.5)
+      .orderBy($"da", $"db")
+  }
+
   private def q49(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // robust price-outlier accounting per return flag: median/MAD with
@@ -2787,6 +2798,7 @@ object SparkEntry {
     "t24_zipf_fit" -> (t24 _),
     "t25_kneser_ney" -> (t25 _),
     "q49_mad_outliers" -> (q49 _),
+    "d28_prefix_join" -> (d28 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3912,6 +3924,16 @@ object SparkEntry {
         |  ((a4 | (a4 << 1)) & 6148914691236517205) |
         |  ((((b4 | (b4 << 1)) & 6148914691236517205)) << 1) AS zval
         |FROM s4 ORDER BY doc_id""".stripMargin,
+    // prefix join is EXACT, so the oracle is the brute-force pair join
+    // over the same slice — no prefix logic to mirror
+    "d28_prefix_join" ->
+      """WITH g AS (SELECT doc_id,
+        |  list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ts
+        | FROM documents WHERE doc_id % 5 = 0)
+        |SELECT a.doc_id AS da, b.doc_id AS db,
+        | len(list_intersect(a.ts,b.ts))::DOUBLE/(len(a.ts)+len(b.ts)-len(list_intersect(a.ts,b.ts))) AS jaccard
+        |FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |WHERE jaccard >= CAST(0.5 AS DOUBLE) ORDER BY da, db""".stripMargin,
     // MAD outliers: two rank-based medians with the q48 interpolation
     // ops, then |v-m| > 5*mad — every double op mirrored
     "q49_mad_outliers" ->

@@ -624,6 +624,59 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT global similarity join via prefix filtering (the
+    * PPJoin/AllPairs idea, Xiao et al. / Bayardo et al.): every pair
+    * with word-set Jaccard ≥ `threshold`, with NO blocking and NO
+    * probabilistic recall loss — the exact complement of MinHash-LSH
+    * (d2) and of [[ngramJaccard]]'s block-bounded join.
+    *
+    * The pruning theorem: order every doc's token set by one global
+    * total order (document frequency asc, token asc) and keep only the
+    * first `len − ⌈θ·len⌉ + 1` tokens as its PREFIX; any pair with
+    * J ≥ θ has overlap ≥ θ·max(|a|,|b|), which forces at least one
+    * shared token inside BOTH prefixes. So candidates = pairs sharing a
+    * prefix token — a superset of the answer — then one exact
+    * verification per candidate. Rare-first ordering is the scale
+    * lever: the hot self-join keys on the RAREST θ-fraction of each
+    * doc's tokens, so bucket sizes are document frequencies of rare
+    * tokens, not of stopwords — at 100 TB the candidate volume is
+    * Σ_rare df², orders below the Σ df² a naive token join pays.
+    * Verification joins the full sorted-token arrays back to only the
+    * candidate pairs. One vocab-sized frequency aggregate, one
+    * token-keyed candidate shuffle, candidate-bounded verify.
+    */
+  def prefixJaccardJoin(docs0: DataFrame, threshold: Double,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(threshold > 0.0 && threshold < 1.0, s"threshold in (0,1): $threshold")
+    val docs = widen(docs0)
+    val tok = docs.select(col(idCol).as("id"),
+      explode(array_distinct(split(trim(col(textCol)), "\\s+"))).as("tok"))
+    val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ordered = tok.join(freq, "tok")
+      .groupBy(col("id"))
+      .agg(transform(sort_array(collect_list(struct(col("df"), col("tok")))),
+        x => x("tok")).as("ts"))
+      .withColumn("len", size(col("ts")))
+      .withColumn("plen",
+        col("len") - ceil(lit(threshold) * col("len")).cast("int") + 1)
+      .localCheckpoint() // three consumers; the token-sort runs once
+    val pref = ordered.select(col("id"),
+      explode(slice(col("ts"), lit(1), col("plen"))).as("tok"))
+    val cand = pref.as("a").join(pref.as("b").hint("shuffle_hash"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("da"), col("b.id").as("db")).distinct()
+    cand
+      .join(ordered.select(col("id").as("da"), col("ts").as("ta"),
+        col("len").as("la")), "da")
+      .join(ordered.select(col("id").as("db"), col("ts").as("tb"),
+        col("len").as("lb")), "db")
+      .withColumn("__i", size(array_intersect(col("ta"), col("tb"))))
+      .select(col("da"), col("db"),
+        (col("__i").cast("double") / (col("la") + col("lb") - col("__i")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Asymmetric near-duplicate detection: n-gram CONTAINMENT. A wire
     * story embedded verbatim in a longer page has Jaccard
     * |A∩B|/|A∪B| ≈ |B|/|A| — diluted below any usable symmetric

@@ -142,6 +142,31 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("prefixJaccardJoin equals global brute force (exact, no blocking, no recall loss)") {
+    import operators.Dedup
+    val rnd = new scala.util.Random(23)
+    val vocab = (1 to 60).map(i => s"w$i")
+    val base = (1 to 80).map { i =>
+      (i.toLong, Seq.fill(12 + rnd.nextInt(10))(
+        vocab(rnd.nextInt(vocab.size))).distinct.mkString(" "))
+    }
+    // planted dups that a block-bounded join could miss
+    val planted = Seq((1001L, base(3)._2), (1002L, base(7)._2 + " zextra"))
+    val docs = (base ++ planted).toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardJoin(docs, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val sets = (base ++ planted).map { case (id, t) =>
+      id -> t.split("\\s+").distinct.toSet }
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      i = (sa & sb).size
+      j = i.toDouble / (sa.size + sb.size - i)
+      if j >= 0.5
+    } yield (ia, ib, j)).toSet
+    assert(want.nonEmpty && want.exists(_._3 == 1.0))
+    assert(got == want)
+  }
+
   test("bigramKneserNey: driver-exact probabilities; full-vocab interpolation normalizes") {
     import operators.TextAnalysis
     val corpus = Seq("a b a b a c", "b a b c a b", "c a c b a a")
