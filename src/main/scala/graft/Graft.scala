@@ -60,7 +60,10 @@ object Graft {
       graft.functions.CountByValue(c.head).toAggregateExpression()),
     fn("normalize_text", classOf[graft.functions.NormalizeText])(c =>
       graft.functions.NormalizeText(c(0),
-        litString(c(1), "normalize_text form"))))
+        litString(c(1), "normalize_text form"))),
+    // hilbert_index(c1, c2, ..., bits) — coords first, literal bits last
+    fn("hilbert_index", classOf[graft.functions.HilbertIndex])(c =>
+      graft.functions.HilbertIndex(c.init, litInt(c.last, "hilbert_index bits"))))
 
   /** Runtime registration for sessions built without the extensions conf. */
   def register(spark: SparkSession): Unit = {

@@ -58,6 +58,24 @@ class GraftExtensionsSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("integer literal")))
   }
 
+  test("hilbert_index is callable from SQL and matches the static function") {
+    Graft.register(spark)
+    val r = spark.sql(
+      "SELECT hilbert_index(5L, 9L, 21), hilbert_index(1L, 2L, 3L, 21), " +
+        "hilbert_index(CAST(NULL AS BIGINT), 2L, 21)").collect().head
+    assert(r.getLong(0) ==
+      graft.functions.HilbertIndex.index(Array(5L, 9L), 21))
+    assert(r.getLong(1) ==
+      graft.functions.HilbertIndex.index(Array(1L, 2L, 3L), 21))
+    assert(r.isNullAt(2))
+    // a non-literal bits argument is rejected at plan time
+    val e = intercept[Exception] {
+      spark.sql("SELECT hilbert_index(1L, 2L, 1 + 20)").collect()
+    }
+    assert(e.getMessage.contains("hilbert_index bits") ||
+      Option(e.getCause).exists(_.getMessage.contains("hilbert_index bits")))
+  }
+
   test("normalize_text: NFC unifies precomposed and combining forms; NFKC folds compat") {
     Graft.register(spark)
     val r = spark.sql(
