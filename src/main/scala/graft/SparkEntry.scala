@@ -1126,12 +1126,15 @@ object SparkEntry {
 
   private def d28(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // exact global similarity join (prefix filtering): every Jaccard ≥
-    // 0.5 pair over word sets, NO blocking, NO LSH recall loss — on a
-    // deterministic corpus slice so the oracle's brute-force pair join
-    // stays tractable at sf0.1
+    // exact GLOBAL similarity join (prefix filtering): every Jaccard ≥
+    // 0.5 pair over trigram shingle sets with NO blocking — at sf0.01
+    // the unblocked corpus holds 25 true pairs of which d4's
+    // source-blocked join can see only 7: the cross-block pairs ARE
+    // the point. Halved corpus slice keeps the oracle's brute-force
+    // pair join tractable at sf0.1 while preserving true pairs.
     operators.Dedup.prefixJaccardJoin(
-      t(s, dir, "documents").filter($"doc_id" % 5 === 0), threshold = 0.5)
+      t(s, dir, "documents").filter($"doc_id" % 2 === 0), n = 3,
+      threshold = 0.5)
       .orderBy($"da", $"db")
   }
 
@@ -3928,8 +3931,9 @@ object SparkEntry {
     // over the same slice — no prefix logic to mirror
     "d28_prefix_join" ->
       """WITH g AS (SELECT doc_id,
-        |  list_distinct(regexp_split_to_array(trim(text), '\s+')) AS ts
-        | FROM documents WHERE doc_id % 5 = 0)
+        |  list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |    i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' '))) AS ts
+        | FROM documents WHERE doc_id % 2 = 0)
         |SELECT a.doc_id AS da, b.doc_id AS db,
         | len(list_intersect(a.ts,b.ts))::DOUBLE/(len(a.ts)+len(b.ts)-len(list_intersect(a.ts,b.ts))) AS jaccard
         |FROM g a JOIN g b ON a.doc_id < b.doc_id

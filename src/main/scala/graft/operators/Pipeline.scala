@@ -821,13 +821,19 @@ object Pipeline {
   def madOutliers(df: DataFrame, keyCol: String, valCol: String,
       k: Double = 5.0): DataFrame = {
     val v = col(valCol).cast("double")
+    // med/mad are key-cardinality frames consumed twice each, and each
+    // is the RESULT of a multi-pass selection pipeline — pin them so
+    // the pipeline runs once; dev likewise feeds three selection passes
     val med = Quantiles.interpolated(
         df.select(col(keyCol), col(valCol)), keyCol, valCol, Seq(0.5))
       .select(col(keyCol), col("pct").as("median"))
+      .localCheckpoint()
     val dev = df.join(broadcast(med), keyCol)
       .select(col(keyCol), abs(v - col("median")).as("__dev"))
+      .localCheckpoint()
     val mad = Quantiles.interpolated(dev, keyCol, "__dev", Seq(0.5))
       .select(col(keyCol), col("pct").as("mad"))
+      .localCheckpoint()
     df.join(broadcast(med), keyCol).join(broadcast(mad), keyCol)
       .groupBy(col(keyCol))
       .agg(max(col("median")).as("median"), max(col("mad")).as("mad"),
@@ -1041,6 +1047,17 @@ object Pipeline {
       sketchCol: String = "sketch"): DataFrame =
     sketches.agg(org.apache.spark.sql.functions.udaf(QsMergeAgg)
       .apply(col(sketchCol)).as("sketch"))
+
+  /** Per-GROUP merge of quantile-summary blobs — [[mergeQuantileSketches]]
+    * keyed: the maintenance shape (fold a batch's per-group sketches
+    * into a persisted sketch table, ST25). Touches #groups KB blobs.
+    */
+  def mergeQuantileSketchesBy(sketches: DataFrame, groupCol: String,
+      sketchCol: String = "sketch", nCol: String = "n_rows"): DataFrame =
+    sketches.groupBy(col(groupCol))
+      .agg(org.apache.spark.sql.functions.udaf(QsMergeAgg)
+          .apply(col(sketchCol)).as(sketchCol),
+        sum(col(nCol)).as(nCol))
 
   /** Driver-side quantile probe of a serialized summary blob (the
     * serving path). NaN on an empty sketch. */

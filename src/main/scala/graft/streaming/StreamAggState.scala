@@ -328,4 +328,41 @@ object StreamAggState {
       dayCol: String, windowDays: Int): Option[DataFrame] =
     readState(spark, statePath).map(st =>
       graft.operators.Pipeline.windowizeDaySketches(st, dayCol, windowDays))
+
+  /** Streaming quantile monitoring (ST25) — live per-group latency/size
+    * percentiles: each trigger's Greenwald–Khanna summaries (X20) fold
+    * into a persisted per-group sketch table by blob merge — the
+    * ORDER-STATISTICS member of the streaming sketch trio beside ST24's
+    * HLL distincts and the CMS frequency path. Per trigger only
+    * group-cardinality KB blobs shuffle; rows are seen once, on
+    * arrival. GK merge approximately preserves the rank bound (the X20
+    * 2ε note — the spec pins a per-merge-widened tolerance against the
+    * exact ranks over all history). Epoch-keyed store, pinned replay.
+    */
+  def maintainQuantileSketch(stream: DataFrame, groupCol: String,
+      valueCol: String, relativeError: Double, statePath: String,
+      checkpointPath: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        processQuantileTrigger(batch.toDF(), batchId, groupCol, valueCol,
+          relativeError, statePath)
+      }
+      .start()
+
+  private[graft] def processQuantileTrigger(batch: DataFrame, batchId: Long,
+      groupCol: String, valueCol: String, relativeError: Double,
+      statePath: String): Unit = {
+    val spark = batch.sparkSession
+    val bs = graft.operators.Pipeline.quantileSketch(batch, groupCol,
+      valueCol, relativeError)
+    val prior = StreamErrorHandling
+      .readPendingBefore(spark, statePath, batchId).map(_._2)
+    val merged = prior match {
+      case None => bs
+      case Some(st) => graft.operators.Pipeline
+        .mergeQuantileSketchesBy(st.unionByName(bs), groupCol)
+    }
+    merged.write.mode("overwrite").parquet(s"$statePath/epoch=$batchId")
+  }
 }

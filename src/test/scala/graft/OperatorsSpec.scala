@@ -153,16 +153,19 @@ class OperatorsSpec extends SparkSpec {
     // planted dups that a block-bounded join could miss
     val planted = Seq((1001L, base(3)._2), (1002L, base(7)._2 + " zextra"))
     val docs = (base ++ planted).toDF("doc_id", "text")
-    val got = Dedup.prefixJaccardJoin(docs, threshold = 0.5)
+    val got = Dedup.prefixJaccardJoin(docs, n = 2, threshold = 0.5)
       .as[(Long, Long, Double)].collect().toSet
-    val sets = (base ++ planted).map { case (id, t) =>
-      id -> t.split("\\s+").distinct.toSet }
-    val want = (for {
-      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
-      i = (sa & sb).size
-      j = i.toDouble / (sa.size + sb.size - i)
-      if j >= 0.5
-    } yield (ia, ib, j)).toSet
+    // brute force over ALL pairs with the SAME shingle extraction
+    val g = docs.select($"doc_id",
+      graft.functions.WordNGrams($"text", 2).as("ts"))
+    val want = g.as("a").crossJoin(g.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .withColumn("i", size(array_intersect($"a.ts", $"b.ts")))
+      .withColumn("j", $"i".cast("double")
+        / (size($"a.ts") + size($"b.ts") - $"i"))
+      .filter($"j" >= 0.5)
+      .select($"a.doc_id", $"b.doc_id", $"j")
+      .as[(Long, Long, Double)].collect().toSet
     assert(want.nonEmpty && want.exists(_._3 == 1.0))
     assert(got == want)
   }

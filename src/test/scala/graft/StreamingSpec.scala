@@ -533,6 +533,45 @@ class StreamingSpec extends SparkSpec {
     assert(estimates() == want, "replayed trigger changed the state")
   }
 
+  test("maintainQuantileSketch: maintained sketches track exact ranks; replay rewrites") {
+    import graft.streaming.StreamAggState
+    val tmp = Files.createTempDirectory("graft-qsketch").toString
+    val st = s"$tmp/state"
+    val rnd = new scala.util.Random(29)
+    def mk(n: Int, shift: Double): Seq[(String, Double)] =
+      (1 to n).map(_ => ("a", rnd.nextDouble() * 100)) ++
+        (1 to n).map(_ => ("b", shift + rnd.nextDouble() * 10))
+    val ts = Seq(mk(400, 0.0), mk(300, 50.0), mk(500, 25.0))
+    def trig(rows: Seq[(String, Double)], id: Long): Unit =
+      StreamAggState.processQuantileTrigger(rows.toDF("g", "v"), id, "g", "v",
+        relativeError = 0.01, st)
+    ts.zipWithIndex.foreach { case (r, i) => trig(r, i.toLong) }
+    def state(): Map[String, (Array[Byte], Long)] =
+      StreamAggState.readState(spark, st).get
+        .as[(String, Array[Byte], Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val s1 = state()
+    val all = ts.flatten
+    val probes = for (g <- Seq("a", "b"); q <- Seq(0.1, 0.5, 0.9)) yield {
+      val vals = all.filter(_._1 == g).map(_._2).sorted
+      assert(s1(g)._2 == vals.size.toLong)
+      val est = operators.Pipeline.estimateQuantile(s1(g)._1, q)
+      val rank = vals.count(_ <= est)
+      // each trigger's fold is one GK merge; widen the ε bound per merge
+      val tol = math.ceil(2 * ts.size * 0.01 * vals.size) + 1
+      assert(math.abs(rank - q * vals.size) <= tol,
+        s"$g q=$q: rank $rank of ${vals.size}")
+      (g, q, est)
+    }
+    // crash replay of the last trigger: same counts, same estimates
+    trig(ts.last, 2L)
+    val s2 = state()
+    assert(s2.view.mapValues(_._2).toMap == s1.view.mapValues(_._2).toMap)
+    probes.foreach { case (g, q, est) =>
+      assert(operators.Pipeline.estimateQuantile(s2(g)._1, q) == est)
+    }
+  }
+
   test("maintainScd2: incremental versions equal one batch scd2 over all history; replay rewrites") {
     import graft.streaming.StreamAggState
     val tmp = Files.createTempDirectory("graft-scd2").toString
