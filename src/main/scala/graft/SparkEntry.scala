@@ -1565,6 +1565,18 @@ object SparkEntry {
       .orderBy($"error_class", $"template")
   }
 
+  private def e20x(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // deterministic DLQ triage exemplars: the 5 inputs per error class
+    // with the smallest content hash — stable across runs/replays,
+    // never LIMIT's arrival-order bias; bounded-heap TopK, ≤ k rows
+    // per class per partition cross the shuffle
+    val cap = threeModeCaptured(s, dir)
+    sources.Sinks.sampleErrorExemplars(
+        cap.errors.select($"error_class", $"props".as("input_value")), k = 5)
+      .orderBy($"error_class", $"h")
+  }
+
   private def s10(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // ANN quality harness: single-probe IVF retrieval (the s2 path)
@@ -2802,6 +2814,7 @@ object SparkEntry {
     "t25_kneser_ney" -> (t25 _),
     "q49_mad_outliers" -> (q49 _),
     "d28_prefix_join" -> (d28 _),
+    "e20_error_exemplars" -> (e20x _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4368,6 +4381,21 @@ object SparkEntry {
         | COUNT(*) AS n, MIN(props) AS example_input
         |FROM b GROUP BY error_class, template
         |ORDER BY error_class, template""".stripMargin,
+    // exemplar sampling: same analytic three-mode b CTE as e17, then
+    // smallest-md5 rank per class — deterministic both sides
+    "e20_error_exemplars" ->
+      """WITH e AS (SELECT props, CAST(regexp_extract(props, '[0-9]+') AS INT) AS k FROM events),
+        |b AS (SELECT props,
+        |  CASE WHEN k % 11 = 0 THEN 'org.apache.spark.SparkNumberFormatException'
+        |       WHEN k % 13 = 0 THEN 'org.apache.spark.SparkArrayIndexOutOfBoundsException'
+        |       WHEN k % 7 = 0 THEN 'org.apache.spark.SparkArithmeticException' END AS error_class
+        | FROM e WHERE k % 11 = 0 OR k % 13 = 0 OR k % 7 = 0),
+        |h AS (SELECT error_class, props AS exemplar, md5(props) AS h FROM b),
+        |r AS (SELECT error_class, exemplar, h,
+        |  ROW_NUMBER() OVER (PARTITION BY error_class ORDER BY h ASC, exemplar ASC) AS rn
+        | FROM h)
+        |SELECT error_class, exemplar, h FROM r WHERE rn <= 5
+        |ORDER BY error_class, h""".stripMargin,
     "s10_recall_eval" ->
       """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings),
         |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e WHERE vec_id < 20),

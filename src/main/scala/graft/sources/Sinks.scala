@@ -252,4 +252,25 @@ object Sinks {
         min(col(inputCol).cast("string")).as("example_input"))
       .withColumn("fp", md5(concat(col(classCol), lit("|"), col("template"))))
   }
+
+  /** Deterministic triage exemplars: the `k` dead-letter inputs per
+    * error class with the smallest content hash — a stable,
+    * arrival-order-independent, replay-identical sample (what "show me
+    * a few examples of this failure" should return, vs. LIMIT's
+    * whatever-arrived-first). Content addressing makes it unbiased
+    * toward early partitions AND stable as the store grows: an exemplar
+    * only changes when a new input hashes lower. Runs through the
+    * bounded-heap TopK operator — map-side partial top-k, the shuffle
+    * carries ≤ k rows per class per partition however large the store.
+    */
+  def sampleErrorExemplars(errors: DataFrame, k: Int,
+      classCol: String = "error_class",
+      inputCol: String = "input_value"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val keyed = errors.select(col(classCol),
+        col(inputCol).cast("string").as("exemplar"))
+      .withColumn("h", md5(col("exemplar")))
+    graft.operators.TopK.perKey(keyed, Seq(classCol),
+      Seq(graft.operators.TopK.asc("h"), graft.operators.TopK.asc("exemplar")), k)
+  }
 }
