@@ -2414,6 +2414,34 @@ object SparkEntry {
       .orderBy($"event_id")
   }
 
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // temporal point-in-time join — the warehouse PIT pattern: each
+    // purchase looks up the SCD2 dimension version valid at the instant
+    // BEFORE it (tus−1: its own event may open a new version at tus).
+    // Composition of d22's historized dimension with q24's linear
+    // union-window as-of machinery — one key shuffle, never a
+    // fact × history range join; the oracle is the independent
+    // BETWEEN-on-validity-bounds formulation.
+    val ev = t(s, dir, "events")
+      .select($"user_id", $"event_type", expr("ts div 1000").as("tus"),
+        $"event_id")
+    val dim = operators.Pipeline.scd2(ev, Seq("user_id"), Seq("event_type"),
+        tsCol = "tus", tieCol = "event_id")
+      .select($"user_id", $"event_type".as("state"),
+        $"version".cast("long").as("version"), $"effective_from")
+    val facts = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", ($"tus" - 1).as("t"))
+    operators.AsOf.join(facts, dim,
+        leftKey = "user_id", rightKey = "user_id",
+        leftTime = timestamp_micros($"t"),
+        rightTime = timestamp_micros($"effective_from"),
+        rightTieBreak = $"version")
+      .select($"user_id", $"event_id", $"__match.state".as("state"),
+        $"__match.version".as("version"))
+      .orderBy($"user_id", $"event_id")
+  }
+
   private def q25(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // exact interpolated quantiles via the bucketed-selection operator:
@@ -2815,6 +2843,7 @@ object SparkEntry {
     "q49_mad_outliers" -> (q49 _),
     "d28_prefix_join" -> (d28 _),
     "e20_error_exemplars" -> (e20x _),
+    "q50_temporal_join" -> (q50 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4849,6 +4878,26 @@ object SparkEntry {
         |SELECT user_id, event_type, version, effective_from, effective_to,
         | effective_to IS NULL AS is_current
         |FROM v ORDER BY user_id, version""".stripMargin,
+    // PIT join: d22's scd2 CTEs, then the independent BETWEEN-on-
+    // validity-bounds formulation of the lookup the as-of pass computes
+    "q50_temporal_join" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events),
+        |g AS (SELECT user_id, event_type, tus, event_id,
+        |  ROW_NUMBER() OVER w AS rn, lag(event_type) OVER w AS prev
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |c AS (SELECT user_id, event_type, tus, event_id FROM g
+        | WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        |v AS (SELECT user_id, event_type AS state,
+        |  ROW_NUMBER() OVER w2 AS version, tus AS effective_from,
+        |  lead(tus) OVER w2 AS effective_to
+        | FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |f AS (SELECT user_id, event_id, tus - 1 AS t FROM e
+        | WHERE event_type = 'purchase')
+        |SELECT f.user_id, f.event_id, v.state, CAST(v.version AS BIGINT) AS version
+        |FROM f LEFT JOIN v ON v.user_id = f.user_id
+        |  AND v.effective_from <= f.t
+        |  AND (v.effective_to IS NULL OR f.t < v.effective_to)
+        |ORDER BY f.user_id, f.event_id""".stripMargin,
     // pure IEEE multiply/add fold in identical order on both engines
     // (alpha 0.25 and 0.75 are exact doubles): hash-equal, no round()
     "q42_ewma" ->
