@@ -2375,6 +2375,14 @@ object SparkEntry {
       .orderBy($"w1", $"c".desc, $"w2")
   }
 
+  private def t26(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Heaps' law: vocabulary growth V(n) ≈ K·n^β over the corpus in
+    // doc order — the capacity-planning exponent for vocab/dictionary
+    // structures, and a dedup health check (duplication flattens it)
+    operators.TextAnalysis.heapsFit(t(s, dir, "documents"))
+  }
+
   private def t9(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // boilerplate mining: trigrams present in ≥ 5% of all documents
@@ -2844,6 +2852,7 @@ object SparkEntry {
     "d28_prefix_join" -> (d28 _),
     "e20_error_exemplars" -> (e20x _),
     "q50_temporal_join" -> (q50 _),
+    "t26_heaps_fit" -> (t26 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4008,6 +4017,40 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM v JOIN med ON v.k = med.k JOIN mad ON v.k = mad.k
         |GROUP BY v.k ORDER BY l_returnflag""".stripMargin,
+    // Heaps fit: doc-ordered cumulative (tokens, types) points, then
+    // the t24 rounding + closed form stated with the same double ops
+    "t26_heaps_fit" ->
+      """WITH tok AS (SELECT doc_id AS d,
+        |  unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+        |pd AS (SELECT d, COUNT(*) AS n_tok FROM tok GROUP BY d),
+        |nt AS (SELECT d, COUNT(*) AS n_new FROM
+        |  (SELECT tok, MIN(d) AS d FROM tok GROUP BY tok) GROUP BY d),
+        |pts AS (SELECT SUM(pd.n_tok) OVER w AS cum_tok,
+        |   SUM(COALESCE(nt.n_new, 0)) OVER w AS cum_types
+        |  FROM pd LEFT JOIN nt ON pd.d = nt.d
+        |  WINDOW w AS (ORDER BY pd.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT round(ln(CAST(cum_tok AS DOUBLE)), 9) AS x,
+        |  round(ln(CAST(cum_types AS DOUBLE)), 9) AS y FROM pts),
+        |s AS (SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(round(x, 9) AS DECIMAL(20,12))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(round(y, 9) AS DECIMAL(20,12))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(20,12))) AS DOUBLE) AS sxy,
+        |  CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(20,12))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(round(y * y, 9) AS DECIMAL(20,12))) AS DOUBLE) AS syy
+        | FROM t),
+        |tots AS (SELECT CAST(MAX(cum_tok) AS BIGINT) AS n_tokens,
+        |  CAST(MAX(cum_types) AS BIGINT) AS n_types FROM pts)
+        |SELECT n_docs, n_tokens, n_types,
+        | (CAST(n_docs AS DOUBLE) * sxy - sx * sy)
+        |   / (CAST(n_docs AS DOUBLE) * sxx - sx * sx) AS slope,
+        | (sy - ((CAST(n_docs AS DOUBLE) * sxy - sx * sy)
+        |   / (CAST(n_docs AS DOUBLE) * sxx - sx * sx)) * sx)
+        |   / CAST(n_docs AS DOUBLE) AS intercept,
+        | ((CAST(n_docs AS DOUBLE) * sxy - sx * sy)
+        |   * (CAST(n_docs AS DOUBLE) * sxy - sx * sy))
+        |   / ((CAST(n_docs AS DOUBLE) * sxx - sx * sx)
+        |   * (CAST(n_docs AS DOUBLE) * syy - sy * sy)) AS r2
+        |FROM s CROSS JOIN tots""".stripMargin,
     // Kneser–Ney: every probability is per-row double arithmetic from
     // exact BIGINT counts — the formula ops mirrored verbatim
     "t25_kneser_ney" ->

@@ -661,24 +661,71 @@ object TextAnalysis {
     val ranked = counts.select(col("n"),
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("n").desc, col("tok").asc)).cast("long").as("r"))
-    val x = round(log(col("r").cast("double")), 9)
-    val y = round(log(col("n").cast("double")), 9)
+    logLogFit(ranked, col("r"), col("n"),
+      countAlias = "n_types",
+      extraAggs = Seq(sum(col("n")) -> "n_tokens"))
+  }
+
+  /** Heaps' law fit — Zipf's companion: vocabulary growth V(n) ≈ K·n^β
+    * (β ≈ 0.4–0.6 on natural language) over the corpus read in doc_id
+    * order. One point per document: (cumulative tokens read, cumulative
+    * distinct types seen). The β estimate is the capacity-planning
+    * number for vocabularies/dictionary encodings at 100 TB — and a
+    * dedup health check: heavy duplication flattens the curve early.
+    *
+    * Plan: token counts per doc (one aggregate), first-seen doc per
+    * TYPE (one aggregate — distinct types appear once, at their min
+    * doc), both folded to doc-cardinality frames, cumulative-summed by
+    * ONE doc-ordered window (doc-cardinality, never row-scale), then
+    * the shared [[logLogFit]] tail with its documented determinism.
+    */
+  def heapsFit(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol).as("d"),
+      explode(tokens(col(textCol))).as("tok"))
+    val perDoc = tok.groupBy(col("d")).agg(count(lit(1)).as("n_tok"))
+    val newTypes = tok.groupBy(col("tok")).agg(min(col("d")).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val points = perDoc.join(newTypes, Seq("d"), "left_outer")
+      .select(col("d"), col("n_tok"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .select(sum(col("n_tok")).over(w).as("cum_tok"),
+        sum(col("n_new")).over(w).as("cum_types"))
+    logLogFit(points, col("cum_tok"), col("cum_types"),
+      countAlias = "n_docs", extraAggs = Seq(
+        max(col("cum_tok")) -> "n_tokens", max(col("cum_types")) -> "n_types"))
+  }
+
+  /** Shared log–log least-squares tail (Zipf t24, Heaps t26): per-point
+    * round(9) absorbs ln ulp, DECIMAL(20,12) quantization makes the
+    * five regression sums exactly order-independent (the t20 pattern),
+    * and the closed form is a handful of double ops stated identically
+    * in the oracles. Both inputs must be ≥ 1 (ln ≥ 0 — no −0.0 round
+    * hazard, the documented precondition).
+    */
+  private def logLogFit(points: DataFrame, xRaw: Column, yRaw: Column,
+      countAlias: String, extraAggs: Seq[(Column, String)]): DataFrame = {
+    val x = round(log(xRaw.cast("double")), 9)
+    val y = round(log(yRaw.cast("double")), 9)
     def dec(c: Column) = round(c, 9).cast("decimal(20,12)")
-    val s = ranked.agg(
-      count(lit(1)).as("n_types"), sum(col("n")).as("n_tokens"),
-      sum(dec(x)).cast("double").as("sx"),
-      sum(dec(y)).cast("double").as("sy"),
-      sum(dec(x * y)).cast("double").as("sxy"),
-      sum(dec(x * x)).cast("double").as("sxx"),
-      sum(dec(y * y)).cast("double").as("syy"))
-    val nn = col("n_types").cast("double")
+    val s = points.agg(
+      count(lit(1)).as(countAlias),
+      (extraAggs.map { case (c, n) => c.as(n) } ++ Seq(
+        sum(dec(x)).cast("double").as("sx"),
+        sum(dec(y)).cast("double").as("sy"),
+        sum(dec(x * y)).cast("double").as("sxy"),
+        sum(dec(x * x)).cast("double").as("sxx"),
+        sum(dec(y * y)).cast("double").as("syy"))): _*)
+    val nn = col(countAlias).cast("double")
     val cov = nn * col("sxy") - col("sx") * col("sy")
     val vx = nn * col("sxx") - col("sx") * col("sx")
     val vy = nn * col("syy") - col("sy") * col("sy")
-    s.select(col("n_types"), col("n_tokens"),
+    s.select(Seq(col(countAlias)) ++ extraAggs.map(a => col(a._2)) ++ Seq(
       (cov / vx).as("slope"),
       ((col("sy") - (cov / vx) * col("sx")) / nn).as("intercept"),
-      (cov * cov / (vx * vy)).as("r2"))
+      (cov * cov / (vx * vy)).as("r2")): _*)
   }
 
   /** Token frequency-of-frequencies spectrum — the corpus-health

@@ -226,6 +226,28 @@ class OperatorsSpec extends SparkSpec {
     assert(flatR2.isNaN || flatR2 < 0.01, s"flat r2 $flatR2")
   }
 
+  test("heapsFit: all-new-vocab corpus fits beta 1 exactly; saturated corpus flattens") {
+    import operators.TextAnalysis
+    // every doc introduces exactly 7 fresh tokens: V(n) = n at every
+    // point, so ln V = ln n and the fit must be slope 1, r2 1 (up to
+    // the documented 1e-9 per-point rounding)
+    val fresh = (1 to 40).map { d =>
+      (d.toLong, (1 to 7).map(j => s"w${d}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val f = TextAnalysis.heapsFit(fresh)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().head
+    assert(f._1 == 40L && f._2 == 280L && f._3 == 280L)
+    assert(math.abs(f._4 - 1.0) < 1e-6, s"slope ${f._4}")
+    assert(f._6 > 0.999999, s"r2 ${f._6}")
+    // fully saturated corpus: vocabulary stops growing after doc 1 —
+    // the curve is flat and the fit says so
+    val dup = (1 to 40).map(d => (d.toLong, "a b c d e")).toDF("doc_id", "text")
+    val g = TextAnalysis.heapsFit(dup)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().head
+    assert(g._3 == 5L)
+    assert(math.abs(g._4) < 1e-6, s"flat slope ${g._4}")
+  }
+
   test("Quantiles.boundaries ignores NULL values (SQL quantile semantics)") {
     import operators.Quantiles
     val rnd = new scala.util.Random(11)
