@@ -4032,11 +4032,11 @@ object SparkEntry {
         |t AS (SELECT round(ln(CAST(cum_tok AS DOUBLE)), 9) AS x,
         |  round(ln(CAST(cum_types AS DOUBLE)), 9) AS y FROM pts),
         |s AS (SELECT COUNT(*) AS n_docs,
-        |  CAST(SUM(CAST(round(x, 9) AS DECIMAL(20,12))) AS DOUBLE) AS sx,
-        |  CAST(SUM(CAST(round(y, 9) AS DECIMAL(20,12))) AS DOUBLE) AS sy,
-        |  CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(20,12))) AS DOUBLE) AS sxy,
-        |  CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(20,12))) AS DOUBLE) AS sxx,
-        |  CAST(SUM(CAST(round(y * y, 9) AS DECIMAL(20,12))) AS DOUBLE) AS syy
+        |  CAST(SUM(CAST(round(x, 6) AS DECIMAL(20,6))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(round(y, 6) AS DECIMAL(20,6))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(round(x * y, 6) AS DECIMAL(20,6))) AS DOUBLE) AS sxy,
+        |  CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(20,6))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(round(y * y, 6) AS DECIMAL(20,6))) AS DOUBLE) AS syy
         | FROM t),
         |tots AS (SELECT CAST(MAX(cum_tok) AS BIGINT) AS n_tokens,
         |  CAST(MAX(cum_types) AS BIGINT) AS n_types FROM pts)
@@ -4083,11 +4083,11 @@ object SparkEntry {
         |t AS (SELECT round(ln(CAST(r AS DOUBLE)), 9) AS x,
         |  round(ln(CAST(n AS DOUBLE)), 9) AS y FROM r),
         |s AS (SELECT COUNT(*) AS n_types,
-        |  CAST(SUM(CAST(round(x, 9) AS DECIMAL(20,12))) AS DOUBLE) AS sx,
-        |  CAST(SUM(CAST(round(y, 9) AS DECIMAL(20,12))) AS DOUBLE) AS sy,
-        |  CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(20,12))) AS DOUBLE) AS sxy,
-        |  CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(20,12))) AS DOUBLE) AS sxx,
-        |  CAST(SUM(CAST(round(y * y, 9) AS DECIMAL(20,12))) AS DOUBLE) AS syy
+        |  CAST(SUM(CAST(round(x, 6) AS DECIMAL(20,6))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(round(y, 6) AS DECIMAL(20,6))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(round(x * y, 6) AS DECIMAL(20,6))) AS DOUBLE) AS sxy,
+        |  CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(20,6))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(round(y * y, 6) AS DECIMAL(20,6))) AS DOUBLE) AS syy
         | FROM t),
         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tokens FROM c)
         |SELECT n_types, n_tokens,

@@ -699,17 +699,28 @@ object TextAnalysis {
   }
 
   /** Shared log–log least-squares tail (Zipf t24, Heaps t26): per-point
-    * round(9) absorbs ln ulp, DECIMAL(20,12) quantization makes the
-    * five regression sums exactly order-independent (the t20 pattern),
-    * and the closed form is a handful of double ops stated identically
-    * in the oracles. Both inputs must be ≥ 1 (ln ≥ 0 — no −0.0 round
+    * round absorbs ln ulp, DECIMAL quantization makes the five
+    * regression sums exactly order-independent (the t20 pattern), and
+    * the closed form is a handful of double ops stated identically in
+    * the oracles. Both inputs must be ≥ 1 (ln ≥ 0 — no −0.0 round
     * hazard, the documented precondition).
+    *
+    * Scale SIX, not twelve, on the term decimals — a hard-won ulp
+    * lesson: the final DECIMAL→DOUBLE cast is only engine-identical
+    * while `sum × 10^scale < 2^53` (then the unscaled integer is an
+    * exact double and the ÷10^scale is ONE correct rounding on both
+    * engines); at scale 12 the t26 Σxy needed 67 bits and DuckDB's
+    * int128→double→÷10¹² DOUBLE-rOUNDED one ulp away from Spark's
+    * single-rounded BigDecimal cast, which the closed form amplified
+    * to 1e-13. Scale 6 bounds the integer at ~2^40 for these sums
+    * (≤ ~10⁵ points × term ≤ ~300); the per-term resolution loss is
+    * irrelevant to a statistical fit.
     */
   private def logLogFit(points: DataFrame, xRaw: Column, yRaw: Column,
       countAlias: String, extraAggs: Seq[(Column, String)]): DataFrame = {
     val x = round(log(xRaw.cast("double")), 9)
     val y = round(log(yRaw.cast("double")), 9)
-    def dec(c: Column) = round(c, 9).cast("decimal(20,12)")
+    def dec(c: Column) = round(c, 6).cast("decimal(20,6)")
     val s = points.agg(
       count(lit(1)).as(countAlias),
       (extraAggs.map { case (c, n) => c.as(n) } ++ Seq(

@@ -207,8 +207,9 @@ class OperatorsSpec extends SparkSpec {
   test("zipfFit recovers an exact power law; bent corpus scores lower r2") {
     import operators.TextAnalysis
     // counts 420/r at ranks 1..7 (420 = lcm(1..7)): freq = C·rank⁻¹
-    // EXACTLY, so the regression must return slope −1, r² 1 (up to the
-    // documented 1e-9 per-term rounding)
+    // EXACTLY, so the regression must return slope −1, r² 1 up to the
+    // documented scale-6 term quantization (±5e-7 per term, amplified
+    // by the closed form over only 7 points → ~1e-5 on the slope)
     val counts = (1 to 7).map(r => s"w$r" -> 420 / r)
     val docs = counts.map { case (w, c) => Seq.fill(c)(w).mkString(" ") }
       .toDF("text")
@@ -216,8 +217,8 @@ class OperatorsSpec extends SparkSpec {
       .as[(Long, Long, Double, Double, Double)].collect().head
     assert(got._1 == 7L)
     assert(got._2 == counts.map(_._2).sum.toLong)
-    assert(math.abs(got._3 + 1.0) < 1e-6, s"slope ${got._3}")
-    assert(got._5 > 0.999999, s"r2 ${got._5}")
+    assert(math.abs(got._3 + 1.0) < 1e-4, s"slope ${got._3}")
+    assert(got._5 > 0.99999, s"r2 ${got._5}")
     // a flat (template-flooded) corpus: every token equally frequent →
     // zero variance in y → r² collapses
     val flat = (1 to 7).map(r => Seq.fill(10)(s"w$r").mkString(" ")).toDF("text")
