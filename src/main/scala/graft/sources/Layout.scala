@@ -494,6 +494,63 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Incremental clustering maintenance (the liquid-clustering /
+    * LSM-ish OPTIMIZE shape): a table is a set of CLUSTERED generations
+    * under `root/base/gen_*` plus an unclustered append tail under
+    * `root/delta`. [[maintainClustered]] fires only once the tail holds
+    * `minDeltaFiles` files, Hilbert-clusters JUST the tail into a new
+    * generation, and deletes exactly the files it read — maintenance
+    * cost is ∝ delta, existing generations are never rewritten (each is
+    * internally clustered; cross-generation overlap is the accepted
+    * LSM trade, collapsible any time by a full [[writeHilbert]] over
+    * [[readClustered]]). Concurrent appends are safe: files that land
+    * in the tail mid-maintenance are not in the listed set and survive
+    * for the next cycle.
+    */
+  def appendDelta(df: DataFrame, root: String): Unit =
+    df.write.mode("append").parquet(s"$root/delta")
+
+  /** Run one maintenance cycle; returns true if a generation was
+    * written (tail held at least `minDeltaFiles` parquet files).
+    */
+  def maintainClustered(spark: SparkSession, root: String, cols: Seq[String],
+      numFiles: Int = 8, minDeltaFiles: Int = 4): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val deltaDir = new org.apache.hadoop.fs.Path(root, "delta")
+    val fs = deltaDir.getFileSystem(conf)
+    if (!fs.exists(deltaDir)) return false
+    val files = fs.listStatus(deltaDir)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet")).toSeq
+    if (files.size < minDeltaFiles) return false
+    val baseDir = new org.apache.hadoop.fs.Path(root, "base")
+    fs.mkdirs(baseDir)
+    val gen = fs.listStatus(baseDir)
+      .count(_.getPath.getName.startsWith("gen_"))
+    writeHilbert(spark.read.parquet(files.map(_.getPath.toString): _*),
+      s"$root/base/gen_$gen", cols, numFiles)
+    // remove exactly what was clustered — concurrent appends survive
+    files.foreach(f => fs.delete(f.getPath, false))
+    true
+  }
+
+  /** The full table view: every clustered generation plus the
+    * unclustered tail. */
+  def readClustered(spark: SparkSession, root: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    val baseDir = new org.apache.hadoop.fs.Path(root, "base")
+    val gens = if (!fs.exists(baseDir)) Seq.empty[String]
+      else fs.listStatus(baseDir).toSeq
+        .filter(_.getPath.getName.startsWith("gen_")).map(_.getPath.toString)
+    val deltaDir = new org.apache.hadoop.fs.Path(root, "delta")
+    val hasDelta = fs.exists(deltaDir) && fs.listStatus(deltaDir)
+      .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val paths = gens ++ (if (hasDelta) Seq(s"$root/delta") else Nil)
+    require(paths.nonEmpty, s"no data under $root")
+    spark.read.parquet(paths: _*)
+  }
+
   /** Every node of a physical plan with AQE wrappers flattened:
     * AdaptiveSparkPlanExec / QueryStageExec hide their inner plans in
     * FIELDS, not children, so a plain `collect` never sees the real

@@ -182,6 +182,52 @@ class LayoutSpec extends SparkSpec {
     assert(rows(Layout.readVersion(spark, root)) == Seq(9L))
   }
 
+  test("maintainClustered: delta-only reclustering, generations immutable, appends safe") {
+    val root = java.nio.file.Files.createTempDirectory("inc-cluster").toString
+    // ids map to scattered, independent 16³ grid coords (a modular-
+    // cycling y = f(x) would make per-file y-spans irreducible for ANY
+    // layout — the first version of this spec learned that)
+    def mk(lo: Int, hi: Int) = (lo until hi).map { i =>
+      val j = (i * 2654435761L) % 4096
+      (i.toLong, (j / 256) % 16, (j / 16) % 16, j % 16)
+    }.toDF("id", "x", "y", "z").repartition(2)
+    def all(): Set[Long] = Layout.readClustered(spark, root)
+      .select($"id").as[Long].collect().toSet
+
+    // below threshold: appends accumulate, maintenance is a no-op
+    Layout.appendDelta(mk(0, 100), root)
+    assert(!Layout.maintainClustered(spark, root, Seq("x", "y", "z"),
+      numFiles = 4, minDeltaFiles = 4))
+    assert(all() == (0L until 100L).toSet)
+
+    // threshold hit: the tail becomes one clustered generation
+    Layout.appendDelta(mk(100, 200), root)
+    assert(Layout.maintainClustered(spark, root, Seq("x", "y", "z"),
+      numFiles = 4, minDeltaFiles = 4))
+    assert(all() == (0L until 200L).toSet) // content-lossless
+    val gen0 = spark.read.parquet(s"$root/base/gen_0").inputFiles.toSet
+    assert(gen0.nonEmpty)
+
+    // next cycle clusters ONLY the new tail; gen_0 files untouched
+    Layout.appendDelta(mk(200, 300), root)
+    Layout.appendDelta(mk(300, 400), root)
+    assert(Layout.maintainClustered(spark, root, Seq("x", "y", "z"),
+      numFiles = 4, minDeltaFiles = 4))
+    assert(all() == (0L until 400L).toSet)
+    assert(spark.read.parquet(s"$root/base/gen_0").inputFiles.toSet == gen0,
+      "maintenance must never rewrite an existing generation")
+    // the new generation is genuinely clustered: average per-file span
+    // well under the full 0..15 range on the non-leading dims (an
+    // append-ordered tail spans ~15 on both)
+    val spans = spark.read.parquet(s"$root/base/gen_1")
+      .groupBy(input_file_name())
+      .agg((max($"y") - min($"y")).as("sy"), (max($"z") - min($"z")).as("sz"))
+      .select($"sy", $"sz").as[(Long, Long)].collect()
+    assert(spans.length == 4)
+    assert(spans.map(_._1).sum / 4.0 <= 12.0, s"y spans: ${spans.toList}")
+    assert(spans.map(_._2).sum / 4.0 <= 12.0, s"z spans: ${spans.toList}")
+  }
+
   test("cloneVersion: deep isolates, shallow references; both diverge privately") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select($"id").as[Long].collect().sorted.toSeq
