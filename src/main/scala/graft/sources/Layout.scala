@@ -533,6 +533,71 @@ object Layout {
     true
   }
 
+  /** [[maintainClustered]] over WHOLE batch directories
+    * (`root/delta/batch_*`, the streaming cluster-on-write layout) with
+    * a consumed-batch ledger for exactly-once under crash replay:
+    * each generation records the batch dirs it absorbed in
+    * `_consumed.txt`, so (a) a maintenance re-run after a crash between
+    * generation write and delta delete sees those batches as consumed
+    * and only finishes the cleanup (idempotent), and (b) a replayed
+    * streaming trigger can ask [[consumedBatches]] whether its batch is
+    * already durable inside a generation and skip re-creating it (the
+    * X10 ingest-ledger idea fused into the clustering maintenance).
+    */
+  def maintainClusteredBatches(spark: SparkSession, root: String,
+      cols: Seq[String], numFiles: Int = 8,
+      minDeltaBatches: Int = 4): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val deltaDir = new org.apache.hadoop.fs.Path(root, "delta")
+    val fs = deltaDir.getFileSystem(conf)
+    val consumed = consumedBatches(spark, root)
+    val dirs = if (!fs.exists(deltaDir)) Seq.empty
+      else fs.listStatus(deltaDir).toSeq
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("batch_"))
+    // finish any interrupted cleanup first — consumed dirs are already
+    // durable inside a generation, their delta copy is garbage
+    val (stale, fresh) = dirs.partition(d => consumed(d.getPath.getName))
+    stale.foreach(d => fs.delete(d.getPath, true))
+    if (fresh.size < minDeltaBatches) return false
+    val baseDir = new org.apache.hadoop.fs.Path(root, "base")
+    fs.mkdirs(baseDir)
+    val gen = fs.listStatus(baseDir)
+      .count(_.getPath.getName.startsWith("gen_"))
+    val genPath = s"$root/base/gen_$gen"
+    writeHilbert(spark.read.parquet(fresh.map(_.getPath.toString): _*),
+      genPath, cols, numFiles)
+    // ledger BEFORE delete: the crash window leaves consumed-but-
+    // present batches, which the stale sweep above reclaims
+    val ledger = new org.apache.hadoop.fs.Path(genPath, "_consumed.txt")
+    val os = fs.create(ledger, false)
+    try os.write(fresh.map(_.getPath.getName).mkString("\n").getBytes("UTF-8"))
+    finally os.close()
+    fresh.foreach(d => fs.delete(d.getPath, true))
+    true
+  }
+
+  /** Batch dirs already absorbed into some generation (union of the
+    * per-generation ledgers). */
+  def consumedBatches(spark: SparkSession, root: String): Set[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val baseDir = new org.apache.hadoop.fs.Path(root, "base")
+    val fs = baseDir.getFileSystem(conf)
+    if (!fs.exists(baseDir)) Set.empty
+    else fs.listStatus(baseDir).toSeq
+      .filter(_.getPath.getName.startsWith("gen_"))
+      .flatMap { g =>
+        val l = new org.apache.hadoop.fs.Path(g.getPath, "_consumed.txt")
+        if (!fs.exists(l)) Nil
+        else {
+          val in = fs.open(l)
+          try new String(
+              org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+            .split("\n").toSeq.filter(_.nonEmpty)
+          finally in.close()
+        }
+      }.toSet
+  }
+
   /** The full table view: every clustered generation plus the
     * unclustered tail. */
   def readClustered(spark: SparkSession, root: String): DataFrame = {
@@ -544,9 +609,18 @@ object Layout {
       else fs.listStatus(baseDir).toSeq
         .filter(_.getPath.getName.startsWith("gen_")).map(_.getPath.toString)
     val deltaDir = new org.apache.hadoop.fs.Path(root, "delta")
-    val hasDelta = fs.exists(deltaDir) && fs.listStatus(deltaDir)
-      .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    val paths = gens ++ (if (hasDelta) Seq(s"$root/delta") else Nil)
+    // the tail is either loose files (batch appendDelta) or batch_* dirs
+    // (streaming cluster-on-write) — read whichever exist
+    val deltaPaths = if (!fs.exists(deltaDir)) Seq.empty[String]
+      else fs.listStatus(deltaDir).toSeq.collect {
+        case f if f.isFile && f.getPath.getName.endsWith(".parquet") =>
+          f.getPath.toString
+        case d if d.isDirectory && d.getPath.getName.startsWith("batch_") &&
+            fs.listStatus(d.getPath).exists(x => x.isFile &&
+              x.getPath.getName.endsWith(".parquet")) =>
+          d.getPath.toString
+      }
+    val paths = gens ++ deltaPaths
     require(paths.nonEmpty, s"no data under $root")
     spark.read.parquet(paths: _*)
   }

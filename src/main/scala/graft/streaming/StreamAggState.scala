@@ -365,4 +365,43 @@ object StreamAggState {
     }
     merged.write.mode("overwrite").parquet(s"$statePath/epoch=$batchId")
   }
+
+  /** Streaming cluster-on-write ingest (ST26): each micro-batch lands
+    * as its own `delta/batch_N` dir (idempotent overwrite — the
+    * exactly-once layout of every sink here), then clustering
+    * maintenance runs opportunistically: once enough tail batches
+    * accumulate, they become one immutable Hilbert generation
+    * (Layout.maintainClusteredBatches). Crash replay is covered from
+    * both sides: a replayed trigger whose batch was ALREADY absorbed
+    * into a generation consults the consumed-batch ledger and skips the
+    * re-write (else the data would exist twice); a maintenance re-run
+    * after a crash between generation write and tail delete sees its
+    * batches in the ledger and only finishes the cleanup. The result:
+    * a continuously-ingesting table whose files stay clustered on the
+    * query dimensions with maintenance cost ∝ new data, never a full
+    * rewrite — the streaming face of X26.
+    */
+  def clusterOnWrite(stream: DataFrame, root: String, cols: Seq[String],
+      numFiles: Int, minDeltaBatches: Int,
+      checkpointPath: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        processClusterOnWriteTrigger(batch.toDF(), batchId, root, cols,
+          numFiles, minDeltaBatches)
+      }
+      .start()
+
+  private[graft] def processClusterOnWriteTrigger(batch: DataFrame,
+      batchId: Long, root: String, cols: Seq[String], numFiles: Int,
+      minDeltaBatches: Int): Unit = {
+    val spark = batch.sparkSession
+    val name = s"batch_$batchId"
+    if (!graft.sources.Layout.consumedBatches(spark, root).contains(name)) {
+      batch.write.mode("overwrite").parquet(s"$root/delta/$name")
+    }
+    graft.sources.Layout.maintainClusteredBatches(spark, root, cols,
+      numFiles, minDeltaBatches)
+    ()
+  }
 }

@@ -533,6 +533,45 @@ class StreamingSpec extends SparkSpec {
     assert(estimates() == want, "replayed trigger changed the state")
   }
 
+  test("clusterOnWrite: tail batches become immutable generations; replay never duplicates") {
+    import graft.streaming.StreamAggState
+    import graft.sources.Layout
+    val root = Files.createTempDirectory("graft-cow").toString
+    def mk(lo: Int, hi: Int) = (lo until hi).map { i =>
+      val j = (i * 2654435761L) % 4096
+      (i.toLong, (j / 256) % 16, (j / 16) % 16, j % 16)
+    }.toDF("id", "x", "y", "z").repartition(2)
+    def trig(lo: Int, hi: Int, id: Long): Unit =
+      StreamAggState.processClusterOnWriteTrigger(mk(lo, hi), id, root,
+        Seq("x", "y", "z"), numFiles = 4, minDeltaBatches = 3)
+    def ids(): Set[Long] = Layout.readClustered(spark, root)
+      .select($"id").as[Long].collect().toSet
+    def gens(): Seq[String] = {
+      val d = new java.io.File(s"$root/base")
+      if (!d.exists) Nil else d.listFiles.map(_.getName).filter(_.startsWith("gen_")).sorted.toSeq
+    }
+    trig(0, 50, 0L); trig(50, 100, 1L)
+    assert(ids() == (0L until 100L).toSet && gens().isEmpty) // tail only
+    trig(100, 150, 2L) // third batch hits the threshold
+    assert(ids() == (0L until 150L).toSet)
+    assert(gens() == Seq("gen_0"))
+    assert(Layout.consumedBatches(spark, root) ==
+      Set("batch_0", "batch_1", "batch_2"))
+    // crash-replayed trigger whose batch is already INSIDE a generation:
+    // the ledger makes it a no-op — data must not exist twice
+    trig(100, 150, 2L)
+    assert(ids() == (0L until 150L).toSet, "replayed consumed batch duplicated data")
+    assert(gens() == Seq("gen_0"))
+    // crash between generation write and tail delete: a consumed batch
+    // dir lingers in the tail; the next maintenance reclaims it WITHOUT
+    // re-clustering it into a second generation
+    mk(50, 100).write.mode("overwrite").parquet(s"$root/delta/batch_1")
+    trig(150, 200, 3L) // one fresh batch — under threshold, stale swept
+    assert(ids() == (0L until 200L).toSet, "stale consumed batch re-counted")
+    assert(gens() == Seq("gen_0"))
+    assert(!new java.io.File(s"$root/delta/batch_1").exists, "stale dir not swept")
+  }
+
   test("maintainQuantileSketch: maintained sketches track exact ranks; replay rewrites") {
     import graft.streaming.StreamAggState
     val tmp = Files.createTempDirectory("graft-qsketch").toString
