@@ -1150,6 +1150,16 @@ object SparkEntry {
       .orderBy($"l_returnflag")
   }
 
+  private def x15ks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // exact two-sample KS distance between click and purchase value
+    // distributions — the binning-free drift monitor beside x11's PSI
+    val ev = t(s, dir, "events")
+    operators.Pipeline.ksDrift(
+      ev.filter($"event_type" === "click").select($"value"),
+      ev.filter($"event_type" === "purchase").select($"value"), "value")
+  }
+
   private def x13h(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // Hilbert-clustered layout roundtrip: documents clustered on
@@ -2853,6 +2863,7 @@ object SparkEntry {
     "e20_error_exemplars" -> (e20x _),
     "q50_temporal_join" -> (q50 _),
     "t26_heaps_fit" -> (t26 _),
+    "x15_ks_drift" -> (x15ks _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4101,6 +4112,22 @@ object SparkEntry {
         |   / ((CAST(n_types AS DOUBLE) * sxx - sx * sx)
         |   * (CAST(n_types AS DOUBLE) * syy - sy * sy)) AS r2
         |FROM s CROSS JOIN tot""".stripMargin,
+    // KS: per-distinct-value counts, running ECDFs, max |diff| — the
+    // same double ops both sides
+    "x15_ks_drift" ->
+      """WITH a AS (SELECT value AS v, COUNT(*) AS ca FROM events
+        |  WHERE event_type = 'click' AND value IS NOT NULL GROUP BY v),
+        |b AS (SELECT value AS v, COUNT(*) AS cb FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY v),
+        |m AS (SELECT COALESCE(a.v, b.v) AS v, COALESCE(ca, 0) AS ca,
+        |  COALESCE(cb, 0) AS cb FROM a FULL JOIN b ON a.v = b.v),
+        |c AS (SELECT SUM(ca) OVER w AS cum_a, SUM(cb) OVER w AS cum_b FROM m
+        | WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM m)
+        |SELECT na AS n_a, nb AS n_b,
+        | MAX(abs(CAST(cum_a AS DOUBLE) / CAST(na AS DOUBLE)
+        |   - CAST(cum_b AS DOUBLE) / CAST(nb AS DOUBLE))) AS ks_stat
+        |FROM c CROSS JOIN t GROUP BY na, nb""".stripMargin,
     // trailing-window distincts: BETWEEN-join formulation — independent
     // of the Spark side's explode-to-window-ends plan, same counts
     "x14_sliding_distinct" ->

@@ -804,6 +804,41 @@ object Pipeline {
         greatest(col("nd_a") + col("nd_b") - col("nd_union"), lit(0L)))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic — the EXACT drift monitor
+    * beside [[psiDrift]]'s binned PSI: D = max over values of
+    * |ECDF_a(v) − ECDF_b(v)|, sensitive to ANY distribution change (not
+    * just mass moving between preset bins) and binning-free. Plan: one
+    * hash aggregate to per-DISTINCT-VALUE (count_a, count_b) rows, one
+    * window pass over the distinct values for the running ECDFs, one
+    * max — the sort is distinct-value-sized, never row-sized (ties
+    * collapse in the aggregate; the ECDF is evaluated after each full
+    * tie group, which is exactly where its steps live). Per-row double
+    * arithmetic (two divisions, a subtraction, abs) from exact BIGINT
+    * counts, mirrored in the oracle; the max of identically-computed
+    * doubles is deterministic.
+    */
+  def ksDrift(dfA: DataFrame, dfB: DataFrame, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = dfA.select(col(valCol).as("__v")).filter(col("__v").isNotNull)
+      .groupBy(col("__v")).agg(count(lit(1)).as("ca"))
+    val b = dfB.select(col(valCol).as("__v")).filter(col("__v").isNotNull)
+      .groupBy(col("__v")).agg(count(lit(1)).as("cb"))
+    val merged = a.join(b, Seq("__v"), "full_outer")
+      .select(col("__v"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged
+      .select(sum(col("ca")).over(w).as("cum_a"),
+        sum(col("cb")).over(w).as("cum_b"))
+      .crossJoin(broadcast(merged.agg(sum(col("ca")).as("na"),
+        sum(col("cb")).as("nb"))))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(abs(col("cum_a").cast("double") / col("na").cast("double")
+          - col("cum_b").cast("double") / col("nb").cast("double")))
+          .as("ks_stat"))
+  }
+
   /** Robust per-group outlier accounting via MAD (median absolute
     * deviation) — the breakdown-resistant complement of the z-score
     * monitor (q34): mean/σ are dragged arbitrarily far by a single

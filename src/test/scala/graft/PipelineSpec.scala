@@ -536,6 +536,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("ksDrift: driver-exact two-sample KS; identical 0, disjoint 1, ties handled") {
+    val rnd = new scala.util.Random(31)
+    val xs = Seq.fill(300)(math.floor(rnd.nextDouble() * 40)) // heavy ties
+    val ys = Seq.fill(200)(math.floor(rnd.nextDouble() * 40) + 8.0)
+    def ks(a: Seq[Double], b: Seq[Double]): (Long, Long, Double) = {
+      val got = Pipeline.ksDrift(a.toDF("v"), b.toDF("v"), "v")
+        .as[(Long, Long, Double)].collect().head
+      got
+    }
+    val got = ks(xs, ys)
+    // driver brute force with the SAME ops: ECDF after each tie group
+    val vals = (xs ++ ys).distinct.sorted
+    val (na, nb) = (xs.size.toDouble, ys.size.toDouble)
+    val expect = vals.map { v =>
+      math.abs(xs.count(_ <= v) / na - ys.count(_ <= v) / nb) }.max
+    assert(got == ((xs.size.toLong, ys.size.toLong, expect)))
+    // identical samples: exactly zero; disjoint supports: exactly one
+    assert(ks(xs, xs)._3 == 0.0)
+    assert(ks(Seq(1.0, 2.0, 2.0), Seq(9.0, 10.0))._3 == 1.0)
+  }
+
   test("madOutliers: driver-exact; median/MAD immune to poison a z-score monitor isn't") {
     val rnd = new scala.util.Random(17)
     val clean = (1 to 401).map(_ => ("a", 100.0 + rnd.nextDouble() * 10))
