@@ -999,6 +999,17 @@ object Pipeline {
     sketches.agg(org.apache.spark.sql.functions.udaf(CmsMergeAgg)
       .apply(col(sketchCol)).as("sketch"))
 
+  /** Per-GROUP merge of CMS blobs — [[mergeFreqSketches]] keyed: the
+    * maintenance shape (fold a batch's per-group sketches into a
+    * persisted sketch table, ST27). Counter addition is byte-exact, so
+    * the maintained table EQUALS the batch-computed one. */
+  def mergeFreqSketchesBy(sketches: DataFrame, groupCol: String,
+      sketchCol: String = "sketch", nCol: String = "n_rows"): DataFrame =
+    sketches.groupBy(col(groupCol))
+      .agg(org.apache.spark.sql.functions.udaf(CmsMergeAgg)
+          .apply(col(sketchCol)).as(sketchCol),
+        sum(col(nCol)).as(nCol))
+
   /** Driver-side probe of a serialized CMS blob (the serving path:
     * estimate a candidate key's frequency without touching data). */
   def estimateFreq(sketchBytes: Array[Byte], value: Long): Long =

@@ -366,6 +366,44 @@ object StreamAggState {
     merged.write.mode("overwrite").parquet(s"$statePath/epoch=$batchId")
   }
 
+  /** Streaming frequency-sketch maintenance (ST27) — completes the
+    * streaming face of the mergeable-sketch trio (ST24 HLL distincts,
+    * ST25 GK quantiles): each trigger's per-group Count-Min grids (X15)
+    * fold into a persisted sketch table by counter ADDITION, which is
+    * byte-exact — so unlike the GK path, the maintained table EQUALS
+    * the batch-computed one bit for bit (the spec pins blob equality,
+    * not a tolerance). Heavy-hitter probes and storm detection off the
+    * live state touch KB blobs, never rows. Epoch-keyed store, pinned
+    * replay.
+    */
+  def maintainFreqSketch(stream: DataFrame, groupCol: String,
+      valueCol: String, statePath: String, checkpointPath: String,
+      eps: Double = 0.001, confidence: Double = 0.99,
+      seed: Int = 42): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        processFreqTrigger(batch.toDF(), batchId, groupCol, valueCol,
+          statePath, eps, confidence, seed)
+      }
+      .start()
+
+  private[graft] def processFreqTrigger(batch: DataFrame, batchId: Long,
+      groupCol: String, valueCol: String, statePath: String,
+      eps: Double, confidence: Double, seed: Int): Unit = {
+    val spark = batch.sparkSession
+    val bs = graft.operators.Pipeline.freqSketch(batch, groupCol, valueCol,
+      eps, confidence, seed)
+    val prior = StreamErrorHandling
+      .readPendingBefore(spark, statePath, batchId).map(_._2)
+    val merged = prior match {
+      case None => bs
+      case Some(st) => graft.operators.Pipeline
+        .mergeFreqSketchesBy(st.unionByName(bs), groupCol)
+    }
+    merged.write.mode("overwrite").parquet(s"$statePath/epoch=$batchId")
+  }
+
   /** Streaming cluster-on-write ingest (ST26): each micro-batch lands
     * as its own `delta/batch_N` dir (idempotent overwrite — the
     * exactly-once layout of every sink here), then clustering

@@ -572,6 +572,46 @@ class StreamingSpec extends SparkSpec {
     assert(!new java.io.File(s"$root/delta/batch_1").exists, "stale dir not swept")
   }
 
+  test("maintainFreqSketch: maintained CMS equals batch BIT-FOR-BIT; replay rewrites") {
+    import graft.streaming.StreamAggState
+    val tmp = Files.createTempDirectory("graft-cms").toString
+    val st = s"$tmp/state"
+    def mk(seed: Int, n: Int): Seq[(String, Long)] = {
+      val rnd = new scala.util.Random(seed)
+      (1 to n).map(_ => (if (rnd.nextBoolean()) "a" else "b",
+        (rnd.nextInt(50) * rnd.nextInt(50)).toLong)) // skewed values
+    }
+    val ts = Seq(mk(3, 400), mk(5, 300), mk(7, 500))
+    def trig(rows: Seq[(String, Long)], id: Long): Unit =
+      StreamAggState.processFreqTrigger(rows.toDF("g", "v"), id, "g", "v",
+        st, eps = 0.001, confidence = 0.99, seed = 42)
+    ts.zipWithIndex.foreach { case (r, i) => trig(r, i.toLong) }
+    def state(): Map[String, (Seq[Byte], Long)] =
+      StreamAggState.readState(spark, st).get
+        .as[(String, Array[Byte], Long)].collect()
+        .map(r => r._1 -> ((r._2.toSeq, r._3))).toMap
+    val got = state()
+    // counter addition is byte-exact: the maintained state EQUALS one
+    // batch freqSketch over all history, blob for blob
+    val want = operators.Pipeline.freqSketch(
+        ts.flatten.toDF("g", "v"), "g", "v", eps = 0.001,
+        confidence = 0.99, seed = 42)
+      .as[(String, Array[Byte], Long)].collect()
+      .map(r => r._1 -> ((r._2.toSeq, r._3))).toMap
+    assert(got == want)
+    // and the one-sided estimate bound holds off the live state
+    val all = ts.flatten
+    for (g <- Seq("a", "b"); v <- Seq(0L, 49L * 49L)) {
+      val exact = all.count(r => r._1 == g && r._2 == v).toLong
+      val est = operators.Pipeline.estimateFreq(got(g)._1.toArray, v)
+      assert(est >= exact, s"$g/$v CMS must never undercount")
+      assert(est <= exact + (0.001 * got(g)._2).ceil.toLong + 1, s"$g/$v est $est vs $exact")
+    }
+    // crash replay of the last trigger: identical state
+    trig(ts.last, 2L)
+    assert(state() == got, "replayed trigger changed the state")
+  }
+
   test("maintainQuantileSketch: maintained sketches track exact ranks; replay rewrites") {
     import graft.streaming.StreamAggState
     val tmp = Files.createTempDirectory("graft-qsketch").toString
