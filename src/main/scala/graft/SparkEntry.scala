@@ -1327,6 +1327,22 @@ object SparkEntry {
       .orderBy($"split")
   }
 
+  private def p19(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // 5-fold leakage-safe CV split keyed by EXACT-dup cluster (md5 of
+    // text — the highest-risk leakage unit, oracle-cheap; p12 covers
+    // the near-dup-cluster variant): Σ per-fold n_clusters equals the
+    // global distinct-cluster count exactly when no cluster spans folds
+    val docs = t(s, dir, "documents")
+    val clus = docs.select($"doc_id", md5($"text").as("cluster_id"))
+    operators.Pipeline.kFoldSplit(docs.select($"doc_id"), clus, k = 5)
+      .groupBy($"fold")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"cluster_id").as("n_clusters"),
+        min($"doc_id").as("first_doc"))
+      .orderBy($"fold")
+  }
+
   private def q34(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // grouped anomaly detection, exact two-pass z-score: per-type mean
@@ -2864,6 +2880,7 @@ object SparkEntry {
     "q50_temporal_join" -> (q50 _),
     "t26_heaps_fit" -> (t26 _),
     "x15_ks_drift" -> (x15ks _),
+    "p19_kfold_split" -> (p19 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4112,6 +4129,17 @@ object SparkEntry {
         |   / ((CAST(n_types AS DOUBLE) * sxx - sx * sx)
         |   * (CAST(n_types AS DOUBLE) * syy - sy * sy)) AS r2
         |FROM s CROSS JOIN tot""".stripMargin,
+    // k-fold: the t23 hex-prefix→int trick recomputes the fold hash
+    "p19_kfold_split" ->
+      """WITH c AS (SELECT doc_id, md5(text) AS cluster_id FROM documents),
+        |f AS (SELECT doc_id, cluster_id,
+        |  list_reduce(list_transform(range(1, 9),
+        |    i -> CAST(strpos('0123456789abcdef',
+        |      substr(md5('graft:' || cluster_id), i, 1)) - 1 AS BIGINT)),
+        |    (x, y) -> x * 16 + y) % 5 AS fold FROM c)
+        |SELECT fold, COUNT(*) AS n_docs,
+        | COUNT(DISTINCT cluster_id) AS n_clusters, MIN(doc_id) AS first_doc
+        |FROM f GROUP BY fold ORDER BY fold""".stripMargin,
     // KS: per-distinct-value counts, running ECDFs, max |diff| — the
     // same double ops both sides
     "x15_ks_drift" ->

@@ -612,6 +612,31 @@ object Pipeline {
     withCluster.withColumn("split", split)
   }
 
+  /** Leakage-safe k-fold split — [[leakageSafeSplit]]'s cross-validation
+    * shape: fold = hash(salt:cluster) mod k, so every dedup CLUSTER
+    * lands wholly in one fold (near/exact duplicates of a validation
+    * doc can never sit in its training folds — the contamination a
+    * per-document fold assignment cannot prevent), folds are
+    * hash-uniform in cluster count, and the assignment is a pure
+    * deterministic projection: no RNG state, identical on recompute,
+    * any engine. Un-clustered docs are their own cluster.
+    */
+  def kFoldSplit(docs: DataFrame, clusterAssignments: DataFrame, k: Int,
+      idCol: String = "doc_id", salt: String = "graft"): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    docs
+      .join(clusterAssignments.select(col(idCol), col("cluster_id")),
+        Seq(idCol), "left")
+      // string-normalized BEFORE the coalesce: string cluster ids with
+      // long doc ids would otherwise coerce to the NUMERIC common type
+      // and throw on the first real cluster id under ANSI
+      .withColumn("cluster_id",
+        coalesce(col("cluster_id").cast("string"), col(idCol).cast("string")))
+      .withColumn("fold",
+        conv(substring(md5(concat(lit(salt), lit(":"), col("cluster_id"))),
+          1, 8), 16, 10).cast("long") % k)
+  }
+
   /** Incremental aggregate-state maintenance (materialized-view
     * refresh): fold a new batch of raw rows into a per-key aggregate
     * table — `n` plus one `sum_<c>` per requested column — without ever

@@ -536,6 +536,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("kFoldSplit: clusters never span folds; all docs assigned; deterministic") {
+    // 30 clusters of varying size (incl. singletons without assignment)
+    val docs = (1L to 100L).toDF("doc_id")
+    val clus = (1L to 80L).map(i => (i, s"c${i % 30}")).toDF("doc_id", "cluster_id")
+    val out = Pipeline.kFoldSplit(docs, clus, k = 4)
+      .as[(Long, String, Long)].collect()
+    assert(out.length == 100)
+    assert(out.map(_._3).toSet.subsetOf((0L until 4L).toSet))
+    // the leakage property: each cluster maps to exactly ONE fold
+    out.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.map(_._3).distinct.length == 1, s"cluster $c spans folds")
+    }
+    // docs 81..100 have no assignment: their own cluster, still assigned
+    assert(out.filter(_._1 > 80L).forall(r => r._2 == r._1.toString))
+    // deterministic: a recompute gives the identical assignment
+    val again = Pipeline.kFoldSplit(docs, clus, k = 4)
+      .as[(Long, String, Long)].collect()
+    assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+    // folds are hash-uniform-ish: every fold non-empty at this size
+    assert(out.map(_._3).distinct.length == 4)
+  }
+
   test("ksDrift: driver-exact two-sample KS; identical 0, disjoint 1, ties handled") {
     val rnd = new scala.util.Random(31)
     val xs = Seq.fill(300)(math.floor(rnd.nextDouble() * 40)) // heavy ties
