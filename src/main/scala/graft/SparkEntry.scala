@@ -2401,6 +2401,14 @@ object SparkEntry {
       .orderBy($"w1", $"c".desc, $"w2")
   }
 
+  private def t27(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // top-30 PMI collocations with count floor 5 — ranked by the exact
+    // (c12*N)/(c1*c2) ratio so libm never enters the sort key
+    operators.TextAnalysis.pmiCollocations(t(s, dir, "documents"),
+      minCount = 5, k = 30)
+  }
+
   private def t26(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // Heaps' law: vocabulary growth V(n) ≈ K·n^β over the corpus in
@@ -2881,6 +2889,7 @@ object SparkEntry {
     "t26_heaps_fit" -> (t26 _),
     "x15_ks_drift" -> (x15ks _),
     "p19_kfold_split" -> (p19 _),
+    "t27_pmi" -> (t27 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4129,6 +4138,22 @@ object SparkEntry {
         |   / ((CAST(n_types AS DOUBLE) * sxx - sx * sx)
         |   * (CAST(n_types AS DOUBLE) * syy - sy * sy)) AS r2
         |FROM s CROSS JOIN tot""".stripMargin,
+    // PMI: ranked by the exact BIGINT-product ratio (one IEEE division,
+    // identical both engines); displayed pmi = round(ln(ratio), 9)
+    "t27_pmi" ->
+      """WITH ts AS (SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |bg AS (SELECT z[1] AS w1, z[2] AS w2 FROM (
+        |  SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z FROM ts)),
+        |bi AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+        |l AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bi GROUP BY w1),
+        |r AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM bi GROUP BY w2),
+        |tot AS (SELECT CAST(SUM(c12) AS BIGINT) AS n_bigrams FROM bi),
+        |sc AS (SELECT bi.w1, bi.w2, bi.c12, l.c1, r.c2,
+        |  CAST(bi.c12 * tot.n_bigrams AS DOUBLE) / CAST(l.c1 * r.c2 AS DOUBLE) AS ratio
+        | FROM bi JOIN l ON bi.w1 = l.w1 JOIN r ON bi.w2 = r.w2 CROSS JOIN tot
+        | WHERE bi.c12 >= 5)
+        |SELECT w1, w2, c12, c1, c2, round(ln(ratio), 9) AS pmi
+        |FROM sc ORDER BY ratio DESC, w1, w2 LIMIT 30""".stripMargin,
     // k-fold: the t23 hex-prefix→int trick recomputes the fold hash
     "p19_kfold_split" ->
       """WITH c AS (SELECT doc_id, md5(text) AS cluster_id FROM documents),

@@ -406,6 +406,46 @@ object TextAnalysis {
       Seq(TopK.desc("c"), TopK.asc("w2")), topPerContext)
   }
 
+  /** PMI collocation mining — the classic lexical-association extractor
+    * ("New York", "machine learning"): pointwise mutual information
+    * `ln(c₁₂·N / (c₁·c₂))` over the bigram table and its own marginals,
+    * thinned to the global top-k above a count floor (rare pairs have
+    * degenerate PMI — the standard minCount guard).
+    *
+    * Float-safe ranking: rows are ORDERED by the exact ratio
+    * `(c₁₂·N)/(c₁·c₂)` — both products are exact BIGINTs under 2^53,
+    * so the division is one identical IEEE op on any engine, and ln's
+    * monotonicity makes ratio-order = PMI-order without putting libm
+    * in the sort key. The displayed `pmi` is round(ln(ratio), 9) — the
+    * t5 rule: identical input double, round absorbs the ln ulp, and
+    * ratio > 0 rules out the −0.0 hazard. Global top-k plans as
+    * TakeOrderedAndProject (per-partition heaps), never a full sort.
+    */
+  def pmiCollocations(docs: DataFrame, minCount: Long, k: Int,
+      textCol: String = "text"): DataFrame = {
+    val ts = split(trim(col(textCol)), "\\s+")
+    val n1 = greatest(size(ts) - 1, lit(0))
+    val pairs = arrays_zip(
+      slice(ts, lit(1), n1).as("w1"), slice(ts, lit(2), n1).as("w2"))
+    val bi = docs.select(explode(pairs).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint() // four consumers: marginals, total, scoring
+    val left = bi.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val right = bi.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    val tot = bi.agg(sum(col("c12")).as("n_bigrams"))
+    val ratio = (col("c12") * col("n_bigrams")).cast("double") /
+      (col("c1") * col("c2")).cast("double")
+    bi.filter(col("c12") >= minCount)
+      .join(left, "w1").join(right, "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        ratio.as("__r"), round(log(ratio), 9).as("pmi"))
+      .orderBy(col("__r").desc, col("w1"), col("w2"))
+      .limit(k)
+      .drop("__r")
+  }
+
   /** Interpolated Kneser–Ney bigram LM — the standard n-gram smoothing
     * (the serious upgrade beside [[bigramLm]]'s raw conditional MLE):
     *

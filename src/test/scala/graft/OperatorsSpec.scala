@@ -227,6 +227,35 @@ class OperatorsSpec extends SparkSpec {
     assert(flatR2.isNaN || flatR2 < 0.01, s"flat r2 $flatR2")
   }
 
+  test("pmiCollocations: driver-exact scores; the bound pair outranks the stopword pairs") {
+    import operators.TextAnalysis
+    val corpus = Seq(
+      "the cat sat near san francisco the dog",
+      "san francisco is the city the fog owns",
+      "the fish saw san francisco in the fog")
+    val got = TextAnalysis.pmiCollocations(corpus.toDF("text"),
+        minCount = 2, k = 10)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    // driver recompute with the same ops
+    val bigrams = corpus.map(_.split("\\s+").toSeq).flatMap(t => t.zip(t.tail))
+    val cMap = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = cMap.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val c2 = cMap.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = bigrams.size.toLong
+    got.foreach { case (w1, w2, g12, g1, g2, pmi) =>
+      assert((g12, g1, g2) == ((cMap((w1, w2)), c1(w1), c2(w2))))
+      val ratio = (g12 * n).toDouble / (g1 * g2).toDouble
+      val expect = BigDecimal(math.log(ratio))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(pmi == expect, s"($w1,$w2): $pmi vs $expect")
+    }
+    // "san francisco" is always adjacent -> it must head the ranking,
+    // above every frequent-but-promiscuous "the X" pair
+    assert((got.head._1, got.head._2) == (("san", "francisco")))
+    assert(got.head._6 > got.filter(r => r._1 == "the" || r._2 == "the")
+      .map(_._6).max)
+  }
+
   test("heapsFit: all-new-vocab corpus fits beta 1 exactly; saturated corpus flattens") {
     import operators.TextAnalysis
     // every doc introduces exactly 7 fresh tokens: V(n) = n at every
