@@ -1343,6 +1343,25 @@ object SparkEntry {
       .orderBy($"fold")
   }
 
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // relational DIVISION (the ∀ quantifier): customers with orders in
+    // EVERY priority class. The scalable counting formulation — dedup
+    // to (custkey, priority), count distinct per customer, keep the
+    // full-house count — one shuffle on the key; the textbook double
+    // NOT EXISTS would plan two correlated anti-joins over the same
+    // data. Divisor cardinality rides along as a 1-row broadcast.
+    val o = t(s, dir, "orders")
+    val nPrio = o.agg(countDistinct($"o_orderpriority").as("n_prio"))
+    o.groupBy($"o_custkey")
+      .agg(countDistinct($"o_orderpriority").as("n_prio_cust"),
+        count(lit(1)).as("n_orders"))
+      .crossJoin(broadcast(nPrio))
+      .filter($"n_prio_cust" === $"n_prio")
+      .select($"o_custkey", $"n_orders")
+      .orderBy($"o_custkey")
+  }
+
   private def q34(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // grouped anomaly detection, exact two-pass z-score: per-type mean
@@ -2890,6 +2909,7 @@ object SparkEntry {
     "x15_ks_drift" -> (x15ks _),
     "p19_kfold_split" -> (p19 _),
     "t27_pmi" -> (t27 _),
+    "q51_division" -> (q51 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4138,6 +4158,13 @@ object SparkEntry {
         |   / ((CAST(n_types AS DOUBLE) * sxx - sx * sx)
         |   * (CAST(n_types AS DOUBLE) * syy - sy * sy)) AS r2
         |FROM s CROSS JOIN tot""".stripMargin,
+    // division-via-counting, mirrored; the subquery is the 1-row divisor
+    "q51_division" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_custkey
+        |HAVING COUNT(DISTINCT o_orderpriority) =
+        |  (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)
+        |ORDER BY o_custkey""".stripMargin,
     // PMI: ranked by the exact BIGINT-product ratio (one IEEE division,
     // identical both engines); displayed pmi = round(ln(ratio), 9)
     "t27_pmi" ->
