@@ -1138,6 +1138,22 @@ object SparkEntry {
       .orderBy($"da", $"db")
   }
 
+  private def d29(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // soft dedup accounting per source: every doc kept, weighted
+    // 1/|exact-dup class| — effective_docs is the corpus size a mixing
+    // decision actually sees. Fractional weights sum via the d20
+    // sorted-fold so the per-source double totals are engine-bit-exact.
+    val w = operators.Dedup.softDedupWeights(
+      t(s, dir, "documents").select($"doc_id", $"source", $"text"),
+      clusterCol = md5($"text"))
+    w.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("aggregate(sort_array(collect_list(weight)), cast(0.0 as double), (a, x) -> a + x)")
+          .as("effective_docs"))
+      .orderBy($"source")
+  }
+
   private def q49(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // robust price-outlier accounting per return flag: median/MAD with
@@ -2910,6 +2926,7 @@ object SparkEntry {
     "p19_kfold_split" -> (p19 _),
     "t27_pmi" -> (t27 _),
     "q51_division" -> (q51 _),
+    "d29_soft_dedup" -> (d29 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4158,6 +4175,18 @@ object SparkEntry {
         |   / ((CAST(n_types AS DOUBLE) * sxx - sx * sx)
         |   * (CAST(n_types AS DOUBLE) * syy - sy * sy)) AS r2
         |FROM s CROSS JOIN tot""".stripMargin,
+    // soft dedup: weights 1/k from exact BIGINT sizes, per-source sums
+    // via the d20 sorted-fold — bit-exact, no tolerance
+    "d29_soft_dedup" ->
+      """WITH c AS (SELECT doc_id, source, md5(text) AS cluster_id FROM documents),
+        |k AS (SELECT cluster_id, COUNT(*) AS k FROM c GROUP BY cluster_id),
+        |w AS (SELECT c.source,
+        |  CAST(1.0 AS DOUBLE) / CAST(k.k AS DOUBLE) AS w
+        | FROM c JOIN k ON c.cluster_id = k.cluster_id)
+        |SELECT source, COUNT(*) AS n_docs,
+        | list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(w))),
+        |   (a, b) -> a + b) AS effective_docs
+        |FROM w GROUP BY source ORDER BY source""".stripMargin,
     // division-via-counting, mirrored; the subquery is the 1-row divisor
     "q51_division" ->
       """SELECT o_custkey, COUNT(*) AS n_orders

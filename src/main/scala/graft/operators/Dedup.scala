@@ -624,6 +624,27 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Soft dedup — keep every duplicate, DOWN-WEIGHT it: each doc gets
+    * training weight `1/|its cluster|`, so a 40-copy boilerplate page
+    * contributes one document's worth of gradient in total instead of
+    * 40 (or instead of 1 arbitrary survivor with 39 discarded — hard
+    * dedup's information loss when copies carry distinct metadata).
+    * Σ weights per cluster is exactly 1 by construction; Σ over the
+    * corpus is the "effective dataset size" every data-mixing decision
+    * actually wants. One size aggregate + one broadcast-or-shuffle join
+    * keyed by cluster — no pair pipeline needed when assignments come
+    * from upstream dedup (d8/d27) or from exact hashing.
+    */
+  def softDedupWeights(docs: DataFrame, clusterCol: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val assigned = docs.withColumn("cluster_id", clusterCol.cast("string"))
+    val sizes = assigned.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    assigned.join(sizes, "cluster_id")
+      .withColumn("weight",
+        lit(1.0).cast("double") / col("cluster_size").cast("double"))
+  }
+
   /** EXACT global similarity join via prefix filtering (the
     * PPJoin/AllPairs idea, Xiao et al. / Bayardo et al.): every pair
     * with word-set Jaccard ≥ `threshold`, with NO blocking and NO
