@@ -1378,6 +1378,24 @@ object SparkEntry {
       .orderBy($"o_custkey")
   }
 
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // top-k WITH TIES (DENSE_RANK semantics): the top-3 distinct
+    // quantity values per return flag and every row carrying them.
+    // Composed from the bounded-heap TopK operator over the DISTINCT
+    // value set (tiny) + one broadcast semi-join back — the window
+    // formulation dense_rank() ≤ 3 sorts the whole fact table per key;
+    // this never sorts rows at all.
+    val li = t(s, dir, "lineitem").select($"l_returnflag", $"l_quantity")
+    val topVals = operators.TopK.perKey(
+      li.distinct(), keys = Seq("l_returnflag"),
+      orderBy = Seq(operators.TopK.desc("l_quantity")), k = 3)
+    li.join(broadcast(topVals), Seq("l_returnflag", "l_quantity"))
+      .groupBy($"l_returnflag", $"l_quantity")
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag", $"l_quantity".desc)
+  }
+
   private def q34(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // grouped anomaly detection, exact two-pass z-score: per-type mean
@@ -2927,6 +2945,7 @@ object SparkEntry {
     "t27_pmi" -> (t27 _),
     "q51_division" -> (q51 _),
     "d29_soft_dedup" -> (d29 _),
+    "q52_topk_ties" -> (q52 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4175,6 +4194,15 @@ object SparkEntry {
         |   / ((CAST(n_types AS DOUBLE) * sxx - sx * sx)
         |   * (CAST(n_types AS DOUBLE) * syy - sy * sy)) AS r2
         |FROM s CROSS JOIN tot""".stripMargin,
+    // ties via DENSE_RANK — the window formulation the Spark side's
+    // heap-plus-semi-join composition replaces
+    "q52_topk_ties" ->
+      """WITH r AS (SELECT l_returnflag, l_quantity,
+        |  DENSE_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS dr
+        | FROM lineitem)
+        |SELECT l_returnflag, l_quantity, COUNT(*) AS n_rows
+        |FROM r WHERE dr <= 3 GROUP BY l_returnflag, l_quantity
+        |ORDER BY l_returnflag, l_quantity DESC""".stripMargin,
     // soft dedup: weights 1/k from exact BIGINT sizes, per-source sums
     // via the d20 sorted-fold — bit-exact, no tolerance
     "d29_soft_dedup" ->
