@@ -338,6 +338,21 @@ object SparkEntry {
       .orderBy($"doc_id")
   }
 
+  private def e21f(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // capture with fallback: e1's failing division recovers to a −1
+    // sentinel instead of splitting the row off — per-column
+    // substitution with the observable `recovered` flag (silent
+    // defaulting is how sentinels leak into training data)
+    ErrorFrame.captureErrors(
+      t(s, dir, "documents"),
+      Map("ratio" -> expr("n_chars div (doc_id % 13)")),
+      input = $"doc_id".cast("string"))
+      .recovered(Map("ratio" -> lit(-1L)))
+      .select($"doc_id", $"ratio", $"recovered")
+      .orderBy($"doc_id")
+  }
+
   private def e3(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // flat-map with capture: rows with n_chars % 17 == 0 fail (ANSI
@@ -2946,6 +2961,7 @@ object SparkEntry {
     "q51_division" -> (q51 _),
     "d29_soft_dedup" -> (d29 _),
     "q52_topk_ties" -> (q52 _),
+    "e21_capture_fallback" -> (e21f _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3192,6 +3208,14 @@ object SparkEntry {
         |      FROM documents WHERE n_chars % 17 <> 0) t,
         | LATERAL (SELECT unnest(generate_series(1, len(words))) AS i) g
         |ORDER BY doc_id, pos""".stripMargin,
+    // fallback recovery: e1's failure condition restated, sentinel on
+    // the failing rows, flag observable
+    "e21_capture_fallback" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 13 = 0 THEN CAST(-1 AS BIGINT)
+        |      ELSE CAST(n_chars // (doc_id % 13) AS BIGINT) END AS ratio,
+        | doc_id % 13 = 0 AS recovered
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "e5_error_logging" ->
       """SELECT COUNT(*) AS n_ok, CAST(SUM(100 // (k % 7)) AS BIGINT) AS sum_res
         |FROM (SELECT CAST(regexp_extract(props, '[0-9]+') AS INT) AS k FROM events)

@@ -81,6 +81,28 @@ final case class ErrorFrame private (
       firstError(STACK_TRACE).as("stack_trace")): _*)
   }
 
+  /** All rows in ONE pass with per-column fallback substitution — the
+    * "default value on error" recovery mode production pipelines reach
+    * for when a row is too valuable to drop and too broken to block on
+    * (sentinel prices, empty embeddings, unknown-enum fallbacks): a
+    * result column whose OWN capture failed takes its default, columns
+    * that succeeded keep their computed value (substitution is
+    * per-column, not per-row), and `recovered` flags rows where any
+    * substitution happened so the fallback rate stays observable —
+    * silent defaulting is how sentinels leak into training data.
+    * Cardinality-preserving: exactly one output row per input row.
+    */
+  def recovered(defaults: Map[String, Column]): DataFrame = {
+    require(defaults.keySet == resultNames.toSet,
+      s"defaults must cover exactly the result columns $resultNames: ${defaults.keySet}")
+    val unwrapped = resultNames.map { n =>
+      val c = col(capturedCol(n))
+      when(c(ERROR_CLASS).isNotNull, defaults(n)).otherwise(c(VALUE)).as(n)
+    }
+    val kept = df.columns.filterNot(_.startsWith(CAPTURE_PREFIX)).map(col).toSeq
+    df.select(kept ++ unwrapped :+ anyError.as("recovered"): _*)
+  }
+
   /** Dead letters in the exact reference shape (DeadLetter.avsc /
     * DeadLetterProcessor.java): input_value stringified, shared
     * description, cause struct, source lineage per [[lineageOf]]

@@ -225,4 +225,23 @@ class ErrorFrameSpec extends SparkSpec {
   test("valuesLoggingErrors drops failures") {
     assert(captured.valuesLoggingErrors().count() == 2)
   }
+
+  test("recovered: per-column fallback substitution, observable flag, cardinality kept") {
+    val df = Seq((1L, 10L), (2L, 0L), (3L, 5L)).toDF("id", "d")
+    val out = ErrorFrame.captureErrors(df,
+        Map("q" -> expr("100 div d"), "ok" -> (col("id") * 2)),
+        input = col("id").cast("string"))
+      .recovered(Map("q" -> lit(-1L), "ok" -> lit(-99L)))
+      .select($"id", $"q", $"ok", $"recovered")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    // row 2: q's division fails -> its default; ok SUCCEEDED -> keeps its
+    // computed value (substitution is per-column, never whole-row)
+    assert(out == Seq((1L, 10L, 2L, false), (2L, -1L, 4L, true),
+      (3L, 20L, 6L, false)))
+    // defaults must cover the result columns exactly
+    intercept[IllegalArgumentException] {
+      ErrorFrame.captureErrors(df, Map("q" -> expr("100 div d")),
+        input = col("id").cast("string")).recovered(Map("zz" -> lit(0L)))
+    }
+  }
 }
