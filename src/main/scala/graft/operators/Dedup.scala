@@ -693,10 +693,16 @@ object Dedup {
       .withColumn("plen",
         col("len") - ceil(lit(threshold) * col("len")).cast("int") + 1)
       .localCheckpoint() // three consumers; the token-sort runs once
-    val pref = ordered.select(col("id"),
+    val pref = ordered.select(col("id"), col("len"),
       explode(slice(col("ts"), lit(1), col("plen"))).as("tok"))
+    // the PPJoin length filter, exactness-preserving: J ≥ θ forces
+    // |a∩b|/|a∪b| ≤ min/max, so min(len) ≥ θ·max(len) — prunes the
+    // long-vs-short candidate pairs skewed shared tokens generate
+    // before they reach the distinct + verify stages
     val cand = pref.as("a").join(pref.as("b").hint("shuffle_hash"),
-        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id")
+          && least(col("a.len"), col("b.len")).cast("double")
+             >= lit(threshold) * greatest(col("a.len"), col("b.len")).cast("double"))
       .select(col("a.id").as("da"), col("b.id").as("db")).distinct()
     cand
       .join(ordered.select(col("id").as("da"), col("ts").as("ta"),
