@@ -1846,6 +1846,32 @@ object SparkEntry {
       .orderBy($"width", $"height")
   }
 
+  private def m7(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // upload-manifest audit: a synthetic sidecar manifest with injected
+    // corruption — every 37th id declares a wrong length, every 41st a
+    // wrong checksum, every 97th is missing from the manifest, and one
+    // phantom manifest entry has no payload — classified exactly once
+    // each with triage precedence, aggregated per status
+    val withBin = t(s, dir, "documents")
+      .withColumn("payload", $"text".cast("binary"))
+    val derived = operators.Multimodal.binaryMetadata(withBin, "payload", "doc_id")
+    val phantomId = derived.agg(max($"doc_id")).as[Long].head + 1L
+    val declared = derived
+      .filter($"doc_id" % 97 =!= 0)
+      .select($"doc_id",
+        when($"doc_id" % 37 === 0, $"byte_len" + 1L).otherwise($"byte_len")
+          .as("decl_len"),
+        when($"doc_id" % 41 === 0, reverse($"content_md5"))
+          .otherwise($"content_md5").as("decl_md5"))
+      .unionByName(Seq((phantomId, 10L, "deadbeef"))
+        .toDF("doc_id", "decl_len", "decl_md5"))
+    operators.Multimodal.validateDeclaredMetadata(derived, declared)
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n"), min($"doc_id").as("first_id"))
+      .orderBy($"status")
+  }
+
   private def e18(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // contract violations routed to the SAME dead-letter surface as
@@ -2962,6 +2988,7 @@ object SparkEntry {
     "d29_soft_dedup" -> (d29 _),
     "q52_topk_ties" -> (q52 _),
     "e21_capture_fallback" -> (e21f _),
+    "m7_meta_audit" -> (m7 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3208,6 +3235,22 @@ object SparkEntry {
         |      FROM documents WHERE n_chars % 17 <> 0) t,
         | LATERAL (SELECT unnest(generate_series(1, len(words))) AS i) g
         |ORDER BY doc_id, pos""".stripMargin,
+    // manifest audit: the injected corruption pattern restated
+    // analytically with the same triage precedence
+    "m7_meta_audit" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |mx AS (SELECT MAX(doc_id) + 1 AS pid FROM d),
+        |st AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 97 = 0 THEN 'undeclared'
+        |       WHEN doc_id % 37 = 0 THEN 'len_mismatch'
+        |       WHEN doc_id % 41 = 0 THEN 'hash_mismatch'
+        |       ELSE 'ok' END AS status
+        | FROM d
+        | UNION ALL
+        | SELECT pid, 'missing_payload' FROM mx)
+        |SELECT status, COUNT(*) AS n, MIN(doc_id) AS first_id
+        |FROM st GROUP BY status ORDER BY status""".stripMargin,
     // fallback recovery: e1's failure condition restated, sentinel on
     // the failing rows, flag observable
     "e21_capture_fallback" ->

@@ -95,6 +95,27 @@ object Multimodal {
     * each row reports the batch shape it was processed in. The "feature"
     * is a STUB: byte-histogram L1 mass over the first 256 bytes.
     */
+  /** Declared-vs-derived metadata validation — the upload-manifest
+    * audit every media ingest needs: producers DECLARE (length,
+    * checksum) in a sidecar manifest; the payload says what it
+    * actually is. One full-outer join of the derived metadata against
+    * the manifest classifies every id exactly once, with the
+    * precedence a triage queue wants: `missing_payload` (manifest
+    * entry, no bytes — the failed-upload case) > `undeclared` (bytes, no
+    * manifest — the orphan) > `len_mismatch` (truncated/padded
+    * transfer) > `hash_mismatch` (corruption with the right size — the
+    * one silent-data-corruption case a length check misses) > `ok`.
+    */
+  def validateDeclaredMetadata(derived: DataFrame, declared: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    derived.join(declared, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("byte_len").isNull, "missing_payload")
+          .when(col("decl_len").isNull, "undeclared")
+          .when(col("decl_len") =!= col("byte_len"), "len_mismatch")
+          .when(col("decl_md5") =!= col("content_md5"), "hash_mismatch")
+          .otherwise("ok").as("status"))
+
   def batchFeatures(df: DataFrame, binCol: String, idCol: String, batchSize: Int = 64): DataFrame = {
     val spark = df.sparkSession
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(featureSchema)
