@@ -894,11 +894,14 @@ object Pipeline {
     val mad = Quantiles.interpolated(dev, keyCol, "__dev", Seq(0.5))
       .select(col(keyCol), col("pct").as("mad"))
       .localCheckpoint()
-    df.join(broadcast(med), keyCol).join(broadcast(mad), keyCol)
+    // final accounting off the PINNED dev frame — it already holds the
+    // per-row |v−m| this aggregation compares, so no fresh source scan
+    // and no recomputed deviation (one parquet pass saved, measured)
+    dev.join(broadcast(med), keyCol).join(broadcast(mad), keyCol)
       .groupBy(col(keyCol))
       .agg(max(col("median")).as("median"), max(col("mad")).as("mad"),
         count(lit(1)).as("n"),
-        sum(when(abs(v - col("median")) > lit(k) * col("mad"), 1L)
+        sum(when(col("__dev") > lit(k) * col("mad"), 1L)
           .otherwise(0L)).as("n_outliers"))
   }
 
