@@ -695,12 +695,21 @@ object SparkEntry {
     * further). d4 keeps the full recompute under the oracle and
     * d27_pair_store pins store-roundtrip == recompute.
     */
+  // Weak SESSION keys (not identityHashCode strings): a dead session's
+  // checkpointed frames become unreachable with it, and a key can never
+  // alias another live session. Cache assumes the data under `dir` is
+  // immutable for the session's lifetime (true for the driver's testdata).
   private val pairCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]()
   private def verifiedPairs(s: SparkSession, dir: String): DataFrame =
-    pairCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", _ =>
-      operators.Dedup.ngramJaccard(t(s, dir, "documents"), n = 2,
-        blockCol = "source", threshold = 0.1).localCheckpoint())
+    pairCache.synchronized {
+      pairCache.computeIfAbsent(s,
+          _ => scala.collection.mutable.Map.empty[String, DataFrame])
+        .getOrElseUpdate(dir,
+          operators.Dedup.ngramJaccard(t(s, dir, "documents"), n = 2,
+            blockCol = "source", threshold = 0.1).localCheckpoint())
+    }
 
   private def clusters(s: SparkSession, dir: String, driverSolveMaxEdges: Long): DataFrame = {
     import s.implicits._

@@ -300,6 +300,25 @@ object Dedup {
     * when a consumer assumes a different mining configuration
     * (the probeLshIndex discipline).
     */
+  // minimal JSON string escaping for the flat string-map sidecar — a
+  // param value containing `"` or `\` must not produce an unparseable
+  // sidecar (which would silently skip the very validation it exists for)
+  private def jsonEsc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c => c.toString
+  }
+
+  private def jsonUnesc(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) { b += s.charAt(i + 1); i += 2 }
+      else { b += s.charAt(i); i += 1 }
+    }
+    b.toString
+  }
+
   def writePairStore(pairs: DataFrame, path: String,
       params: Map[String, String] = Map.empty): Unit = {
     pairs.write.mode("overwrite").parquet(path)
@@ -307,7 +326,8 @@ object Dedup {
     val p = new org.apache.hadoop.fs.Path(path, "_pair_params.json")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val json = params.toSeq.sorted
-      .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+      .map { case (k, v) => s""""${jsonEsc(k)}":"${jsonEsc(v)}"""" }
+      .mkString("{", ",", "}")
     val out = fs.create(p, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
@@ -315,7 +335,9 @@ object Dedup {
   /** Read a [[writePairStore]] table, validating the recorded mining
     * parameters against what the caller expects (mismatch = silently
     * wrong dedup semantics downstream, so it throws instead). Stores
-    * without a sidecar — or expectations not recorded — pass through.
+    * without a sidecar — or expectations not recorded — pass through;
+    * an UNPARSEABLE sidecar fails loudly (a corrupt sidecar silently
+    * skipping validation is exactly the mismatch it exists to prevent).
     */
   def readPairStore(spark: org.apache.spark.sql.SparkSession, path: String,
       expect: Map[String, String] = Map.empty): DataFrame = {
@@ -326,11 +348,18 @@ object Dedup {
         val in = fs.open(p)
         val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
+        val str = """"((?:[^"\\]|\\.)*)""""
+        val fullRe = s"""\\{(?:$str:$str(?:,$str:$str)*)?\\}""".r
+        require(fullRe.pattern.matcher(json.trim).matches(),
+          s"pair store $path has an unparseable _pair_params.json sidecar " +
+            s"— refusing to consume unvalidated pairs: $json")
+        val kvRe = s"$str:$str".r
+        val stored = kvRe.findAllMatchIn(json.trim)
+          .map(m => jsonUnesc(m.group(1)) -> jsonUnesc(m.group(2))).toMap
         expect.foreach { case (k, v) =>
-          val re = ("\"" + java.util.regex.Pattern.quote(k) + "\":\"([^\"]*)\"").r
-          re.findFirstMatchIn(json).map(_.group(1)).foreach { stored =>
-            require(stored == v,
-              s"pair store $path was mined with $k=$stored but consumed " +
+          stored.get(k).foreach { sv =>
+            require(sv == v,
+              s"pair store $path was mined with $k=$sv but consumed " +
                 s"expecting $k=$v — downstream dedup semantics would differ")
           }
         }

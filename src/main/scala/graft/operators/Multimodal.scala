@@ -102,18 +102,26 @@ object Multimodal {
     * the manifest classifies every id exactly once, with the
     * precedence a triage queue wants: `missing_payload` (manifest
     * entry, no bytes — the failed-upload case) > `undeclared` (bytes, no
-    * manifest — the orphan) > `len_mismatch` (truncated/padded
-    * transfer) > `hash_mismatch` (corruption with the right size — the
-    * one silent-data-corruption case a length check misses) > `ok`.
+    * manifest — the orphan) > `malformed_manifest` (a manifest row
+    * declaring only ONE of the two fields — a half-written sidecar must
+    * never pass the checks it fails to state) > `len_mismatch`
+    * (truncated/padded transfer) > `hash_mismatch` (corruption with the
+    * right size — the one silent-data-corruption case a length check
+    * misses) > `ok`. Comparisons are null-safe (`<=>`) so no NULL
+    * declared field can ever fall through to `ok`; a manifest row with
+    * BOTH fields null is indistinguishable from an absent row and
+    * classifies `undeclared`.
     */
   def validateDeclaredMetadata(derived: DataFrame, declared: DataFrame,
       idCol: String = "doc_id"): DataFrame =
     derived.join(declared, Seq(idCol), "full_outer")
       .select(col(idCol),
         when(col("byte_len").isNull, "missing_payload")
-          .when(col("decl_len").isNull, "undeclared")
-          .when(col("decl_len") =!= col("byte_len"), "len_mismatch")
-          .when(col("decl_md5") =!= col("content_md5"), "hash_mismatch")
+          .when(col("decl_len").isNull && col("decl_md5").isNull, "undeclared")
+          .when(col("decl_len").isNull || col("decl_md5").isNull,
+            "malformed_manifest")
+          .when(not(col("decl_len") <=> col("byte_len")), "len_mismatch")
+          .when(not(col("decl_md5") <=> col("content_md5")), "hash_mismatch")
           .otherwise("ok").as("status"))
 
   def batchFeatures(df: DataFrame, binCol: String, idCol: String, batchSize: Int = 64): DataFrame = {

@@ -268,16 +268,31 @@ object Layout {
       preClaimHook(version)
       val mf = new org.apache.hadoop.fs.Path(rootPath,
         s"_versions/v$version.manifest")
-      try {
-        val os = fs.create(mf, false) // the CAS: never overwrite a version
-        try os.write((prior ++ moved).mkString("\n").getBytes("UTF-8"))
-        finally os.close()
+      // lost-the-race is ONLY the create itself refusing to claim the
+      // name; any later failure means WE created the file, and leaving
+      // the partial write behind would commit a truncated manifest that
+      // the N+1 retry then folds forward as prior — delete it and
+      // propagate the genuine I/O failure instead
+      val os =
+        try fs.create(mf, false) // the CAS: never overwrite a version
+        catch {
+          // ONLY the explicit already-exists signal is a lost race
+          // (LocalFS and HDFS both throw it); any other IOException
+          // propagates — guessing "race" on a generic failure could
+          // skip past a manifest WE half-created
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => null
+        }
+      if (os != null) {
+        try {
+          try os.write((prior ++ moved).mkString("\n").getBytes("UTF-8"))
+          finally os.close()
+        } catch {
+          case e: Throwable =>
+            try fs.delete(mf, false)
+            catch { case _: java.io.IOException => () }
+            throw e
+        }
         committed = version
-      } catch {
-        case e: java.io.IOException =>
-          // lost the race iff the manifest now exists; anything else is
-          // a genuine I/O failure and must propagate
-          if (!fs.exists(mf)) throw e
       }
     }
     committed
@@ -510,6 +525,48 @@ object Layout {
   def appendDelta(df: DataFrame, root: String): Unit =
     df.write.mode("append").parquet(s"$root/delta")
 
+  /** Commit one clustered generation with the LEDGER as the commit
+    * point: the generation is written to a `base/_tmp_gen_*` staging
+    * dir, its `_consumed.txt` ledger (the delta names it absorbed) is
+    * written INSIDE it, and only then is the dir renamed to `gen_N` —
+    * readers recognize a generation by the `gen_` prefix, so a crash
+    * anywhere before the rename leaves the delta intact and an inert
+    * staging dir that the next cycle garbage-collects; a crash AFTER
+    * the rename leaves absorbed deltas on disk, which the next cycle's
+    * ledger-driven stale sweep reclaims before reading anything — in
+    * neither window can [[readClustered]] return a row twice.
+    * Single concurrent maintainer assumed (concurrent APPENDS are safe;
+    * a second maintainer could GC a first's live staging dir).
+    */
+  private def commitGeneration(spark: SparkSession, root: String,
+      cols: Seq[String], numFiles: Int, df: DataFrame,
+      consumedNames: Seq[String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val baseDir = new org.apache.hadoop.fs.Path(root, "base")
+    val fs = baseDir.getFileSystem(conf)
+    fs.mkdirs(baseDir)
+    // GC staging dirs a crashed cycle left behind — never committed,
+    // their source deltas are still present and will be re-clustered
+    fs.listStatus(baseDir)
+      .filter(_.getPath.getName.startsWith("_tmp_gen_"))
+      .foreach(d => fs.delete(d.getPath, true))
+    val gen = fs.listStatus(baseDir).map(_.getPath.getName).toSeq
+      .collect { case n if n.startsWith("gen_") => n.stripPrefix("gen_").toLong }
+      .reduceOption(_ max _).map(_ + 1L).getOrElse(0L)
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new org.apache.hadoop.fs.Path(baseDir, s"_tmp_gen_$stamp")
+    writeHilbert(df, tmp.toString, cols, numFiles)
+    // ledger inside the staging dir — it becomes visible atomically
+    // with the generation itself
+    val ledger = new org.apache.hadoop.fs.Path(tmp, "_consumed.txt")
+    val os = fs.create(ledger, false)
+    try os.write(consumedNames.mkString("\n").getBytes("UTF-8"))
+    finally os.close()
+    val genPath = new org.apache.hadoop.fs.Path(baseDir, s"gen_$gen")
+    require(fs.rename(tmp, genPath),
+      s"failed to commit generation $genPath (rename refused)")
+  }
+
   /** Run one maintenance cycle; returns true if a generation was
     * written (tail held at least `minDeltaFiles` parquet files).
     */
@@ -519,15 +576,17 @@ object Layout {
     val deltaDir = new org.apache.hadoop.fs.Path(root, "delta")
     val fs = deltaDir.getFileSystem(conf)
     if (!fs.exists(deltaDir)) return false
-    val files = fs.listStatus(deltaDir)
+    val consumed = consumedBatches(spark, root)
+    val all = fs.listStatus(deltaDir)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet")).toSeq
+    // finish any interrupted cleanup first — files named by some
+    // generation's ledger are already durable inside it
+    val (stale, files) = all.partition(f => consumed(f.getPath.getName))
+    stale.foreach(f => fs.delete(f.getPath, false))
     if (files.size < minDeltaFiles) return false
-    val baseDir = new org.apache.hadoop.fs.Path(root, "base")
-    fs.mkdirs(baseDir)
-    val gen = fs.listStatus(baseDir)
-      .count(_.getPath.getName.startsWith("gen_"))
-    writeHilbert(spark.read.parquet(files.map(_.getPath.toString): _*),
-      s"$root/base/gen_$gen", cols, numFiles)
+    commitGeneration(spark, root, cols, numFiles,
+      spark.read.parquet(files.map(_.getPath.toString): _*),
+      files.map(_.getPath.getName))
     // remove exactly what was clustered — concurrent appends survive
     files.foreach(f => fs.delete(f.getPath, false))
     true
@@ -559,19 +618,13 @@ object Layout {
     val (stale, fresh) = dirs.partition(d => consumed(d.getPath.getName))
     stale.foreach(d => fs.delete(d.getPath, true))
     if (fresh.size < minDeltaBatches) return false
-    val baseDir = new org.apache.hadoop.fs.Path(root, "base")
-    fs.mkdirs(baseDir)
-    val gen = fs.listStatus(baseDir)
-      .count(_.getPath.getName.startsWith("gen_"))
-    val genPath = s"$root/base/gen_$gen"
-    writeHilbert(spark.read.parquet(fresh.map(_.getPath.toString): _*),
-      genPath, cols, numFiles)
-    // ledger BEFORE delete: the crash window leaves consumed-but-
-    // present batches, which the stale sweep above reclaims
-    val ledger = new org.apache.hadoop.fs.Path(genPath, "_consumed.txt")
-    val os = fs.create(ledger, false)
-    try os.write(fresh.map(_.getPath.getName).mkString("\n").getBytes("UTF-8"))
-    finally os.close()
+    // ledger-inside-rename commit (see commitGeneration): a crash
+    // before the rename leaves the batches unconsumed and an inert
+    // staging dir; a crash after it leaves consumed-but-present
+    // batches, which the stale sweep above reclaims next cycle
+    commitGeneration(spark, root, cols, numFiles,
+      spark.read.parquet(fresh.map(_.getPath.toString): _*),
+      fresh.map(_.getPath.getName))
     fresh.foreach(d => fs.delete(d.getPath, true))
     true
   }
@@ -610,9 +663,14 @@ object Layout {
         .filter(_.getPath.getName.startsWith("gen_")).map(_.getPath.toString)
     val deltaDir = new org.apache.hadoop.fs.Path(root, "delta")
     // the tail is either loose files (batch appendDelta) or batch_* dirs
-    // (streaming cluster-on-write) — read whichever exist
+    // (streaming cluster-on-write) — read whichever exist. Entries named
+    // by a generation's ledger are that generation's rows awaiting an
+    // interrupted cleanup sweep (maintenance crashed between its rename
+    // commit and the delta delete) — reading them would double-count
+    val consumed = consumedBatches(spark, root)
     val deltaPaths = if (!fs.exists(deltaDir)) Seq.empty[String]
-      else fs.listStatus(deltaDir).toSeq.collect {
+      else fs.listStatus(deltaDir).toSeq
+        .filterNot(e => consumed(e.getPath.getName)).collect {
         case f if f.isFile && f.getPath.getName.endsWith(".parquet") =>
           f.getPath.toString
         case d if d.isDirectory && d.getPath.getName.startsWith("batch_") &&

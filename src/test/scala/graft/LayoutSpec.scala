@@ -500,4 +500,61 @@ class LayoutSpec extends SparkSpec {
     assert(Ingest.ledger(spark, ledger) ==
       Seq("f1.parquet", "f2.parquet", "f3.parquet"))
   }
+
+  test("maintainClustered crash windows: rename is the commit point, no row read twice") {
+    val root = java.nio.file.Files.createTempDirectory("crash-cluster").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mk(lo: Int, hi: Int) = (lo until hi).map { i =>
+      val j = (i * 2654435761L) % 4096
+      (i.toLong, (j / 256) % 16, (j / 16) % 16, j % 16)
+    }.toDF("id", "x", "y", "z").repartition(2)
+    def all(): Seq[Long] = {
+      spark.catalog.refreshByPath(root)
+      Layout.readClustered(spark, root).select($"id").as[Long]
+        .collect().sorted.toSeq
+    }
+
+    // window A: crash BEFORE the rename — the staging dir exists with a
+    // fully written clustered copy of the delta, but was never committed
+    Layout.appendDelta(mk(0, 100), root)
+    val tmp = new org.apache.hadoop.fs.Path(root, "base/_tmp_gen_dead")
+    Layout.writeHilbert(mk(0, 100), tmp.toString, Seq("x", "y", "z"), 2)
+    val os = fs.create(new org.apache.hadoop.fs.Path(tmp, "_consumed.txt"), false)
+    try os.write("ignored".getBytes("UTF-8")) finally os.close()
+    // the uncommitted staging copy is invisible: each row exactly once
+    assert(all() == (0L until 100L).toSeq)
+    // the next cycle garbage-collects it and commits the real generation
+    assert(Layout.maintainClustered(spark, root, Seq("x", "y", "z"),
+      numFiles = 2, minDeltaFiles = 1))
+    assert(all() == (0L until 100L).toSeq)
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(root, "base"))
+      .exists(_.getPath.getName.startsWith("_tmp_gen_")))
+
+    // window B: crash AFTER the rename, BEFORE the delta delete —
+    // simulate by snapshotting the delta files and restoring them after
+    // a successful maintenance (as if the delete never ran)
+    Layout.appendDelta(mk(100, 200), root)
+    val deltaDir = new org.apache.hadoop.fs.Path(root, "delta")
+    val saved = java.nio.file.Files.createTempDirectory("delta-save").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val deltaFiles = fs.listStatus(deltaDir)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet")).toSeq
+    deltaFiles.foreach(f => org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath,
+      fs, new org.apache.hadoop.fs.Path(saved, f.getPath.getName), false, conf))
+    assert(Layout.maintainClustered(spark, root, Seq("x", "y", "z"),
+      numFiles = 2, minDeltaFiles = 1))
+    deltaFiles.foreach(f => org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(saved, f.getPath.getName),
+      fs, f.getPath, false, conf))
+    // even BEFORE any sweep runs, reads skip the ledger-consumed copies
+    assert(all() == (0L until 200L).toSeq,
+      "a crash between generation commit and delta delete must not double-count")
+    // the next cycle's stale sweep reclaims them (below threshold: no new gen)
+    assert(!Layout.maintainClustered(spark, root, Seq("x", "y", "z"),
+      numFiles = 2, minDeltaFiles = 99))
+    assert(!fs.listStatus(deltaDir).exists(f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet")))
+    assert(all() == (0L until 200L).toSeq)
+  }
 }

@@ -755,4 +755,46 @@ class OperatorsSpec extends SparkSpec {
       .select($"lang", $"predicted").as[(String, String)].collect()
     assert(pred.sortBy(_.toString).toSeq === again.sortBy(_.toString).toSeq)
   }
+
+  test("pair store sidecar: quote/backslash params roundtrip; corrupt sidecar fails loudly") {
+    val path = java.nio.file.Files.createTempDirectory("pair-store").toString + "/pairs"
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("da", "db")
+    val nasty = Map("pattern" -> """say "hi" \ bye""", "threshold" -> "0.8")
+    Dedup.writePairStore(pairs, path, nasty)
+    // matching expectation (incl. the quote-bearing value) passes
+    assert(Dedup.readPairStore(spark, path, nasty).count() === 2)
+    // a mismatched recorded param still fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Dedup.readPairStore(spark, path, Map("threshold" -> "0.9")).count()
+    }
+    assert(e.getMessage.contains("threshold"))
+    // a corrupt sidecar must refuse, not silently skip validation
+    val p = new org.apache.hadoop.fs.Path(path, "_pair_params.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write("""{"threshold":0.8}""".getBytes("UTF-8")) finally os.close()
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.readPairStore(spark, path, Map("threshold" -> "0.8")).count()
+    }
+    assert(e2.getMessage.contains("unparseable"))
+    // no expectations -> sidecar not consulted, read still works
+    assert(Dedup.readPairStore(spark, path).count() === 2)
+  }
+
+  test("validateDeclaredMetadata: half-declared manifests never classify ok") {
+    val derived = Seq((1L, 10L, "aaaa"), (2L, 10L, "bbbb"), (3L, 10L, "cccc"),
+        (4L, 10L, "dddd"))
+      .toDF("doc_id", "byte_len", "content_md5")
+    val declared = Seq(
+      (1L, Some(10L), Some("aaaa")), // fully correct
+      (2L, Some(10L), None),         // md5 missing -> malformed, never ok
+      (3L, None, Some("cccc")))      // len missing -> malformed, never ok
+      .toDF("doc_id", "decl_len", "decl_md5")
+    val got = Multimodal.validateDeclaredMetadata(derived, declared)
+      .select($"doc_id", $"status").as[(Long, String)].collect().toMap
+    assert(got(1L) === "ok")
+    assert(got(2L) === "malformed_manifest")
+    assert(got(3L) === "malformed_manifest")
+    assert(got(4L) === "undeclared")
+  }
 }
