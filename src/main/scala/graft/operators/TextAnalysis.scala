@@ -850,13 +850,12 @@ object TextAnalysis {
       .filter(length(col(textCol)) >= n)
       .select(col(idCol).as("doc_id"), col(langCol).as("lang"),
         col(textCol).as("t")))
-    val grams = base.select(col("doc_id"), col("lang"),
-      explode(expr(
-        s"transform(sequence(1, char_length(t) - ${n - 1}), i -> substring(t, i, $n))"))
-        .as("gram"))
-    val hashed = grams.select(col("doc_id"), col("lang"),
-      (conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long")
-        % buckets).as("b"))
+    // one native per-row pass emits the bucket ids directly (md5 memoized
+    // per distinct gram per row) — the interpreted transform+substring
+    // HOF plus a per-occurrence md5 was the measured CPU wall here, and
+    // no gram STRING ever leaves its row
+    val hashed = base.select(col("doc_id"), col("lang"),
+      explode(graft.functions.CharNGramBuckets(col("t"), n, buckets)).as("b"))
     val isTrain = pmod(col("doc_id"), lit(trainMod)) < trainFolds
     val model = hashed.filter(isTrain)
       .groupBy(col("lang").as("ml"), col("b")).agg(count(lit(1)).as("c"))
@@ -867,17 +866,25 @@ object TextAnalysis {
     val numAgg = heldBuckets.join(broadcast(model), "b")
       .groupBy(col("doc_id"), col("ml")).agg(sum(col("m") * col("c")).as("num"))
     val heldDocs = base.filter(!isTrain).select(col("doc_id"), col("lang"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("ml").asc)
+    // per-doc argmax via min_by over a TOTAL ordering struct — map-side
+    // partial argmax, one row per doc crosses the exchange (the
+    // CLAUDE.md argmin/argmax rule; a row_number window would shuffle
+    // doc × langs rows and sort). min over (−score, ml) = max score,
+    // ties to the smallest ml — identical to the former window order
+    // (score desc, ml asc). Negation is sign-safe: scores are ≥ 0 and
+    // EVERY 0.0 negates to the same −0.0, so the order is untouched;
+    // ml is unique per (doc, lang) row, making the struct a total order
+    // (min_by on ties would otherwise be arrival-order-dependent).
     heldDocs.crossJoin(broadcast(langs))
       .join(numAgg, Seq("doc_id", "ml"), "left")
       .join(broadcast(totals), "ml")
       .select(col("doc_id"), col("lang"), col("ml"),
         (coalesce(col("num"), lit(0L)).cast("double") / col("d").cast("double"))
           .as("score"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang"), col("ml").as("predicted"))
+      .groupBy(col("doc_id"))
+      .agg(min_by(struct(col("lang"), col("ml")),
+        struct(negate(col("score")), col("ml"))).as("best"))
+      .select(col("doc_id"), col("best.lang").as("lang"),
+        col("best.ml").as("predicted"))
   }
 }

@@ -781,6 +781,30 @@ class OperatorsSpec extends SparkSpec {
     assert(Dedup.readPairStore(spark, path).count() === 2)
   }
 
+  test("CharNGramBuckets equals the md5 SQL formulation, code-point exact") {
+    // the 🙂 is a supplementary-plane code point: a UTF-16 charAt walk
+    // would split it; Spark substring and DuckDB substr both count code
+    // points, and the expression must match them
+    val df = Seq("hello world", "aaa", "abcd", "naïve 🙂 text")
+      .toDF("t").filter(expr("char_length(t) >= 3"))
+    val viaSql = df.select($"t", expr(
+      "transform(transform(sequence(1, char_length(t) - 2), i -> substring(t, i, 3))," +
+        " g -> conv(substring(md5(g), 1, 8), 16, 10) % 65536)").as("bs"))
+      .as[(String, Seq[String])].collect().toMap
+      .map { case (k, v) => k -> v.map(_.toLong) }
+    val viaExpr = df.select($"t",
+      graft.functions.CharNGramBuckets($"t", 3, 1 << 16).as("bs"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(viaExpr === viaSql)
+    // short / null inputs
+    val edge = Seq[(java.lang.Long, String)]((1L, "ab"), (2L, null))
+      .toDF("id", "t")
+      .select(graft.functions.CharNGramBuckets($"t", 3, 16).as("bs"))
+      .collect()
+    assert(edge(0).getSeq[Long](0).isEmpty)
+    assert(edge(1).isNullAt(0))
+  }
+
   test("validateDeclaredMetadata: half-declared manifests never classify ok") {
     val derived = Seq((1L, 10L, "aaaa"), (2L, 10L, "bbbb"), (3L, 10L, "cccc"),
         (4L, 10L, "dddd"))
