@@ -62,4 +62,46 @@ class ContractSpec extends AnyFunSuite {
     val unlisted = registered -- referenced
     assert(unlisted.isEmpty, s"queries missing from SURVEY §2: $unlisted")
   }
+
+  test("SURVEY §2 spec-only surfaces name symbols that exist in the source tree") {
+    // spec-only rows have no oracle query to rot-detect them: if the
+    // method a row names is renamed, the row silently points at nothing
+    // (the way front-matter counts once drifted). Every camelCase token
+    // and every Object.method pair in a §2 query/surface CELL must
+    // therefore appear somewhere under src/ — a rename breaks this test
+    // until the SURVEY row is updated.
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), java.nio.charset.StandardCharsets.UTF_8)
+    val s2 = survey.substring(survey.indexOf("## §2"), survey.indexOf("## §3"))
+    // the query/surface cell is always second-to-last (status is last)
+    val cells = s2.linesIterator
+      .filter(_.matches("^\\| [A-Z]{1,2}[0-9]+ \\|.*"))
+      .map(_.split("\\|").map(_.trim).filter(_.nonEmpty))
+      .collect { case cols if cols.length >= 3 => cols(cols.length - 2) }
+      .toSeq
+    assert(cells.size >= 200, s"§2 cell extraction broke: ${cells.size} rows")
+    // candidate symbols: Object.method pairs, plus bare camelCase tokens
+    // (start lowercase, contain an uppercase hump — method-shaped)
+    val dotted = "\\b([A-Z][A-Za-z0-9]+)\\.([a-z][A-Za-z0-9]+)\\b".r
+    val camel = "\\b([a-z][a-z0-9]*[A-Z][A-Za-z0-9]*)\\b".r
+    val symbols = cells.flatMap { cell =>
+      dotted.findAllMatchIn(cell).flatMap(m => Seq(m.group(1), m.group(2))) ++
+        camel.findAllMatchIn(cell).map(_.group(1))
+    }.toSet
+    assert(symbols.size >= 60, s"symbol extraction broke: ${symbols.size}")
+    val srcFiles = {
+      val base = java.nio.file.Paths.get("src")
+      val s = java.nio.file.Files.walk(base)
+      try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.toString.endsWith(".scala"))
+      finally s.close()
+    }
+    val corpus = srcFiles.map(p => new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)).mkString("\n")
+    val missing = symbols.filterNot(sym =>
+      ("\\b" + java.util.regex.Pattern.quote(sym) + "\\b").r
+        .findFirstIn(corpus).isDefined)
+    assert(missing.isEmpty,
+      s"SURVEY §2 surface cells name symbols absent from src/ (renamed?): $missing")
+  }
 }
