@@ -143,6 +143,92 @@ object Dedup {
             .stripMargin)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bandsig"))
 
+  /** Probability that a pair at Jaccard similarity `s` collides in at
+    * least one LSH band under (`bands`, `rowsPerBand`) — the standard
+    * S-curve `1 − (1 − s^r)^b` (Mining of Massive Datasets, ch. 3).
+    */
+  def bandingCollisionProb(s: Double, bands: Int, rowsPerBand: Int): Double = {
+    require(s >= 0 && s <= 1 && bands >= 1 && rowsPerBand >= 1)
+    1.0 - math.pow(1.0 - math.pow(s, rowsPerBand), bands.toDouble)
+  }
+
+  /** A tuned banding: `numHashes = bands × rowsPerBand` minhashes,
+    * with the S-curve guarantees it was chosen for made visible —
+    * `recallAtThreshold` is the collision probability of a pair exactly
+    * at the mining threshold (every pair ABOVE it collides with higher
+    * probability: the S-curve is monotone in s), `collisionAtNoise` the
+    * candidate-generation false-positive rate at the stated sub-threshold
+    * similarity (pure verify-join cost, never a correctness issue —
+    * verification is exact).
+    */
+  final case class BandingChoice(numHashes: Int, bands: Int, rowsPerBand: Int,
+      recallAtThreshold: Double, collisionAtNoise: Double)
+
+  /** Choose (bands, rowsPerBand) for a target threshold/recall instead
+    * of hand-tuned constants: the cheapest banding — fewest total
+    * minhashes, ties to the lowest noise-collision rate — whose S-curve
+    * puts at least `targetRecall` collision probability on a pair AT
+    * `threshold`. For each rowsPerBand r, the minimal band count is the
+    * closed form b = ⌈ln(1−recall)/ln(1−θ^r)⌉; the scan over r ≤
+    * `maxHashes` is exhaustive, so the choice is provably cost-minimal
+    * within the budget. `noiseSimilarity` (default θ/2) is where the
+    * false-positive rate is evaluated for tie-breaking — corpora whose
+    * non-dup pairs sit close under θ should pass something tighter; a
+    * `maxNoiseCollision` below 1.0 additionally EXCLUDES bandings whose
+    * candidate FP rate at the noise similarity exceeds it (bounding the
+    * verify-join bill a cheap-but-flat S-curve would otherwise run up).
+    */
+  def tuneBanding(threshold: Double, targetRecall: Double = 0.95,
+      maxHashes: Int = 256, noiseSimilarity: Double = Double.NaN,
+      maxNoiseCollision: Double = 1.0): BandingChoice = {
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1): $threshold")
+    require(targetRecall > 0 && targetRecall < 1, s"recall in (0,1): $targetRecall")
+    require(maxHashes >= 1, s"maxHashes >= 1: $maxHashes")
+    val noise =
+      if (noiseSimilarity.isNaN) threshold / 2
+      else { require(noiseSimilarity >= 0 && noiseSimilarity < 1); noiseSimilarity }
+    val feasible = (1 to maxHashes).flatMap { r =>
+      val bMax = maxHashes / r
+      val pr = math.pow(threshold, r)
+      // smallest b with 1−(1−θ^r)^b ≥ recall (closed form, then a
+      // float-edge check); tiny θ^r makes the form astronomically
+      // large — compare in DOUBLE before narrowing so it can't overflow
+      val bMin = math.ceil(math.log1p(-targetRecall) / math.log1p(-pr))
+      if (!(bMin <= bMax.toDouble)) None // also rejects Inf/NaN
+      else {
+        var b = math.max(1, bMin.toInt)
+        while (b <= bMax && bandingCollisionProb(threshold, b, r) < targetRecall)
+          b += 1
+        if (b <= bMax &&
+            bandingCollisionProb(threshold, b, r) >= targetRecall &&
+            bandingCollisionProb(noise, b, r) <= maxNoiseCollision)
+          Some(BandingChoice(b * r, b, r,
+            bandingCollisionProb(threshold, b, r),
+            bandingCollisionProb(noise, b, r)))
+        else None
+      }
+    }
+    require(feasible.nonEmpty,
+      s"no banding within $maxHashes hashes reaches recall $targetRecall " +
+        s"at threshold $threshold under noise-collision cap " +
+        s"$maxNoiseCollision — raise maxHashes or relax a constraint")
+    feasible.minBy(c => (c.numHashes, c.collisionAtNoise))
+  }
+
+  /** [[minHashLsh]] parameterized by a tuned [[BandingChoice]]. */
+  def minHashLsh(docs: DataFrame, banding: BandingChoice, threshold: Double,
+      shingleSize: Int, textCol: String, idCol: String,
+      maxBucket: Int): DataFrame =
+    minHashLsh(docs, banding.numHashes, banding.rowsPerBand, threshold,
+      shingleSize, textCol, idCol, maxBucket)
+
+  /** [[minHashLshIncremental]] parameterized by a tuned [[BandingChoice]]. */
+  def minHashLshIncremental(corpus: DataFrame, newDocs: DataFrame,
+      banding: BandingChoice, threshold: Double, shingleSize: Int,
+      textCol: String, idCol: String): DataFrame =
+    minHashLshIncremental(corpus, newDocs, banding.numHashes,
+      banding.rowsPerBand, threshold, shingleSize, textCol, idCol)
+
   /** Full MinHash+LSH near-dup pipeline: shingle → minhash → band →
     * bucket self-join → exact Jaccard verification at `threshold`.
     * The self-join shuffles both sides on (band, bandsig) — co-located;

@@ -781,6 +781,65 @@ class OperatorsSpec extends SparkSpec {
     assert(Dedup.readPairStore(spark, path).count() === 2)
   }
 
+  test("tuneBanding: closed-form choice is feasible, minimal, and constraint-aware") {
+    // θ=0.5, recall 0.9: cheapest S-curve is 4 bands of 1 row
+    // (1 − 0.5⁴ = 0.9375 ≥ 0.9 at 4 hashes; nothing cheaper exists)
+    val free = Dedup.tuneBanding(0.5, targetRecall = 0.9, maxHashes = 64)
+    assert((free.numHashes, free.bands, free.rowsPerBand) === ((4, 4, 1)))
+    assert(free.recallAtThreshold >= 0.9)
+    assert(Dedup.bandingCollisionProb(0.5, free.bands - 1, free.rowsPerBand) < 0.9,
+      "one band fewer must fall below the target (minimality of b)")
+    // exhaustive independent re-check: no feasible (b, r) is cheaper
+    for (r <- 1 to 64; b <- 1 to 64 if b * r < free.numHashes)
+      assert(Dedup.bandingCollisionProb(0.5, b, r) < 0.9,
+        s"($b, $r) is cheaper and feasible — tuner missed it")
+    // a noise-collision cap excludes the flat cheap curve: r=1 fires on
+    // 68% of θ/2 pairs, so the tuner must pay for a steeper curve
+    val capped = Dedup.tuneBanding(0.5, targetRecall = 0.9, maxHashes = 64,
+      maxNoiseCollision = 0.5)
+    assert(capped.rowsPerBand > 1)
+    assert(capped.recallAtThreshold >= 0.9)
+    assert(capped.collisionAtNoise <= 0.5)
+    // monotonicity of the S-curve in s (what makes recallAtThreshold a
+    // LOWER bound for every pair above the threshold)
+    val probs = Seq(0.1, 0.3, 0.5, 0.7, 0.9)
+      .map(s => Dedup.bandingCollisionProb(s, capped.bands, capped.rowsPerBand))
+    assert(probs === probs.sorted)
+    // infeasible targets fail loudly instead of returning a weak banding
+    intercept[IllegalArgumentException] {
+      Dedup.tuneBanding(0.05, targetRecall = 0.999, maxHashes = 4)
+    }
+  }
+
+  test("tuned banding hits its target recall on a ground-truth harness") {
+    // corpus with KNOWN near-dup structure: 40 base docs, 25 of them
+    // duplicated with two extra words (trigram Jaccard ≈ 10/12 > θ)
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 300).map(i => s"w$i")
+    def doc() = Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (0 until 40).map(i => (i.toLong, doc()))
+    val dups = base.take(25).map { case (i, t) =>
+      (100L + i, t + " " + vocab(rnd.nextInt(vocab.size)) +
+        " " + vocab(rnd.nextInt(vocab.size)))
+    }
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    // exact ground truth: unblocked trigram Jaccard over ALL pairs
+    val truth = Dedup.ngramJaccard(docs.withColumn("blk", lit("all")),
+        n = 3, blockCol = "blk", threshold = 0.5)
+      .select($"da", $"db").as[(Long, Long)].collect().toSet
+    assert(truth.size >= 25, s"harness corpus lost its planted pairs: ${truth.size}")
+    val banding = Dedup.tuneBanding(0.5, targetRecall = 0.95, maxHashes = 64)
+    val found = Dedup.minHashLsh(docs, banding, threshold = 0.5,
+        shingleSize = 3, textCol = "text", idCol = "doc_id", maxBucket = 10000)
+      .select($"da", $"db").as[(Long, Long)].collect().toSet
+    // verification is exact, so found ⊆ truth always; recall is the only
+    // loss LSH can introduce and the tuned S-curve must deliver it
+    assert((found -- truth).isEmpty)
+    val recall = found.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.95,
+      s"tuned banding $banding recalled $recall < 0.95 over ${truth.size} pairs")
+  }
+
   test("CharNGramBuckets equals the md5 SQL formulation, code-point exact") {
     // the 🙂 is a supplementary-plane code point: a UTF-16 charAt walk
     // would split it; Spark substring and DuckDB substr both count code
