@@ -618,7 +618,15 @@ object SparkEntry {
 
   private def m1(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val withBin = t(s, dir, "documents").withColumn("payload", $"text".cast("binary"))
+    // REAL header decode over synthesized VALID binary-PPM payloads:
+    // dimensions are analytic functions of doc_id, so the oracle
+    // rebuilds the exact payload with string ops and PREDICTS what the
+    // parse must return — decode(encode(x)) == x, stated in SQL
+    val w = (pmod($"doc_id", lit(16L)) + 1L).cast("int")
+    val h = (pmod($"doc_id", lit(13L)) + 2L).cast("int")
+    val withBin = t(s, dir, "documents").withColumn("payload",
+      operators.Multimodal.ppmPayload(w, h,
+        concat(lit("img:"), $"doc_id".cast("string")), reps = 21))
     operators.Multimodal.binaryMetadata(withBin, "payload", "doc_id").orderBy($"doc_id")
   }
 
@@ -632,7 +640,13 @@ object SparkEntry {
 
   private def m3(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val withBin = t(s, dir, "documents").withColumn("payload", $"text".cast("binary"))
+    // REAL RIFF/WAVE decode: every 4th PCM sample's byte offset comes
+    // from the parsed header (data at byte 44, mono 16-bit → block
+    // align 2); the sample count is an analytic function of doc_id so
+    // the oracle predicts the decoded offsets without binary math
+    val ns = (pmod($"doc_id", lit(50L)) + 8L).cast("long")
+    val withBin = t(s, dir, "documents").withColumn("payload",
+      graft.functions.EncodeWavPcm16(ns, concat(lit("wav:"), $"doc_id".cast("string"))))
     operators.Multimodal.frameSample(withBin, "payload", "doc_id", stride = 4)
       .orderBy($"doc_id", $"frame_idx")
   }
@@ -1841,12 +1855,17 @@ object SparkEntry {
 
   private def m4(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // shape-bucketed decode planning: payloads whose (fake-decoded)
+    // shape buckets over REAL decoded PPM dimensions (12 distinct
+    // shapes, 8..32 × 8..24) — the oracle predicts the parse
+    val w = (pmod($"doc_id", lit(4L)) * 8L + 8L).cast("int")
+    val h = (pmod($"doc_id", lit(3L)) * 8L + 8L).cast("int")
+    // shape-bucketed decode planning: payloads whose DECODED
     // width × height agree batch together — the step that keeps a real
     // GPU decode stage from re-padding every batch; per shape: payload
     // count, bytes, and the number of size-64 batches the stage runs.
-    val withBin = t(s, dir, "documents")
-      .withColumn("payload", $"text".cast("binary"))
+    val withBin = t(s, dir, "documents").withColumn("payload",
+      operators.Multimodal.ppmPayload(w, h,
+        concat(lit("img4:"), $"doc_id".cast("string")), reps = 72))
     operators.Multimodal.binaryMetadata(withBin, "payload", "doc_id")
       .groupBy($"width", $"height")
       .agg(count(lit(1)).as("n_payloads"),
@@ -2017,11 +2036,20 @@ object SparkEntry {
 
   private def m6(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // image near-dup: perceptual hash over the stub decode, candidate
+    // image near-dup: aHash over REALLY DECODED pixels (the decoder's
+    // 8×8 block-mean grayscale of valid binary-PPM payloads), candidate
     // pairs via the generic Hamming-LSH banding (pigeonhole-exact for
-    // hamming <= 7 at 8 bands) — the d14 machinery fed by a signature
-    // that came from PIXELS, not text.
-    val withBin = t(s, dir, "documents").withColumn("payload", $"text".cast("binary"))
+    // hamming <= 7 at 8 bands). Docs whose last digit is 0/1 share a
+    // payload seed → byte-identical images → hamming-0 pairs; every
+    // other image is seed-unique — so the exact pair list is analytic
+    // and the oracle states it without re-deriving any hash.
+    val seed = when(pmod($"doc_id", lit(10L)) < 2L,
+      $"doc_id" - pmod($"doc_id", lit(10L))).otherwise($"doc_id")
+    val w = (pmod(seed, lit(9L)) + 8L).cast("int")
+    val h = (pmod(seed, lit(7L)) + 8L).cast("int")
+    val withBin = t(s, dir, "documents").withColumn("payload",
+      operators.Multimodal.ppmPayload(w, h,
+        concat(lit("img6:"), seed.cast("string")), reps = 21))
     // pin the signature frame (16 bytes/doc): the banding consumers
     // (oversized-bucket count + both join sides) otherwise re-run the
     // 64-sample hex projection once each
@@ -3530,13 +3558,42 @@ object SparkEntry {
         |WHERE md5('graft:' || CAST(doc_id AS VARCHAR)) < '1a'
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "m1_binary_meta" ->
-      """SELECT doc_id,
-        | CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        | md5(text) AS content_md5,
-        | COALESCE(TRY_CAST('0x' || substr(hex(encode(text)),1,2) AS INT), 0) % 64 + 1 AS width,
-        | COALESCE(TRY_CAST('0x' || substr(hex(encode(text)),3,2) AS INT), 0) % 64 + 1 AS height,
-        | CAST(octet_length(encode(text)) // 1000 + 1 AS BIGINT) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH p AS (SELECT doc_id,
+        |  doc_id % 16 + 1 AS w, doc_id % 13 + 2 AS h,
+        |  'P6' || chr(10) || (doc_id % 16 + 1) || ' ' || (doc_id % 13 + 2)
+        |    || chr(10) || '255' || chr(10) ||
+        |    substr(
+        |      md5('img:' || doc_id || ':0') ||
+        |      md5('img:' || doc_id || ':1') ||
+        |      md5('img:' || doc_id || ':2') ||
+        |      md5('img:' || doc_id || ':3') ||
+        |      md5('img:' || doc_id || ':4') ||
+        |      md5('img:' || doc_id || ':5') ||
+        |      md5('img:' || doc_id || ':6') ||
+        |      md5('img:' || doc_id || ':7') ||
+        |      md5('img:' || doc_id || ':8') ||
+        |      md5('img:' || doc_id || ':9') ||
+        |      md5('img:' || doc_id || ':10') ||
+        |      md5('img:' || doc_id || ':11') ||
+        |      md5('img:' || doc_id || ':12') ||
+        |      md5('img:' || doc_id || ':13') ||
+        |      md5('img:' || doc_id || ':14') ||
+        |      md5('img:' || doc_id || ':15') ||
+        |      md5('img:' || doc_id || ':16') ||
+        |      md5('img:' || doc_id || ':17') ||
+        |      md5('img:' || doc_id || ':18') ||
+        |      md5('img:' || doc_id || ':19') ||
+        |      md5('img:' || doc_id || ':20'), 1,
+        |           CAST((doc_id % 16 + 1) * (doc_id % 13 + 2) * 3 AS INT)) AS payload
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(octet_length(encode(payload)) AS BIGINT) AS byte_len,
+        | md5(payload) AS content_md5,
+        | 'ppm' AS format,
+        | CAST(w AS INT) AS width,
+        | CAST(h AS INT) AS height,
+        | CAST(1 AS BIGINT) AS n_frames
+        |FROM p ORDER BY doc_id""".stripMargin,
     "m2_batch_features" ->
       """SELECT doc_id,
         | CAST(LEAST(octet_length(encode(text)), 256) AS INT) AS feat_dim,
@@ -3678,14 +3735,10 @@ object SparkEntry {
         |SELECT doc_id, w, round((CAST(0.0 AS DOUBLE) - ln(u)) / w, 9) AS priority
         |FROM d ORDER BY priority, doc_id LIMIT 50""".stripMargin,
     "m3_frame_sample" ->
-      """WITH m AS (SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        |  CAST(octet_length(encode(text)) // 1000 + 1 AS BIGINT) AS n_frames
-        | FROM documents),
-        |f AS (SELECT doc_id, byte_len, n_frames,
-        |  unnest(range(0, n_frames, 4)) AS fi FROM m)
+      """WITH m AS (SELECT doc_id, doc_id % 50 + 8 AS ns FROM documents),
+        |f AS (SELECT doc_id, unnest(range(0, ns, 4)) AS fi FROM m)
         |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
-        | CAST(fi * (byte_len // n_frames) AS BIGINT) AS byte_offset
+        | CAST(44 + fi * 2 AS BIGINT) AS byte_offset
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "d9_clusters_distributed" ->
       """WITH RECURSIVE g AS (SELECT doc_id, source,
@@ -4886,15 +4939,16 @@ object SparkEntry {
         | CAST(SUM(toks) AS BIGINT) AS shard_tokens
         |FROM c GROUP BY shard ORDER BY shard""".stripMargin,
     "m4_shape_batches" ->
-      """SELECT width, height, COUNT(*) AS n_payloads,
+      """WITH p AS (SELECT doc_id,
+        |  doc_id % 4 * 8 + 8 AS w, doc_id % 3 * 8 + 8 AS h FROM documents),
+        |b AS (SELECT doc_id, w, h,
+        |  9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+        |    + 3 * w * h AS byte_len FROM p)
+        |SELECT CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        | COUNT(*) AS n_payloads,
         | CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
         | CAST((COUNT(*) + 63) // 64 AS BIGINT) AS n_batches
-        |FROM (SELECT
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        |  COALESCE(TRY_CAST('0x' || substr(hex(encode(text)),1,2) AS INT), 0) % 64 + 1 AS width,
-        |  COALESCE(TRY_CAST('0x' || substr(hex(encode(text)),3,2) AS INT), 0) % 64 + 1 AS height
-        | FROM documents)
-        |GROUP BY width, height ORDER BY width, height""".stripMargin,
+        |FROM b GROUP BY w, h ORDER BY width, height""".stripMargin,
     "e18_contract_dlq" ->
       """SELECT CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR) AS input_value,
         | 'lineitem ingest contract' AS description,
@@ -5221,24 +5275,9 @@ object SparkEntry {
     // while no bucket exceeds the cap (the d14 caveat). phash pixels
     // are rebuilt with the SAME IEEE/int ops as the Spark side.
     "m6_phash_neardup" ->
-      """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS len FROM documents),
-        |px AS (SELECT doc_id, list_transform(range(0, 64), i ->
-        |   CAST(COALESCE(TRY_CAST('0x' || substr(hx,
-        |     CAST(CAST(floor(CAST(len AS DOUBLE) * CAST(i AS DOUBLE) / CAST(64 AS DOUBLE)) AS BIGINT) * 2 + 1 AS INT),
-        |     2) AS INT), 0) AS BIGINT)) AS p
-        | FROM d),
-        |m AS (SELECT doc_id, p, (CAST(list_sum(p) AS BIGINT) >> 6) AS mean FROM px),
-        |h AS (SELECT doc_id, list_aggregate(list_transform(range(0, 63), i ->
-        |   CASE WHEN p[CAST(i AS INT) + 1] > mean
-        |        THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END),
-        |  'bit_or') AS phash
-        | FROM m)
-        |SELECT a.doc_id AS da, b.doc_id AS db,
-        | CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
-        |FROM h a JOIN h b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.phash, b.phash)) <= 7
-        |ORDER BY da, db""".stripMargin,
+      """SELECT a.doc_id AS da, b.doc_id AS db, CAST(0 AS BIGINT) AS hamming
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id % 10 = 0 ORDER BY da, db""".stripMargin,
     // winnowing rebuilt with the same md5-hex-prefix hash; k=3, w=4,
     // maxDf=50, minShared=2 mirror the Spark call
     "d23_winnow" ->

@@ -1,0 +1,244 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** REAL pure-JVM media header/content decoding for the multimodal
+  * pipeline — the de-stubbed path: binary PPM (P6) images and RIFF/WAVE
+  * PCM audio parse with no codec dependency, so metadata, frame
+  * sampling, shape bucketing and the perceptual hash compute over
+  * genuinely decoded values. Formats the sandbox cannot parse still
+  * fall back to the documented deterministic stub at the OPERATOR
+  * level (operators.Multimodal) — this expression just reports
+  * `format = "unknown"` for them.
+  *
+  * Returned struct (fields null unless the format provides them):
+  *   format       "ppm" | "wav" | "unknown"
+  *   width/height/maxval            PPM image dimensions
+  *   channels/sample_rate/bits/n_samples/block_align   WAV audio
+  *   data_offset  byte offset of the payload's sample/pixel data
+  *   gray64       PPM only: 8×8 block-mean grayscale (row-major, 64
+  *                longs) — what a real thumbnail resize produces; block
+  *                value = Σ(r+g+b) over the block / (3 · #pixels)
+  *                (integer division; empty blocks on images narrower
+  *                than 8px report 0)
+  */
+case class DecodeMedia(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DecodeMedia.schema
+  override def prettyName: String = "decode_media"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    DecodeMedia.decode(bytes)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DecodeMedia =
+    copy(child = newChild)
+}
+
+object DecodeMedia {
+  val schema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("maxval", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("block_align", IntegerType),
+    StructField("data_offset", LongType),
+    StructField("gray64", ArrayType(LongType, containsNull = false))))
+
+  def apply(bin: Column): Column =
+    ColumnBridge.column(DecodeMedia(ColumnBridge.expression(bin)))
+
+  private val unknown: InternalRow = {
+    val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(11)
+    r.update(0, UTF8String.fromString("unknown"))
+    r
+  }
+
+  private[graft] def decode(bytes: Array[Byte]): InternalRow = {
+    if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
+    else if (bytes.length >= 12 && ascii(bytes, 0, 4) == "RIFF" &&
+      ascii(bytes, 8, 4) == "WAVE") decodeWav(bytes)
+    else unknown
+  }
+
+  private def ascii(b: Array[Byte], off: Int, len: Int): String = {
+    if (off + len > b.length) return ""
+    new String(b, off, len, java.nio.charset.StandardCharsets.US_ASCII)
+  }
+
+  /** P6 per the netpbm spec: "P6", then width, height, maxval as ASCII
+    * decimals separated by whitespace (with `#`-to-EOL comments
+    * allowed), ONE whitespace byte, then 3·w·h binary RGB bytes
+    * (maxval < 256; 2-byte-per-sample images report unknown).
+    */
+  private def decodePpm(b: Array[Byte]): InternalRow = {
+    var i = 2
+    def skipWs(): Boolean = {
+      var progressed = false
+      var go = true
+      while (go && i < b.length) {
+        val c = b(i)
+        if (c == ' ' || c == '\n' || c == '\r' || c == '\t') { i += 1; progressed = true }
+        else if (c == '#') { while (i < b.length && b(i) != '\n') i += 1; progressed = true }
+        else go = false
+      }
+      progressed
+    }
+    def readInt(): Int = {
+      if (!skipWs()) return -1
+      var v = 0L
+      var any = false
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+        v = v * 10 + (b(i) - '0'); any = true; i += 1
+        if (v > Int.MaxValue) return -1
+      }
+      if (any) v.toInt else -1
+    }
+    val w = readInt(); val h = readInt(); val mv = readInt()
+    if (w <= 0 || h <= 0 || mv <= 0 || mv > 255) return unknown
+    // exactly one whitespace byte terminates the header
+    if (i >= b.length || !(b(i) == ' ' || b(i) == '\n' || b(i) == '\r' || b(i) == '\t'))
+      return unknown
+    i += 1
+    val dataOff = i
+    if (b.length - dataOff < 3L * w * h) return unknown
+    // 8×8 block-mean grayscale
+    val gray = new Array[Long](64)
+    var by = 0
+    while (by < 8) {
+      val r0 = (h.toLong * by / 8).toInt
+      val r1 = (h.toLong * (by + 1) / 8).toInt
+      var bx = 0
+      while (bx < 8) {
+        val c0 = (w.toLong * bx / 8).toInt
+        val c1 = (w.toLong * (bx + 1) / 8).toInt
+        var sum = 0L
+        var row = r0
+        while (row < r1) {
+          var colI = c0
+          val rowBase = dataOff + 3L * (row.toLong * w)
+          while (colI < c1) {
+            val p = (rowBase + 3L * colI).toInt
+            sum += (b(p) & 0xff) + (b(p + 1) & 0xff) + (b(p + 2) & 0xff)
+            colI += 1
+          }
+          row += 1
+        }
+        val n = (r1 - r0).toLong * (c1 - c0)
+        gray(by * 8 + bx) = if (n == 0) 0L else sum / (3L * n)
+        bx += 1
+      }
+      by += 1
+    }
+    val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(11)
+    r.update(0, UTF8String.fromString("ppm"))
+    r.update(1, w); r.update(2, h); r.update(3, mv)
+    r.update(9, dataOff.toLong)
+    r.update(10, new GenericArrayData(gray))
+    r
+  }
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  /** Canonical RIFF/WAVE walk: chunks after "WAVE" until both `fmt `
+    * (PCM only) and `data` are seen; odd-sized chunks padded per spec.
+    */
+  private def decodeWav(b: Array[Byte]): InternalRow = {
+    var i = 12
+    var channels = -1; var rate = -1; var bits = -1; var blockAlign = -1
+    var dataOff = -1L; var dataLen = -1L
+    while (i + 8 <= b.length && (dataOff < 0 || channels < 0)) {
+      val id = ascii(b, i, 4)
+      val size = le32(b, i + 4)
+      val body = i + 8
+      if (id == "fmt " && size >= 16 && body + 16 <= b.length) {
+        val audioFormat = le16(b, body)
+        if (audioFormat != 1) return unknown // PCM only
+        channels = le16(b, body + 2)
+        rate = le32(b, body + 4).toInt
+        blockAlign = le16(b, body + 12)
+        bits = le16(b, body + 14)
+      } else if (id == "data") {
+        dataOff = body.toLong
+        dataLen = math.min(size, (b.length - body).toLong)
+      }
+      i = body + size.toInt + (size.toInt & 1)
+    }
+    if (channels <= 0 || blockAlign <= 0 || dataOff < 0) return unknown
+    val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(11)
+    r.update(0, UTF8String.fromString("wav"))
+    r.update(4, channels); r.update(5, rate); r.update(6, bits)
+    r.update(7, dataLen / blockAlign)
+    r.update(8, blockAlign)
+    r.update(9, dataOff)
+    r
+  }
+}
+
+/** Deterministic VALID RIFF/WAVE PCM-16 payload synthesis — the query
+  * side's media generator (the corpus ships no real audio): mono
+  * 16-bit samples whose bytes come from a counter-keyed md5 stream of
+  * `seed`, wrapped in a canonical 44-byte header that [[DecodeMedia]]
+  * (or any real WAV reader) parses. nSamples is clamped to [0, 1<<20].
+  */
+case class EncodeWavPcm16(nSamplesExpr: Expression, seedExpr: Expression,
+    sampleRate: Int) extends BinaryExpression with CodegenFallback {
+  require(sampleRate > 0)
+
+  override def left: Expression = nSamplesExpr
+  override def right: Expression = seedExpr
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "encode_wav_pcm16"
+
+  override protected def nullSafeEval(n: Any, seed: Any): Any = {
+    val nSamples = math.min(math.max(n.asInstanceOf[Long], 0L), 1L << 20).toInt
+    val seedStr = seed.asInstanceOf[UTF8String].toString
+    val dataLen = nSamples * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // blockAlign, bits
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var j = 0
+    var block: Array[Byte] = null
+    while (j < dataLen) {
+      if (j % 16 == 0)
+        block = md.digest(s"$seedStr:${j / 16}".getBytes("UTF-8"))
+      out.put(block(j % 16))
+      j += 1
+    }
+    out.array()
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): EncodeWavPcm16 =
+    copy(nSamplesExpr = newLeft, seedExpr = newRight)
+}
+
+object EncodeWavPcm16 {
+  def apply(nSamples: Column, seed: Column, sampleRate: Int = 16000): Column =
+    ColumnBridge.column(EncodeWavPcm16(ColumnBridge.expression(nSamples),
+      ColumnBridge.expression(seed), sampleRate))
+}

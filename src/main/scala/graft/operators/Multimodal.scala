@@ -5,47 +5,101 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: treat media payloads as opaque `binary`
-  * columns with typed metadata. The decode step is STUBBED (no image/
-  * audio codecs in this environment) with a deterministic fake — the
-  * Spark-side mechanics (schema, batching, partitioning) are real.
+  * columns with typed metadata. Binary PPM (P6) images and RIFF/WAVE
+  * PCM audio are REALLY decoded in pure JVM code
+  * ([[graft.functions.DecodeMedia]] — no codec dependency); formats
+  * this sandbox cannot parse keep the documented deterministic STUB so
+  * the pipeline never crashes on an alien payload (it reports
+  * `format = "unknown"` instead).
   */
 object Multimodal {
 
-  /** Per-payload metadata via pure expressions: size, content hash, and a
-    * deterministic FAKE decode of (width, height, n_frames) from the
-    * first bytes — stands in for a real image/video header parse.
+  /** A deterministic VALID binary-PPM payload built from pure string
+    * expressions — the query-side image generator (the corpus ships no
+    * real images): `P6\n<w> <h>\n255\n` + w·h·3 pixel bytes drawn from
+    * a counter-SALTED ASCII md5 hex stream — md5(seed:0) ‖ md5(seed:1)
+    * ‖ …, aperiodic by construction (repeating ONE digest makes every
+    * image a 32-byte pattern whose 8×8 block means correlate across
+    * documents — measured as accidental near-dup pairs in m6). Hex
+    * chars ARE bytes, so an engine without binary math — the DuckDB
+    * oracle — rebuilds the exact payload with string ops and agrees on
+    * its md5. `reps` must satisfy 32·reps ≥ 3·w·h for the caller's
+    * dimension bounds.
+    */
+  def ppmPayload(width: org.apache.spark.sql.Column,
+      height: org.apache.spark.sql.Column,
+      seed: org.apache.spark.sql.Column, reps: Int): org.apache.spark.sql.Column =
+    concat(lit("P6\n"), width.cast("string"), lit(" "),
+      height.cast("string"), lit("\n255\n"),
+      concat((0 until reps).map(k =>
+        md5(concat(seed, lit(s":$k")))): _*).substr(lit(1),
+        (width * height * lit(3)).cast("int"))).cast("binary")
+
+  /** Per-payload metadata: size, content hash, and the REAL header
+    * decode — PPM images report their parsed (width, height) and one
+    * frame; WAV audio reports its sample count as `n_frames`
+    * (width/height null); unknown formats keep the deterministic STUB
+    * derivation from leading bytes, flagged by `format`.
     */
   def binaryMetadata(df: DataFrame, binCol: String, idCol: String): DataFrame = {
-    val b = col(binCol)
+    // Fence pins the decode to ONE evaluation per row — the field
+    // accessors below would otherwise each inline their own copy
+    val dec = df.select(col(idCol).as("doc_id"), col(binCol).as("__b"),
+      graft.functions.Fence(graft.functions.DecodeMedia(col(binCol))).as("__m"))
     // unsigned value of byte `n` via the hex dump — byte-level access that
     // survives arbitrary (non-UTF-8) media payloads, unlike a
     // binary→string cast, whose charset replacement mangles real bytes
     def byteAt(n: Int): org.apache.spark.sql.Column =
-      coalesce(conv(substring(hex(b), 2 * n - 1, 2), 16, 10).cast("int"), lit(0))
-    df.select(
-      col(idCol).as("doc_id"),
-      length(b).cast("long").as("byte_len"),
-      md5(b).as("content_md5"),
-      // STUB decode: width/height derived from leading byte values
-      (byteAt(1) % 64 + 1).as("width"),
-      (byteAt(2) % 64 + 1).as("height"),
-      (expr(s"cast(length($binCol) as bigint) div 1000") + 1L).as("n_frames"))
+      coalesce(conv(substring(hex(col("__b")), 2 * n - 1, 2), 16, 10)
+        .cast("int"), lit(0))
+    val fmt = col("__m.format")
+    dec.select(
+      col("doc_id"),
+      length(col("__b")).cast("long").as("byte_len"),
+      md5(col("__b")).as("content_md5"),
+      fmt.as("format"),
+      when(fmt === "ppm", col("__m.width"))
+        .when(fmt === "wav", lit(null).cast("int"))
+        .otherwise(byteAt(1) % 64 + 1).as("width"),
+      when(fmt === "ppm", col("__m.height"))
+        .when(fmt === "wav", lit(null).cast("int"))
+        .otherwise(byteAt(2) % 64 + 1).as("height"),
+      when(fmt === "ppm", lit(1L))
+        .when(fmt === "wav", col("__m.n_samples"))
+        .otherwise(expr("length(__b) div 1000") + 1L).as("n_frames"))
   }
 
-  /** Deterministic frame sampling over a (fake-decoded) video payload:
-    * every `stride`-th frame index with its byte offset, via pure
-    * expressions (sequence + explode) — no codec touched. At scale the
-    * (doc, offset) rows feed the batched extraction stage, which seeks
-    * into the payload instead of decoding whole files.
+  /** Deterministic frame sampling over a decoded payload: every
+    * `stride`-th frame index with its REAL byte offset — WAV frames are
+    * PCM samples at `data_offset + idx · block_align`, a PPM image is
+    * one frame at its pixel-data offset, unknown formats keep the stub
+    * length-proportional offsets. At scale the (doc, offset) rows feed
+    * the batched extraction stage, which seeks into the payload
+    * instead of decoding whole files.
     */
   def frameSample(df: DataFrame, binCol: String, idCol: String, stride: Int): DataFrame = {
     require(stride >= 1, s"stride must be >= 1: $stride")
-    binaryMetadata(df, binCol, idCol)
-      .select(col("doc_id"), col("byte_len"), col("n_frames"),
+    val meta = df.select(col(idCol).as("doc_id"),
+        length(col(binCol)).cast("long").as("byte_len"),
+        graft.functions.Fence(graft.functions.DecodeMedia(col(binCol))).as("__m"))
+      .select(col("doc_id"), col("byte_len"), col("__m.format").as("__fmt"),
+        when(col("__m.format") === "ppm", lit(1L))
+          .when(col("__m.format") === "wav", col("__m.n_samples"))
+          .otherwise(expr("byte_len div 1000") + 1L).as("n_frames"),
+        col("__m.data_offset").as("__doff"),
+        col("__m.block_align").as("__ba"))
+    meta
+      .filter(col("n_frames") > 0L)
+      .select(col("doc_id"), col("byte_len"), col("__fmt"), col("n_frames"),
+        col("__doff"), col("__ba"),
         explode(sequence(lit(0L), col("n_frames") - 1L, lit(stride.toLong)))
           .as("frame_idx"))
       .select(col("doc_id"), col("frame_idx"),
-        (col("frame_idx") * expr("byte_len div n_frames")).as("byte_offset"))
+        when(col("__fmt") === "wav",
+          col("__doff") + col("frame_idx") * col("__ba"))
+          .when(col("__fmt") === "ppm", col("__doff"))
+          .otherwise(col("frame_idx") * expr("byte_len div n_frames"))
+          .as("byte_offset"))
   }
 
   /** Perceptual hash (aHash) over the STUB decode — the image near-dup
@@ -62,8 +116,16 @@ object Multimodal {
     */
   def perceptualHash(df: DataFrame, binCol: String, idCol: String): DataFrame = {
     val b = col(binCol)
-    val step1 = df.select(col(idCol).as("doc_id"),
-      hex(b).as("__hx"), length(b).cast("long").as("__len"))
+    // PPM payloads hash over their REAL decoded pixels — gray64 is the
+    // decoder's 8×8 block-mean grayscale, exactly what a thumbnail
+    // resize feeds a production aHash; other formats keep the stub
+    // byte-sampling (hex dump computed only on that branch)
+    val step0 = df.select(col(idCol).as("doc_id"), b.as("__b"),
+      graft.functions.Fence(graft.functions.DecodeMedia(b)).as("__m"))
+    val step1 = step0.select(col("doc_id"), col("__m"),
+      when(col("__m.format") === "ppm", lit(null).cast("string"))
+        .otherwise(hex(col("__b"))).as("__hx"),
+      length(col("__b")).cast("long").as("__len"))
     def pixAt(i: Int) = coalesce(
       conv(col("__hx").substr(
         (floor(col("__len").cast("double") * lit(i.toDouble) / lit(64.0d))
@@ -71,7 +133,8 @@ object Multimodal {
         lit(2)), 16, 10).cast("long"),
       lit(0L))
     val px = step1.select(col("doc_id"),
-      array((0 until 64).map(pixAt): _*).as("__px"))
+      when(col("__m.format") === "ppm", col("__m.gray64"))
+        .otherwise(array((0 until 64).map(pixAt): _*)).as("__px"))
     val mean = px
       .select(col("doc_id"), col("__px"),
         (1 to 64).map(i => element_at(col("__px"), i)).reduce(_ + _).as("__sum"))

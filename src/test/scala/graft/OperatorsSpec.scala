@@ -781,6 +781,53 @@ class OperatorsSpec extends SparkSpec {
     assert(Dedup.readPairStore(spark, path).count() === 2)
   }
 
+  test("DecodeMedia: golden-byte PPM and WAV parse, malformed falls to unknown") {
+    import graft.functions.{DecodeMedia, EncodeWavPcm16}
+    def dec(bytes: Array[Byte]) =
+      Seq(Tuple1(bytes)).toDF("b").select(DecodeMedia($"b").as("m"))
+        .select($"m.*").collect().head
+    // hand-built P6 with a header comment (not our encoder's output):
+    // 8×8, all pixels (10, 20, 30) -> every gray block exactly 20
+    val header = "P6\n# golden\n8 8\n255\n".getBytes("US-ASCII")
+    val px = Array.tabulate[Byte](8 * 8 * 3)(i => Seq(10, 20, 30)(i % 3).toByte)
+    val ppm = dec(header ++ px)
+    assert(ppm.getString(0) === "ppm")
+    assert((ppm.getInt(1), ppm.getInt(2), ppm.getInt(3)) === ((8, 8, 255)))
+    assert(ppm.getLong(9) === header.length.toLong)
+    assert(ppm.getSeq[Long](10) === Seq.fill(64)(20L))
+    // hand-built RIFF/WAVE with a LIST chunk BEFORE fmt (chunk walking):
+    // stereo, 8 kHz, 16-bit, 4 samples
+    val bb = java.nio.ByteBuffer.allocate(12 + 12 + 24 + 8 + 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(12 + 24 + 8 + 16 + 4)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("LIST".getBytes("US-ASCII")).putInt(4).putInt(0)
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2).putInt(8000).putInt(32000).putShort(4).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(16).put(new Array[Byte](16))
+    val wav = dec(bb.array())
+    assert(wav.getString(0) === "wav")
+    assert((wav.getInt(4), wav.getInt(5), wav.getInt(6)) === ((2, 8000, 16)))
+    assert((wav.getLong(7), wav.getInt(8)) === ((4L, 4)))
+    assert(wav.getLong(9) === (12 + 12 + 24 + 8).toLong)
+    // synthesis roundtrips through the decoder
+    val rt = Seq(Tuple1(13L)).toDF("n")
+      .select(DecodeMedia(EncodeWavPcm16($"n", lit("seed"))).as("m"))
+      .select($"m.*").collect().head
+    assert((rt.getString(0), rt.getLong(7), rt.getInt(8), rt.getLong(9),
+      rt.getInt(5)) === (("wav", 13L, 2, 44L, 16000)))
+    val prt = Seq(Tuple1(1L)).toDF("i")
+      .select(DecodeMedia(Multimodal.ppmPayload(lit(9), lit(11), lit("s"), 11))
+        .as("m")).select($"m.*").collect().head
+    assert((prt.getString(0), prt.getInt(1), prt.getInt(2)) === (("ppm", 9, 11)))
+    // malformed: truncated pixel data, non-media bytes, float WAV
+    assert(dec("P6\n8 8\n255\nshort".getBytes("US-ASCII")).getString(0) === "unknown")
+    assert(dec("just some text".getBytes("US-ASCII")).getString(0) === "unknown")
+    val nf = bb.array().clone()
+    nf(12 + 12 + 8) = 3 // fmt audioFormat = IEEE float
+    assert(dec(nf).getString(0) === "unknown")
+  }
+
   test("tuneBanding: closed-form choice is feasible, minimal, and constraint-aware") {
     // θ=0.5, recall 0.9: cheapest S-curve is 4 bands of 1 row
     // (1 − 0.5⁴ = 0.9375 ≥ 0.9 at 4 hashes; nothing cheaper exists)
