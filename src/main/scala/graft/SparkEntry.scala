@@ -2729,6 +2729,26 @@ object SparkEntry {
       .orderBy($"qid", $"rank")
   }
 
+  private def s13q(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // graph ANN, end-to-end under the oracle: NN-Descent k-NN graph
+    // (IVF-cell init + 2 refinement rounds) searched by graph
+    // EXPANSION — exact top-k over the query node's 2-hop
+    // out-neighborhood, the bounded-probe-cost reachability closure a
+    // SQL engine can restate verbatim (the oracle rebuilds the same
+    // graph and the same closure — no part of the pipeline is taken on
+    // faith). The greedy serving twin (beamSearchTopK) and the recall
+    // comparison against IVF at equal probe cost are pinned by spec.
+    val emb = t(s, dir, "embeddings")
+    val graph = operators.Similarity.knnGraph(emb, g = 10, rounds = 2)
+    val queries = broadcast(emb.filter($"vec_id" < 16)
+      .select($"vec_id".as("qid"),
+        operators.Similarity.toDoubleVec($"embedding").as("qv")))
+    operators.Similarity.graphExpandTopK(emb, queries, graph, hops = 2, k = 5)
+      .select($"qid", $"rank", $"vec_id", $"cosine")
+      .orderBy($"qid", $"rank")
+  }
+
   private def d25(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // persisted LSH band index: the corpus banded ONCE into a bucketed
@@ -3000,6 +3020,7 @@ object SparkEntry {
     "t21_rake" -> (t21 _),
     "q45_interval_coalesce" -> (q45 _),
     "s12_binary_hamming" -> (s12 _),
+    "s13_graph_ann" -> (s13q _),
     "d25_lsh_persisted" -> (d25 _),
     "d26_cdc_chunks" -> (d26 _),
     "x11_psi" -> (x11psi _),
@@ -3449,6 +3470,67 @@ object SparkEntry {
         |   (sqrt(list_reduce(list_transform(qv, x -> x*x), (x,y) -> x+y)) *
         |    sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y))) AS cosine
         | FROM q JOIN e ON qlabel = label AND qid <> vec_id),
+        |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank FROM scored)
+        |SELECT qid, rank, vec_id, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    "s13_graph_ann" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |  sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y)) AS nrm FROM e),
+        |winit AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        |  list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]), (x,y) -> x+y) / (a.nrm * b.nrm) AS cosine
+        | FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |wtop AS (SELECT src, dst, cosine FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) rn
+        |  FROM winit) WHERE rn <= 10),
+        |reps AS (SELECT label, min(vec_id) AS rep FROM e GROUP BY label),
+        |ridx AS (SELECT rep, ROW_NUMBER() OVER (ORDER BY label) - 1 AS pick FROM reps),
+        |nc AS (SELECT COUNT(*) AS c FROM reps),
+        |bridge AS (SELECT s.vec_id AS src, r.rep AS dst
+        |  FROM e s, (SELECT unnest([1, 2]) AS j) jt, nc, ridx r
+        |  WHERE r.pick = list_reduce(list_transform(range(1, 9), i -> CAST(strpos('0123456789abcdef', substr(md5(CAST(s.vec_id AS VARCHAR) || ':' || jt.j), i, 1)) - 1 AS BIGINT)), (x,y) -> x*16+y) % nc.c
+        |    AND s.vec_id <> r.rep),
+        |bsc AS (SELECT p.src, p.dst,
+        |  list_reduce(list_transform(range(1, len(sa.v)+1), i -> sa.v[i]*sb.v[i]), (x,y) -> x+y) / (sa.nrm * sb.nrm) AS cosine
+        | FROM bridge p JOIN n sa ON sa.vec_id = p.src JOIN n sb ON sb.vec_id = p.dst),
+        |g0 AS (SELECT src, dst, max(cosine) AS cosine
+        |  FROM (SELECT * FROM wtop UNION ALL SELECT * FROM bsc) GROUP BY 1, 2),
+        |sym0 AS (SELECT a, b FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a ORDER BY cosine DESC, b ASC) rn
+        |  FROM (SELECT src AS a, dst AS b, cosine FROM g0
+        |        UNION ALL SELECT dst, src, cosine FROM g0)) WHERE rn <= 20),
+        |prop0 AS (SELECT DISTINCT x.a AS src, y.b AS dst
+        |  FROM sym0 x JOIN sym0 y ON x.b = y.a WHERE x.a <> y.b),
+        |sc0 AS (SELECT p.src, p.dst,
+        |  list_reduce(list_transform(range(1, len(sa.v)+1), i -> sa.v[i]*sb.v[i]), (x,y) -> x+y) / (sa.nrm * sb.nrm) AS cosine
+        | FROM prop0 p JOIN n sa ON sa.vec_id = p.src JOIN n sb ON sb.vec_id = p.dst),
+        |m0 AS (SELECT src, dst, max(cosine) AS cosine
+        |  FROM (SELECT * FROM g0 UNION ALL SELECT * FROM sc0) GROUP BY 1, 2),
+        |g1 AS (SELECT src, dst, cosine FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) rn
+        |  FROM m0) WHERE rn <= 10),
+        |sym1 AS (SELECT a, b FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a ORDER BY cosine DESC, b ASC) rn
+        |  FROM (SELECT src AS a, dst AS b, cosine FROM g1
+        |        UNION ALL SELECT dst, src, cosine FROM g1)) WHERE rn <= 20),
+        |prop1 AS (SELECT DISTINCT x.a AS src, y.b AS dst
+        |  FROM sym1 x JOIN sym1 y ON x.b = y.a WHERE x.a <> y.b),
+        |sc1 AS (SELECT p.src, p.dst,
+        |  list_reduce(list_transform(range(1, len(sa.v)+1), i -> sa.v[i]*sb.v[i]), (x,y) -> x+y) / (sa.nrm * sb.nrm) AS cosine
+        | FROM prop1 p JOIN n sa ON sa.vec_id = p.src JOIN n sb ON sb.vec_id = p.dst),
+        |m1 AS (SELECT src, dst, max(cosine) AS cosine
+        |  FROM (SELECT * FROM g1 UNION ALL SELECT * FROM sc1) GROUP BY 1, 2),
+        |g2 AS (SELECT src, dst, cosine FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) rn
+        |  FROM m1) WHERE rn <= 10),
+        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 16),
+        |h1 AS (SELECT q.qid, g2.dst AS vec_id FROM q JOIN g2 ON g2.src = q.qid),
+        |h2 AS (SELECT h1.qid, g2.dst AS vec_id FROM h1 JOIN g2 ON g2.src = h1.vec_id),
+        |cand AS (SELECT DISTINCT qid, vec_id
+        |  FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2) WHERE qid <> vec_id),
+        |scored AS (SELECT c.qid, c.vec_id,
+        |  list_reduce(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*n.v[i]), (x,y) -> x+y) / (q.qn * n.nrm) AS cosine
+        | FROM cand c JOIN q ON q.qid = c.qid JOIN n ON n.vec_id = c.vec_id),
         |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank FROM scored)
         |SELECT qid, rank, vec_id, cosine FROM ranked WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,

@@ -554,6 +554,202 @@ object Similarity {
           col("n_exact").cast("double")).as("recall"))
   }
 
+  /** k-NN GRAPH construction with NN-Descent refinement — the
+    * build side of graph-based ANN (the HNSW/DiskANN essence, Spark
+    * batch shape). Initial edges come from the IVF structure the
+    * corpus already has (within-cell exact top-`g` — bounded by
+    * Σ|cell|², the SemDeDup/D16 argument); each refinement round then
+    * proposes NEIGHBOR-OF-NEIGHBOR candidates over the symmetrized
+    * edge set (Dong et al.'s NN-Descent observation: a neighbor of my
+    * neighbor is likely my neighbor), scores exactly, and keeps the
+    * best `g` per vertex — cross-cell edges appear here, which is
+    * what lifts graph search past the nprobe=1 recall ceiling.
+    *
+    * Scale shape: the vector frame is pinned once (id-keyed joins
+    * fetch embeddings; vectors never ride the candidate shuffles —
+    * only (src, dst) id pairs do); per round ONE edge self-join
+    * bounded by Σ deg² = n·(2g)², one distinct, one scoring join,
+    * one bounded-heap TopKPerKey; every round localCheckpoints (the
+    * iterative-loop discipline — a self-join over unpinned lineage
+    * stacks recomputation multiplicatively). Fixed `rounds`, no
+    * convergence join.
+    *
+    * Returns (src, dst, cosine): each vertex's `g` best neighbors.
+    */
+  def knnGraph(vectors: DataFrame, g: Int, rounds: Int,
+      labelCol: String = "label", bridges: Int = 2): DataFrame = {
+    require(g >= 1 && rounds >= 0 && bridges >= 0)
+    val v = vectors.select(col("vec_id"), col(labelCol).as("lbl"),
+        toDoubleVec(col("embedding")).as("v"))
+      .withColumn("vn", norm(col("v"))).localCheckpoint()
+    val bySrc = v.select(col("vec_id").as("src"), col("v").as("sv"),
+      col("vn").as("sn"))
+    val byDst = v.select(col("vec_id").as("dst"), col("v").as("dv"),
+      col("vn").as("dn"))
+    def scorePairs(pairs: DataFrame): DataFrame =
+      pairs.join(bySrc, "src").join(byDst, "dst")
+        .select(col("src"), col("dst"),
+          (dot(col("sv"), col("dv")) / (col("sn") * col("dn"))).as("cosine"))
+    val within = v.as("a").join(v.as("b"),
+        col("a.lbl") === col("b.lbl") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        (dot(col("a.v"), col("b.v")) / (col("a.vn") * col("b.vn"))).as("cosine"))
+    // Cross-cell BRIDGE edges: label-blocked init alone yields one
+    // island per cell (NN-Descent proposes neighbors OF neighbors, so
+    // it can never connect components with no initial edge between
+    // them — expansion search would degenerate to exactly the IVF
+    // cell). Each node gets `bridges` deterministic md5-chosen cell
+    // representatives (min vec_id per cell — a #cells-sized frame);
+    // refinement rounds then REPLACE these arbitrary bridges with
+    // genuinely near cross-cell neighbors found through them.
+    val repsW = org.apache.spark.sql.expressions.Window.orderBy(col("lbl"))
+    val reps = v.groupBy(col("lbl")).agg(min(col("vec_id")).as("rep"))
+      .select((row_number().over(repsW) - 1).cast("long").as("pick"),
+        col("rep")) // tiny (#cells rows) — the single-partition window is fine
+    val nCells = reps.count()
+    val bridgePairs = v.select(col("vec_id").as("src"),
+        explode(array((1 to bridges).map(j => lit(j)): _*)).as("j"))
+      .select(col("src"),
+        pmod(conv(substring(md5(concat(col("src").cast("string"),
+          lit(":"), col("j"))), 1, 8), 16, 10).cast("long"),
+          lit(nCells)).as("pick"))
+      .join(broadcast(reps), "pick")
+      .select(col("src"), col("rep").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    // bridges ride BESIDE the within-cell top-g (not through it — an
+    // arbitrary bridge never out-scores a genuine cell neighbor and
+    // would be cut immediately, resurrecting the islands); the first
+    // refinement round's top-g then keeps only edges that earn their
+    // place. max() is pure dedup: cosine is deterministic per pair.
+    val init = TopK.perKey(within, Seq("src"),
+        Seq(TopK.desc("cosine"), TopK.asc("dst")), g)
+      .union(scorePairs(bridgePairs))
+      .groupBy(col("src"), col("dst")).agg(max(col("cosine")).as("cosine"))
+    var graph = init.localCheckpoint()
+    for (_ <- 1 to rounds) {
+      // symmetrize, but CAP each vertex's adjacency at 2g best rows —
+      // without the cap every bridge target is a hub with ~n·bridges/
+      // #cells reverse edges and the proposal join squares that (the
+      // NN-Descent reverse-neighbor-sampling issue); with it the round
+      // is bounded by n·(2g)² proposals whatever the degree skew
+      val sym = TopK.perKey(
+        graph.select(col("src").as("a"), col("dst").as("b"), col("cosine"))
+          .union(graph.select(col("dst").as("a"), col("src").as("b"),
+            col("cosine"))),
+        Seq("a"), Seq(TopK.desc("cosine"), TopK.asc("b")), 2 * g)
+        .select(col("a"), col("b"))
+      val proposals = sym.as("x").join(sym.as("y"), col("x.b") === col("y.a"))
+        .select(col("x.a").as("src"), col("y.b").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      // cosine is deterministic per (src, dst), so max() is pure dedup
+      // between the kept edges and freshly scored proposals
+      val merged = graph.select(col("src"), col("dst"), col("cosine"))
+        .union(scorePairs(proposals))
+        .groupBy(col("src"), col("dst")).agg(max(col("cosine")).as("cosine"))
+      graph = TopK.perKey(merged, Seq("src"),
+        Seq(TopK.desc("cosine"), TopK.asc("dst")), g).localCheckpoint()
+    }
+    graph
+  }
+
+  /** Beam search over a [[knnGraph]] — the serve side of graph ANN:
+    * each query starts from the `entries` lowest-id vectors, and each
+    * hop expands the current beam's out-edges, scores the newly
+    * reachable vectors exactly, and keeps the best `beamWidth` per
+    * query (bounded heaps, never a window sort). All frames carry
+    * (qid, vec_id) ids — vectors are fetched by an id join at scoring
+    * time and never ride the frontier shuffles; each hop
+    * localCheckpoints. With a beam wide enough for the graph's
+    * connectivity the search CONVERGES to the exact top-k (what the
+    * s13 oracle pins on this corpus); tighter beams trade recall for
+    * probe cost, measured by [[recallAtK]].
+    *
+    * Entry points default to the lowest `entries` ids; pass
+    * `entryPoints` (a vec_id frame — e.g. one per IVF cell, the
+    * coarse-layer idea) when the graph may be disconnected across
+    * well-separated clusters: NN-Descent proposes neighbors OF
+    * neighbors, so it never bridges clusters with no initial edge
+    * between them, and a beam seeded inside one island stays there.
+    *
+    * `queries` carries (qid, qv) double-widened; output mirrors
+    * [[bruteForceTopK]]: (qid, rank, vec_id, cosine).
+    */
+  def beamSearchTopK(vectors: DataFrame, queries: DataFrame, graph: DataFrame,
+      beamWidth: Int, hops: Int, k: Int, entries: Int = 4,
+      entryPoints: Option[DataFrame] = None): DataFrame = {
+    require(beamWidth >= k && hops >= 0 && entries >= 1)
+    val v = vectors.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("vn", norm(col("v"))).localCheckpoint()
+    val q = queries.select(col("qid"), col("qv"))
+      .withColumn("qn", norm(col("qv")))
+    def score(cand: DataFrame): DataFrame =
+      cand.join(v, "vec_id").join(broadcast(q), "qid")
+        .filter(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"),
+          (dot(col("qv"), col("v")) / (col("qn") * col("vn"))).as("cosine"))
+    val edges = graph.select(col("src"), col("dst")).localCheckpoint()
+    val entryIds = entryPoints.map(_.select(col("vec_id")))
+      .getOrElse(v.orderBy(col("vec_id")).limit(entries).select(col("vec_id")))
+    var beam = TopK.perKey(
+      score(q.select(col("qid")).crossJoin(broadcast(entryIds))),
+      Seq("qid"), Seq(TopK.desc("cosine"), TopK.asc("vec_id")), beamWidth)
+      .localCheckpoint()
+    for (_ <- 1 to hops) {
+      val frontier = beam.select(col("qid"), col("vec_id"))
+        .join(edges, col("vec_id") === col("src"))
+        .select(col("qid"), col("dst").as("vec_id"))
+        .union(beam.select(col("qid"), col("vec_id")))
+        .distinct()
+      beam = TopK.perKey(score(frontier), Seq("qid"),
+        Seq(TopK.desc("cosine"), TopK.asc("vec_id")), beamWidth)
+        .localCheckpoint()
+    }
+    TopK.perKey(beam, Seq("qid"),
+        Seq(TopK.desc("cosine"), TopK.asc("vec_id")), k)
+      .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)))
+  }
+
+  /** Graph-EXPANSION search over a [[knnGraph]] — the provably-bounded
+    * serving path for corpus-member queries (the KGraph/NN-expansion
+    * idea): candidates are exactly the query node's ≤`hops`-step
+    * out-neighborhood (g + g² + … vectors — the probe-cost budget a
+    * graph index exists to enforce), ranked by EXACT cosine. Unlike
+    * [[beamSearchTopK]] there is no per-hop pruning, so the candidate
+    * set is a pure reachability closure — deterministic, and fully
+    * restatable in SQL, which is what lets the s13 oracle pin the
+    * whole build+search pipeline end to end. Frontier frames carry
+    * (qid, vec_id) ids only; each hop localCheckpoints.
+    *
+    * Output mirrors [[bruteForceTopK]]: (qid, rank, vec_id, cosine).
+    */
+  def graphExpandTopK(vectors: DataFrame, queries: DataFrame,
+      graph: DataFrame, hops: Int, k: Int): DataFrame = {
+    require(hops >= 1 && k >= 1)
+    val v = vectors.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("vn", norm(col("v"))).localCheckpoint()
+    val q = queries.select(col("qid"), col("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val edges = graph.select(col("src"), col("dst")).localCheckpoint()
+    var frontier = q.select(col("qid"), col("qid").as("vec_id"))
+    var reached = frontier
+    for (_ <- 1 to hops) {
+      frontier = frontier.join(edges, frontier("vec_id") === edges("src"))
+        .select(col("qid"), col("dst").as("vec_id")).distinct()
+        .localCheckpoint()
+      reached = reached.union(frontier)
+    }
+    val cand = reached.distinct().filter(col("qid") =!= col("vec_id"))
+    val scored = cand.join(v, "vec_id").join(broadcast(q), "qid")
+      .select(col("qid"), col("vec_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("vn"))).as("cosine"))
+    TopK.perKey(scored, Seq("qid"),
+        Seq(TopK.desc("cosine"), TopK.asc("vec_id")), k)
+      .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)))
+  }
+
   def nearDupPairs(vectors: DataFrame, blockCol: String, threshold: Double): DataFrame = {
     val e = vectors.select(col("vec_id"), col(blockCol).as("blk"),
       toDoubleVec(col("embedding")).as("v"))

@@ -169,4 +169,69 @@ class KMeansSpec extends SparkSpec {
     assert(got(0L)._1 === Seq(0.5 / 3, 1.0 / 3))
     assert(got(1L)._1 === Seq(9.5, 10.0))
   }
+
+  // ring of 9 overlapping clusters: adjacent centers are close, so a
+  // boundary point's true neighbors straddle two IVF cells — the regime
+  // where nprobe=1 hits its recall ceiling and a graph index pays off
+  private def ringCorpus(perCluster: Int, noise: Double, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (for {
+      c <- 0 until 9
+      i <- 0 until perCluster
+    } yield {
+      val v = Array.tabulate(16) { d =>
+        (math.cos(2 * math.Pi * c / 9.0 + d * 0.7) +
+          noise * rnd.nextGaussian()).toFloat
+      }
+      ((c * perCluster + i).toLong, v, c.toLong)
+    }).toDF("vec_id", "embedding", "label")
+  }
+
+  test("graph ANN: expansion search beats nprobe=1 IVF at equal probe cost") {
+    val corpus = ringCorpus(perCluster = 40, noise = 0.5, seed = 42)
+    val queries = broadcast(corpus.filter($"vec_id" % 12 === 0)
+      .select($"vec_id".as("qid"), Similarity.toDoubleVec($"embedding").as("qv")))
+    val qLabeled = broadcast(corpus.filter($"vec_id" % 12 === 0)
+      .select($"vec_id".as("qid"), $"label".as("qlabel"),
+        Similarity.toDoubleVec($"embedding").as("qv")))
+    val k = 6
+    val exact = Similarity.bruteForceTopK(corpus, queries, k)
+      .select($"qid", $"vec_id").localCheckpoint()
+    def meanRecall(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(approx.select($"qid", $"vec_id"), exact)
+        .agg(avg($"recall")).as[Double].head
+    // IVF nprobe=1: probes its own 40-vector cell
+    val ivf = meanRecall(Similarity.partitionedTopK(corpus, qLabeled, k))
+    // graph expansion at g=6, 2 hops: ≤ 6 + 36 = 42 candidates — the
+    // same probe budget as one cell
+    val graph = Similarity.knnGraph(corpus, g = 6, rounds = 3)
+    val exp = meanRecall(Similarity.graphExpandTopK(corpus, queries, graph,
+      hops = 2, k = k))
+    assert(exp > ivf,
+      s"graph expansion ($exp) must beat nprobe=1 IVF ($ivf) on boundary queries")
+    assert(exp >= 0.85, s"graph expansion recall too low: $exp")
+    // the greedy serving twin: beam over the same graph, per-cell entries
+    val entries = corpus.groupBy($"label").agg(min($"vec_id").as("vec_id"))
+    val beam = Similarity.beamSearchTopK(corpus, queries, graph,
+      beamWidth = 24, hops = 4, k = k, entryPoints = Some(entries))
+    assert(beam.groupBy($"qid").count().select(max($"count")).as[Long].head <= k)
+    val beamRecall = meanRecall(beam)
+    assert(beamRecall > ivf,
+      s"beam search ($beamRecall) must beat nprobe=1 IVF ($ivf)")
+  }
+
+  test("graph expansion search: neighborhood closure is exactly the ≤2-hop set") {
+    // a tiny graph with KNOWN reachability: 0→{1,2}, 1→{3}, 2→{4}, 3→{5}
+    // — from query node 0, 2 hops reach {1,2,3,4}; 5 is 3 hops away
+    val vecs = (0L to 5L).map(i =>
+      (i, Array.tabulate(4)(d => (i * 4 + d).toFloat + 1f), 0L))
+      .toDF("vec_id", "embedding", "label")
+    val graph = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 4L), (3L, 5L))
+      .toDF("src", "dst")
+    val queries = vecs.filter($"vec_id" === 0)
+      .select($"vec_id".as("qid"), Similarity.toDoubleVec($"embedding").as("qv"))
+    val got = Similarity.graphExpandTopK(vecs, queries, graph, hops = 2, k = 10)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(got === Set(1L, 2L, 3L, 4L))
+  }
 }
