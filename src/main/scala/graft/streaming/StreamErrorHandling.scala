@@ -43,6 +43,56 @@ object StreamErrorHandling {
         row.getAs[Map[String, Long]]("errors_by_class"))
     }
 
+  /** observedMetrics names of the interval joins' per-side input
+    * telemetry (one `observe` node per input — a query composing two
+    * graft interval joins must rename one, observe names are
+    * query-unique). */
+  val JoinLeftTelemetryName = "graft_join_left"
+  val JoinRightTelemetryName = "graft_join_right"
+
+  /** Per-trigger interval-join accounting — the DLQ philosophy
+    * ("nothing vanishes silently") applied to join state: watermarked
+    * stream-stream joins DROP too-late input rows and EVICT state rows
+    * whose horizon closed, both invisibly. `leftRows`/`rightRows` (and
+    * each side's min/max event time in ms, None on an empty side) come
+    * from the join's own `observe` nodes; `droppedByWatermark` and
+    * `evictedFromState` are the engine's state-operator counters
+    * surfaced next to them — so a monitor can alert on
+    * dropped > 0 (data loss) and reconcile input vs. state volume
+    * per trigger.
+    */
+  final case class IntervalJoinTelemetry(
+      leftRows: Long, rightRows: Long,
+      leftMinTsMs: Option[Long], leftMaxTsMs: Option[Long],
+      rightMinTsMs: Option[Long], rightMaxTsMs: Option[Long],
+      droppedByWatermark: Long, evictedFromState: Long)
+
+  def intervalJoinTelemetry(
+      progress: org.apache.spark.sql.streaming.StreamingQueryProgress)
+      : Option[IntervalJoinTelemetry] = {
+    val l = Option(progress.observedMetrics.get(JoinLeftTelemetryName))
+    val r = Option(progress.observedMetrics.get(JoinRightTelemetryName))
+    if (l.isEmpty && r.isEmpty) None
+    else {
+      def opt(row: Option[org.apache.spark.sql.Row], field: String): Option[Long] =
+        row.flatMap(x => if (x.isNullAt(x.fieldIndex(field))) None
+          else Some(x.getAs[Long](field)))
+      Some(IntervalJoinTelemetry(
+        leftRows = l.map(_.getAs[Long]("n_rows")).getOrElse(0L),
+        rightRows = r.map(_.getAs[Long]("n_rows")).getOrElse(0L),
+        leftMinTsMs = opt(l, "min_ts_ms"), leftMaxTsMs = opt(l, "max_ts_ms"),
+        rightMinTsMs = opt(r, "min_ts_ms"), rightMaxTsMs = opt(r, "max_ts_ms"),
+        droppedByWatermark =
+          progress.stateOperators.map(_.numRowsDroppedByWatermark).sum,
+        evictedFromState = progress.stateOperators.map(_.numRowsRemoved).sum))
+    }
+  }
+
+  private def observeJoinSide(df: DataFrame, name: String, tsCol: String): DataFrame =
+    df.observe(name, count(lit(1)).as("n_rows"),
+      min(expr(s"unix_micros(`$tsCol`) div 1000")).as("min_ts_ms"),
+      max(expr(s"unix_micros(`$tsCol`) div 1000")).as("max_ts_ms"))
+
   /** Run the stream, splitting each micro-batch into a values sink and a
     * dead-letter sink (both parquet paths here; any batch writer works).
     * Every micro-batch also reports one-pass capture telemetry under
@@ -546,8 +596,10 @@ object StreamErrorHandling {
       leftKey: String, rightKey: String,
       leftTs: String, rightTs: String,
       watermarkDelay: String, window: String): DataFrame = {
-    val l = left.withWatermark(leftTs, watermarkDelay)
-    val r = right.withWatermark(rightTs, watermarkDelay)
+    val l = observeJoinSide(left, JoinLeftTelemetryName, leftTs)
+      .withWatermark(leftTs, watermarkDelay)
+    val r = observeJoinSide(right, JoinRightTelemetryName, rightTs)
+      .withWatermark(rightTs, watermarkDelay)
     l.join(r, col(leftKey) === col(rightKey)
       && col(rightTs) <= col(leftTs)
       && col(rightTs) >= col(leftTs) - expr(s"INTERVAL $window"))
@@ -571,8 +623,10 @@ object StreamErrorHandling {
       leftKey: String, rightKey: String,
       leftTs: String, rightTs: String,
       watermarkDelay: String, window: String): DataFrame = {
-    val l = left.withWatermark(leftTs, watermarkDelay)
-    val r = right.withWatermark(rightTs, watermarkDelay)
+    val l = observeJoinSide(left, JoinLeftTelemetryName, leftTs)
+      .withWatermark(leftTs, watermarkDelay)
+    val r = observeJoinSide(right, JoinRightTelemetryName, rightTs)
+      .withWatermark(rightTs, watermarkDelay)
     l.join(r, col(leftKey) === col(rightKey)
       && col(rightTs) <= col(leftTs)
       && col(rightTs) >= col(leftTs) - expr(s"INTERVAL $window"), "left_outer")
@@ -598,8 +652,10 @@ object StreamErrorHandling {
       leftKey: String, rightKey: String,
       leftTs: String, rightTs: String,
       watermarkDelay: String, window: String): DataFrame = {
-    val l = left.withWatermark(leftTs, watermarkDelay)
-    val r = right.withWatermark(rightTs, watermarkDelay)
+    val l = observeJoinSide(left, JoinLeftTelemetryName, leftTs)
+      .withWatermark(leftTs, watermarkDelay)
+    val r = observeJoinSide(right, JoinRightTelemetryName, rightTs)
+      .withWatermark(rightTs, watermarkDelay)
     l.join(r, col(leftKey) === col(rightKey)
       && col(rightTs) <= col(leftTs)
       && col(rightTs) >= col(leftTs) - expr(s"INTERVAL $window"), "full_outer")

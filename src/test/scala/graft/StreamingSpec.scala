@@ -873,4 +873,39 @@ class StreamingSpec extends SparkSpec {
     assert(all.length === all.distinct.length)
     q.stop()
   }
+
+  test("interval join telemetry: late-input drops and state eviction are observable") {
+    implicit val sqlCtx = spark.sqlContext
+    val lmem = MemoryStream[(Long, java.sql.Timestamp)]
+    val rmem = MemoryStream[(Long, java.sql.Timestamp)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val joined = StreamErrorHandling.intervalJoin(
+      lmem.toDF().toDF("k", "lts"), rmem.toDF().toDF("k2", "rts"),
+      "k", "k2", "lts", "rts", "10 seconds", "30 seconds")
+    val q = joined.writeStream.format("memory").queryName("ij_tele")
+      .outputMode("append").start()
+    // trigger 1: on-time rows both sides
+    lmem.addData((1L, ts(10))); rmem.addData((1L, ts(10))); q.processAllAvailable()
+    // trigger 2: advance both watermarks far past trigger 1's state
+    lmem.addData((2L, ts(40))); rmem.addData((2L, ts(40))); q.processAllAvailable()
+    // trigger 3: a LEFT row 40 min below the watermark — the join
+    // operator drops it invisibly; the counters must not
+    lmem.addData((9L, ts(0))); q.processAllAvailable()
+    // one more trigger so lingering state eviction lands
+    lmem.addData((3L, ts(55))); rmem.addData((3L, ts(55))); q.processAllAvailable()
+    q.stop()
+    val tele = q.recentProgress.toSeq
+      .flatMap(StreamErrorHandling.intervalJoinTelemetry)
+    assert(tele.nonEmpty, "join telemetry must appear in progress events")
+    assert(tele.map(_.leftRows).sum === 4L)
+    assert(tele.map(_.rightRows).sum === 3L)
+    // the trigger that saw the late row reports it on the left observe
+    // with its (old) event time — attribution, not just a global count
+    val lateTrig = tele.filter(t => t.leftRows === 1L && t.rightRows === 0L)
+    assert(lateTrig.exists(_.leftMinTsMs === Some(ts(0).getTime)))
+    assert(tele.map(_.droppedByWatermark).sum >= 1L,
+      s"late-input drop must be visible: $tele")
+    assert(tele.map(_.evictedFromState).sum >= 1L,
+      s"state eviction must be visible: $tele")
+  }
 }
