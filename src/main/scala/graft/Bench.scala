@@ -57,6 +57,33 @@ object Bench {
     // truncated the per-query map in past rounds (BENCH_r06 lost 94/160
     // times). Write the full JSON to a file so the evidence survives;
     // SPARK_GRAFT_BENCH_OUT overrides the default repo-relative path.
+    // Drift self-check (VERDICT r7 task 5): the committed artifact is
+    // what future rounds grade against, and a contended host can put a
+    // 2-3× outlier into it silently (r7 shipped t23 at 7.09 s vs 3.29
+    // isolated). Compare this run against the PRIOR committed artifact
+    // (read BEFORE overwriting it) and flag every >2× per-query
+    // regression loudly so a contended number never gets committed
+    // unexamined.
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_out.json")
+    try {
+      val ref = java.nio.file.Files.readString(java.nio.file.Paths.get(refPath))
+      val kv = """"([a-z0-9_]+)":([0-9.]+)""".r
+      val prior = kv.findAllMatchIn(ref)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val drifted = results.filter { case (name, sec) =>
+        prior.get(name).exists(p => p > 0.05 && sec > 2.0 * p)
+      }
+      drifted.foreach { case (name, sec) =>
+        System.err.println(f"[bench] DRIFT $name: $sec%.2f s is >2x the " +
+          f"committed ${prior(name)}%.2f s - re-measure isolated before committing")
+      }
+      if (drifted.isEmpty)
+        System.err.println(s"[bench] drift check vs $refPath: clean " +
+          s"(${results.size} queries, none >2x prior)")
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] drift check skipped: $t")
+    }
+
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case t: Throwable => System.err.println(s"[bench] write $outPath failed: $t") }
