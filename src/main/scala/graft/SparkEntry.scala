@@ -2749,6 +2749,40 @@ object SparkEntry {
       .orderBy($"qid", $"rank")
   }
 
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // last-touch attribution: purchases credited to the user's latest
+    // click within a 1-hour lookback — the bounded backward as-of; a
+    // too-old last click leaves the purchase visibly unattributed.
+    operators.AsOf.lastTouchAttribution(t(s, dir, "events"),
+        touchType = "click", convType = "purchase",
+        lookbackNs = 3600L * 1000000000L)
+      .orderBy($"conv_id")
+  }
+
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // user-journey Markov transition matrix: one lead window per user,
+    // state-squared count grain, exact-integer row probabilities.
+    operators.Pipeline.transitionMatrix(t(s, dir, "events"))
+      .orderBy($"from_state", $"to_state")
+  }
+
+  private def p20(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // importance reweighting to a uniform source mix, capped at 4x.
+    operators.Pipeline.importanceReweight(t(s, dir, "documents"),
+        "source", cap = 4.0)
+      .orderBy($"key")
+  }
+
+  private def t28(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Good-Turing smoothed counts off the corpus frequency spectrum.
+    operators.TextAnalysis.goodTuring(t(s, dir, "documents")).orderBy($"c")
+  }
+
+
   private def d25(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // persisted LSH band index: the corpus banded ONCE into a bucketed
@@ -3021,6 +3055,10 @@ object SparkEntry {
     "q45_interval_coalesce" -> (q45 _),
     "s12_binary_hamming" -> (s12 _),
     "s13_graph_ann" -> (s13q _),
+    "q53_attribution" -> (q53 _),
+    "q54_markov" -> (q54 _),
+    "p20_reweight" -> (p20 _),
+    "t28_good_turing" -> (t28 _),
     "d25_lsh_persisted" -> (d25 _),
     "d26_cdc_chunks" -> (d26 _),
     "x11_psi" -> (x11psi _),
@@ -3473,6 +3511,57 @@ object SparkEntry {
         |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank FROM scored)
         |SELECT qid, rank, vec_id, cosine FROM ranked WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
+    "q53_attribution" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+        |  WHERE event_type = 'purchase'),
+        |m AS (SELECT p.event_id AS conv_id, p.user_id, p.t AS conv_ts_us,
+        |  (SELECT max(c.t) FROM c
+        |   WHERE c.user_id = p.user_id AND c.t <= p.t) AS lt
+        | FROM p),
+        |m2 AS (SELECT conv_id, user_id, conv_ts_us,
+        |  CASE WHEN lt >= conv_ts_us - 3600000000 THEN lt END AS lt_in FROM m)
+        |SELECT m2.conv_id, m2.user_id, m2.conv_ts_us,
+        | (SELECT max(c.event_id) FROM c
+        |  WHERE c.user_id = m2.user_id AND c.t = m2.lt_in) AS touch_id,
+        | conv_ts_us - lt_in AS gap_us,
+        | lt_in IS NOT NULL AS attributed
+        |FROM m2 ORDER BY conv_id""".stripMargin,
+    "q54_markov" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type FROM events),
+        |pr AS (SELECT event_type AS from_state,
+        |  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS to_state
+        | FROM e),
+        |ct AS (SELECT from_state, to_state, COUNT(*) AS n FROM pr
+        |  WHERE to_state IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_state, to_state, n,
+        | CAST(SUM(n) OVER (PARTITION BY from_state) AS BIGINT) AS row_total,
+        | CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_state) AS DOUBLE) AS p
+        |FROM ct ORDER BY from_state, to_state""".stripMargin,
+    "p20_reweight" ->
+      """WITH c AS (SELECT source AS key, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        |s AS (SELECT key, n_docs,
+        |  CAST(SUM(n_docs) OVER () AS BIGINT) AS n_total,
+        |  CAST(COUNT(*) OVER () AS BIGINT) AS k FROM c),
+        |w AS (SELECT key, n_docs,
+        |  CAST(n_total AS DOUBLE) / CAST(k * n_docs AS DOUBLE) AS raw_weight FROM s),
+        |w2 AS (SELECT key, n_docs, raw_weight,
+        |  LEAST(raw_weight, CAST(4.0 AS DOUBLE)) AS weight FROM w),
+        |w3 AS (SELECT *, CAST(n_docs AS DOUBLE) * weight AS eff_docs FROM w2)
+        |SELECT key, n_docs, raw_weight, weight, eff_docs,
+        | eff_docs / (SELECT list_reduce(list_prepend(0.0, list_sort(list(eff_docs))),
+        |   (a, x) -> a + x) FROM w3) AS weighted_frac
+        |FROM w3 ORDER BY key""".stripMargin,
+    "t28_good_turing" ->
+      """WITH tc AS (SELECT tok, COUNT(*) AS c FROM (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents) GROUP BY tok),
+        |sp AS (SELECT c, COUNT(*) AS n_types, c * COUNT(*) AS mass FROM tc GROUP BY c)
+        |SELECT s1.c, s1.n_types, s1.mass, s2.n_types AS next_types,
+        | CAST((s1.c + 1) * s2.n_types AS DOUBLE) / CAST(s1.n_types AS DOUBLE) AS r_star
+        |FROM sp s1 LEFT JOIN sp s2 ON s2.c = s1.c + 1
+        |ORDER BY s1.c""".stripMargin,
     "s13_graph_ann" ->
       """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings),
         |n AS (SELECT vec_id, label, v,

@@ -49,4 +49,47 @@ object AsOf {
       .filter(col("__side") === 1)
       .select(col("__l.*") +: Seq(col("__match")): _*)
   }
+
+  /** Last-touch marketing attribution (q53): each conversion event is
+    * credited to the user's LATEST touch event at-or-before it and
+    * within `lookbackNs` — the classic attribution rule, which is a
+    * bounded backward as-of: the same union-window formulation as
+    * [[join]] (ONE user exchange, linear in rows, never a
+    * conversions × touches range join), with the lookback applied to
+    * the carried match afterward — a too-old last touch yields an
+    * UNATTRIBUTED conversion (touch/gap null, attributed=false),
+    * never a silent drop. Ties: a touch at the conversion's exact
+    * timestamp counts; touches sharing (user, ts) resolve to the
+    * greatest event id. Timestamps are the long-nanos events
+    * contract; outputs are micros (exact ÷1000 — the corpus generates
+    * micros).
+    */
+  def lastTouchAttribution(events: DataFrame, touchType: String,
+      convType: String, lookbackNs: Long,
+      tsCol: String = "ts", userCol: String = "user_id",
+      idCol: String = "event_id", typeCol: String = "event_type"): DataFrame = {
+    require(lookbackNs >= 0)
+    val touches = events.filter(col(typeCol) === touchType)
+      .select(col(userCol).as("u"), col(tsCol).as("t"),
+        col(idCol).as("id"), lit(0).as("side"))
+    val convs = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("u"), col(tsCol).as("t"),
+        col(idCol).as("id"), lit(1).as("side"))
+    // touches sort before conversions at equal ts (at-or-before), the
+    // greatest id among same-ts touches is the one carried
+    val w = Window.partitionBy(col("u"))
+      .orderBy(col("t"), col("side"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inWindow = col("__touch.tt") >= col("t") - lit(lookbackNs)
+    touches.unionByName(convs)
+      .withColumn("__touch", last(when(col("side") === 0,
+        struct(col("t").as("tt"), col("id").as("tid"))),
+        ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("id").as("conv_id"), col("u").as("user_id"),
+        expr("t div 1000").as("conv_ts_us"),
+        when(inWindow, col("__touch.tid")).as("touch_id"),
+        when(inWindow, expr("(t - __touch.tt) div 1000")).as("gap_us"),
+        coalesce(inWindow, lit(false)).as("attributed"))
+  }
 }

@@ -1291,4 +1291,67 @@ object Pipeline {
         md5(concat_ws(" ", col("__chunk"))).as("chunk_hash"),
         concat_ws(" ", col("__chunk")).as("chunk_text"))
   }
+
+  /** Per-key Markov transition matrix over event sequences (q54): each
+    * key's events in (ts, id) order yield (state → next-state) pairs
+    * via ONE lead window — one key exchange, pair counts from a hash
+    * aggregate at state² grain, row-probabilities as ONE division of
+    * exact BIGINTs (the per-from totals ride a window over the tiny
+    * matrix frame, not a second scan). The page-path / user-journey
+    * summary every product-analytics store wants, and the transition
+    * table a sequence-anomaly monitor (R41's patterns) scores against.
+    */
+  def transitionMatrix(events: DataFrame, keyCol: String = "user_id",
+      stateCol: String = "event_type", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(keyCol), col(tsCol), col(idCol), col(stateCol).as("from_state"))
+      .withColumn("to_state", lead(col("from_state"), 1).over(w))
+      .filter(col("to_state").isNotNull)
+    val counts = pairs.groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val tw = org.apache.spark.sql.expressions.Window.partitionBy(col("from_state"))
+    counts
+      .withColumn("row_total", sum(col("n")).over(tw))
+      .select(col("from_state"), col("to_state"), col("n"), col("row_total"),
+        (col("n").cast("double") / col("row_total").cast("double")).as("p"))
+  }
+
+  /** Importance reweighting to a uniform target mix (p20): every key
+    * (domain/source/lang) gets weight n_total / (k · n_key) — the
+    * factor that makes each key contribute equal EFFECTIVE mass — with
+    * an explicit cap so a tiny source can't be amplified into noise
+    * (the standard data-mixing guard; capped keys land visibly under
+    * target). One key-grain aggregate; the weighted-mass normalizer
+    * folds the k per-key terms in SORTED order, so every double is
+    * engine-bit-exact (the d20/d29 discipline). The multiplicative
+    * complement of [[temperatureMixSample]]'s row sampling: weights
+    * reshape the LOSS, sampling reshapes the DATA.
+    */
+  def importanceReweight(docs: DataFrame, keyCol: String,
+      cap: Double): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    val counts = docs.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_docs"))
+    // two-branch rule: totals reuse the per-key aggregate exchange
+    val tw = org.apache.spark.sql.expressions.Window.partitionBy()
+    val stats = counts
+      .withColumn("n_total", sum(col("n_docs")).over(tw))
+      .withColumn("k", count(lit(1)).over(tw))
+    val weighted = stats
+      .withColumn("raw_weight",
+        col("n_total").cast("double") / (col("k") * col("n_docs")).cast("double"))
+      .withColumn("weight", least(col("raw_weight"), lit(cap)))
+      .withColumn("eff_docs", col("n_docs").cast("double") * col("weight"))
+    // normalizer: fold the k eff_docs terms in sorted order — exact
+    weighted
+      .withColumn("total_eff", aggregate(
+        sort_array(collect_list(col("eff_docs")).over(tw)),
+        lit(0.0), (a, x) => a + x))
+      .select(col("key"), col("n_docs"), col("raw_weight"), col("weight"),
+        col("eff_docs"),
+        (col("eff_docs") / col("total_eff")).as("weighted_frac"))
+  }
 }

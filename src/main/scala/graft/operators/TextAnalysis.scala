@@ -795,6 +795,27 @@ object TextAnalysis {
       .groupBy(col("c")).agg(count(lit(1)).as("n_types"))
       .select(col("c"), col("n_types"), (col("c") * col("n_types")).as("mass"))
 
+  /** Good–Turing frequency re-estimation (t28) over the corpus token
+    * histogram — the classical smoothed count r* = (r+1)·N_{r+1}/N_r
+    * that [[freqSpectrum]]'s frequency-of-frequencies exists to feed:
+    * tokens seen r times should be treated as if seen r* < r times,
+    * with the shaved mass funding unseen events (P₀ = N₁/N, readable
+    * off the c=1 row). Two vocab-then-spectrum-sized aggregates plus a
+    * spectrum self-join on c+1; every r* is ONE IEEE division of exact
+    * BIGINTs ((c+1)·N_{c+1} stays far under 2⁵³ at any real spectrum),
+    * so the table is engine-bit-exact. r* is null where the spectrum
+    * has a gap (N_{c+1} = 0 — the standard cutoff past which raw
+    * counts are kept).
+    */
+  def goodTuring(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val spec = freqSpectrum(docs, textCol)
+    val next = spec.select((col("c") - 1).as("c"), col("n_types").as("next_types"))
+    spec.join(next, Seq("c"), "left")
+      .select(col("c"), col("n_types"), col("mass"), col("next_types"),
+        (((col("c") + 1) * col("next_types")).cast("double")
+          / col("n_types").cast("double")).as("r_star"))
+  }
+
   /** Deterministic hash sampling: keep rows whose salted md5 falls under
     * a hex-prefix cutoff — reproducible across engines and runs, the
     * right way to cut a stable x% slice of a 100 TB corpus (no RNG
