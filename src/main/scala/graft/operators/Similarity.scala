@@ -750,6 +750,73 @@ object Similarity {
         .orderBy(col("cosine").desc, col("vec_id").asc)))
   }
 
+  final case class MmrPick(qid: Long, rank: Int, vec_id: Long,
+      relevance: Double, mmr_score: Double)
+
+  /** Maximal Marginal Relevance re-ranking (S14) — the diversity pass
+    * between retrieval and the consumer: from a per-query SHORTLIST
+    * (any retrieval path's output: (qid, vec_id, cosine)), select k
+    * items greedily by argmax of λ·relevance − (1−λ)·max-similarity-to-
+    * already-selected (Carbonell & Goldstein '98) — near-duplicate
+    * hits stop crowding out coverage. λ=1 degenerates to plain top-k.
+    *
+    * Scale shape: the quadratic term is per-QUERY (≤ shortlist² sims,
+    * shortlist is a bounded constant), run inside one mapGroups task
+    * per query — queries distribute, vectors join on by id before the
+    * group (the shortlist never carries more than its own rows'
+    * embeddings). Deterministic: ties break (score desc, vec_id asc);
+    * all arithmetic is the same left-fold dot/norm as VectorDot.
+    */
+  def mmrRerank(shortlist: DataFrame, vectors: DataFrame, k: Int,
+      lambda: Double): DataFrame = {
+    require(k >= 1 && lambda >= 0 && lambda <= 1)
+    val spark = shortlist.sparkSession
+    import spark.implicits._
+    val withVec = shortlist.select(col("qid").cast("long"),
+        col("vec_id").cast("long"), col("cosine").cast("double"))
+      .join(vectors.select(col("vec_id").cast("long"),
+        toDoubleVec(col("embedding")).as("v")), "vec_id")
+      .select(col("qid"), col("vec_id"), col("cosine"), col("v"))
+      .as[(Long, Long, Double, Seq[Double])]
+    withVec.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val cand = it.map { case (_, id, rel, v) => (id, rel, v.toArray) }
+        .toArray.sortBy(c => (-c._2, c._1))
+      def dotN(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i) * b(i); i += 1 }
+        s
+      }
+      def cos(a: Array[Double], b: Array[Double]): Double =
+        dotN(a, b) / (math.sqrt(dotN(a, a)) * math.sqrt(dotN(b, b)))
+      val selected = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+      val chosen = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      val used = scala.collection.mutable.BitSet.empty
+      var rank = 1
+      while (rank <= k && used.size < cand.length) {
+        var bestIdx = -1
+        var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < cand.length) {
+          if (!used(i)) {
+            val maxSim = if (chosen.isEmpty) 0.0
+              else chosen.map(s => cos(cand(i)._3, s)).max
+            val score = lambda * cand(i)._2 - (1.0 - lambda) * maxSim
+            // strict > with candidates pre-sorted (rel desc, id asc)
+            // makes ties deterministic
+            if (score > bestScore) { bestScore = score; bestIdx = i }
+          }
+          i += 1
+        }
+        used += bestIdx
+        chosen += cand(bestIdx)._3
+        selected += MmrPick(qid, rank, cand(bestIdx)._1, cand(bestIdx)._2,
+          bestScore)
+        rank += 1
+      }
+      selected.iterator
+    }.toDF()
+  }
+
   def nearDupPairs(vectors: DataFrame, blockCol: String, threshold: Double): DataFrame = {
     val e = vectors.select(col("vec_id"), col(blockCol).as("blk"),
       toDoubleVec(col("embedding")).as("v"))

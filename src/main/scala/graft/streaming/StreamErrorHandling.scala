@@ -816,6 +816,70 @@ object StreamErrorHandling {
       compact = compressFunnel)
   }
 
+  /** Per-key attribution state: every touch and conversion seen, as
+    * (event-time µs, event id) — verdicts are computed only at
+    * punctuation, so arrival order can never change them. State is
+    * bounded by the key's events inside its activity window (the ST12
+    * contract; a key quiet for `watermarkDelay` flushes and frees). */
+  final case class AttributionState(
+      touches: List[(Long, Long)], convs: List[(Long, Long)])
+
+  final case class AttributionVerdict(conv_id: Long, user_id: Long,
+      conv_ts_us: Long, touch_id: Option[Long], gap_us: Option[Long],
+      attributed: Boolean)
+
+  /** Streaming last-touch attribution (ST28) — the live twin of the
+    * batch [[graft.operators.AsOf.lastTouchAttribution]] (q53): each
+    * conversion is credited to its user's latest touch at-or-before it
+    * within `lookbackUs`, and the verdict emits EXACTLY ONCE after the
+    * watermark proves the user's history is closed — a click arriving
+    * after the purchase it precedes (in event time) still wins credit,
+    * because all ordering happens at punctuation, never at arrival.
+    * Built by wiring [[Punctuate.eventTimePunctuate]] (fold/finish
+    * only); ties match the batch twin bit-for-bit: a touch at the
+    * conversion's exact timestamp counts, same-ts touches resolve to
+    * the greatest event id.
+    */
+  def attributionDetect(events: DataFrame, userCol: String, tsCol: String,
+      tsUsCol: String, idCol: String, typeCol: String,
+      touchType: String, convType: String, lookbackUs: Long,
+      watermarkDelay: String): Dataset[AttributionVerdict] = {
+    implicit val outEnc: Encoder[AttributionVerdict] =
+      Encoders.product[AttributionVerdict]
+    implicit val stEnc: Encoder[Punctuate.PunctState[AttributionState]] =
+      Encoders.product[Punctuate.PunctState[AttributionState]]
+    implicit val kEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val rowEnc: Encoder[(Long, Long, Long, Long, String, java.sql.Timestamp)] =
+      Encoders.product[(Long, Long, Long, Long, String, java.sql.Timestamp)]
+    val rows = events.withWatermark(tsCol, watermarkDelay)
+      .select(col(userCol).cast("long"),
+        expr(s"unix_micros(`$tsCol`) div 1000"), // ms for timeouts
+        col(tsUsCol).cast("long"), col(idCol).cast("long"),
+        col(typeCol), col(tsCol))
+      .as[(Long, Long, Long, Long, String, java.sql.Timestamp)]
+    Punctuate.eventTimePunctuate[
+        (Long, Long, Long, Long, String, java.sql.Timestamp), Long,
+        AttributionState, AttributionVerdict](
+      rows, keyFn = _._1, tsMsFn = _._2,
+      zero = AttributionState(Nil, Nil),
+      fold = (st, r) =>
+        if (r._5 == touchType) st.copy(touches = (r._3, r._4) :: st.touches)
+        else if (r._5 == convType) st.copy(convs = (r._3, r._4) :: st.convs)
+        else st,
+      finish = (user, st) => {
+        // lexicographic sort = (ts, id): the LAST admissible element is
+        // the latest touch, greatest id on ties — the batch tie rule
+        val touches = st.touches.sorted.toIndexedSeq
+        st.convs.sorted.iterator.map { case (t, cid) =>
+          val idx = touches.lastIndexWhere(_._1 <= t)
+          if (idx >= 0 && touches(idx)._1 >= t - lookbackUs)
+            AttributionVerdict(cid, user, t,
+              Some(touches(idx)._2), Some(t - touches(idx)._1), attributed = true)
+          else AttributionVerdict(cid, user, t, None, None, attributed = false)
+        }
+      })
+  }
+
   /** Idle-key (missing-heartbeat) detection (ST22) — the canonical
     * Kafka Streams punctuator use case: alert when a key goes SILENT.
     * Per key, fold first/last/count of its event times; when the

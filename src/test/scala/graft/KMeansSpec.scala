@@ -220,6 +220,43 @@ class KMeansSpec extends SparkSpec {
       s"beam search ($beamRecall) must beat nprobe=1 IVF ($ivf)")
   }
 
+  test("MMR rerank: diversity beats a redundant shortlist; lambda=1 is plain top-k") {
+    // query ~ e1; candidates: two near-identical e1-ish vectors (10, 11),
+    // one diverse e2-ish (12), one weak (13)
+    val vecs = Seq(
+      (10L, Array(1.0f, 0.01f, 0f, 0f)),
+      (11L, Array(1.0f, 0.012f, 0f, 0f)),
+      (12L, Array(0.5f, 0.86f, 0f, 0f)),
+      (13L, Array(0.4f, 0.2f, 0.89f, 0f))
+    ).toDF("vec_id", "embedding")
+    def cosine(a: Seq[Double], b: Seq[Double]): Double = {
+      def d(x: Seq[Double], y: Seq[Double]) =
+        x.zip(y).map(p => p._1 * p._2).foldLeft(0.0)(_ + _)
+      d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+    }
+    val q = Seq(1.0, 0.0, 0.0, 0.0)
+    val emb = Map(10L -> Seq(1.0, 0.01, 0, 0.0), 11L -> Seq(1.0, 0.012, 0, 0.0),
+      12L -> Seq(0.5, 0.86, 0, 0.0), 13L -> Seq(0.4, 0.2, 0.89, 0.0))
+    val shortlist = emb.toSeq.map { case (id, v) => (1L, id, cosine(q, v)) }
+      .toDF("qid", "vec_id", "cosine")
+    val diverse = Similarity.mmrRerank(shortlist, vecs, k = 3, lambda = 0.3)
+      .orderBy($"rank").select($"vec_id").as[Long].collect().toSeq
+    // rank 1 = most relevant (10); the near-clone 11 is then dominated
+    // by BOTH diverse candidates and drops out of the top-3 entirely
+    assert(diverse === Seq(10L, 13L, 12L))
+    assert(!diverse.contains(11L))
+    // λ=1 degenerates to plain relevance order
+    val plain = Similarity.mmrRerank(shortlist, vecs, k = 3, lambda = 1.0)
+      .orderBy($"rank").select($"vec_id").as[Long].collect().toSeq
+    val topk = shortlist.orderBy($"cosine".desc, $"vec_id")
+      .select($"vec_id").as[Long].collect().take(3).toSeq
+    assert(plain === topk)
+    // deterministic on rerun
+    val again = Similarity.mmrRerank(shortlist, vecs, k = 3, lambda = 0.3)
+      .orderBy($"rank").select($"vec_id").as[Long].collect().toSeq
+    assert(again === diverse)
+  }
+
   test("graph expansion search: neighborhood closure is exactly the ≤2-hop set") {
     // a tiny graph with KNOWN reachability: 0→{1,2}, 1→{3}, 2→{4}, 3→{5}
     // — from query node 0, 2 hops reach {1,2,3,4}; 5 is 3 hops away

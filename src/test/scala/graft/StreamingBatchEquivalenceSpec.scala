@@ -274,6 +274,55 @@ class StreamingBatchEquivalenceSpec extends SparkSpec {
     assert(run(scattered, "sbe_funnel3") == got)
   }
 
+  test("ST28 attributionDetect equals batch q53; verdicts arrival-order independent") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamErrorHandling.AttributionVerdict
+    val rows = Tables.load(spark, sf, "events")
+      .select($"user_id", expr("ts div 1000").as("tus"), $"event_id", $"event_type")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val maxTs = rows.map(_._2).max
+    val day = 86400L * 1000000L
+
+    def run(batches: Seq[Seq[(Long, Long, Long, String)]], name: String)
+        : Set[AttributionVerdict] = {
+      val mem = MemoryStream[(Long, Long, Long, String)]
+      val ev = mem.toDF().toDF("user_id", "tus", "event_id", "event_type")
+        .withColumn("ets", timestamp_micros($"tus"))
+      val out = StreamErrorHandling.attributionDetect(ev, "user_id", "ets",
+        "tus", "event_id", "event_type", touchType = "click",
+        convType = "purchase", lookbackUs = 3600L * 1000000L,
+        watermarkDelay = "60 days")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      mem.addData(Seq((-1L, maxTs + 61 * day, -1L, "noise"))); q.processAllAvailable()
+      mem.addData(Seq((-2L, maxTs + 122 * day, -2L, "noise"))); q.processAllAvailable()
+      q.stop()
+      spark.table(name).as[AttributionVerdict].collect()
+        .filter(_.user_id >= 0).toSet
+    }
+
+    val got = run(Seq(rows), "sbe_attr")
+    // FULL row equality with the oracle-verified batch q53 over the
+    // same corpus (same lookback, same tie rules)
+    val want = SparkEntry.queries("q53_attribution")(spark, sf)
+      .select($"conv_id", $"user_id", $"conv_ts_us", $"touch_id",
+        $"gap_us", $"attributed")
+      .collect().map(r => AttributionVerdict(r.getLong(0), r.getLong(1),
+        r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getBoolean(5)))
+      .toSet
+    assert(want.exists(!_.attributed), "fixture has no unattributed rows — vacuous")
+    assert(want.exists(_.attributed), "fixture has no attributed rows — vacuous")
+    assert(got == want)
+    // arrival-order independence: clicks often arriving AFTER the
+    // purchases they precede in event time
+    val scattered = rows.zipWithIndex.groupBy(_._2 % 3).toSeq.sortBy(_._1)
+      .map(_._2.map(_._1))
+    assert(run(scattered, "sbe_attr3") == got)
+  }
+
   test("ST13 enrichToSink: per-trigger dim refresh; enrichment equals batch join") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
