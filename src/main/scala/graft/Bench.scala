@@ -47,16 +47,6 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // Durable copy: the driver captures only a stdout TAIL, which has
-    // truncated the per-query map in past rounds (BENCH_r06 lost 94/160
-    // times). Write the full JSON to a file so the evidence survives;
-    // SPARK_GRAFT_BENCH_OUT overrides the default repo-relative path.
     // Drift self-check (VERDICT r7 task 5): the committed artifact is
     // what future rounds grade against, and a contended host can put a
     // 2-3× outlier into it silently (r7 shipped t23 at 7.09 s vs 3.29
@@ -65,11 +55,15 @@ object Bench {
     // regression loudly so a contended number never gets committed
     // unexamined.
     val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_out.json")
-    try {
+    val prior: Map[String, Double] = try {
       val ref = java.nio.file.Files.readString(java.nio.file.Paths.get(refPath))
       val kv = """"([a-z0-9_]+)":([0-9.]+)""".r
-      val prior = kv.findAllMatchIn(ref)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      kv.findAllMatchIn(ref)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap - "value"
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] drift check skipped: $t"); Map.empty
+    }
+    if (prior.nonEmpty) {
       val drifted = results.filter { case (name, sec) =>
         prior.get(name).exists(p => p > 0.05 && sec > 2.0 * p)
       }
@@ -80,10 +74,23 @@ object Bench {
       if (drifted.isEmpty)
         System.err.println(s"[bench] drift check vs $refPath: clean " +
           s"(${results.size} queries, none >2x prior)")
-    } catch { case t: Throwable =>
-      System.err.println(s"[bench] drift check skipped: $t")
     }
 
+    // The written artifact MERGES this run into the prior map (this
+    // run wins on overlap) so a filtered or partial bench run can
+    // never shrink the drift baseline — the r8 single-query re-measure
+    // erased 186 reference times exactly this way (ADVICE r8).
+    val merged = (prior ++ results.toMap).toSeq.sortBy(_._1)
+    val qs = merged.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = merged.map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Durable copy: the driver captures only a stdout TAIL, which has
+    // truncated the per-query map in past rounds (BENCH_r06 lost 94/160
+    // times). Write the full JSON to a file so the evidence survives;
+    // SPARK_GRAFT_BENCH_OUT overrides the default repo-relative path.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case t: Throwable => System.err.println(s"[bench] write $outPath failed: $t") }

@@ -709,10 +709,14 @@ object SparkEntry {
     * further). d4 keeps the full recompute under the oracle and
     * d27_pair_store pins store-roundtrip == recompute.
     */
-  // Weak SESSION keys (not identityHashCode strings): a dead session's
-  // checkpointed frames become unreachable with it, and a key can never
-  // alias another live session. Cache assumes the data under `dir` is
-  // immutable for the session's lifetime (true for the driver's testdata).
+  // SESSION keys (not identityHashCode strings) so a key can never
+  // alias another live session. NOTE: this cache lives for the JVM
+  // lifetime — the cached DataFrames strongly reference their
+  // SparkSession (a value→key path), so despite the weak keys no entry
+  // is ever collectable (ADVICE r8; the weak keys buy non-aliasing,
+  // not GC). Bounded in practice: one entry per (session, sf dir), and
+  // Verify/Bench run one session per JVM. Cache assumes the data under
+  // `dir` is immutable for the session's lifetime (true for testdata).
   private val pairCache =
     new java.util.WeakHashMap[SparkSession,
       scala.collection.mutable.Map[String, DataFrame]]()
@@ -2060,6 +2064,22 @@ object SparkEntry {
       .orderBy($"da", $"db")
   }
 
+  private def m8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Golden cross-engine pin of the STUB hex-sampling aHash arithmetic
+    // (ADVICE r8): since m6's oracle became an analytic pair list, the
+    // 64-sample/threshold math itself is re-derived here by DuckDB over
+    // NON-media payloads (the "g:" prefix keeps DecodeMedia on the stub
+    // branch even if a document happened to start with a media magic).
+    // Hash VALUES compare directly — strictly stronger on the
+    // arithmetic than the pair join it backs up.
+    val docs = t(s, dir, "documents")
+      .filter(pmod($"doc_id", lit(10L)) === 0L)
+      .withColumn("payload", encode(concat(lit("g:"), $"text"), "UTF-8"))
+    operators.Multimodal.perceptualHash(docs, "payload", "doc_id")
+      .orderBy($"doc_id")
+  }
+
   private def q43(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // Pareto frontier of orders: no other order is both cheaper AND
@@ -3085,6 +3105,7 @@ object SparkEntry {
     "q52_topk_ties" -> (q52 _),
     "e21_capture_fallback" -> (e21f _),
     "m7_meta_audit" -> (m7 _),
+    "m8_phash_golden" -> (m8 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5449,6 +5470,25 @@ object SparkEntry {
       """SELECT a.doc_id AS da, b.doc_id AS db, CAST(0 AS BIGINT) AS hamming
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
         |WHERE a.doc_id % 10 = 0 ORDER BY da, db""".stripMargin,
+    // the golden twin m6's analytic oracle lost (ADVICE r8): DuckDB
+    // re-derives the stub 64-sample aHash with the same IEEE/int ops
+    // (floor-scaled hex sampling, integer mean via >>6, bits 0–62)
+    "m8_phash_golden" ->
+      """WITH d AS (SELECT doc_id, hex(encode('g:' || text)) AS hx,
+        |  CAST(octet_length(encode('g:' || text)) AS BIGINT) AS len
+        | FROM documents WHERE doc_id % 10 = 0),
+        |px AS (SELECT doc_id, list_transform(range(0, 64), i ->
+        |   CAST(COALESCE(TRY_CAST('0x' || substr(hx,
+        |     CAST(CAST(floor(CAST(len AS DOUBLE) * CAST(i AS DOUBLE) / CAST(64 AS DOUBLE)) AS BIGINT) * 2 + 1 AS INT),
+        |     2) AS INT), 0) AS BIGINT)) AS p
+        | FROM d),
+        |m AS (SELECT doc_id, p, (CAST(list_sum(p) AS BIGINT) >> 6) AS mean FROM px),
+        |h AS (SELECT doc_id, list_aggregate(list_transform(range(0, 63), i ->
+        |   CASE WHEN p[CAST(i AS INT) + 1] > mean
+        |        THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END),
+        |  'bit_or') AS phash
+        | FROM m)
+        |SELECT doc_id, phash FROM h ORDER BY doc_id""".stripMargin,
     // winnowing rebuilt with the same md5-hex-prefix hash; k=3, w=4,
     // maxDf=50, minShared=2 mirror the Spark call
     "d23_winnow" ->

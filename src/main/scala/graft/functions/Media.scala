@@ -19,11 +19,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * `format = "unknown"` for them.
   *
   * Returned struct (fields null unless the format provides them):
-  *   format       "ppm" | "wav" | "unknown"
-  *   width/height/maxval            PPM image dimensions
+  *   format       "ppm" | "png" | "wav" | "unknown"
+  *   width/height/maxval            PPM/PNG image dimensions
   *   channels/sample_rate/bits/n_samples/block_align   WAV audio
   *   data_offset  byte offset of the payload's sample/pixel data
-  *   gray64       PPM only: 8×8 block-mean grayscale (row-major, 64
+  *                (PNG: first IDAT chunk)
+  *   gray64       PPM/PNG: 8×8 block-mean grayscale (row-major, 64
   *                longs) — what a real thumbnail resize produces; block
   *                value = Σ(r+g+b) over the block / (3 · #pixels)
   *                (integer division; empty blocks on images narrower
@@ -71,6 +72,10 @@ object DecodeMedia {
     if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
     else if (bytes.length >= 12 && ascii(bytes, 0, 4) == "RIFF" &&
       ascii(bytes, 8, 4) == "WAVE") decodeWav(bytes)
+    else if (bytes.length >= 24 && (bytes(0) & 0xff) == 0x89 &&
+      bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G' &&
+      bytes(4) == 0x0d && bytes(5) == 0x0a && bytes(6) == 0x1a &&
+      bytes(7) == 0x0a) decodePng(bytes)
     else unknown
   }
 
@@ -151,6 +156,83 @@ object DecodeMedia {
     r
   }
 
+  /** PNG via JDK ImageIO — ships WITH the JVM, no dependency, and PNG
+    * is lossless so decoded sRGB values are bit-identical across JVMs
+    * (the determinism JPEG's IDCT can't pin — JPEG stays out, see
+    * SURVEY §6). Guards before the real decode: the IHDR dimensions
+    * are peeked from the HEADER (PNG spec: IHDR is the first chunk)
+    * so a crafted 1-KB payload declaring 2³¹ pixels can never allocate
+    * an unbounded BufferedImage — oversize or malformed degrades to
+    * `unknown`, preserving the never-crash contract. `data_offset`
+    * reports the first IDAT chunk (the compressed pixel stream a
+    * seeking reader would target); gray64 is the same 8×8 block-mean
+    * grayscale as PPM, over ImageIO's decoded sRGB pixels.
+    */
+  private val maxPngPixels = 1L << 24 // 16M pixels ≈ 64 MB ARGB raster
+
+  private def decodePng(b: Array[Byte]): InternalRow = {
+    def be32(off: Int): Long =
+      ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+        ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+    if (ascii(b, 12, 4) != "IHDR") return unknown
+    val wDecl = be32(16); val hDecl = be32(20)
+    if (wDecl <= 0 || hDecl <= 0 || wDecl * hDecl > maxPngPixels) return unknown
+    // chunk walk for the first IDAT offset (Long-advance, same
+    // malformed-size discipline as the WAV walk)
+    var i = 8
+    var idatOff = -1L
+    while (idatOff < 0 && i + 8 <= b.length) {
+      val size = be32(i)
+      if (ascii(b, i + 4, 4) == "IDAT") idatOff = i + 8L
+      else {
+        val next = i + 12L + size // length + type + payload + CRC
+        if (next <= i || next > Int.MaxValue) return unknown
+        i = next.toInt
+      }
+    }
+    if (idatOff < 0) return unknown
+    val img =
+      try {
+        javax.imageio.ImageIO.setUseCache(false) // no executor /tmp spills
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      } catch { case _: Throwable => null }
+    if (img == null) return unknown
+    val w = img.getWidth; val h = img.getHeight
+    if (w <= 0 || h <= 0) return unknown
+    val gray = new Array[Long](64)
+    var by = 0
+    while (by < 8) {
+      val r0 = (h.toLong * by / 8).toInt
+      val r1 = (h.toLong * (by + 1) / 8).toInt
+      var bx = 0
+      while (bx < 8) {
+        val c0 = (w.toLong * bx / 8).toInt
+        val c1 = (w.toLong * (bx + 1) / 8).toInt
+        var sum = 0L
+        var row = r0
+        while (row < r1) {
+          var x = c0
+          while (x < c1) {
+            val rgb = img.getRGB(x, row)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          row += 1
+        }
+        val n = (r1 - r0).toLong * (c1 - c0)
+        gray(by * 8 + bx) = if (n == 0) 0L else sum / (3L * n)
+        bx += 1
+      }
+      by += 1
+    }
+    val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(11)
+    r.update(0, UTF8String.fromString("png"))
+    r.update(1, w); r.update(2, h); r.update(3, 255)
+    r.update(9, idatOff)
+    r.update(10, new GenericArrayData(gray))
+    r
+  }
+
   private def le16(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
   private def le32(b: Array[Byte], off: Int): Long =
@@ -179,7 +261,15 @@ object DecodeMedia {
         dataOff = body.toLong
         dataLen = math.min(size, (b.length - body).toLong)
       }
-      i = body + size.toInt + (size.toInt & 1)
+      // Advance in Long: `size` is an unsigned 32-bit value from
+      // untrusted bytes — truncating to Int can wrap the cursor
+      // backwards (infinite loop) or negative (ascii() throws). Any
+      // size that fails to move the cursor strictly forward within
+      // addressable range degrades to format=unknown, preserving the
+      // never-crash contract over arbitrary binary columns.
+      val next = body.toLong + size + (size & 1L)
+      if (next <= i || next > Int.MaxValue) return unknown
+      i = next.toInt
     }
     if (channels <= 0 || blockAlign <= 0 || dataOff < 0) return unknown
     val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(11)

@@ -809,15 +809,34 @@ object Dedup {
         col("len") - ceil(lit(threshold) * col("len")).cast("int") + 1)
       .localCheckpoint() // three consumers; the token-sort runs once
     val pref = ordered.select(col("id"), col("len"),
-      explode(slice(col("ts"), lit(1), col("plen"))).as("tok"))
-    // the PPJoin length filter, exactness-preserving: J ≥ θ forces
-    // |a∩b|/|a∪b| ≤ min/max, so min(len) ≥ θ·max(len) — prunes the
-    // long-vs-short candidate pairs skewed shared tokens generate
-    // before they reach the distinct + verify stages
+        posexplode(slice(col("ts"), lit(1), col("plen"))))
+      .withColumnRenamed("col", "tok") // (id, len, pos 0-based, tok)
+    // Two exactness-preserving PPJoin prunes INSIDE the join condition:
+    // (1) length filter: J ≥ θ forces min(len) ≥ θ·max(len) — kills the
+    //     long-vs-short pairs skewed shared tokens generate;
+    // (2) positional filter (Xiao et al., round 9): J ≥ θ ⟺ the overlap
+    //     o satisfies o·(1+θ) ≥ θ·(la+lb), and at a shared token at
+    //     0-based positions (pa, pb) the overlap is bounded by
+    //     min(la−pa, lb−pb) — both arrays are sorted by ONE global
+    //     order, so every shared token ranked above this one sits
+    //     strictly after BOTH positions. A true pair always survives
+    //     via its globally-smallest shared token (which the prefix
+    //     theorem puts inside both prefixes, and where the bound is
+    //     loosest); candidate rows a tail shared token generates may
+    //     individually fail the bound, but dropping them only removes
+    //     DUPLICATE (da, db) rows ahead of the distinct. The 1e-9 slack
+    //     keeps a borderline 1-ulp double rounding from ever dropping a
+    //     pair the exact-arithmetic verify stage would keep — slack only
+    //     ADMITS candidates, never loses one.
+    val posBound = least(col("a.len") - col("a.pos"),
+      col("b.len") - col("b.pos")).cast("double")
     val cand = pref.as("a").join(pref.as("b").hint("shuffle_hash"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id")
           && least(col("a.len"), col("b.len")).cast("double")
-             >= lit(threshold) * greatest(col("a.len"), col("b.len")).cast("double"))
+             >= lit(threshold) * greatest(col("a.len"), col("b.len")).cast("double")
+          && posBound * lit(1.0 + threshold)
+             >= lit(threshold) * (col("a.len") + col("b.len")).cast("double")
+                - lit(1e-9))
       .select(col("a.id").as("da"), col("b.id").as("db")).distinct()
     cand
       .join(ordered.select(col("id").as("da"), col("ts").as("ta"),

@@ -58,13 +58,13 @@ object Multimodal {
       length(col("__b")).cast("long").as("byte_len"),
       md5(col("__b")).as("content_md5"),
       fmt.as("format"),
-      when(fmt === "ppm", col("__m.width"))
+      when(fmt.isin("ppm", "png"), col("__m.width"))
         .when(fmt === "wav", lit(null).cast("int"))
         .otherwise(byteAt(1) % 64 + 1).as("width"),
-      when(fmt === "ppm", col("__m.height"))
+      when(fmt.isin("ppm", "png"), col("__m.height"))
         .when(fmt === "wav", lit(null).cast("int"))
         .otherwise(byteAt(2) % 64 + 1).as("height"),
-      when(fmt === "ppm", lit(1L))
+      when(fmt.isin("ppm", "png"), lit(1L))
         .when(fmt === "wav", col("__m.n_samples"))
         .otherwise(expr("length(__b) div 1000") + 1L).as("n_frames"))
   }
@@ -83,7 +83,7 @@ object Multimodal {
         length(col(binCol)).cast("long").as("byte_len"),
         graft.functions.Fence(graft.functions.DecodeMedia(col(binCol))).as("__m"))
       .select(col("doc_id"), col("byte_len"), col("__m.format").as("__fmt"),
-        when(col("__m.format") === "ppm", lit(1L))
+        when(col("__m.format").isin("ppm", "png"), lit(1L))
           .when(col("__m.format") === "wav", col("__m.n_samples"))
           .otherwise(expr("byte_len div 1000") + 1L).as("n_frames"),
         col("__m.data_offset").as("__doff"),
@@ -97,7 +97,7 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx"),
         when(col("__fmt") === "wav",
           col("__doff") + col("frame_idx") * col("__ba"))
-          .when(col("__fmt") === "ppm", col("__doff"))
+          .when(col("__fmt").isin("ppm", "png"), col("__doff"))
           .otherwise(col("frame_idx") * expr("byte_len div n_frames"))
           .as("byte_offset"))
   }
@@ -116,14 +116,14 @@ object Multimodal {
     */
   def perceptualHash(df: DataFrame, binCol: String, idCol: String): DataFrame = {
     val b = col(binCol)
-    // PPM payloads hash over their REAL decoded pixels — gray64 is the
-    // decoder's 8×8 block-mean grayscale, exactly what a thumbnail
+    // PPM/PNG payloads hash over their REAL decoded pixels — gray64 is
+    // the decoder's 8×8 block-mean grayscale, exactly what a thumbnail
     // resize feeds a production aHash; other formats keep the stub
     // byte-sampling (hex dump computed only on that branch)
     val step0 = df.select(col(idCol).as("doc_id"), b.as("__b"),
       graft.functions.Fence(graft.functions.DecodeMedia(b)).as("__m"))
     val step1 = step0.select(col("doc_id"), col("__m"),
-      when(col("__m.format") === "ppm", lit(null).cast("string"))
+      when(col("__m.format").isin("ppm", "png"), lit(null).cast("string"))
         .otherwise(hex(col("__b"))).as("__hx"),
       length(col("__b")).cast("long").as("__len"))
     def pixAt(i: Int) = coalesce(
@@ -133,7 +133,7 @@ object Multimodal {
         lit(2)), 16, 10).cast("long"),
       lit(0L))
     val px = step1.select(col("doc_id"),
-      when(col("__m.format") === "ppm", col("__m.gray64"))
+      when(col("__m.format").isin("ppm", "png"), col("__m.gray64"))
         .otherwise(array((0 until 64).map(pixAt): _*)).as("__px"))
     val mean = px
       .select(col("doc_id"), col("__px"),

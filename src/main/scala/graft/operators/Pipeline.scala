@@ -833,17 +833,19 @@ object Pipeline {
     * beside [[psiDrift]]'s binned PSI: D = max over values of
     * |ECDF_a(v) − ECDF_b(v)|, sensitive to ANY distribution change (not
     * just mass moving between preset bins) and binning-free. Plan: one
-    * hash aggregate to per-DISTINCT-VALUE (count_a, count_b) rows, one
-    * window pass over the distinct values for the running ECDFs, one
-    * max — the sort is distinct-value-sized, never row-sized (ties
-    * collapse in the aggregate; the ECDF is evaluated after each full
-    * tie group, which is exactly where its steps live). Per-row double
-    * arithmetic (two divisions, a subtraction, abs) from exact BIGINT
-    * counts, mirrored in the oracle; the max of identically-computed
-    * doubles is deterministic.
+    * hash aggregate to per-DISTINCT-VALUE (count_a, count_b) rows,
+    * running ECDFs via [[Prefix.cumSums]]'s two-pass partitioned
+    * prefix sum (the r8 fix: the old global `Window.orderBy(__v)` was
+    * one task sorting every distinct value — a scale-killer on a
+    * CONTINUOUS metric where distinct ≈ rows), one max. Ties collapse
+    * in the aggregate, so __v is a total order and the ECDF is
+    * evaluated after each full tie group — exactly where its steps
+    * live. Per-row double arithmetic (two divisions, a subtraction,
+    * abs) from exact BIGINT counts, mirrored in the oracle; long
+    * cumsums are split-point-independent, so the oracle SQL (a plain
+    * global window) states identical values.
     */
   def ksDrift(dfA: DataFrame, dfB: DataFrame, valCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val a = dfA.select(col(valCol).as("__v")).filter(col("__v").isNotNull)
       .groupBy(col("__v")).agg(count(lit(1)).as("ca"))
     val b = dfB.select(col(valCol).as("__v")).filter(col("__v").isNotNull)
@@ -851,17 +853,15 @@ object Pipeline {
     val merged = a.join(b, Seq("__v"), "full_outer")
       .select(col("__v"), coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
-    val w = Window.orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    merged
-      .select(sum(col("ca")).over(w).as("cum_a"),
-        sum(col("cb")).over(w).as("cum_b"))
-      .crossJoin(broadcast(merged.agg(sum(col("ca")).as("na"),
-        sum(col("cb")).as("nb"))))
-      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
-        max(abs(col("cum_a").cast("double") / col("na").cast("double")
-          - col("cum_b").cast("double") / col("nb").cast("double")))
+    val (cums, totals) = Prefix.cumSums(merged, Seq(col("__v")),
+      Seq("ca" -> "cum_a", "cb" -> "cum_b"))
+    // grand totals come free from the prefix pass (driver-known longs)
+    cums
+      .agg(max(abs(col("cum_a").cast("double") / lit(totals("cum_a")).cast("double")
+          - col("cum_b").cast("double") / lit(totals("cum_b")).cast("double")))
           .as("ks_stat"))
+      .select(lit(totals("cum_a")).as("n_a"), lit(totals("cum_b")).as("n_b"),
+        col("ks_stat"))
   }
 
   /** Robust per-group outlier accounting via MAD (median absolute

@@ -692,15 +692,16 @@ object TextAnalysis {
     * quantization makes each of the five regression sums exactly
     * order-independent (the t20 pattern); the closed-form combination
     * of the exact sums is a handful of double ops stated identically in
-    * the oracle. The only sort is the vocabulary-sized ranking — rows
-    * are never sorted, the histogram is.
+    * the oracle. Ranking is [[Prefix.rowNumbers]]' two-pass partitioned
+    * prefix sum — vocabulary grows without bound at 100 TB, so even
+    * the histogram must never fall into one global-window sort task
+    * (the r8 x15/t26 audit; rows are never sorted either way).
     */
   def zipfFit(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val counts = docs.select(explode(tokens(col(textCol))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
-    val ranked = counts.select(col("n"),
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("n").desc, col("tok").asc)).cast("long").as("r"))
+    val ranked = Prefix.rowNumbers(counts,
+      Seq(col("n").desc, col("tok").asc), alias = "r", keep = Seq("n"))
     logLogFit(ranked, col("r"), col("n"),
       countAlias = "n_types",
       extraAggs = Seq(sum(col("n")) -> "n_tokens"))
@@ -716,23 +717,24 @@ object TextAnalysis {
     * Plan: token counts per doc (one aggregate), first-seen doc per
     * TYPE (one aggregate — distinct types appear once, at their min
     * doc), both folded to doc-cardinality frames, cumulative-summed by
-    * ONE doc-ordered window (doc-cardinality, never row-scale), then
-    * the shared [[logLogFit]] tail with its documented determinism.
+    * [[Prefix.cumSums]]' two-pass partitioned prefix sum (the r8 fix:
+    * doc cardinality IS billions at 100 TB, and the old doc-ordered
+    * global window pushed every one of them through one sort task),
+    * then the shared [[logLogFit]] tail with its documented
+    * determinism (long cumsums are split-point-independent, so the
+    * oracle's plain global window states identical values).
     */
   def heapsFit(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tok = docs.select(col(idCol).as("d"),
       explode(tokens(col(textCol))).as("tok"))
     val perDoc = tok.groupBy(col("d")).agg(count(lit(1)).as("n_tok"))
     val newTypes = tok.groupBy(col("tok")).agg(min(col("d")).as("d"))
       .groupBy(col("d")).agg(count(lit(1)).as("n_new"))
-    val w = Window.orderBy(col("d"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val points = perDoc.join(newTypes, Seq("d"), "left_outer")
+    val merged = perDoc.join(newTypes, Seq("d"), "left_outer")
       .select(col("d"), col("n_tok"), coalesce(col("n_new"), lit(0L)).as("n_new"))
-      .select(sum(col("n_tok")).over(w).as("cum_tok"),
-        sum(col("n_new")).over(w).as("cum_types"))
+    val points = Prefix.cumSums(merged, Seq(col("d")),
+      Seq("n_tok" -> "cum_tok", "n_new" -> "cum_types"))._1
     logLogFit(points, col("cum_tok"), col("cum_types"),
       countAlias = "n_docs", extraAggs = Seq(
         max(col("cum_tok")) -> "n_tokens", max(col("cum_types")) -> "n_types"))

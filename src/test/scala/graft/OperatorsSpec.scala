@@ -828,6 +828,64 @@ class OperatorsSpec extends SparkSpec {
     assert(dec(nf).getString(0) === "unknown")
   }
 
+  test("DecodeMedia: PNG via JDK ImageIO — decode∘encode == id, guards degrade to unknown") {
+    import graft.functions.DecodeMedia
+    def dec(bytes: Array[Byte]) =
+      Seq(Tuple1(bytes)).toDF("b").select(DecodeMedia($"b").as("m"))
+        .select($"m.*").collect().head
+    // deterministic 16×16 RGB raster; PNG is lossless, so the decoder
+    // must report EXACTLY these values back (decode∘encode == id)
+    val w = 16; val h = 16
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (((x * 16 + y) % 256) << 16) |
+        (((7 * x + 3 * y) % 256) << 8) | ((x * y) % 256))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val m = dec(png)
+    assert(m.getString(0) === "png")
+    assert((m.getInt(1), m.getInt(2), m.getInt(3)) === ((16, 16, 255)))
+    // data_offset points at the first IDAT chunk's payload
+    val off = m.getLong(9).toInt
+    assert(new String(png, off - 4, 4, "US-ASCII") === "IDAT")
+    // block means recomputed independently from the ORIGINAL raster
+    val expected = for (by <- 0 until 8; bx <- 0 until 8) yield {
+      val r0 = h * by / 8; val r1 = h * (by + 1) / 8
+      val c0 = w * bx / 8; val c1 = w * (bx + 1) / 8
+      var s = 0L
+      for (y <- r0 until r1; x <- c0 until c1) {
+        val p = img.getRGB(x, y)
+        s += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+      }
+      s / (3L * (r1 - r0) * (c1 - c0))
+    }
+    assert(m.getSeq[Long](10) === expected)
+    // perceptualHash rides the decoded pixels for PNG (not the stub)
+    val gray = m.getSeq[Long](10)
+    val mean = gray.sum >> 6
+    val expectedHash = (0 until 63)
+      .map(i => if (gray(i) > mean) 1L << i else 0L).reduce(_ | _)
+    val ph = Multimodal.perceptualHash(
+      Seq((1L, png)).toDF("doc_id", "b"), "b", "doc_id").collect().head
+    assert(ph.getLong(1) === expectedHash)
+    // oversized declared IHDR dims never reach the allocator
+    val big = png.clone()
+    big(16) = 0x7f.toByte // declared width ≈ 2^31
+    assert(dec(big).getString(0) === "unknown")
+    // truncated payload: too short for the PNG branch at all
+    assert(dec(png.take(20)).getString(0) === "unknown")
+    // malformed RIFF chunk size 0xFFFFFFF8 terminates instead of
+    // wrapping the cursor backwards (the ADVICE r8 infinite loop)
+    val evil = java.nio.ByteBuffer.allocate(12 + 8 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evil.put("RIFF".getBytes("US-ASCII")).putInt(100)
+      .put("WAVE".getBytes("US-ASCII"))
+    evil.put("junk".getBytes("US-ASCII")).putInt(0xFFFFFFF8).putLong(0L)
+    assert(dec(evil.array()).getString(0) === "unknown")
+  }
+
   test("tuneBanding: closed-form choice is feasible, minimal, and constraint-aware") {
     // θ=0.5, recall 0.9: cheapest S-curve is 4 bands of 1 row
     // (1 − 0.5⁴ = 0.9375 ≥ 0.9 at 4 hashes; nothing cheaper exists)

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Executable plan-shape claims for the heavy-family queries (VERDICT
+  * r8 task 6): the §2 prose arguments — "no per-key sort", "the hint
+  * holds", "no single-task global window" — become assertions over the
+  * PLANNED physical tree, so a Spark upgrade or a lost hint fails CI
+  * instead of silently regressing a 100-TB plan.
+  *
+  * Inspection is of the PLANNER's output (pre-execution
+  * AdaptiveSparkPlanExec current plan): runtime AQE can only locally
+  * IMPROVE tiny-SF stages (e.g. demote a hinted shuffle join to
+  * broadcast) in ways that would mask a lost hint, and no SQLMetrics
+  * are read here (the CLAUDE.md metrics caveat doesn't apply).
+  * Queries run on sf0.001; node-presence claims are SF-independent.
+  */
+class PlanShapeSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, dir)
+
+  /** Every physical node, unwrapping AQE wrappers (final or initial). */
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+    case s: QueryStageExec => s +: nodes(s.plan)
+    case other => other +: other.children.flatMap(nodes)
+  }
+  private def nodes(df: DataFrame): Seq[SparkPlan] =
+    nodes(df.queryExecution.executedPlan)
+
+  /** The r8 scale-killer class: a WindowExec with an EMPTY partition
+    * spec moves the whole input through one sort task. After the
+    * Prefix.cumSums rewrite, every window in these plans must be
+    * partitioned (the #partitions-sized offset frames are computed on
+    * the driver now, so not even a bounded unpartitioned window
+    * remains).
+    */
+  private def assertNoGlobalWindow(name: String): Unit = {
+    val ws = nodes(q(name)).collect { case w: WindowExec => w }
+    val global = ws.filter(_.partitionSpec.isEmpty)
+    assert(global.isEmpty,
+      s"$name has ${global.size} unpartitioned WindowExec(s) — " +
+        s"single-task sort at scale:\n${global.mkString("\n")}")
+  }
+
+  test("x15/t26/t24: two-pass prefix-sum plans carry no unpartitioned window") {
+    assertNoGlobalWindow("x15_ks_drift")
+    assertNoGlobalWindow("t26_heaps_fit")
+    assertNoGlobalWindow("t24_zipf_fit")
+  }
+
+  test("no heavy-family query plans a CartesianProduct") {
+    for (name <- Seq("x15_ks_drift", "t26_heaps_fit", "t24_zipf_fit",
+        "d28_prefix_join", "d4_ngram_jaccard", "d18_containment",
+        "t21_rake", "s3_topk_operator", "t23_langid_trained",
+        "q49_mad_outliers", "q5_join5")) {
+      val cart = nodes(q(name)).collect { case c: CartesianProductExec => c }
+      assert(cart.isEmpty, s"$name plans a CartesianProduct")
+    }
+  }
+
+  test("d28/d4/d18: the shuffle_hash hint holds on the token self-joins") {
+    // the Σm²-bounded candidate joins must never sort their token
+    // streams (SMJ sorts both sides of the heaviest shuffle in the
+    // repo); removing the hint re-plans these as SortMergeJoin and
+    // fails here
+    for (name <- Seq("d28_prefix_join", "d4_ngram_jaccard", "d18_containment")) {
+      val ns = nodes(q(name))
+      assert(ns.exists(_.isInstanceOf[ShuffledHashJoinExec]),
+        s"$name lost its shuffle_hash hint (no ShuffledHashJoinExec)")
+      assert(!ns.exists(_.isInstanceOf[SortMergeJoinExec]),
+        s"$name plans a SortMergeJoin on a token self-join")
+    }
+  }
+
+  test("t21/s3: bounded-heap TopKPerKeyExec present (never a window sort)") {
+    for (name <- Seq("t21_rake", "s3_topk_operator")) {
+      val ns = nodes(q(name))
+      assert(ns.exists(_.isInstanceOf[graft.plans.TopKPerKeyExec]),
+        s"$name does not plan TopKPerKeyExec")
+      assert(!ns.collect { case w: WindowExec => w }
+        .exists(_.partitionSpec.isEmpty), s"$name has a global window")
+    }
+  }
+
+  test("t23: argmax is min_by/max_by aggregation, model join broadcasts") {
+    val ns = nodes(q("t23_langid_trained"))
+    assert(!ns.exists(_.isInstanceOf[WindowExec]),
+      "t23 argmax regressed to a window (row_number shuffles k× the rows)")
+    assert(ns.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "t23 model join is not broadcast")
+  }
+
+  test("q49: selection pipeline stays windowless, stats frames broadcast") {
+    val ns = nodes(q("q49_mad_outliers"))
+    assert(!ns.exists(_.isInstanceOf[WindowExec]),
+      "q49 median regressed to a window sort")
+    assert(ns.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 2,
+      "q49 med/mad frames are not broadcast-joined")
+  }
+
+  test("q5: every dimension join broadcasts (no dim-side shuffle)") {
+    val ns = nodes(q("q5_join5"))
+    assert(ns.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 3,
+      "q5 dimension joins lost their broadcasts")
+    assert(!ns.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "q5 plans a SortMergeJoin against a broadcastable dimension")
+  }
+}
