@@ -2080,6 +2080,61 @@ object SparkEntry {
       .orderBy($"doc_id")
   }
 
+  private def m9(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // per-window energy/zero-crossings over REALLY decoded PCM: sample
+    // count is an analytic function of doc_id and the byte stream is
+    // the documented md5 synthesis, so the oracle rebuilds the exact
+    // samples with string ops and PREDICTS every window sum — the
+    // m1/m3 decode∘encode == id pattern extended from headers to
+    // CONTENT arithmetic. All-integer output: hash-exact, no rounding.
+    val ns = (pmod($"doc_id", lit(40L)) * 31L + 300L).cast("long")
+    val withBin = t(s, dir, "documents").withColumn("payload",
+      graft.functions.EncodeWavPcm16(ns,
+        concat(lit("au:"), $"doc_id".cast("string"))))
+    operators.Multimodal.audioWindowStats(withBin, "payload", "doc_id",
+        window = 256)
+      .orderBy($"doc_id", $"win")
+  }
+
+  private def t29(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // top-25 burstiest tokens (Fano factor with zeros): template/topic
+    // pile-up the df/tf stats can't see — two integer aggregates and
+    // two divisions, mirrored verbatim in the oracle
+    operators.TextAnalysis.burstiness(t(s, dir, "documents"),
+      minOccurrences = 5L, k = 25)
+  }
+
+  private def p21(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // easy→hard curriculum by n_chars, cut into 4 phases of EQUAL
+    // TOKEN budget — the cumulative token scan rides Prefix.cumSums
+    // (two-pass partitioned prefix sum), never one global sort task
+    operators.Pipeline.tokenCurriculum(t(s, dir, "documents"),
+        difficultyCol = "n_chars", phases = 4)
+      .orderBy($"phase")
+  }
+
+  private def d30q(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // threshold-selection curve off the SHARED verified-pair list: for
+    // each step k (θ = k·0.05), how many verified near-dup pairs clear
+    // it — the curve to read BEFORE committing a dedup threshold.
+    // Bucketing states floor(j/0.05) on BOTH engines (one formulation,
+    // zero double drift; 0.1 = 2×0.05 exactly in binary, so every
+    // verified pair lands at step ≥ 2 and sequence(2, b) is non-empty).
+    verifiedPairs(s, dir)
+      .select(floor($"jaccard" / lit(0.05).cast("double")).cast("long").as("b"))
+      .select(explode(sequence(lit(2L), $"b")).as("step"))
+      .groupBy($"step")
+      .agg(count(lit(1)).as("n_pairs"))
+      .select($"step",
+        ($"step".cast("double") * lit(0.05).cast("double")).as("theta"),
+        $"n_pairs")
+      .orderBy($"step")
+  }
+
   private def q43(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // Pareto frontier of orders: no other order is both cheaper AND
@@ -3106,6 +3161,10 @@ object SparkEntry {
     "e21_capture_fallback" -> (e21f _),
     "m7_meta_audit" -> (m7 _),
     "m8_phash_golden" -> (m8 _),
+    "m9_audio_energy" -> (m9 _),
+    "t29_burstiness" -> (t29 _),
+    "p21_token_curriculum" -> (p21 _),
+    "d30_threshold_curve" -> (d30q _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5489,6 +5548,85 @@ object SparkEntry {
         |  'bit_or') AS phash
         | FROM m)
         |SELECT doc_id, phash FROM h ORDER BY doc_id""".stripMargin,
+    // the oracle PREDICTS the decoded PCM content: the payload's data
+    // bytes are the documented md5('au:<id>:<block>') stream, so every
+    // int16 sample — and every window's Σs²/zero-crossing count — is
+    // an analytic integer function of doc_id (decode∘encode == id at
+    // the CONTENT level; header parsing never enters the SQL)
+    "m9_audio_energy" ->
+      """WITH d AS (SELECT doc_id, doc_id % 40 * 31 + 300 AS ns FROM documents),
+        |hxs AS (SELECT doc_id, ns,
+        |  list_aggregate(list_transform(range(0, (2 * ns + 15) // 16), b ->
+        |    md5('au:' || CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR))),
+        |   'string_agg', '') AS hx
+        | FROM d),
+        |smp AS (SELECT doc_id, ns, list_transform(range(0, ns), i ->
+        |   TRY_CAST('0x' || substr(hx, CAST(4 * i + 1 AS INT), 2) AS INT)
+        |   + 256 * TRY_CAST('0x' || substr(hx, CAST(4 * i + 3 AS INT), 2) AS INT)
+        |   - CASE WHEN TRY_CAST('0x' || substr(hx, CAST(4 * i + 3 AS INT), 2) AS INT) >= 128
+        |          THEN 65536 ELSE 0 END) AS smp
+        | FROM hxs),
+        |w AS (SELECT doc_id, ns, smp, unnest(range(0, (ns + 255) // 256)) AS win
+        | FROM smp),
+        |sub AS (SELECT doc_id, win,
+        |  smp[CAST(win * 256 + 1 AS INT):CAST(least((win + 1) * 256, ns) AS INT)] AS s
+        | FROM w)
+        |SELECT doc_id, CAST(win AS BIGINT) AS win,
+        | CAST(len(s) AS BIGINT) AS n_samples,
+        | list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |   list_transform(s, x -> CAST(x AS BIGINT) * x)), (a, b) -> a + b) AS energy,
+        | list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |   list_transform(range(1, len(s)), k ->
+        |     CASE WHEN s[CAST(k AS INT)] * s[CAST(k + 1 AS INT)] < 0
+        |          THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+        |  (a, b) -> a + b) AS crossings
+        |FROM sub ORDER BY doc_id, win""".stripMargin,
+    "t29_burstiness" ->
+      """WITH pd AS (SELECT tok, doc_id, COUNT(*) AS c FROM (
+        |   SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |   FROM documents)
+        |  GROUP BY tok, doc_id),
+        |tt AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS t_total,
+        |  CAST(SUM(c * c) AS BIGINT) AS s_sq
+        | FROM pd GROUP BY tok HAVING SUM(c) >= 5),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT tok, t_total,
+        | CAST(s_sq AS DOUBLE) / CAST(t_total AS DOUBLE)
+        |  - CAST(t_total AS DOUBLE) / CAST(n_docs AS DOUBLE) AS burstiness
+        |FROM tt CROSS JOIN n
+        |ORDER BY burstiness DESC, tok LIMIT 25""".stripMargin,
+    // the oracle states the curriculum rule with a plain global-window
+    // cumsum; the Spark plan is the two-pass partitioned prefix sum —
+    // long sums are split-point-independent, so values are identical
+    "p21_token_curriculum" ->
+      """WITH b AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS diff,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+        | FROM documents),
+        |c AS (SELECT id, diff, n_tok,
+        |  SUM(n_tok) OVER (ORDER BY diff, id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+        | FROM b),
+        |t AS (SELECT SUM(n_tok) AS tt FROM b)
+        |SELECT CAST((greatest(cum_tok, 1) - 1) * 4 // t.tt AS BIGINT) AS phase,
+        | COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        | MIN(diff) AS min_difficulty, MAX(diff) AS max_difficulty
+        |FROM c CROSS JOIN t GROUP BY 1 ORDER BY phase""".stripMargin,
+    // same pair CTE as the d4 oracle; the curve states floor(j/0.05)
+    // on both engines — never a θ·0.05 product, so no double drift
+    "d30_threshold_curve" ->
+      """WITH g AS (SELECT doc_id, source,
+        |  list_distinct(list_transform(range(1, len(string_split(text,' '))),
+        |    i -> array_to_string(list_slice(string_split(text,' '), i, i+1), ' '))) AS ts
+        | FROM documents),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |  len(list_intersect(a.ts,b.ts))::DOUBLE/(len(a.ts)+len(b.ts)-len(list_intersect(a.ts,b.ts))) AS jaccard
+        | FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+        | WHERE jaccard >= CAST(0.1 AS DOUBLE)),
+        |s AS (SELECT unnest(range(2,
+        |  CAST(floor(jaccard / CAST(0.05 AS DOUBLE)) AS BIGINT) + 1)) AS step FROM p)
+        |SELECT step, CAST(step AS DOUBLE) * CAST(0.05 AS DOUBLE) AS theta,
+        | COUNT(*) AS n_pairs
+        |FROM s GROUP BY step ORDER BY step""".stripMargin,
     // winnowing rebuilt with the same md5-hex-prefix hash; k=3, w=4,
     // maxDf=50, minShared=2 mirror the Spark call
     "d23_winnow" ->

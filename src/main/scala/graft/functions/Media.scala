@@ -282,6 +282,52 @@ object DecodeMedia {
   }
 }
 
+/** REAL PCM sample extraction from a decoded RIFF/WAVE payload: the
+  * first-channel 16-bit LE samples as `array<int>`, or NULL when the
+  * payload is not 16-bit PCM WAV (callers filter — the never-crash
+  * contract again). `maxSamples` caps the per-row allocation: at 100 TB
+  * a single pathological hour-long file must not materialize a
+  * 500M-element array in one task — the cap is the row-level analog of
+  * the PNG IHDR guard.
+  */
+case class WavSamples(child: Expression, maxSamples: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(maxSamples > 0)
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "wav_samples"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    val m = DecodeMedia.decode(b)
+    if (m.isNullAt(0) || m.getUTF8String(0).toString != "wav") return null
+    if (m.isNullAt(6) || m.getInt(6) != 16) return null // 16-bit PCM only
+    val blockAlign = m.getInt(8)
+    val dataOff = m.getLong(9)
+    val nAvail = m.getLong(7)
+    val n = math.min(nAvail, maxSamples.toLong).toInt
+    val out = new Array[Int](math.max(n, 0))
+    var i = 0
+    while (i < n) {
+      val p = (dataOff + i.toLong * blockAlign).toInt
+      if (p + 1 >= b.length) return new GenericArrayData(out.take(i))
+      val v = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+      out(i) = if (v >= 0x8000) v - 0x10000 else v
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WavSamples =
+    copy(child = newChild)
+}
+
+object WavSamples {
+  def apply(bin: Column, maxSamples: Int): Column =
+    ColumnBridge.column(WavSamples(ColumnBridge.expression(bin), maxSamples))
+}
+
 /** Deterministic VALID RIFF/WAVE PCM-16 payload synthesis — the query
   * side's media generator (the corpus ships no real audio): mono
   * 16-bit samples whose bytes come from a counter-keyed md5 stream of

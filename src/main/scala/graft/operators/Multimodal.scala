@@ -102,6 +102,46 @@ object Multimodal {
           .as("byte_offset"))
   }
 
+  /** Per-window audio features over REALLY decoded PCM — the feature
+    * stage an audio-training pipeline runs before any model sees a
+    * clip: fixed-size sample windows with energy (Σ s², the loudness/
+    * silence gate) and zero-crossing counts (the crude voiced/unvoiced
+    * discriminator). Samples come from [[graft.functions.WavSamples]]
+    * (16-bit PCM only; other payloads drop out, never crash). All
+    * integer arithmetic — exact on any engine: the oracle re-derives
+    * the synthesized byte stream analytically and states the same
+    * window sums. Plan: one projection (decode pinned to a single
+    * evaluation), one window explode bounded by `maxSamples/window`
+    * rows per doc, per-window HOF folds over ≤`window`-element slices —
+    * no shuffle at all until a caller aggregates.
+    */
+  def audioWindowStats(df: DataFrame, binCol: String, idCol: String,
+      window: Int, maxSamples: Int = 1 << 20): DataFrame = {
+    require(window >= 2, s"window must be >= 2: $window")
+    val smp = df.select(col(idCol).as("doc_id"),
+        graft.functions.Fence(
+          graft.functions.WavSamples(col(binCol), maxSamples)).as("__smp"))
+      .filter(col("__smp").isNotNull)
+      .withColumn("__n", size(col("__smp")).cast("long"))
+      .filter(col("__n") > 0L)
+    val sub = slice(col("__smp"), (col("win") * window + 1).cast("int"),
+      lit(window))
+    smp
+      .select(col("doc_id"), col("__smp"),
+        explode(sequence(lit(0L),
+          expr(s"(__n + ${window - 1}) div $window") - 1L)).as("win"))
+      .select(col("doc_id"), col("win"), sub.as("__sub"))
+      .select(col("doc_id"), col("win"),
+        size(col("__sub")).cast("long").as("n_samples"),
+        aggregate(transform(col("__sub"), x => x.cast("long") * x),
+          lit(0L), (acc, x) => acc + x).as("energy"),
+        aggregate(zip_with(
+            slice(col("__sub"), 1, window - 1),
+            slice(col("__sub"), 2, window - 1),
+            (a, b) => when(a * b < 0, 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x).as("crossings"))
+  }
+
   /** Perceptual hash (aHash) over the STUB decode — the image near-dup
     * signature: 64 "pixels" sampled evenly through the payload bytes
     * (what a real 8×8 grayscale resize does to an image, minus the

@@ -829,6 +829,42 @@ object Pipeline {
         greatest(col("nd_a") + col("nd_b") - col("nd_union"), lit(0L)))
   }
 
+  /** Token-budgeted curriculum phases: order the corpus by a difficulty
+    * key (easy → hard), then cut it into `phases` contiguous spans of
+    * EQUAL TOKEN budget — the split curriculum training actually
+    * schedules by (a model consumes tokens, not documents; doc-count
+    * phases skew wildly when length correlates with difficulty, which
+    * is exactly the curriculum case). Phase of a doc with cumulative
+    * token count c out of total TT is ((c−1)·phases) div TT — pure
+    * integer arithmetic, identical on any engine. The cumulative count
+    * comes from [[Prefix.cumSums]]' two-pass partitioned prefix sum,
+    * so the doc-ordered scan that defines the curriculum never becomes
+    * one sort task (the same r8 fix heapsFit got); the grand total is
+    * driver-known from the same pass, free.
+    */
+  def tokenCurriculum(docs: DataFrame, difficultyCol: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      phases: Int = 4): DataFrame = {
+    require(phases >= 1, s"phases must be >= 1: $phases")
+    val base = docs.select(col(idCol).as("id"),
+      col(difficultyCol).cast("long").as("diff"),
+      size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tok"))
+    val (cums, totals) = Prefix.cumSums(base,
+      Seq(col("diff"), col("id")), Seq("n_tok" -> "cum_tok"),
+      keep = Seq("id", "diff", "n_tok"))
+    val tt = math.max(totals("cum_tok"), 1L)
+    // greatest(cum,1)−1 keeps the dividend non-negative: Spark's div
+    // truncates toward zero while DuckDB's // floors, and they only
+    // agree on non-negatives
+    cums
+      .withColumn("phase",
+        expr(s"((greatest(cum_tok, 1L) - 1L) * ${phases}L) div ${tt}L"))
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("diff")).as("min_difficulty"),
+        max(col("diff")).as("max_difficulty"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic — the EXACT drift monitor
     * beside [[psiDrift]]'s binned PSI: D = max over values of
     * |ECDF_a(v) − ECDF_b(v)|, sensitive to ANY distribution change (not

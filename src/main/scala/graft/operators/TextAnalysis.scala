@@ -781,6 +781,37 @@ object TextAnalysis {
       (cov * cov / (vx * vy)).as("r2")): _*)
   }
 
+  /** Token burstiness (Fano factor over the doc-count distribution,
+    * zeros included): Var(c)/Mean(c) where c is the token's count per
+    * document over ALL N docs. Content words are bursty (they pile
+    * into the few docs about their topic: Fano ≫ 1), function words
+    * are ~Poisson (Fano ≈ 1), and TEMPLATE/boilerplate tokens sit in
+    * between with suspiciously uniform high rates — the corpus-health
+    * signal df/tf alone can't give. With zeros the moments collapse to
+    * two integer aggregates: T = Σc, S = Σc², and
+    * Fano = S/T − T/N — exactly two double divisions and a subtraction
+    * from exact BIGINTs, mirrored verbatim in the oracle. Top-k by
+    * (burstiness desc, tok) — both engines compute the identical
+    * doubles, so the order is total and stable cross-engine.
+    */
+  def burstiness(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", minOccurrences: Long = 5L,
+      k: Int = 25): DataFrame = {
+    val nDocs = docs.select(col(idCol)).count()
+    val perDoc = docs.select(col(idCol).as("d"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok"), col("d")).agg(count(lit(1)).as("c"))
+    perDoc.groupBy(col("tok"))
+      .agg(sum(col("c")).as("t_total"), sum(col("c") * col("c")).as("s_sq"))
+      .filter(col("t_total") >= minOccurrences)
+      .select(col("tok"), col("t_total"),
+        (col("s_sq").cast("double") / col("t_total").cast("double")
+          - col("t_total").cast("double") / lit(nDocs).cast("double"))
+          .as("burstiness"))
+      .orderBy(col("burstiness").desc, col("tok").asc)
+      .limit(k)
+  }
+
   /** Token frequency-of-frequencies spectrum — the corpus-health
     * diagnostic behind Zipf/Heaps sanity checks and Good–Turing
     * smoothing: for each occurrence count c, how many distinct token
