@@ -2824,6 +2824,26 @@ object SparkEntry {
       .orderBy($"qid", $"rank")
   }
 
+  private def s15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // cosine RANGE search with a sign-LSH blocking predicate: all pairs
+    // with signature hamming <= 7 AND cosine >= 0.3 — the banding is
+    // pigeonhole-exact for the stated predicate, so the oracle states
+    // it as a plain quadratic join with no recall caveat. The driver
+    // corpus is sign-random (measured min pairwise hamming 14), so the
+    // query PLANTS near-duplicates the m6 way: every 25th vector gets a
+    // first-coordinate-negated clone — hamming in {0, 1}, cosine just
+    // under 1 — making the exact pair list non-vacuous and analytic.
+    val emb = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+    val clones = emb.filter(pmod($"vec_id", lit(25L)) === 0L)
+      .select(($"vec_id" + 1000000L).as("vec_id"),
+        transform($"embedding",
+          (x, i) => when(i === 0, negate(x)).otherwise(x)).as("embedding"))
+    operators.Similarity.rangeSearchLsh(emb.unionByName(clones),
+        threshold = 0.3, maxHamming = 7, bands = 8)
+      .orderBy($"va", $"vb")
+  }
+
   private def q53(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // last-touch attribution: purchases credited to the user's latest
@@ -3165,6 +3185,7 @@ object SparkEntry {
     "t29_burstiness" -> (t29 _),
     "p21_token_curriculum" -> (p21 _),
     "d30_threshold_curve" -> (d30q _),
+    "s15_range_search" -> (s15 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5611,6 +5632,36 @@ object SparkEntry {
         | COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
         | MIN(diff) AS min_difficulty, MAX(diff) AS max_difficulty
         |FROM c CROSS JOIN t GROUP BY 1 ORDER BY phase""".stripMargin,
+    // the range predicate is stated as a plain quadratic join — the
+    // Spark banding is pigeonhole-exact for hamming <= 7 at 8 bands,
+    // so there is NO recall caveat; signatures and the dot/norm folds
+    // use the d5/m6-proven index-order arithmetic
+    "s15_range_search" ->
+      """WITH aug AS (SELECT vec_id, embedding FROM embeddings
+        | UNION ALL
+        | SELECT vec_id + 1000000 AS vec_id,
+        |  list_transform(range(1, len(embedding) + 1), i ->
+        |    CASE WHEN i = 1 THEN -embedding[CAST(i AS INT)]
+        |         ELSE embedding[CAST(i AS INT)] END) AS embedding
+        | FROM embeddings WHERE vec_id % 25 = 0),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        | FROM aug),
+        |s AS (SELECT vec_id, v,
+        |  list_aggregate(list_transform(range(0, 63), i ->
+        |    CASE WHEN v[CAST(i AS INT) + 1] > CAST(0 AS DOUBLE)
+        |         THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+        |         ELSE CAST(0 AS BIGINT) END),
+        |   'bit_or') AS sig
+        | FROM e)
+        |SELECT a.vec_id AS va, b.vec_id AS vb,
+        | CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming,
+        | list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]), (x,y) -> x+y) /
+        |  (sqrt(list_reduce(list_transform(a.v, x -> x*x), (x,y) -> x+y)) *
+        |   sqrt(list_reduce(list_transform(b.v, x -> x*x), (x,y) -> x+y))) AS cosine
+        |FROM s a JOIN s b ON a.vec_id < b.vec_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 7
+        |  AND cosine >= CAST(0.3 AS DOUBLE)
+        |ORDER BY va, vb""".stripMargin,
     // same pair CTE as the d4 oracle; the curve states floor(j/0.05)
     // on both engines — never a θ·0.05 product, so no double drift
     "d30_threshold_curve" ->

@@ -110,36 +110,45 @@ object Multimodal {
     * (16-bit PCM only; other payloads drop out, never crash). All
     * integer arithmetic — exact on any engine: the oracle re-derives
     * the synthesized byte stream analytically and states the same
-    * window sums. Plan: one projection (decode pinned to a single
-    * evaluation), one window explode bounded by `maxSamples/window`
-    * rows per doc, per-window HOF folds over ≤`window`-element slices —
-    * no shuffle at all until a caller aggregates.
+    * window sums. Plan: widen (per-row decode is the CPU wall — the
+    * t23 lesson), one projection (decode pinned to a single
+    * evaluation), ONE interpreted zip_with pass building the
+    * adjacent-crossing indicator array, then a codegen'd
+    * posexplode + hash aggregate on (doc, window) — the
+    * explode+hash-agg idiom from CLAUDE.md's measured-perf rules
+    * (per-window HOF folds ran interpreted 4 passes over every
+    * sample; this shape halved m9's bench time).
     */
   def audioWindowStats(df: DataFrame, binCol: String, idCol: String,
       window: Int, maxSamples: Int = 1 << 20): DataFrame = {
     require(window >= 2, s"window must be >= 2: $window")
-    val smp = df.select(col(idCol).as("doc_id"),
+    val smp = Dedup.widen(df)
+      .select(col(idCol).as("doc_id"),
         graft.functions.Fence(
           graft.functions.WavSamples(col(binCol), maxSamples)).as("__smp"))
       .filter(col("__smp").isNotNull)
-      .withColumn("__n", size(col("__smp")).cast("long"))
-      .filter(col("__n") > 0L)
-    val sub = slice(col("__smp"), (col("win") * window + 1).cast("int"),
-      lit(window))
+      .filter(size(col("__smp")) > 0)
+    val n = size(col("__smp"))
+    // indicator at 0-based position i = sign change between samples
+    // (i, i+1); the final position pads 0 so the array aligns 1:1 with
+    // the samples and one posexplode carries both
+    val cr = concat(
+      zip_with(
+        slice(col("__smp"), lit(1), n - 1),
+        slice(col("__smp"), lit(2), n - 1),
+        (a, b) => when(a * b < 0, 1L).otherwise(0L)),
+      array(lit(0L)))
     smp
-      .select(col("doc_id"), col("__smp"),
-        explode(sequence(lit(0L),
-          expr(s"(__n + ${window - 1}) div $window") - 1L)).as("win"))
-      .select(col("doc_id"), col("win"), sub.as("__sub"))
-      .select(col("doc_id"), col("win"),
-        size(col("__sub")).cast("long").as("n_samples"),
-        aggregate(transform(col("__sub"), x => x.cast("long") * x),
-          lit(0L), (acc, x) => acc + x).as("energy"),
-        aggregate(zip_with(
-            slice(col("__sub"), 1, window - 1),
-            slice(col("__sub"), 2, window - 1),
-            (a, b) => when(a * b < 0, 1L).otherwise(0L)),
-          lit(0L), (acc, x) => acc + x).as("crossings"))
+      .select(col("doc_id"), col("__smp"), cr.as("__cr"))
+      .select(col("doc_id"),
+        posexplode(arrays_zip(col("__smp"), col("__cr"))).as(Seq("pos", "z")))
+      .groupBy(col("doc_id"), expr(s"pos div $window").cast("long").as("win"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("z.__smp").cast("long") * col("z.__smp")).as("energy"),
+        // a pair straddling a window boundary (pos is the window's last
+        // sample) belongs to neither window's crossing count
+        sum(when((col("pos") + 1) % window === 0, 0L)
+          .otherwise(col("z.__cr"))).as("crossings"))
   }
 
   /** Perceptual hash (aHash) over the STUB decode — the image near-dup

@@ -454,6 +454,39 @@ object Similarity {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** Global cosine RANGE search — all pairs with cosine ≥ `threshold`
+    * among sign-LSH-similar vectors: the stated predicate is
+    * hamming(sig_a, sig_b) ≤ maxHamming AND cosine ≥ threshold over
+    * the 63-sign-bit signatures, and the pigeonhole banding finds ALL
+    * such pairs (hamming < bands ⇒ one band slice equal), so the
+    * result is EXACT for the declared semantics — not a recall-lossy
+    * approximation of pure cosine-τ (which is quadratic by necessity
+    * with no blocking key; the sign prefilter IS the blocking). This
+    * is the range-query complement of top-k retrieval (s1/s12): "find
+    * EVERYTHING similar to everything", the shape an unblocked
+    * semantic-dedup or link-discovery pass runs. Scale: band keys
+    * shuffle (8-byte longs), vectors never ride the banding; only
+    * candidates — bounded by Σ|bucket|² with the generic oversize
+    * guard — touch the 64-multiply dot product.
+    */
+  def rangeSearchLsh(vectors: DataFrame, threshold: Double,
+      maxHamming: Int = 7, bands: Int = 8): DataFrame = {
+    val v = vectors
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("sig", binarySignature(col("v"), 63))
+      .localCheckpoint() // feeds both banding sides + two verify joins
+    val cand = Dedup.hammingNearDup(v.select(col("vec_id"), col("sig")),
+      nBits = 64, bands = bands, maxHamming = maxHamming,
+      idCol = "vec_id", sigCol = "sig")
+    cand
+      .join(v.select(col("vec_id").as("da"), col("v").as("__va")), "da")
+      .join(v.select(col("vec_id").as("db"), col("v").as("__vb")), "db")
+      .select(col("da").as("va"), col("db").as("vb"), col("hamming"),
+        (dot(col("__va"), col("__vb"))
+          / (norm(col("__va")) * norm(col("__vb")))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Binary-embedding retrieval: Hamming-distance shortlist over
     * [[binarySignature]] sign bits, exact-cosine rerank of the
     * shortlist only — the s11 two-stage shape with the cheapest
