@@ -2824,6 +2824,16 @@ object SparkEntry {
       .orderBy($"qid", $"rank")
   }
 
+  private def t30(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // MATTR lexical diversity at w=25 (doc lengths run 10–99 tokens):
+    // the O(n) contribution form — Σ per-position closed-form window
+    // memberships == Σ per-window distinct counts, all-integer until
+    // the single final division the oracle states identically
+    operators.TextAnalysis.mattr(t(s, dir, "documents"), w = 25)
+      .orderBy($"doc_id")
+  }
+
   private def s15(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // cosine RANGE search with a sign-LSH blocking predicate: all pairs
@@ -3186,6 +3196,7 @@ object SparkEntry {
     "p21_token_curriculum" -> (p21 _),
     "d30_threshold_curve" -> (d30q _),
     "s15_range_search" -> (s15 _),
+    "t30_mattr" -> (t30 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5632,6 +5643,28 @@ object SparkEntry {
         | COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
         | MIN(diff) AS min_difficulty, MAX(diff) AS max_difficulty
         |FROM c CROSS JOIN t GROUP BY 1 ORDER BY phase""".stripMargin,
+    // the contribution form is restated verbatim: position i is a
+    // first-in-window occurrence for starts in [max(i−w+1, prev+1, 0),
+    // min(i, n−w)] — all-integer, one final division
+    "t30_mattr" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+        | FROM documents),
+        |x AS (SELECT doc_id, len(ts) AS n,
+        |  unnest(list_transform(range(1, len(ts) + 1),
+        |    i -> {'pos': i - 1, 'tok': ts[CAST(i AS INT)]})) AS z
+        | FROM t WHERE len(ts) >= 25),
+        |e AS (SELECT doc_id, n, z.pos AS pos, z.tok AS tok FROM x),
+        |l AS (SELECT doc_id, n, pos,
+        |  COALESCE(LAG(pos) OVER (PARTITION BY doc_id, tok ORDER BY pos), -1) AS prev
+        | FROM e),
+        |c AS (SELECT doc_id, n,
+        |  greatest(least(pos, n - 25) - greatest(pos - 24, prev + 1, 0) + 1, 0) AS contrib
+        | FROM l)
+        |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tok,
+        | CAST(MAX(n) - 24 AS BIGINT) AS n_windows,
+        | CAST(SUM(contrib) AS BIGINT) AS sum_distinct,
+        | CAST(SUM(contrib) AS DOUBLE) / CAST((MAX(n) - 24) * 25 AS DOUBLE) AS mattr
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the range predicate is stated as a plain quadratic join — the
     // Spark banding is pigeonhole-exact for hamming <= 7 at 8 bands,
     // so there is NO recall caveat; signatures and the dot/norm folds

@@ -812,6 +812,50 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Moving-average type–token ratio (MATTR, Covington & McFall): the
+    * mean over all w-token sliding windows of (distinct types in the
+    * window)/w — the lexical-diversity score plain TTR can't give (TTR
+    * falls with doc length by Heaps' law; the moving window removes
+    * the length confound so scores compare across docs — a standard
+    * LLM-corpus quality-gate input). Naive cost is O(n·w) set builds
+    * per doc; this is the exact O(n) CONTRIBUTION form: token position
+    * i (0-based; previous occurrence of the same type at p_i, −1 if
+    * none) is the first occurrence of its type inside window start p
+    * iff p > p_i, so it contributes to exactly the starts
+    * p ∈ [max(i−w+1, p_i+1, 0), min(i, n−w)] — a closed-form count.
+    * Σ over positions = Σ over windows of the window's distinct count.
+    * One explode, one (doc, tok)-partitioned lag (per-doc bounded,
+    * never global), one hash aggregate — all-integer until the final
+    * division, stated identically in the oracle.
+    */
+  def mattr(docs: DataFrame, w: Int, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(w >= 1, s"window must be >= 1: $w")
+    import org.apache.spark.sql.expressions.Window
+    // widen before the split+explode CPU wall (the t23 lesson); Fence
+    // pins the token array to one evaluation (size + posexplode would
+    // each inline their own split)
+    val tok = Dedup.widen(docs)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.Fence(tokens(col(textCol))).as("__ts"))
+      .select(col("doc_id"), size(col("__ts")).as("n"),
+        posexplode(col("__ts")).as(Seq("pos", "tok")))
+      .filter(col("n") >= w)
+    val lagW = Window.partitionBy(col("doc_id"), col("tok")).orderBy(col("pos"))
+    tok
+      .withColumn("prev", coalesce(lag(col("pos"), 1).over(lagW), lit(-1)))
+      .withColumn("contrib", greatest(
+        least(col("pos"), col("n") - w)
+          - greatest(col("pos") - (w - 1), col("prev") + 1, lit(0)) + 1,
+        lit(0)))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).cast("long").as("n_tok"),
+        (max(col("n")) - (w - 1)).cast("long").as("n_windows"),
+        sum(col("contrib").cast("long")).as("sum_distinct"))
+      .withColumn("mattr", col("sum_distinct").cast("double")
+        / (col("n_windows") * w).cast("double"))
+  }
+
   /** Token frequency-of-frequencies spectrum — the corpus-health
     * diagnostic behind Zipf/Heaps sanity checks and Good–Turing
     * smoothing: for each occurrence count c, how many distinct token
