@@ -2824,6 +2824,22 @@ object SparkEntry {
       .orderBy($"qid", $"rank")
   }
 
+  private def m10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // shape-bucketed pixel-budget batch packing over REALLY decoded
+    // dimensions (the m1 payloads: w/h analytic in doc_id, so the
+    // oracle predicts the parse and states the packing rule with a
+    // plain partitioned window; the Spark plan rides the grouped
+    // two-pass prefix sum — shape buckets are low-cardinality)
+    val w = (pmod($"doc_id", lit(16L)) + 1L).cast("int")
+    val h = (pmod($"doc_id", lit(13L)) + 2L).cast("int")
+    val withBin = t(s, dir, "documents").withColumn("payload",
+      operators.Multimodal.ppmPayload(w, h,
+        concat(lit("img:"), $"doc_id".cast("string")), reps = 21))
+    operators.Multimodal.pixelPack(withBin, "payload", "doc_id", budget = 2048)
+      .orderBy($"width", $"height", $"batch_id")
+  }
+
   private def t30(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // MATTR lexical diversity at w=25 (doc lengths run 10–99 tokens):
@@ -3197,6 +3213,7 @@ object SparkEntry {
     "d30_threshold_curve" -> (d30q _),
     "s15_range_search" -> (s15 _),
     "t30_mattr" -> (t30 _),
+    "m10_pixel_pack" -> (m10 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5643,6 +5660,26 @@ object SparkEntry {
         | COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
         | MIN(diff) AS min_difficulty, MAX(diff) AS max_difficulty
         |FROM c CROSS JOIN t GROUP BY 1 ORDER BY phase""".stripMargin,
+    // the oracle PREDICTS the decoded shapes (m1's analytic dims) and
+    // states the packing rule with a plain shape-partitioned window;
+    // the Spark plan is the grouped two-pass prefix sum
+    "m10_pixel_pack" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(doc_id % 16 + 1 AS INT) AS width,
+        |  CAST(doc_id % 13 + 2 AS INT) AS height,
+        |  CAST((doc_id % 16 + 1) * (doc_id % 13 + 2) AS BIGINT) AS px
+        | FROM documents),
+        |c AS (SELECT doc_id, width, height, px,
+        |  CAST(SUM(px) OVER (PARTITION BY width, height ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        | FROM d),
+        |b AS (SELECT width, height, CAST((cum - px) // 2048 AS BIGINT) AS batch_id, px
+        | FROM c)
+        |SELECT width, height, batch_id, COUNT(*) AS n_images,
+        | CAST(SUM(px) AS BIGINT) AS batch_pixels,
+        | CAST(SUM(px) AS BIGINT)::DOUBLE / CAST(2048 AS DOUBLE) AS fill
+        |FROM b GROUP BY width, height, batch_id
+        |ORDER BY width, height, batch_id""".stripMargin,
     // the contribution form is restated verbatim: position i is a
     // first-in-window occurrence for starts in [max(i−w+1, prev+1, 0),
     // min(i, n−w)] — all-integer, one final division

@@ -102,6 +102,40 @@ object Multimodal {
           .as("byte_offset"))
   }
 
+  /** Fixed-pixel-budget batch packing per decoded image shape — the
+    * multimodal face of p3's concat-and-chop sequence packing: a GPU
+    * decode/augment stage batches SAME-shape images (no re-padding),
+    * and each (width, height) bucket packs its images into batches of
+    * ≤ `budget` pixels by cumulative pixel count (the straddling image
+    * overfills rather than splits — p3's documented semantics). Shapes
+    * come from the REAL header decode (PPM/PNG only; other formats
+    * drop out). Scale: shape buckets are LOW-cardinality (hundreds),
+    * so a plain `Window.partitionBy(shape)` would push the corpus
+    * through that many tasks — the cumulative count rides
+    * [[Prefix.groupedCumSums]]' two-pass grouped prefix sum instead;
+    * the oracle states the plain partitioned window (long sums are
+    * split-point-independent).
+    */
+  def pixelPack(df: DataFrame, binCol: String, idCol: String,
+      budget: Int): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1: $budget")
+    val meta = Dedup.widen(df)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.Fence(graft.functions.DecodeMedia(col(binCol))).as("__m"))
+      .filter(col("__m.format").isin("ppm", "png"))
+      .select(col("doc_id"), col("__m.width").as("width"),
+        col("__m.height").as("height"),
+        (col("__m.width").cast("long") * col("__m.height")).as("px"))
+    Prefix.groupedCumSums(meta, groups = Seq("width", "height"),
+        order = Seq(col("doc_id")), sums = Seq("px" -> "cum_px"),
+        keep = Seq("doc_id", "width", "height", "px"))
+      .withColumn("batch_id", expr(s"(cum_px - px) div ${budget}L"))
+      .groupBy(col("width"), col("height"), col("batch_id"))
+      .agg(count(lit(1)).as("n_images"), sum(col("px")).as("batch_pixels"))
+      .withColumn("fill",
+        col("batch_pixels").cast("double") / lit(budget.toDouble))
+  }
+
   /** Per-window audio features over REALLY decoded PCM — the feature
     * stage an audio-training pipeline runs before any model sees a
     * clip: fixed-size sample windows with energy (Σ s², the loudness/

@@ -79,4 +79,57 @@ object Prefix {
       keep: Seq[String]): DataFrame =
     cumSums(df.withColumn("__one", lit(1L)), order,
       Seq("__one" -> alias), keep)._1
+
+  /** Per-GROUP cumulative sums for LOW-cardinality groups — the same
+    * scale trap as the global window in disguise: `Window.partitionBy
+    * (shape)` over 200 shapes pushes billions of rows through 200
+    * tasks regardless of cluster size. Identical two-pass shape:
+    * range-partition on (groups ++ order) so each group spans
+    * contiguous partitions, per-(partition, group) subtotals to the
+    * driver (≤ #partitions × #groups rows — the LOW-cardinality
+    * premise), per-group running offsets broadcast back into a
+    * (partition, group)-local window. High-cardinality groups don't
+    * need this — a plain partitionBy window already parallelizes.
+    * Group values must be NON-NULL (the offsets equi-join would drop
+    * null-group rows); sums are non-null longs as in [[cumSums]].
+    */
+  def groupedCumSums(df: DataFrame, groups: Seq[String], order: Seq[Column],
+      sums: Seq[(String, String)], keep: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = df.repartitionByRange(nParts, (groups.map(col) ++ order): _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val aggs = sums.map { case (c, a) => sum(col(c)).as(s"__p_$a") }
+    val partials = ranged.groupBy((col("__pid") +: groups.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val offRows = partials
+      .groupBy(r => groups.indices.map(i => r.get(i + 1)))
+      .values.flatMap { rs =>
+        val acc = Array.fill(sums.size)(0L)
+        rs.sortBy(_.getInt(0)).map { r =>
+          val row = Row.fromSeq(r.getInt(0) +:
+            (groups.indices.map(i => r.get(i + 1)) ++ acc.toSeq))
+          for (i <- sums.indices) {
+            val v = r.get(groups.size + 1 + i)
+            acc(i) += (if (v == null) 0L else v.asInstanceOf[Long])
+          }
+          row
+        }
+      }.toIndexedSeq
+    val groupFields = groups.map(g => df.schema(g))
+    val offSchema = StructType(
+      (StructField("__pid", IntegerType, nullable = false) +: groupFields) ++
+        sums.map { case (_, a) =>
+          StructField(s"__off_$a", LongType, nullable = false) })
+    val offsets = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows, 1), offSchema)
+    val wLoc = Window.partitionBy((col("__pid") +: groups.map(col)): _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offsets), "__pid" +: groups)
+      .select(keep.map(col) ++ sums.map { case (c, a) =>
+        (sum(col(c)).over(wLoc) + col(s"__off_$a")).as(a) }: _*)
+  }
 }

@@ -49,28 +49,32 @@ class PlanShapeSpec extends SparkSpec {
         s"single-task sort at scale:\n${global.mkString("\n")}")
   }
 
-  test("x15/t26/t24: two-pass prefix-sum plans carry no unpartitioned window") {
+  test("x15/t26/t24/p21/t30: prefix-sum and contribution plans carry no unpartitioned window") {
     assertNoGlobalWindow("x15_ks_drift")
     assertNoGlobalWindow("t26_heaps_fit")
     assertNoGlobalWindow("t24_zipf_fit")
+    assertNoGlobalWindow("p21_token_curriculum")
+    assertNoGlobalWindow("t30_mattr")
   }
 
   test("no heavy-family query plans a CartesianProduct") {
     for (name <- Seq("x15_ks_drift", "t26_heaps_fit", "t24_zipf_fit",
         "d28_prefix_join", "d4_ngram_jaccard", "d18_containment",
         "t21_rake", "s3_topk_operator", "t23_langid_trained",
-        "q49_mad_outliers", "q5_join5")) {
+        "q49_mad_outliers", "q5_join5", "m9_audio_energy",
+        "s15_range_search", "t30_mattr", "t29_burstiness")) {
       val cart = nodes(q(name)).collect { case c: CartesianProductExec => c }
       assert(cart.isEmpty, s"$name plans a CartesianProduct")
     }
   }
 
-  test("d28/d4/d18: the shuffle_hash hint holds on the token self-joins") {
+  test("d28/d4/d18/s15: the shuffle_hash hint holds on the token/band self-joins") {
     // the Σm²-bounded candidate joins must never sort their token
     // streams (SMJ sorts both sides of the heaviest shuffle in the
     // repo); removing the hint re-plans these as SortMergeJoin and
     // fails here
-    for (name <- Seq("d28_prefix_join", "d4_ngram_jaccard", "d18_containment")) {
+    for (name <- Seq("d28_prefix_join", "d4_ngram_jaccard",
+        "d18_containment", "s15_range_search")) {
       val ns = nodes(q(name))
       assert(ns.exists(_.isInstanceOf[ShuffledHashJoinExec]),
         s"$name lost its shuffle_hash hint (no ShuffledHashJoinExec)")

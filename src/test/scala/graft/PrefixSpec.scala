@@ -52,6 +52,22 @@ class PrefixSpec extends SparkSpec {
       want.orderBy("r").collect().toSeq)
   }
 
+  test("groupedCumSums equals the group-partitioned window bit-for-bit") {
+    // 7 groups × ~700 rows each — the low-cardinality regime where the
+    // plain partitionBy window is a 7-task bottleneck at scale
+    val df = (0 until 5000)
+      .map(i => ((i % 7).toString, i.toLong, (i % 11 + 1).toLong))
+      .toDF("g", "r", "x")
+    val got = graft.operators.Prefix.groupedCumSums(df, Seq("g"),
+      Seq(col("r")), Seq("x" -> "cx"), keep = Seq("g", "r", "x"))
+    val w = Window.partitionBy(col("g")).orderBy(col("r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.select(col("g"), col("r"), col("x"),
+      sum(col("x")).over(w).as("cx"))
+    assert(got.orderBy("g", "r").collect().toSeq ===
+      want.orderBy("g", "r").collect().toSeq)
+  }
+
   test("cumSums on empty and single-row inputs") {
     val empty = Seq.empty[(Long, Long)].toDF("k", "x")
     val (e, et) = graft.operators.Prefix.cumSums(empty, Seq(col("k")),
