@@ -2840,6 +2840,19 @@ object SparkEntry {
       .orderBy($"width", $"height", $"batch_id")
   }
 
+  private def d31q(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // MinHash estimator CALIBRATION — the audit that justifies trusting
+    // 16 hashes before a 100-TB dedup run: per agreeing-hash count m,
+    // pair count and pooled exact Jaccard. The oracle states the plain
+    // quadratic semantics; the operator never materializes the pair
+    // set (seed-collision join + d4 token join + closed-form m=0 mass
+    // — see Dedup.minHashCalibration; 8.8 s -> measured rewrite).
+    operators.Dedup.minHashCalibration(t(s, dir, "documents"),
+        blockCol = "source", numHashes = 16, shingleSize = 3)
+      .orderBy($"m")
+  }
+
   private def t30(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // MATTR lexical diversity at w=25 (doc lengths run 10–99 tokens):
@@ -3214,6 +3227,7 @@ object SparkEntry {
     "s15_range_search" -> (s15 _),
     "t30_mattr" -> (t30 _),
     "m10_pixel_pack" -> (m10 _),
+    "d31_minhash_calibration" -> (d31q _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5660,6 +5674,41 @@ object SparkEntry {
         | COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
         | MIN(diff) AS min_difficulty, MAX(diff) AS max_difficulty
         |FROM c CROSS JOIN t GROUP BY 1 ORDER BY phase""".stripMargin,
+    // the d2 minhash machinery restated verbatim (seeded affine over
+    // the md5-prefix h, min per seed), then the calibration aggregate:
+    // pooled exact Jaccard per agreeing-hash count — integer sums,
+    // two final divisions
+    "d31_minhash_calibration" ->
+      """WITH sh AS (SELECT doc_id, source,
+        |  list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |    i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' '))) AS ts
+        | FROM documents),
+        |toks AS (SELECT doc_id,
+        |  list_reduce(list_transform(range(1, 8),
+        |    i -> CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1 AS BIGINT)),
+        |    (x, y) -> x * 16 + y) AS h
+        |  FROM (SELECT doc_id, unnest(ts) AS tok FROM sh) t),
+        |seeds AS (SELECT s, ((2*s + 1) * 2654435761) % 2147483647 AS a, s * 40503 + 1 AS b
+        |          FROM (SELECT unnest(range(16)) AS s)),
+        |sigs AS (
+        |  SELECT doc_id, s, min((a * h + b) % 2147483647) AS mh
+        |  FROM toks CROSS JOIN seeds GROUP BY doc_id, s),
+        |sigv AS (SELECT doc_id, list(mh ORDER BY s) AS sig FROM sigs GROUP BY doc_id),
+        |f AS (SELECT x.doc_id, x.source, x.ts, v.sig
+        |  FROM sh x JOIN sigv v USING (doc_id)),
+        |p AS (SELECT
+        |  CAST(list_sum(list_transform(range(1, 17),
+        |    k -> CASE WHEN a.sig[CAST(k AS INT)] = b.sig[CAST(k AS INT)]
+        |              THEN 1 ELSE 0 END)) AS BIGINT) AS m,
+        |  CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS i,
+        |  CAST(len(a.ts) + len(b.ts) AS BIGINT) AS ab
+        | FROM f a JOIN f b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT m, CAST(m AS DOUBLE) / CAST(16 AS DOUBLE) AS est_jaccard,
+        | COUNT(*) AS n_pairs,
+        | CAST(SUM(i) AS BIGINT) AS sum_inter,
+        | CAST(SUM(ab) - SUM(i) AS BIGINT) AS sum_union,
+        | CAST(SUM(i) AS BIGINT)::DOUBLE / CAST(SUM(ab) - SUM(i) AS BIGINT)::DOUBLE AS pooled_jaccard
+        |FROM p GROUP BY m ORDER BY m""".stripMargin,
     // the oracle PREDICTS the decoded shapes (m1's analytic dims) and
     // states the packing rule with a plain shape-partitioned window;
     // the Spark plan is the grouped two-pass prefix sum
