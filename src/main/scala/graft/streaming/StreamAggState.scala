@@ -61,6 +61,73 @@ object StreamAggState {
   def readState(spark: SparkSession, statePath: String): Option[DataFrame] =
     StreamErrorHandling.readPending(spark, statePath)
 
+  /** Streaming incremental near-dup detection against a MAINTAINED LSH
+    * band index — the streaming face of d6/d25: each trigger signs
+    * ONLY its batch (incremental cost ∝ batch size), probes the
+    * epoch-keyed index of everything seen before, emits the verified
+    * corpus×batch (da, db, jaccard) pairs for the trigger (d6's
+    * `minHashLshIncremental` semantics — the spec pins per-trigger
+    * equality with that batch twin), then rewrites BOTH state epochs
+    * (band index, shingle sets) with the batch folded in. Inherits the
+    * family crash contract: a replayed trigger reads the untouched
+    * epochs < N and overwrites epoch=N plus its per-batch pair dir —
+    * proven by its StoreReplayPropertySpec membership, not a bespoke
+    * test.
+    */
+  def maintainLshDedup(stream: DataFrame, numHashes: Int, rowsPerBand: Int,
+      shingleSize: Int, threshold: Double, statePath: String,
+      pairsPath: String, checkpointPath: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        processLshDedupTrigger(batch.toDF(), batchId, numHashes, rowsPerBand,
+          shingleSize, threshold, statePath, pairsPath)
+      }
+      .start()
+
+  private[graft] def processLshDedupTrigger(batch: DataFrame, batchId: Long,
+      numHashes: Int, rowsPerBand: Int, shingleSize: Int, threshold: Double,
+      statePath: String, pairsPath: String): Unit = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val newSets = Dedup.shingleSets(batch, shingleSize, "text", "doc_id")
+      .localCheckpoint() // feeds bands, verification, and the docs epoch
+    val newBands = Dedup.lshBands(
+      newSets.select(col("doc_id"), graft.functions.Fence(
+        graft.functions.MinHashSig(col("ts"), numHashes)).as("sig")),
+      rowsPerBand).localCheckpoint()
+    val priorBands = StreamErrorHandling
+      .readPendingBefore(spark, s"$statePath/bands", batchId).map(_._2)
+    val priorDocs = StreamErrorHandling
+      .readPendingBefore(spark, s"$statePath/docs", batchId).map(_._2)
+    val pairs = (priorBands, priorDocs) match {
+      case (Some(pb), Some(pd)) =>
+        val cand = pb.as("a").join(newBands.as("b"),
+            col("a.band") === col("b.band")
+              && col("a.bandsig") === col("b.bandsig"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .distinct()
+        Dedup.verifyJaccard(cand, pd.unionByName(newSets), threshold)
+      case _ => // first trigger: no corpus yet, no pairs by d6 semantics
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("da",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("db",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("jaccard",
+              org.apache.spark.sql.types.DoubleType))))
+    }
+    // per-batch-dir pair output BEFORE the state epochs: a crash
+    // anywhere in between replays the whole trigger, which rewrites
+    // every one of the three destinations idempotently
+    pairs.write.mode("overwrite").parquet(s"$pairsPath/batch_id=$batchId")
+    priorBands.map(_.unionByName(newBands)).getOrElse(newBands)
+      .write.mode("overwrite").parquet(s"$statePath/bands/epoch=$batchId")
+    priorDocs.map(_.unionByName(newSets)).getOrElse(newSets)
+      .write.mode("overwrite").parquet(s"$statePath/docs/epoch=$batchId")
+  }
+
   /** Streaming log compaction (ST11) — the compacted-topic VIEW
     * maintained from a live changelog: each micro-batch compacts
     * locally (`Pipeline.compactLog` — one batch-sized argmax

@@ -175,6 +175,18 @@ class StoreReplayPropertySpec extends SparkSpec {
         rt => tagged("state" -> latestState(s"$rt/state"),
           "values" -> canonPath(s"$rt/values"),
           "late" -> canonPath(s"$rt/late"))),
+      Member("maintainLshDedup (ST29)", 3,
+        i => (0 until 6).map { j =>
+          ((i * 10 + j).toLong, (0 until 12)
+            .map(k => s"w${((i * 6 + j) * 7 + k * 3) % 40}").mkString(" "))
+        }.toDF("doc_id", "text"),
+        (b, id, rt) => A.processLshDedupTrigger(b, id, numHashes = 16,
+          rowsPerBand = 4, shingleSize = 3, threshold = 0.5,
+          s"$rt/state", s"$rt/pairs"),
+        rt => tagged(
+          "bands" -> latestState(s"$rt/state/bands"),
+          "docs" -> latestState(s"$rt/state/docs"),
+          "pairs" -> canonPath(s"$rt/pairs"))),
       Member("dedupStreamingBloom (ST17)", 3,
         i => (0 until 40).map(j => (s"k${(i * 20 + j * 3) % 70}", j.toLong))
           .toDF("k", "x"),

@@ -651,6 +651,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("maintainLshDedup: per-trigger pairs equal the d6 incremental batch twin; replay rewrites") {
+    import graft.streaming.StreamAggState
+    val tmp = Files.createTempDirectory("graft-lshdedup").toString
+    // 12 distinct tokens per doc (3j mod 40 cycles past j=13 only), so
+    // shingles are distinct and planted copies dominate the Jaccard
+    def txt(seed: Int) = (0 until 12).map(j => s"w${(seed * 7 + j * 3) % 40}").mkString(" ")
+    val t0 = Seq((0L, txt(1)), (1L, txt(2)), (2L, txt(3)))
+    val t1 = Seq((10L, txt(1)), (11L, txt(4))) // 10 is a copy of doc 0
+    val t2 = Seq((20L, txt(4) + " extra"), (21L, txt(5))) // 20 near-copies 11
+    def trig(rows: Seq[(Long, String)], id: Long): Unit =
+      StreamAggState.processLshDedupTrigger(rows.toDF("doc_id", "text"), id,
+        numHashes = 16, rowsPerBand = 4, shingleSize = 3, threshold = 0.5,
+        s"$tmp/state", s"$tmp/pairs")
+    trig(t0, 0L); trig(t1, 1L); trig(t2, 2L)
+    def pairsOf(id: Long): Set[(Long, Long, Double)] =
+      spark.read.parquet(s"$tmp/pairs/batch_id=$id")
+        .select($"da", $"db", $"jaccard").as[(Long, Long, Double)]
+        .collect().toSet
+    def twin(corpus: Seq[(Long, String)],
+        batch: Seq[(Long, String)]): Set[(Long, Long, Double)] =
+      graft.operators.Dedup.minHashLshIncremental(
+          corpus.toDF("doc_id", "text"), batch.toDF("doc_id", "text"),
+          numHashes = 16, rowsPerBand = 4, threshold = 0.5, shingleSize = 3)
+        .as[(Long, Long, Double)].collect().toSet
+    assert(pairsOf(0L).isEmpty) // no corpus yet — d6 semantics
+    assert(pairsOf(1L) == twin(t0, t1))
+    assert(pairsOf(2L) == twin(t0 ++ t1, t2))
+    assert(pairsOf(1L).map(p => (p._1, p._2)) == Set((0L, 10L)),
+      "the planted exact copy must surface against the maintained index")
+    assert(pairsOf(2L).map(p => (p._1, p._2)).contains((11L, 20L)),
+      "the planted near-copy must surface against the maintained index")
+    // crash-replay of the last trigger: pairs and both state stores
+    // unchanged (the generic StoreReplayPropertySpec member proves this
+    // for every replay point; this is the readable worked example)
+    def snap() = (pairsOf(2L),
+      StreamAggState.readState(spark, s"$tmp/state/bands").get.count(),
+      StreamAggState.readState(spark, s"$tmp/state/docs").get.count())
+    val before = snap()
+    trig(t2, 2L)
+    assert(snap() == before, "replayed trigger re-appended")
+  }
+
   test("maintainScd2: incremental versions equal one batch scd2 over all history; replay rewrites") {
     import graft.streaming.StreamAggState
     val tmp = Files.createTempDirectory("graft-scd2").toString
