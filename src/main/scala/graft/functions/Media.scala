@@ -310,8 +310,12 @@ case class WavSamples(child: Expression, maxSamples: Int)
     val out = new Array[Int](math.max(n, 0))
     var i = 0
     while (i < n) {
-      val p = (dataOff + i.toLong * blockAlign).toInt
-      if (p + 1 >= b.length) return new GenericArrayData(out.take(i))
+      // compare in Long BEFORE the Int cast: n is clamped to the
+      // buffer by the decoder, but a defensive overflow here costs
+      // nothing and a wrapped negative index would throw
+      val pL = dataOff + i.toLong * blockAlign
+      if (pL + 1 >= b.length) return new GenericArrayData(out.take(i))
+      val p = pL.toInt
       val v = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
       out(i) = if (v >= 0x8000) v - 0x10000 else v
       i += 1
