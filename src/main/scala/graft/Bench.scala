@@ -57,7 +57,11 @@ object Bench {
     val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_out.json")
     val prior: Map[String, Double] = try {
       val ref = java.nio.file.Files.readString(java.nio.file.Paths.get(refPath))
-      val kv = """"([a-z0-9_]+)":([0-9.]+)""".r
+      // exponent-aware: a sub-millisecond time serialized as 9.5E-4
+      // must not parse as 9.5 — since the r9 merge a mis-parse would
+      // be written BACK into the artifact as a permanently inflated
+      // drift baseline (values are also written in plain decimal now)
+      val kv = """"([a-z0-9_]+)":([0-9.]+(?:[eE][-+]?[0-9]+)?)""".r
       kv.findAllMatchIn(ref)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap - "value"
     } catch { case t: Throwable =>
@@ -81,7 +85,9 @@ object Bench {
     // never shrink the drift baseline — the r8 single-query re-measure
     // erased 186 reference times exactly this way (ADVICE r8).
     val merged = (prior ++ results.toMap).toSeq.sortBy(_._1)
-    val qs = merged.map { case (k, v) => "\"" + k + "\":" + v }
+    // plain-decimal serialization: Double.toString uses scientific
+    // notation under 1e-3, which a naive reader truncates
+    val qs = merged.map { case (k, v) => "\"" + k + "\":" + f"$v%.6f" }
       .mkString("{", ",", "}")
     val total = merged.map(_._2).sum
     val line =

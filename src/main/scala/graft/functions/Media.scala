@@ -170,13 +170,23 @@ object DecodeMedia {
     */
   private val maxPngPixels = 1L << 24 // 16M pixels ≈ 64 MB ARGB raster
 
+  // ImageIO.setUseCache is a JVM-GLOBAL synchronized mutator — run it
+  // once at class init (no executor /tmp spill files), never on the
+  // per-row decode path
+  private lazy val imageIoConfigured: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   private def decodePng(b: Array[Byte]): InternalRow = {
     def be32(off: Int): Long =
       ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
         ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
     if (ascii(b, 12, 4) != "IHDR") return unknown
     val wDecl = be32(16); val hDecl = be32(20)
-    if (wDecl <= 0 || hDecl <= 0 || wDecl * hDecl > maxPngPixels) return unknown
+    // bound each dimension BEFORE multiplying: wDecl/hDecl are
+    // unsigned 32-bit from untrusted bytes, and a crafted
+    // 0xFFFFFFF0 × 0xFFFFFFF0 product wraps the Long guard
+    if (wDecl <= 0 || hDecl <= 0 || wDecl > maxPngPixels ||
+      hDecl > maxPngPixels || wDecl * hDecl > maxPngPixels) return unknown
     // chunk walk for the first IDAT offset (Long-advance, same
     // malformed-size discipline as the WAV walk)
     var i = 8
@@ -193,7 +203,7 @@ object DecodeMedia {
     if (idatOff < 0) return unknown
     val img =
       try {
-        javax.imageio.ImageIO.setUseCache(false) // no executor /tmp spills
+        imageIoConfigured // one-time global setUseCache, not per row
         javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
       } catch { case _: Throwable => null }
     if (img == null) return unknown

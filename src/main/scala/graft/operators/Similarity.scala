@@ -470,14 +470,21 @@ object Similarity {
     * guard — touch the 64-multiply dot product.
     */
   def rangeSearchLsh(vectors: DataFrame, threshold: Double,
-      maxHamming: Int = 7, bands: Int = 8): DataFrame = {
+      maxHamming: Int = 7, bands: Int = 8,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val v = vectors
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
       .withColumn("sig", binarySignature(col("v"), 63))
       .localCheckpoint() // feeds both banding sides + two verify joins
+    // maxBucket defaults UNBOUNDED here, unlike the dedup callers: the
+    // EXACT-predicate contract (and the s15 oracle's caveat-free
+    // quadratic statement) cannot survive a silent bucket prune. A
+    // caller that opts into a finite cap on a sign-degenerate corpus
+    // accepts recall loss and should monitor it via the
+    // oversizedHammingBuckets pattern.
     val cand = Dedup.hammingNearDup(v.select(col("vec_id"), col("sig")),
       nBits = 64, bands = bands, maxHamming = maxHamming,
-      idCol = "vec_id", sigCol = "sig")
+      idCol = "vec_id", sigCol = "sig", maxBucket = maxBucket)
     cand
       .join(v.select(col("vec_id").as("da"), col("v").as("__va")), "da")
       .join(v.select(col("vec_id").as("db"), col("v").as("__vb")), "db")

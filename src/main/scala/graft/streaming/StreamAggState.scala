@@ -63,12 +63,15 @@ object StreamAggState {
 
   /** Streaming incremental near-dup detection against a MAINTAINED LSH
     * band index — the streaming face of d6/d25: each trigger signs
-    * ONLY its batch (incremental cost ∝ batch size), probes the
-    * epoch-keyed index of everything seen before, emits the verified
-    * corpus×batch (da, db, jaccard) pairs for the trigger (d6's
-    * `minHashLshIncremental` semantics — the spec pins per-trigger
-    * equality with that batch twin), then rewrites BOTH state epochs
-    * (band index, shingle sets) with the batch folded in. Inherits the
+    * ONLY its batch, probes the epoch-keyed index of everything seen
+    * before, emits the verified corpus×batch (da, db, jaccard) pairs
+    * for the trigger (d6's `minHashLshIncremental` semantics — the
+    * spec pins per-trigger equality with that batch twin), then
+    * rewrites BOTH state epochs (band index, shingle sets) with the
+    * batch folded in. The PROBE is what's incremental (∝ batch size);
+    * the epoch rewrite is O(corpus) I/O per trigger — the
+    * compacted-log family's documented shape — and epoch GC keeps
+    * STORAGE at O(corpus), never O(triggers × corpus). Inherits the
     * family crash contract: a replayed trigger reads the untouched
     * epochs < N and overwrites epoch=N plus its per-batch pair dir —
     * proven by its StoreReplayPropertySpec membership, not a bespoke
@@ -108,15 +111,14 @@ object StreamAggState {
           .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
           .distinct()
         Dedup.verifyJaccard(cand, pd.unionByName(newSets), threshold)
-      case _ => // first trigger: no corpus yet, no pairs by d6 semantics
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("da",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("db",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("jaccard",
-              org.apache.spark.sql.types.DoubleType))))
+      case _ =>
+        // first trigger: no corpus yet, no pairs by d6 semantics — the
+        // empty frame comes from the SAME operator so the batch-0
+        // parquet schema can never diverge from later batches'
+        Dedup.verifyJaccard(
+          newSets.select(col("doc_id").as("da"), col("doc_id").as("db"))
+            .limit(0),
+          newSets, threshold)
     }
     // per-batch-dir pair output BEFORE the state epochs: a crash
     // anywhere in between replays the whole trigger, which rewrites
@@ -126,6 +128,20 @@ object StreamAggState {
       .write.mode("overwrite").parquet(s"$statePath/bands/epoch=$batchId")
     priorDocs.map(_.unionByName(newSets)).getOrElse(newSets)
       .write.mode("overwrite").parquet(s"$statePath/docs/epoch=$batchId")
+    // epoch GC (the retry-store idiom): of the epochs below batchId
+    // only the NEWEST is replay-reachable — without this, storage is
+    // O(triggers × corpus)
+    Seq(s"$statePath/bands", s"$statePath/docs").foreach { dir =>
+      val prior = StreamErrorHandling.pendingEpochs(spark, dir)
+        .filter(_ < batchId)
+      if (prior.size > 1) {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        prior.dropRight(1).foreach { e =>
+          fs.delete(new org.apache.hadoop.fs.Path(p, s"epoch=$e"), true); ()
+        }
+      }
+    }
   }
 
   /** Streaming log compaction (ST11) — the compacted-topic VIEW
