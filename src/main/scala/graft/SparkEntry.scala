@@ -2824,6 +2824,15 @@ object SparkEntry {
       .orderBy($"qid", $"rank")
   }
 
+  private def p22(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the loss-mask/attention-boundary companion of p3: per packed
+    // sequence, each doc's (start, end) token offsets — end visibly
+    // past the budget for the straddling doc (p3's overfill semantics)
+    operators.Pipeline.packOffsets(t(s, dir, "documents"), budget = 512)
+      .orderBy($"shard", $"seq_id", $"doc_id")
+  }
+
   private def m10(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // shape-bucketed pixel-budget batch packing over REALLY decoded
@@ -3228,6 +3237,7 @@ object SparkEntry {
     "t30_mattr" -> (t30 _),
     "m10_pixel_pack" -> (m10 _),
     "d31_minhash_calibration" -> (d31q _),
+    "p22_pack_offsets" -> (p22 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5674,6 +5684,17 @@ object SparkEntry {
         | COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
         | MIN(diff) AS min_difficulty, MAX(diff) AS max_difficulty
         |FROM c CROSS JOIN t GROUP BY 1 ORDER BY phase""".stripMargin,
+    // p3's CTE verbatim plus the offset arithmetic — all integers
+    "p22_pack_offsets" ->
+      """WITH d AS (SELECT source AS shard, doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents),
+        |c AS (SELECT shard, doc_id, toks,
+        |  CAST(SUM(toks) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM d)
+        |SELECT shard, CAST((cum - toks) // 512 AS BIGINT) AS seq_id, doc_id,
+        | CAST(cum - toks - ((cum - toks) // 512) * 512 AS BIGINT) AS start_off,
+        | CAST(cum - ((cum - toks) // 512) * 512 AS BIGINT) AS end_off
+        |FROM c ORDER BY shard, seq_id, doc_id""".stripMargin,
     // the d2 minhash machinery restated verbatim (seeded affine over
     // the md5-prefix h, min per seed), then the calibration aggregate:
     // pooled exact Jaccard per agreeing-hash count — integer sums,

@@ -77,6 +77,23 @@ object Pipeline {
       .withColumn("seq_id", expr(s"(cum - toks) div $budget"))
   }
 
+  /** Loss-mask offsets for [[packSequences]] — the metadata half a
+    * dataloader actually consumes: per packed sequence, where each
+    * document STARTS and ENDS (token offsets within the sequence), so
+    * attention/loss never crosses a document boundary. Pure arithmetic
+    * on the same per-shard cumulative counts (start = exclusive cumsum
+    * − seq start; end = start + toks, visibly past `budget` for the
+    * straddling doc — p3's documented overfill semantics). Same plan
+    * as p3: one shard-partitioned window, no extra pass.
+    */
+  def packOffsets(docs: DataFrame, budget: Int,
+      shardCol: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    packSequences(docs, budget, shardCol, idCol, textCol)
+      .select(col("shard"), col("seq_id"), col("doc_id"),
+        (col("cum") - col("toks") - col("seq_id") * budget).as("start_off"),
+        (col("cum") - col("seq_id") * budget).as("end_off"))
+
   /** Benchmark-contamination check: which training documents share any
     * word-`n`-gram with the (small) eval set? The eval side collapses to
     * DISTINCT grams and is BROADCAST — the pattern that scales to 100 TB
