@@ -2833,6 +2833,22 @@ object SparkEntry {
       .orderBy($"shard", $"seq_id", $"doc_id")
   }
 
+  private def p23(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // did the pipeline shift the QUALITY distribution? — the KS gate a
+    // corpus release runs between versions, here between the even/odd
+    // doc halves: t2's per-row quality score (engine-identical double
+    // arithmetic) through x15's scale-safe two-pass ECDF. Operator
+    // COMPOSITION: both halves are oracle-proven pieces, the oracle
+    // just composes the same two statements.
+    val q = operators.TextAnalysis.qualityMetrics(t(s, dir, "documents"))
+      .select($"doc_id", $"quality_score")
+    operators.Pipeline.ksDrift(
+      q.filter(pmod($"doc_id", lit(2L)) === 0L).select($"quality_score"),
+      q.filter(pmod($"doc_id", lit(2L)) === 1L).select($"quality_score"),
+      "quality_score")
+  }
+
   private def m10(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // shape-bucketed pixel-budget batch packing over REALLY decoded
@@ -3238,6 +3254,7 @@ object SparkEntry {
     "m10_pixel_pack" -> (m10 _),
     "d31_minhash_calibration" -> (d31q _),
     "p22_pack_offsets" -> (p22 _),
+    "p23_quality_drift" -> (p23 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5684,6 +5701,33 @@ object SparkEntry {
         | COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
         | MIN(diff) AS min_difficulty, MAX(diff) AS max_difficulty
         |FROM c CROSS JOIN t GROUP BY 1 ORDER BY phase""".stripMargin,
+    // composition of two proven statements: t2's per-row score feeds
+    // x15's ECDF tail — scores are identical doubles on both engines,
+    // so the distinct-value grouping and the KS max line up exactly
+    "p23_quality_drift" ->
+      """WITH m0 AS (SELECT doc_id,
+        |  len(text)::DOUBLE AS n_chars,
+        |  len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE AS n_tokens,
+        |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE AS punct,
+        |  len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('the','a','of','and','is')))::DOUBLE AS stop
+        | FROM documents),
+        |q AS (SELECT doc_id,
+        |  (stop / n_tokens) * 2.0 +
+        |   (CASE WHEN (n_chars - n_tokens + 1.0) / n_tokens >= 3.0
+        |         AND (n_chars - n_tokens + 1.0) / n_tokens <= 8.0 THEN 0.5 ELSE 0.0 END) -
+        |   (punct / n_chars) * 3.0 AS v
+        | FROM m0),
+        |a AS (SELECT v, COUNT(*) AS ca FROM q WHERE doc_id % 2 = 0 AND v IS NOT NULL GROUP BY v),
+        |b AS (SELECT v, COUNT(*) AS cb FROM q WHERE doc_id % 2 = 1 AND v IS NOT NULL GROUP BY v),
+        |m AS (SELECT COALESCE(a.v, b.v) AS v, COALESCE(ca, 0) AS ca,
+        |  COALESCE(cb, 0) AS cb FROM a FULL JOIN b ON a.v = b.v),
+        |c AS (SELECT SUM(ca) OVER w AS cum_a, SUM(cb) OVER w AS cum_b FROM m
+        | WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM m)
+        |SELECT na AS n_a, nb AS n_b,
+        | MAX(abs(CAST(cum_a AS DOUBLE) / CAST(na AS DOUBLE)
+        |   - CAST(cum_b AS DOUBLE) / CAST(nb AS DOUBLE))) AS ks_stat
+        |FROM c CROSS JOIN t GROUP BY na, nb""".stripMargin,
     // p3's CTE verbatim plus the offset arithmetic — all integers
     "p22_pack_offsets" ->
       """WITH d AS (SELECT source AS shard, doc_id,
