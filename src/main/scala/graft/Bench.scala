@@ -8,6 +8,53 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON line.
   */
 object Bench {
+
+  /** Merge a bench run into the prior committed artifact — pure, so the
+    * gating policy is spec-testable (BenchMergeSpec). Three rules:
+    *
+    *  1. STALE DROP: prior keys no longer in the registry are removed
+    *    (a renamed query must not inflate the total forever).
+    *  2. CONTENTION GATE: a run covering most of the registry whose
+    *    MEDIAN per-query ratio vs the prior artifact exceeds
+    *    `medianGate` is a uniformly-contended host, not 100 real
+    *    regressions — the prior values are KEPT on overlap and only
+    *    genuinely-new keys merge in. The old >2× per-query check
+    *    provably misses a uniform 1.3× run (VERDICT r9 task 1); the
+    *    median catches exactly that signature while staying blind to a
+    *    few real regressions in an otherwise-quiet run.
+    *  3. Otherwise this run wins on overlap, prior fills the gaps — a
+    *    partial run can never shrink the baseline (ADVICE r8).
+    *
+    * @return (merged artifact, human-readable warnings)
+    */
+  def mergeRuns(prior: Map[String, Double], run: Map[String, Double],
+      registry: Set[String], medianGate: Double = 1.15)
+      : (Seq[(String, Double)], Seq[String]) = {
+    val warnings = Seq.newBuilder[String]
+    val stale = prior.keySet.diff(registry)
+    if (stale.nonEmpty)
+      warnings += s"dropped ${stale.size} stale prior key(s) not in the " +
+        s"registry: ${stale.toSeq.sorted.mkString(", ")}"
+    val livePrior = prior -- stale
+    val ratios = run.toSeq.collect {
+      case (k, v) if livePrior.get(k).exists(_ > 0.05) => v / livePrior(k)
+    }.sorted
+    val fullRegistryRun = registry.nonEmpty &&
+      run.keySet.intersect(registry).size * 2 >= registry.size
+    val contended = fullRegistryRun && ratios.size >= 20 && {
+      val med = ratios(ratios.size / 2)
+      val hit = med > medianGate
+      if (hit) warnings += f"CONTENDED RUN: median per-query ratio $med%.3f " +
+        f"vs prior exceeds $medianGate%.2f across ${ratios.size} queries - " +
+        "keeping prior baseline on overlap; re-measure on a quiet host"
+      hit
+    }
+    val merged =
+      if (contended) (run ++ livePrior).toSeq.sortBy(_._1) // prior wins
+      else (livePrior ++ run).toSeq.sortBy(_._1)           // run wins
+    (merged, warnings.result())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -80,18 +127,23 @@ object Bench {
           s"(${results.size} queries, none >2x prior)")
     }
 
-    // The written artifact MERGES this run into the prior map (this
-    // run wins on overlap) so a filtered or partial bench run can
-    // never shrink the drift baseline — the r8 single-query re-measure
-    // erased 186 reference times exactly this way (ADVICE r8).
-    val merged = (prior ++ results.toMap).toSeq.sortBy(_._1)
-    // plain-decimal serialization: Double.toString uses scientific
-    // notation under 1e-3, which a naive reader truncates
-    val qs = merged.map { case (k, v) => "\"" + k + "\":" + f"$v%.6f" }
+    // Merge + contention gate (pure logic in mergeRuns; VERDICT r9
+    // task 1): a partial run can't shrink the baseline, a uniformly
+    // contended full run can't replace it, and renamed queries don't
+    // haunt the total under their old names.
+    val (merged, warnings) =
+      mergeRuns(prior, results.toMap, SparkEntry.queries.keySet)
+    warnings.foreach(w => System.err.println(s"[bench] $w"))
+    // plain-decimal, locale-pinned serialization: Double.toString uses
+    // scientific notation under 1e-3, and %f under a comma-decimal
+    // locale would write 0,6 — invalid JSON (ADVICE r9)
+    def dec(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
+    val qs = merged.map { case (k, v) => "\"" + k + "\":" + dec(v) }
       .mkString("{", ",", "}")
     val total = merged.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${dec(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Durable copy: the driver captures only a stdout TAIL, which has
     // truncated the per-query map in past rounds (BENCH_r06 lost 94/160

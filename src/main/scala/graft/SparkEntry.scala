@@ -2188,6 +2188,42 @@ object SparkEntry {
       .orderBy($"da", $"db")
   }
 
+  private def d32(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // ExactSubstr trim (Lee et al. class) with PLANTED cross-document
+    // passages that pin the winnowing guarantee boundary in the oracle:
+    // every 50th doc gets a clone embedding a w+k-1 = 6-token verbatim
+    // run (detection CERTAIN — >= k tokens trimmed from the clone, the
+    // original is canonical by smaller packed okey), and a second clone
+    // family embeds a k-1 = 2-token run (NO shared k-gram can exist —
+    // the planted run is untouchable). Filler tokens are doc-unique
+    // ("zzq" tag), clone ids sit at max(doc_id)+1 (the s15 discipline:
+    // data-derived, collision-free at any SF).
+    val docs = t(s, dir, "documents").select($"doc_id", $"text")
+    val off = docs.agg(max($"doc_id")).as[Long].head() + 1L
+    val toks = split(trim($"text"), "\\s+")
+    // filler references the ORIGINAL id under a distinct name ("did"):
+    // in a select that also aliases doc_id+off AS doc_id, a bare
+    // $"doc_id" inside a sibling expression resolves laterally to the
+    // NEW alias (the zzqa500x1-vs-zzqa0x1 red during this query's build)
+    def filler(tag: String) = concat_ws(" ",
+      transform(sequence(lit(1), lit(5)),
+        i => concat(lit(tag), $"did".cast("string"), lit("x"), i.cast("string"))))
+    val det = docs.filter(pmod($"doc_id", lit(50L)) === 0L)
+      .select($"doc_id".as("did"), $"text")
+      .select(($"did" + off).as("doc_id"),
+        concat_ws(" ", filler("zzqa"),
+          concat_ws(" ", slice(toks, 5, 6)), filler("zzqb")).as("text"))
+    val miss = docs.filter(pmod($"doc_id", lit(50L)) === 10L)
+      .select($"doc_id".as("did"), $"text")
+      .select(($"did" + off * 2L).as("doc_id"),
+        concat_ws(" ", filler("zzqc"),
+          concat_ws(" ", slice(toks, 5, 2)), filler("zzqd")).as("text"))
+    operators.Dedup.exactSubstrTrim(
+        docs.unionByName(det).unionByName(miss), k = 3, w = 4)
+      .orderBy($"doc_id")
+  }
+
   private def t19(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // token frequency-of-frequencies: Zipf/Heaps corpus-health card
@@ -2888,6 +2924,17 @@ object SparkEntry {
       .orderBy($"doc_id")
   }
 
+  private def t31(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // unigram-LM tokenizer training (SentencePiece-class): seed from
+    // the substring inventory, 2 hard-EM rounds (Viterbi E-step over
+    // the word histogram), count-proxy prune; engine-exact via integer
+    // counts + round(9) on the one ln BEFORE it enters the dp sums
+    operators.TextAnalysis.unigramLmVocab(t(s, dir, "documents"),
+        maxPieceLen = 4, seedSize = 60, emRounds = 2, vocabSize = 40)
+      .orderBy($"piece")
+  }
+
   private def s15(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // cosine RANGE search with a sign-LSH blocking predicate: all pairs
@@ -2899,8 +2946,13 @@ object SparkEntry {
     // first-coordinate-negated clone — hamming in {0, 1}, cosine just
     // under 1 — making the exact pair list non-vacuous and analytic.
     val emb = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+    // clone ids sit at max(vec_id)+1 above the originals — DATA-derived
+    // (one metadata-scale max() action), not a fixed 1_000_000 offset
+    // that would collide with real ids once the corpus holds ≥1M
+    // vectors (the r9 ADVICE hazard; sf10 is exactly that size)
+    val offset = emb.agg(max($"vec_id")).as[Long].head() + 1L
     val clones = emb.filter(pmod($"vec_id", lit(25L)) === 0L)
-      .select(($"vec_id" + 1000000L).as("vec_id"),
+      .select(($"vec_id" + offset).as("vec_id"),
         transform($"embedding",
           (x, i) => when(i === 0, negate(x)).otherwise(x)).as("embedding"))
     operators.Similarity.rangeSearchLsh(emb.unionByName(clones),
@@ -3255,6 +3307,8 @@ object SparkEntry {
     "d31_minhash_calibration" -> (d31q _),
     "p22_pack_offsets" -> (p22 _),
     "p23_quality_drift" -> (p23 _),
+    "d32_exact_substr" -> (d32 _),
+    "t31_unigram_lm" -> (t31 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5823,7 +5877,7 @@ object SparkEntry {
     "s15_range_search" ->
       """WITH aug AS (SELECT vec_id, embedding FROM embeddings
         | UNION ALL
-        | SELECT vec_id + 1000000 AS vec_id,
+        | SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS vec_id,
         |  list_transform(range(1, len(embedding) + 1), i ->
         |    CASE WHEN i = 1 THEN -embedding[CAST(i AS INT)]
         |         ELSE embedding[CAST(i AS INT)] END) AS embedding
@@ -5880,6 +5934,146 @@ object SparkEntry {
         |FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY da, db HAVING COUNT(*) >= 2
         |ORDER BY da, db""".stripMargin,
+    // positional winnowing (rightmost window-min via the reversed-slice
+    // list_position, exactly the Spark formula), planted clones at the
+    // w+k-1 boundary; k=3, w=4 mirror the Spark call
+    "d32_exact_substr" ->
+      """WITH off AS (SELECT max(doc_id) + 1 AS o FROM documents),
+        |src AS (SELECT doc_id AS did, regexp_split_to_array(trim(text), '\s+') AS t
+        | FROM documents),
+        |det AS (SELECT did + (SELECT o FROM off) AS doc_id,
+        |  array_to_string(list_transform(range(1, 6),
+        |    i -> 'zzqa' || CAST(did AS VARCHAR) || 'x' || CAST(i AS VARCHAR)), ' ')
+        |  || ' ' || array_to_string(t[5:10], ' ') || ' ' ||
+        |  array_to_string(list_transform(range(1, 6),
+        |    i -> 'zzqb' || CAST(did AS VARCHAR) || 'x' || CAST(i AS VARCHAR)), ' ') AS text
+        | FROM src WHERE did % 50 = 0),
+        |miss AS (SELECT did + (SELECT o FROM off) * 2 AS doc_id,
+        |  array_to_string(list_transform(range(1, 6),
+        |    i -> 'zzqc' || CAST(did AS VARCHAR) || 'x' || CAST(i AS VARCHAR)), ' ')
+        |  || ' ' || array_to_string(t[5:6], ' ') || ' ' ||
+        |  array_to_string(list_transform(range(1, 6),
+        |    i -> 'zzqd' || CAST(did AS VARCHAR) || 'x' || CAST(i AS VARCHAR)), ' ') AS text
+        | FROM src WHERE did % 50 = 10),
+        |corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id, text FROM det
+        |  UNION ALL SELECT doc_id, text FROM miss),
+        |tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM corpus),
+        |h AS (SELECT doc_id, list_transform(range(1, len(t) - 1), i ->
+        |   TRY_CAST('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 8) AS BIGINT)) AS hs
+        | FROM tk WHERE len(t) >= 3),
+        |sp AS (SELECT doc_id, hs, list_distinct(list_transform(
+        |   range(1, greatest(len(hs) - 3, 1) + 1),
+        |   j -> j + least(4, len(hs) - j + 1)
+        |      - list_position(list_reverse(hs[j : j + least(4, len(hs) - j + 1) - 1]),
+        |          list_min(hs[j : j + least(4, len(hs) - j + 1) - 1])))) AS ps
+        | FROM h),
+        |occ AS (SELECT doc_id, hs[CAST(p AS INT)] AS fp, p,
+        |   doc_id * 1048576 + p AS okey
+        | FROM (SELECT doc_id, hs, unnest(ps) AS p FROM sp)),
+        |canon AS (SELECT fp, min(okey) AS keep_key FROM occ GROUP BY fp),
+        |rem AS (SELECT o.doc_id,
+        |   list_sort(list_distinct(flatten(list(range(o.p, o.p + 3))))) AS rem
+        | FROM occ o JOIN canon c ON o.fp = c.fp WHERE o.okey <> c.keep_key
+        | GROUP BY o.doc_id)
+        |SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tokens,
+        | CAST(coalesce(len(r.rem), 0) AS BIGINT) AS n_removed,
+        | CASE WHEN r.rem IS NULL THEN array_to_string(tk.t, ' ')
+        |  ELSE coalesce(array_to_string(list_transform(
+        |    list_filter(range(1, len(tk.t) + 1), i -> NOT list_contains(r.rem, i)),
+        |    i -> tk.t[CAST(i AS INT)]), ' '), '') END AS text_out
+        |FROM tk LEFT JOIN rem r ON tk.doc_id = r.doc_id
+        |ORDER BY tk.doc_id""".stripMargin,
+    // unigram-LM trained vocab: the whole EM unrolled in SQL — the
+    // Viterbi dp is a list_reduce fold with a (v, -start) struct argmax
+    // (ties -> smallest start = Spark's strict-> ascending scan), piece
+    // scores are round(ln, 9)-ed BEFORE entering the dp sums on both
+    // engines, counts stay integer throughout
+    "t31_unigram_lm" ->
+      """WITH wh AS (
+        |  SELECT w, count(*) AS n FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents)
+        |  GROUP BY w),
+        |seedc AS (
+        |  SELECT piece, CAST(sum(n) AS BIGINT) AS c FROM (
+        |    SELECT n, unnest(flatten(list_transform(range(1, len(w) + 1),
+        |      i -> list_transform(range(1, least(4, len(w) - i + 1) + 1),
+        |        l -> substr(w, CAST(i AS INT), CAST(l AS INT)))))) AS piece
+        |    FROM wh)
+        |  GROUP BY piece),
+        |top0 AS (SELECT piece, c FROM seedc ORDER BY c DESC, piece LIMIT 60),
+        |v0 AS (SELECT piece, c FROM top0
+        |  UNION ALL
+        |  SELECT s.piece, s.c FROM seedc s ANTI JOIN top0 t ON s.piece = t.piece
+        |  WHERE len(s.piece) = 1),
+        |m1 AS (SELECT map(list(piece ORDER BY piece),
+        |         list(round(ln(CAST(c AS DOUBLE) / (SELECT sum(c) FROM v0)), 9) ORDER BY piece)) AS sc
+        |  FROM v0),
+        |dp1 AS (SELECT w, n,
+        |  list_reduce(
+        |    list_prepend([{'v': CAST(0 AS DOUBLE), 'ns': 0}],
+        |      list_transform(range(1, len(w) + 1), i -> [{'v': CAST(i AS DOUBLE), 'ns': 0}])),
+        |    (acc, x) -> list_append(acc,
+        |      list_max(list_transform(range(greatest(CAST(x[1].v AS INT) - 4, 0), CAST(x[1].v AS INT)),
+        |        s -> {'v': acc[s + 1].v + coalesce(
+        |                map_extract(sc, substr(w, s + 1, CAST(x[1].v AS INT) - s))[1],
+        |                CAST(-1e9 AS DOUBLE)),
+        |              'ns': -s})))) AS d
+        |  FROM wh, m1),
+        |seg1 AS (SELECT w, n,
+        |  list_reduce(
+        |    list_prepend([{'pos': len(w), 'ps': CAST([] AS VARCHAR[])}],
+        |      list_transform(range(1, len(w) + 1), i -> [{'pos': 0, 'ps': CAST([] AS VARCHAR[])}])),
+        |    (acc, x) -> [CASE WHEN acc[1].pos > 0 THEN
+        |        {'pos': -d[acc[1].pos + 1].ns,
+        |         'ps': list_prepend(substr(w, -d[acc[1].pos + 1].ns + 1,
+        |                  acc[1].pos + d[acc[1].pos + 1].ns), acc[1].ps)}
+        |      ELSE acc[1] END]) AS r
+        |  FROM dp1),
+        |c1 AS (SELECT piece, CAST(sum(n) AS BIGINT) AS c FROM (
+        |    SELECT n, unnest(r[1].ps) AS piece FROM seg1) GROUP BY piece),
+        |charsAll AS (SELECT DISTINCT substr(w, CAST(i AS INT), 1) AS piece
+        |  FROM wh, unnest(range(1, len(w) + 1)) AS u(i)),
+        |v1 AS (SELECT piece, c FROM c1
+        |  UNION ALL
+        |  SELECT ch.piece, CAST(1 AS BIGINT) AS c FROM charsAll ch ANTI JOIN c1 ON ch.piece = c1.piece),
+        |m2 AS (SELECT map(list(piece ORDER BY piece),
+        |         list(round(ln(CAST(c AS DOUBLE) / (SELECT sum(c) FROM v1)), 9) ORDER BY piece)) AS sc
+        |  FROM v1),
+        |dp2 AS (SELECT w, n,
+        |  list_reduce(
+        |    list_prepend([{'v': CAST(0 AS DOUBLE), 'ns': 0}],
+        |      list_transform(range(1, len(w) + 1), i -> [{'v': CAST(i AS DOUBLE), 'ns': 0}])),
+        |    (acc, x) -> list_append(acc,
+        |      list_max(list_transform(range(greatest(CAST(x[1].v AS INT) - 4, 0), CAST(x[1].v AS INT)),
+        |        s -> {'v': acc[s + 1].v + coalesce(
+        |                map_extract(sc, substr(w, s + 1, CAST(x[1].v AS INT) - s))[1],
+        |                CAST(-1e9 AS DOUBLE)),
+        |              'ns': -s})))) AS d
+        |  FROM wh, m2),
+        |seg2 AS (SELECT w, n,
+        |  list_reduce(
+        |    list_prepend([{'pos': len(w), 'ps': CAST([] AS VARCHAR[])}],
+        |      list_transform(range(1, len(w) + 1), i -> [{'pos': 0, 'ps': CAST([] AS VARCHAR[])}])),
+        |    (acc, x) -> [CASE WHEN acc[1].pos > 0 THEN
+        |        {'pos': -d[acc[1].pos + 1].ns,
+        |         'ps': list_prepend(substr(w, -d[acc[1].pos + 1].ns + 1,
+        |                  acc[1].pos + d[acc[1].pos + 1].ns), acc[1].ps)}
+        |      ELSE acc[1] END]) AS r
+        |  FROM dp2),
+        |c2 AS (SELECT piece, CAST(sum(n) AS BIGINT) AS c FROM (
+        |    SELECT n, unnest(r[1].ps) AS piece FROM seg2) GROUP BY piece),
+        |v2 AS (SELECT piece, c FROM c2
+        |  UNION ALL
+        |  SELECT ch.piece, CAST(1 AS BIGINT) AS c FROM charsAll ch ANTI JOIN c2 ON ch.piece = c2.piece),
+        |topf AS (SELECT piece, c FROM v2 ORDER BY c DESC, piece LIMIT 40),
+        |vf AS (SELECT piece, c FROM topf
+        |  UNION ALL
+        |  SELECT v.piece, v.c FROM v2 v ANTI JOIN topf t ON v.piece = t.piece
+        |  WHERE len(v.piece) = 1)
+        |SELECT piece, c AS n,
+        |  round(ln(CAST(c AS DOUBLE) / (SELECT sum(c) FROM vf)), 9) AS logp
+        |FROM vf ORDER BY piece""".stripMargin,
     // the oracle states the GLOBAL-window skyline rule; the Spark plan
     // is the bucket-pruned equivalent (monotone-bucket proof in the
     // skyline2d scaladoc)

@@ -1041,6 +1041,89 @@ object Dedup {
     * a mapPartitions pass (one of the few justified ones: there is no
     * Catalyst expression for an arbitrary broadcast sketch probe).
     */
+  /** ExactSubstr-class dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better"): remove VERBATIM cross-document
+    * passages from non-canonical occurrences — trim the matched
+    * passage, not the whole document. Detection is positional
+    * winnowing (Schleimer–Wilkerson–Aiken) over word `k`-grams with
+    * window `w`, hashed by the d23-proven engine-agnostic md5-hex
+    * prefix; per window the RIGHTMOST minimum hash is selected, a rule
+    * that depends only on the window's own hashes, so selections
+    * inside a shared run are identical in every document containing it.
+    *
+    * GUARANTEE (stated for the §2 row, exercised at the boundary by
+    * ExactSubstrSpec): any shared token run of length L ≥ w+k−1 has at
+    * least one window of w gram hashes fully inside it, hence at least
+    * one SHARED selected fingerprint — detection is certain, and ≥ k
+    * tokens of the run are trimmed from every non-canonical occurrence.
+    * Interior coverage is much stronger: consecutive winnowing
+    * selections are ≤ w gram positions apart, so after trimming, no
+    * verbatim shared stretch longer than w−k tokens survives in the
+    * run's interior (edges contribute < w+k−1 tokens each). A run of
+    * L < k tokens shares no k-gram and is never touched. Canonical =
+    * globally smallest (doc_id, position) occurrence of the
+    * fingerprint, packed into one long (doc_id·2²⁰+pos, the d12
+    * bounds: pos < 2²⁰, doc_id < 2⁴³).
+    *
+    * Scale shape — the reason this is the dedup mode that works at
+    * 100 TB where pair-mining can't: NO pair join anywhere. Fingerprint
+    * selection is per-row array expressions on the widened scan
+    * (Fence-pinned, one evaluation); then one groupBy(fp) argmin (map-
+    * side partial min, one row per distinct fingerprint crosses the
+    * wire), one fp-keyed join of occurrences against winners (output =
+    * occurrence count, never df²), one doc_id-keyed join to rebuild
+    * text. Cost is linear in selected fingerprints ≈ corpus grams/w·2,
+    * independent of how many documents share a passage.
+    *
+    * Output: every input document (untouched docs keep their text) as
+    * (doc_id, n_tokens, n_removed, text_out), removal = union of
+    * [p, p+k−1] token spans over its non-canonical fingerprints.
+    */
+  def exactSubstrTrim(docs0: DataFrame, k: Int = 3, w: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(w >= 1, s"w must be >= 1: $w")
+    val docs = widen(docs0)
+    val toks = docs.select(col(idCol).as("doc_id"),
+      graft.functions.Fence(split(trim(col(textCol)), "\\s+")).as("t"))
+      .localCheckpoint() // consumed by the fingerprint pass AND the
+                         // rebuild join; re-running the scan+split per
+                         // branch would double the corpus read
+    // gram hashes (1-based), then per-window rightmost argmin: the
+    // reversed-slice array_position finds the LAST index holding the
+    // window minimum, mirrored verbatim in the DuckDB oracle
+    val sel = toks.filter(size(col("t")) >= k)
+      .select(col("doc_id"),
+        graft.functions.Fence(expr(
+          s"""transform(sequence(1, size(t) - ${k - 1}),
+             |  i -> cast(conv(substring(md5(concat_ws(' ', slice(t, i, $k))), 1, 8), 16, 10) as bigint))"""
+            .stripMargin)).as("h"))
+      .select(col("doc_id"), col("h"), explode(array_distinct(expr(
+        s"""transform(sequence(1, greatest(size(h) - ${w - 1}, 1)),
+           |  j -> j + least($w, size(h) - j + 1)
+           |    - array_position(reverse(slice(h, j, least($w, size(h) - j + 1))),
+           |        array_min(slice(h, j, least($w, size(h) - j + 1)))))"""
+          .stripMargin))).as("p"))
+      .select(col("doc_id"), col("p").cast("int").as("p"),
+        element_at(col("h"), col("p").cast("int")).as("fp"),
+        (col("doc_id") * lit(1048576L) + col("p")).as("okey"))
+    val canon = sel.groupBy(col("fp")).agg(min(col("okey")).as("keep_key"))
+    val removedIdx = sel.join(canon, "fp")
+      .filter(col("okey") =!= col("keep_key"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(array_distinct(flatten(collect_list(
+        sequence(col("p"), col("p") + lit(k - 1)))))).as("rem"))
+    toks.join(removedIdx, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        coalesce(size(col("rem")), lit(0)).cast("long").as("n_removed"),
+        when(col("rem").isNull, concat_ws(" ", col("t")))
+          .otherwise(concat_ws(" ", transform(
+            filter(sequence(lit(1), size(col("t"))),
+              i => !array_contains(col("rem"), i)),
+            i => element_at(col("t"), i)))).as("text_out"))
+  }
+
   def bloomPrefilter(newBatch: DataFrame, corpus: DataFrame, keyCol: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     val bf = corpus.stat.bloomFilter(keyCol, expectedItems, fpp)

@@ -101,9 +101,26 @@ object Pipeline {
     * row per contaminated training doc with the shared-gram count.
     */
   def contamination(train: DataFrame, evalSet: DataFrame, n: Int,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val evalGrams = Dedup.shingleSets(evalSet, n, textCol, idCol)
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    contaminationAgainstGrams(train,
+      evalGramSet(evalSet, n, textCol, idCol), n, textCol, idCol)
+
+  /** The eval side of [[contamination]] as a standalone frame (distinct
+    * word-n-grams of the benchmark suite) — precompute + pin it once
+    * and every caller (each batch sweep, each streaming TRIGGER of the
+    * ST30 gate) skips re-shingling the eval set. */
+  def evalGramSet(evalSet: DataFrame, n: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    Dedup.shingleSets(evalSet, n, textCol, idCol)
       .select(explode(col("ts")).as("g")).distinct()
+
+  /** [[contamination]] against a PREBUILT [[evalGramSet]] frame: the
+    * training side streams through one broadcast-join + hash aggregate
+    * — per-doc verdicts are independent, so any partition of the
+    * training corpus (including a stream's micro-batches) yields
+    * exactly the whole-corpus verdict restricted to its docs. */
+  def contaminationAgainstGrams(train: DataFrame, evalGrams: DataFrame,
+      n: Int, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val trainGrams = Dedup.shingleSets(train, n, textCol, idCol)
       .select(col("doc_id"), explode(col("ts")).as("g"))
     trainGrams.join(broadcast(evalGrams), "g")
@@ -908,7 +925,14 @@ object Pipeline {
         coalesce(col("cb"), lit(0L)).as("cb"))
     val (cums, totals) = Prefix.cumSums(merged, Seq(col("__v")),
       Seq("ca" -> "cum_a", "cb" -> "cum_b"))
-    // grand totals come free from the prefix pass (driver-known longs)
+    // grand totals come free from the prefix pass (driver-known longs).
+    // An empty side would make ks_stat a silent NaN (which can slip
+    // through a `ks_stat > threshold` gate as false) — fail fast: a
+    // drift check against an empty distribution is a caller bug, not a
+    // "no drift" verdict.
+    require(totals("cum_a") > 0L && totals("cum_b") > 0L,
+      s"ksDrift: empty input distribution (n_a=${totals("cum_a")}, " +
+        s"n_b=${totals("cum_b")}) - KS statistic is undefined")
     cums
       .agg(max(abs(col("cum_a").cast("double") / lit(totals("cum_a")).cast("double")
           - col("cum_b").cast("double") / lit(totals("cum_b")).cast("double")))

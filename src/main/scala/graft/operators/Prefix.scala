@@ -101,9 +101,24 @@ object Prefix {
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
     val aggs = sums.map { case (c, a) => sum(col(c)).as(s"__p_$a") }
+    // Driver-size guard on the low-cardinality premise: the subtotal
+    // frame is ≤ #partitions × #groups rows, and a caller violating the
+    // premise (e.g. a grouping key that is really a row id) would turn
+    // this into an unbounded driver collect. limit(max+1) bounds what
+    // ever reaches the driver; the overflow fails loudly instead of
+    // OOMing it. High-cardinality groups should use a plain
+    // Window.partitionBy(groups) — that shape already parallelizes.
+    val maxPartials =
+      spark.conf.get("spark.graft.prefix.maxGroupPartials", "262144").toInt
     val partials = ranged.groupBy((col("__pid") +: groups.map(col)): _*)
       .agg(aggs.head, aggs.tail: _*)
+      .limit(maxPartials + 1)
       .collect()
+    require(partials.length <= maxPartials,
+      s"groupedCumSums: over $maxPartials (partition, group) subtotals - " +
+        s"group cardinality too high for the driver-offset path; use a " +
+        s"plain Window.partitionBy(${groups.mkString(",")}) instead, or " +
+        s"raise spark.graft.prefix.maxGroupPartials")
     val offRows = partials
       .groupBy(r => groups.indices.map(i => r.get(i + 1)))
       .values.flatMap { rs =>

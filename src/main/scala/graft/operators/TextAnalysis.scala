@@ -985,4 +985,134 @@ object TextAnalysis {
       .select(col("doc_id"), col("best.lang").as("lang"),
         col("best.ml").as("predicted"))
   }
+
+  /** Spark's round() semantics on the driver (scala BigDecimal from the
+    * double's shortest decimal repr, HALF_UP) — Viterbi piece scores
+    * must round EXACTLY like the output logp column and the DuckDB
+    * oracle's round(ln, 9) (the t27/t5 proven equivalence). */
+  private def round9(x: Double): Double =
+    BigDecimal(x).setScale(9, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+
+  /** Viterbi best segmentation of one word under per-piece log scores:
+    * dp[i] = max over s of dp[s] + score(w[s..i)), missing pieces at
+    * −1e9 (a finite sentinel both engines state identically), ties →
+    * SMALLEST start (the longest candidate piece), implemented as a
+    * strict-> ascending scan — exactly the oracle's list_max over
+    * (v, −s) structs. All arithmetic is double adds in recursion order,
+    * so dp values are bit-identical across engines.
+    */
+  private[graft] def viterbiSegment(w: String, maxPieceLen: Int,
+      scores: collection.Map[String, Double]): List[String] = {
+    val n = w.length
+    val dp = new Array[Double](n + 1)
+    val bp = new Array[Int](n + 1)
+    var i = 1
+    while (i <= n) {
+      var best = Double.NegativeInfinity
+      var bestS = -1
+      var s = math.max(0, i - maxPieceLen)
+      while (s < i) {
+        val v = dp(s) + scores.getOrElse(w.substring(s, i), -1e9)
+        if (v > best) { best = v; bestS = s }
+        s += 1
+      }
+      dp(i) = best; bp(i) = bestS
+      i += 1
+    }
+    var pos = n
+    var out = List.empty[String]
+    while (pos > 0) {
+      val s = bp(pos)
+      out = w.substring(s, pos) :: out
+      pos = s
+    }
+    out
+  }
+
+  /** Unigram-LM tokenizer training (SentencePiece-class, Kudo 2018) —
+    * the other tokenizer real pipelines train beside BPE (T12/T22):
+    * seed a piece inventory from all ≤`maxPieceLen`-char substrings of
+    * the word histogram (top `seedSize` by weighted count, single chars
+    * always retained), then `emRounds` of hard EM — E-step: Viterbi
+    * best segmentation of every distinct word under the current piece
+    * log-probabilities; M-step: re-count pieces over the segmentations
+    * (single chars floored at count 1 so every word stays segmentable)
+    * — and a final count-proxy prune to `vocabSize` pieces (chars
+    * always kept; SentencePiece's likelihood-delta prune is
+    * approximated by the count rank, stated honestly).
+    *
+    * Engine determinism (the T22 playbook): all counts are exact
+    * integers; the ONE transcendental — ln(count/total) — is round(9)ed
+    * BEFORE entering the dp sums ([[round9]] is bit-equal to Spark's
+    * round and DuckDB's, t27 precedent; ln args are in (0,1) so no −0);
+    * dp additions happen in recursion order on both engines; argmax
+    * ties break to the smallest start. Seed/prune cuts are total-ORDER
+    * deterministic (count desc, piece asc).
+    *
+    * Scale: the ONLY corpus-sized pass is the token histogram
+    * (explode + map-side-partial hash agg, scan-bound). Everything
+    * after runs on the vocabulary-sized word histogram
+    * (localCheckpoint-pinned), with per-round driver collects of
+    * piece-table size — the same metadata-scale collect class as
+    * bpeMerges. Output: (piece, n, logp) ordered by piece.
+    */
+  def unigramLmVocab(docs: DataFrame, maxPieceLen: Int = 4,
+      seedSize: Int = 60, emRounds: Int = 2, vocabSize: Int = 40,
+      textCol: String = "text"): DataFrame = {
+    require(maxPieceLen >= 1 && seedSize >= 1 && emRounds >= 1 && vocabSize >= 1,
+      s"bad params: $maxPieceLen/$seedSize/$emRounds/$vocabSize")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val L = maxPieceLen
+    val wh = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .localCheckpoint() // vocabulary-sized; read once per EM round
+    val seedc = wh.select(col("n"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)),
+           |  i -> transform(sequence(1, least($L, length(w) - i + 1)),
+           |    l -> substring(w, i, l))))""".stripMargin)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("n")).as("c"))
+      .localCheckpoint() // feeds the top-N cut AND the char re-union
+    val top0 = seedc.orderBy(col("c").desc, col("piece").asc).limit(seedSize)
+      .localCheckpoint()
+    val v0 = top0.unionByName(
+      seedc.filter(length(col("piece")) === 1)
+        .join(top0.select("piece"), Seq("piece"), "left_anti"))
+    val charsAll = wh.select(explode(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("piece"))
+      .distinct().localCheckpoint()
+
+    def emRound(vocab: DataFrame): DataFrame = {
+      val entries = vocab.select(col("piece"), col("c")).as[(String, Long)].collect()
+      val total = entries.map(_._2).sum.toDouble
+      val scores: Map[String, Double] = entries.map { case (p, c) =>
+        p -> round9(math.log(c.toDouble / total))
+      }.toMap
+      val bc = spark.sparkContext.broadcast(scores)
+      val counts = wh.select(col("w"), col("n")).as[(String, Long)]
+        .mapPartitions { it =>
+          val sc = bc.value
+          it.flatMap { case (w, n) =>
+            viterbiSegment(w, L, sc).map(p => (p, n)) }
+        }.toDF("piece", "n")
+        .groupBy(col("piece")).agg(sum(col("n")).as("c"))
+        .localCheckpoint()
+      counts.unionByName(
+        charsAll.join(counts.select("piece"), Seq("piece"), "left_anti")
+          .select(col("piece"), lit(1L).as("c")))
+        .localCheckpoint()
+    }
+    var v = v0.localCheckpoint()
+    for (_ <- 1 to emRounds) v = emRound(v)
+    val topf = v.orderBy(col("c").desc, col("piece").asc).limit(vocabSize)
+      .localCheckpoint()
+    val vf = topf.unionByName(
+      v.filter(length(col("piece")) === 1)
+        .join(topf.select("piece"), Seq("piece"), "left_anti"))
+      .localCheckpoint()
+    val totf = vf.agg(sum(col("c"))).as[Long].head().toDouble
+    vf.select(col("piece"), col("c").as("n"),
+      round(log(col("c").cast("double") / lit(totf)), 9).as("logp"))
+  }
 }

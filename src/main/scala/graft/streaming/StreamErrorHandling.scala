@@ -723,6 +723,58 @@ object StreamErrorHandling {
       }
       .start()
 
+  /** One trigger of the streaming contamination gate — the body shared
+    * by [[contaminationGate]]'s foreachBatch and the replay proof
+    * (StoreReplayPropertySpec): the batch's docs split on the
+    * [[graft.operators.Pipeline.contaminationAgainstGrams]] verdict,
+    * contaminated docs (with their shared-gram count) to the flagged
+    * store, the rest to the clean store. Same epoch-keyed accounting
+    * as the ST14 contract gate: each micro-batch OWNS its batch_id=N
+    * partition dir and crash replay overwrites it — exactly-once
+    * without a transactional sink. One persisted verdict frame feeds
+    * both sinks (the ErrorFrame.annotated discipline: never plan the
+    * gram pipeline once per branch).
+    */
+  def processContaminationTrigger(batch: DataFrame, batchId: Long,
+      evalGrams: DataFrame, n: Int, cleanPath: String, flaggedPath: String,
+      textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    val verdict = graft.operators.Pipeline
+      .contaminationAgainstGrams(batch, evalGrams, n, textCol, idCol)
+      .persist()
+    try {
+      batch.join(verdict.withColumnRenamed("doc_id", idCol), idCol)
+        .write.mode("overwrite").parquet(s"$flaggedPath/batch_id=$batchId")
+      batch.join(verdict.select(col("doc_id").as(idCol)), Seq(idCol), "left_anti")
+        .write.mode("overwrite").parquet(s"$cleanPath/batch_id=$batchId")
+    } finally { verdict.unpersist(); () }
+    ()
+  }
+
+  /** Streaming benchmark-contamination gate (ST30): a live ingest
+    * pipeline checks every arriving document against the eval suite's
+    * n-grams PER TRIGGER instead of waiting for the next batch sweep —
+    * leaked benchmark items never reach the clean store. The eval gram
+    * set is computed ONCE at query start and pinned (localCheckpoint);
+    * each trigger broadcast-joins against it — the same
+    * tiny-eval/100-TB-train asymmetry the batch p4 operator exploits.
+    * Per-doc verdicts are independent, so the union of all triggers'
+    * stores equals the batch verdict on the same corpus — pinned by
+    * StreamingSpec's per-trigger equality test.
+    */
+  def contaminationGate(stream: DataFrame, evalSet: DataFrame, n: Int,
+      cleanPath: String, flaggedPath: String, checkpointPath: String,
+      textCol: String = "text", idCol: String = "doc_id"): StreamingQuery = {
+    val grams = graft.operators.Pipeline
+      .evalGramSet(evalSet, n, textCol, idCol).localCheckpoint()
+    stream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        processContaminationTrigger(batch.toDF(), batchId, grams, n,
+          cleanPath, flaggedPath, textCol, idCol)
+      }
+      .start()
+  }
+
   /** Stream-static enrichment (slowly-changing dimension): every
     * micro-batch re-READS the dimension path — a fresh file listing per
     * trigger, so a dimension republished between triggers (the daily

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench-artifact merge policy (VERDICT r9 task 1): the
+  * committed bench_out.json is the drift baseline every future round
+  * grades against, so its update rules are load-bearing evidence, not
+  * plumbing. The specific regression this spec exists for: a uniformly
+  * contended host (every query ~1.3× slower) passes the old >2×
+  * per-query drift check and silently REPLACES a quiet baseline — r9
+  * shipped exactly that artifact (median ratio 1.20 vs the 0a5d49e
+  * quiet run). The median gate must catch it.
+  */
+class BenchMergeSpec extends AnyFunSuite {
+
+  private val registry = (1 to 100).map(i => f"q$i%03d").toSet
+  private val quiet: Map[String, Double] = registry.map(_ -> 1.0).toMap
+
+  test("uniform 1.3x full-registry run does NOT replace the baseline") {
+    val contended = quiet.map { case (k, v) => k -> v * 1.3 }
+    val (merged, warnings) = Bench.mergeRuns(quiet, contended, registry)
+    assert(merged.toMap === quiet, "prior values must win on overlap")
+    assert(warnings.exists(_.contains("CONTENDED")), warnings.mkString("; "))
+  }
+
+  test("uniform 1.3x run still merges its genuinely-new keys") {
+    val newKey = "q_new"
+    val contended = quiet.map { case (k, v) => k -> v * 1.3 } + (newKey -> 2.0)
+    val (merged, _) = Bench.mergeRuns(quiet, contended, registry + newKey)
+    assert(merged.toMap.apply(newKey) === 2.0)
+    assert(merged.toMap.apply("q001") === 1.0)
+  }
+
+  test("quiet full run (median 1.02x) replaces the baseline") {
+    val run = quiet.map { case (k, v) => k -> v * 1.02 }
+    val (merged, warnings) = Bench.mergeRuns(quiet, run, registry)
+    assert(merged.toMap === run)
+    assert(!warnings.exists(_.contains("CONTENDED")))
+  }
+
+  test("a few real regressions in a quiet run are NOT gated") {
+    // 5 genuine 3x regressions, 95 at parity: median 1.0 — must merge
+    // (the per-query >2x DRIFT stderr check flags them separately)
+    val run = quiet.map { case (k, v) =>
+      k -> (if (k <= "q005") v * 3.0 else v)
+    }
+    val (merged, warnings) = Bench.mergeRuns(quiet, run, registry)
+    assert(merged.toMap.apply("q001") === 3.0)
+    assert(!warnings.exists(_.contains("CONTENDED")))
+  }
+
+  test("partial run merges over prior and can't shrink the baseline") {
+    val partial = Map("q001" -> 0.5, "q002" -> 1.3)
+    val (merged, warnings) = Bench.mergeRuns(quiet, partial, registry)
+    assert(merged.size === 100)
+    assert(merged.toMap.apply("q001") === 0.5)
+    assert(merged.toMap.apply("q002") === 1.3)
+    assert(merged.toMap.apply("q003") === 1.0)
+    assert(!warnings.exists(_.contains("CONTENDED")),
+      "the gate is for full-registry runs, not partial re-measures")
+  }
+
+  test("stale prior keys (renamed/deleted queries) are dropped and logged") {
+    val priorWithStale = quiet + ("q_renamed_away" -> 9.9)
+    val run = Map("q001" -> 1.0)
+    val (merged, warnings) = Bench.mergeRuns(priorWithStale, run, registry)
+    assert(!merged.toMap.contains("q_renamed_away"))
+    assert(warnings.exists(_.contains("q_renamed_away")))
+  }
+
+  test("empty prior (first run) merges the run as-is") {
+    val run = quiet
+    val (merged, warnings) = Bench.mergeRuns(Map.empty, run, registry)
+    assert(merged.toMap === run)
+    assert(warnings.isEmpty)
+  }
+}

@@ -63,6 +63,47 @@ class ContractSpec extends AnyFunSuite {
     assert(unlisted.isEmpty, s"queries missing from SURVEY §2: $unlisted")
   }
 
+  test("latest CORRECTNESS artifact keys all exist in the registry") {
+    // the judge re-counts this bijection every round (VERDICT r9 task
+    // 5): a renamed/deleted query must not leave an orphan key in the
+    // graded artifact. (New queries added since the artifact was
+    // written are covered by the bench-evidence test below.)
+    val latest = {
+      val dir = java.nio.file.Paths.get(".")
+      val s = java.nio.file.Files.list(dir)
+      try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        .map(_.getFileName.toString)
+        .filter(_.matches("CORRECTNESS_r\\d+\\.json")).sorted.lastOption
+      finally s.close()
+    }
+    assert(latest.isDefined, "no CORRECTNESS_rN.json artifact committed")
+    val content = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(latest.get)), java.nio.charset.StandardCharsets.UTF_8)
+    val keys = "\"([a-z][a-z0-9_]+)\"\\s*:\\s*\\{".r
+      .findAllMatchIn(content).map(_.group(1)).toSet
+    assert(keys.size >= 190, s"artifact parse broke: ${keys.size} keys")
+    val orphans = keys -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty,
+      s"${latest.get} holds keys absent from the registry: $orphans")
+  }
+
+  test("every registered query has committed bench evidence (bench_out.json)") {
+    // a query may land before the driver's next CORRECTNESS run, but it
+    // must never land without a measured time in the committed bench
+    // artifact — perf evidence is part of 'done' (VERDICT r9 task 5)
+    val content = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("bench_out.json")), java.nio.charset.StandardCharsets.UTF_8)
+    val keys = "\"([a-z][a-z0-9_]+)\"\\s*:\\s*[0-9]".r
+      .findAllMatchIn(content).map(_.group(1)).toSet
+    val unbenched = SparkEntry.queries.keySet -- keys
+    assert(unbenched.isEmpty,
+      s"registered queries missing from bench_out.json: $unbenched " +
+        "- run a partial graft.Bench for them before committing")
+    val stale = keys -- SparkEntry.queries.keySet - "metric" - "unit" -
+      "queries" - "sf" - "value" - "total"
+    assert(stale.isEmpty, s"bench_out.json holds stale keys: $stale")
+  }
+
   test("SURVEY §2 spec-only surfaces name symbols that exist in the source tree") {
     // spec-only rows have no oracle query to rot-detect them: if the
     // method a row names is renamed, the row silently points at nothing

@@ -192,7 +192,20 @@ class StoreReplayPropertySpec extends SparkSpec {
           .toDF("k", "x"),
         (b, id, rt) => E.processBloomDedupTrigger(b, id, "k",
           expectedItems = 10000L, fpp = 0.01, s"$rt/values", s"$rt/state"),
-        rt => tagged("values" -> canonPath(s"$rt/values"))))
+        rt => tagged("values" -> canonPath(s"$rt/values"))),
+      Member("contaminationGate (ST30)", 3,
+        i => (0 until 8).map { j =>
+          val text =
+            if (j % 3 == 0) s"alpha beta leak$i$j"   // shares "alpha beta"
+            else s"clean$i$j words only here $j"
+          ((i * 100 + j).toLong, text)
+        }.toDF("doc_id", "text"),
+        (b, id, rt) => E.processContaminationTrigger(b, id,
+          graft.operators.Pipeline.evalGramSet(
+            Seq((0L, "alpha beta gamma")).toDF("doc_id", "text"), 2),
+          n = 2, s"$rt/clean", s"$rt/flagged"),
+        rt => tagged("clean" -> canonPath(s"$rt/clean"),
+          "flagged" -> canonPath(s"$rt/flagged"))))
   }
 
   test("epoch-keyed store family: replaying ANY trigger leaves every store unchanged") {

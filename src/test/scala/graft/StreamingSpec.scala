@@ -68,6 +68,48 @@ class StreamingSpec extends SparkSpec {
       ("4", "graft.ContractViolation", "qty_small")))
   }
 
+  test("contaminationGate (ST30): per-trigger verdicts equal the batch p4 verdict") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val tmp = Files.createTempDirectory("graft-contam").toString
+    val evalSet = Seq((100L, "alpha beta gamma"), (101L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val q = StreamErrorHandling.contaminationGate(
+      mem.toDF().toDF("doc_id", "text"), evalSet, n = 2,
+      s"$tmp/clean", s"$tmp/flagged", s"$tmp/ckpt")
+    val triggers = Seq(
+      Seq((1L, "alpha beta something else"), (2L, "totally clean doc here")),
+      Seq((3L, "full leak delta epsilon zeta"), (4L, "another clean one")),
+      Seq((5L, "beta gamma then alpha beta twice")))
+    triggers.foreach { t => mem.addData(t); q.processAllAvailable() }
+    q.stop()
+    // whole-corpus equality with the BATCH operator (p4) on the same docs
+    val all = triggers.flatten.toDF("doc_id", "text")
+    val batchVerdict = graft.operators.Pipeline.contamination(all, evalSet, 2)
+      .as[(Long, Long)].collect().toSet
+    assert(batchVerdict.map(_._1) === Set(1L, 3L, 5L)) // non-vacuous
+    assert(batchVerdict(5L -> 2L), "doc 5 shares two distinct grams")
+    val flagged = spark.read.parquet(s"$tmp/flagged")
+      .select($"doc_id", $"n_shared").as[(Long, Long)].collect().toSet
+    assert(flagged === batchVerdict)
+    val clean = spark.read.parquet(s"$tmp/clean")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(clean === triggers.flatten.map(_._1).toSet -- flagged.map(_._1))
+    // PER-TRIGGER equality: each epoch dir holds exactly the batch
+    // verdict restricted to that trigger's docs
+    triggers.zipWithIndex.foreach { case (t, id) =>
+      val want = graft.operators.Pipeline
+        .contamination(t.toDF("doc_id", "text"), evalSet, 2)
+        .as[(Long, Long)].collect().toSet
+      val dir = new java.io.File(s"$tmp/flagged/batch_id=$id")
+      val got =
+        if (!dir.exists()) Set.empty[(Long, Long)]
+        else spark.read.parquet(dir.toString)
+          .select($"doc_id", $"n_shared").as[(Long, Long)].collect().toSet
+      assert(got === want, s"trigger $id verdict diverged from batch p4")
+    }
+  }
+
   test("captureToDlq splits a stream into values and dead letters") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Unigram-LM tokenizer training (T-family, VERDICT r9 task 6) — the
+  * T22 playbook applied to the SentencePiece-class trainer: roundtrip,
+  * segmentability (single chars always in the vocab), held-out-word
+  * behavior, and determinism of the EM + prune pipeline.
+  */
+class UnigramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (1L, "alpha alpha beta alphabet"),
+    (2L, "beta beta gamma alpha"),
+    (3L, "alphabet gamma gamma beta alpha"),
+    (4L, "delta alpha beta alphabet gamma")
+  ).toDF("doc_id", "text")
+
+  private lazy val vocab =
+    TextAnalysis.unigramLmVocab(corpus, maxPieceLen = 4, seedSize = 30,
+      emRounds = 2, vocabSize = 15).collect()
+
+  test("every single character of the corpus is in the trained vocab") {
+    val pieces = vocab.map(_.getString(0)).toSet
+    val chars = "alphbetgmd".map(_.toString).toSet
+    assert(chars.subsetOf(pieces), s"missing chars: ${chars -- pieces}")
+  }
+
+  test("viterbi segmentation roundtrips every corpus word") {
+    val scores = vocab.map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val words = Seq("alpha", "beta", "gamma", "delta", "alphabet")
+    words.foreach { w =>
+      val seg = TextAnalysis.viterbiSegment(w, 4, scores)
+      assert(seg.mkString("") === w, s"roundtrip broke: $w -> $seg")
+      assert(seg.forall(scores.contains),
+        s"segment used out-of-vocab piece: $w -> $seg")
+    }
+  }
+
+  test("held-out word over known chars segments and roundtrips") {
+    val scores = vocab.map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val seg = TextAnalysis.viterbiSegment("gadget", 4, scores)
+    assert(seg.mkString("") === "gadget")
+  }
+
+  test("viterbi ties break to the smallest start (longest piece)") {
+    // "ab" vs "a"+"b" with equal total score: the 2-char piece (start 0)
+    // must win — the oracle's (v, -s) struct max states the same rule
+    val sc = Map("ab" -> -2.0, "a" -> -1.0, "b" -> -1.0)
+    assert(TextAnalysis.viterbiSegment("ab", 4, sc) === List("ab"))
+  }
+
+  test("missing pieces fall back without crashing, still roundtrip") {
+    // 'x' is absent from the scores entirely
+    val sc = Map("a" -> -1.0)
+    val seg = TextAnalysis.viterbiSegment("axa", 2, sc)
+    assert(seg.mkString("") === "axa")
+  }
+
+  test("training is deterministic: a second run is identical") {
+    val again = TextAnalysis.unigramLmVocab(corpus, maxPieceLen = 4,
+      seedSize = 30, emRounds = 2, vocabSize = 15).collect()
+    assert(vocab.map(_.toString).sorted.toSeq ===
+      again.map(_.toString).sorted.toSeq)
+  }
+
+  test("counts are positive integers and logp matches ln(n/total)") {
+    val total = vocab.map(_.getLong(1)).sum.toDouble
+    vocab.foreach { r =>
+      assert(r.getLong(1) >= 1L)
+      val expect = BigDecimal(math.log(r.getLong(1).toDouble / total))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(2) === expect, s"logp drifted for ${r.getString(0)}")
+    }
+  }
+
+  test("vocabSize prune keeps at most vocabSize multi-char pieces") {
+    val multi = vocab.count(_.getString(0).length > 1)
+    assert(vocab.length <= 15 + 10, s"vocab blew past prune: ${vocab.length}")
+    assert(multi >= 1, "prune must retain some learned multi-char pieces")
+  }
+}
