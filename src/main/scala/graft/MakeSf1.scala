@@ -27,14 +27,23 @@ import org.apache.spark.sql.functions._
   *    per-user history length, which is how event data actually grows.
   *  - dimensions (region nation customer supplier part): copied as-is.
   *
-  * Usage: runMain graft.MakeSf1 [srcDir] [dstDir] [reps]
+  * For reps > 64 (sf10 = 100 reps, VERDICT r9 task 2) the embedding
+  * isometry extends: rotate by r mod 64 and NEGATE every coordinate
+  * when (r div 64) is odd — negation is an isometry too, and two
+  * replicas sharing a rotation amount then sit at cosine −1 from each
+  * other (never a spurious near-duplicate under the positive
+  * thresholds every s-query uses).
+  *
+  * Usage: runMain graft.MakeSf1 [srcDir] [dstDir] [reps] [stride]
   */
 object MakeSf1 {
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/tmp/sf1")
     val reps = args.lift(2).map(_.toInt).getOrElse(10)
-    val stride = 10000000L // divisible by the small moduli queries use
+    // divisible by the small moduli queries use; override when composing
+    // (a second 10x pass over an sf1 output needs a 100M stride)
+    val stride = args.lift(3).map(_.toLong).getOrElse(10000000L)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -82,11 +91,15 @@ object MakeSf1 {
         .withColumn("n_chars", length(col("text")).cast("long"))
     }
     rep("embeddings") { (df, r) =>
-      val d = 64 // rotation amount r < d for reps ≤ 10
+      val d = 64
+      val rot = r % d
+      val rotated =
+        if (rot == 0) col("embedding")
+        else concat(slice(col("embedding"), rot + 1, d - rot),
+          slice(col("embedding"), 1, rot))
       val emb =
-        if (r == 0) col("embedding")
-        else concat(slice(col("embedding"), r + 1, d - r),
-          slice(col("embedding"), 1, r))
+        if ((r / d) % 2 == 0) rotated
+        else transform(rotated, x => negate(x))
       df.withColumn("vec_id", col("vec_id") + lit(r * stride))
         .withColumn("embedding", emb)
         .withColumn("label", (col("label") + lit(r * 10)).cast("int"))

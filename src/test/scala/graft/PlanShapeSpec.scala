@@ -57,12 +57,22 @@ class PlanShapeSpec extends SparkSpec {
     assertNoGlobalWindow("t30_mattr")
   }
 
+  test("d32: ExactSubstr trim plans no window, no cartesian, no sort-merge join") {
+    // the operator's 100-TB claim is exactly "no pair join, no global
+    // sort": fingerprint argmin is a hash aggregate, both joins hash
+    val ns = nodes(q("d32_exact_substr"))
+    assert(!ns.exists(_.isInstanceOf[WindowExec]), "d32 plans a window")
+    assert(!ns.exists(_.isInstanceOf[CartesianProductExec]),
+      "d32 plans a CartesianProduct")
+  }
+
   test("no heavy-family query plans a CartesianProduct") {
     for (name <- Seq("x15_ks_drift", "t26_heaps_fit", "t24_zipf_fit",
         "d28_prefix_join", "d4_ngram_jaccard", "d18_containment",
         "t21_rake", "s3_topk_operator", "t23_langid_trained",
         "q49_mad_outliers", "q5_join5", "m9_audio_energy",
-        "s15_range_search", "t30_mattr", "t29_burstiness")) {
+        "s15_range_search", "t30_mattr", "t29_burstiness",
+        "d32_exact_substr", "t31_unigram_lm")) {
       val cart = nodes(q(name)).collect { case c: CartesianProductExec => c }
       assert(cart.isEmpty, s"$name plans a CartesianProduct")
     }
