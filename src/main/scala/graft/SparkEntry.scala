@@ -2935,6 +2935,18 @@ object SparkEntry {
       .orderBy($"piece")
   }
 
+  private def t32(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // unigram-LM ENCODING under the t31-trained vocab: every (doc,
+    // word) to its Viterbi-best piece sequence — train + encode
+    // composed, the full SentencePiece workflow oracle-checked
+    val docs = t(s, dir, "documents")
+    val vocab = operators.TextAnalysis.unigramLmVocab(docs,
+      maxPieceLen = 4, seedSize = 60, emRounds = 2, vocabSize = 40)
+    operators.TextAnalysis.unigramEncode(docs, vocab, maxPieceLen = 4)
+      .orderBy($"doc_id", $"pos")
+  }
+
   private def s15(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // cosine RANGE search with a sign-LSH blocking predicate: all pairs
@@ -3309,6 +3321,7 @@ object SparkEntry {
     "p23_quality_drift" -> (p23 _),
     "d32_exact_substr" -> (d32 _),
     "t31_unigram_lm" -> (t31 _),
+    "t32_unigram_encode" -> (t32 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6074,6 +6087,123 @@ object SparkEntry {
         |SELECT piece, c AS n,
         |  round(ln(CAST(c AS DOUBLE) / (SELECT sum(c) FROM vf)), 9) AS logp
         |FROM vf ORDER BY piece""".stripMargin,
+    // unigram ENCODE: the full t31 training chain re-stated, then the
+    // final pruned vocab's scores drive one more Viterbi fold per
+    // distinct word, joined back to the corpus positionally
+    "t32_unigram_encode" ->
+      """WITH wh AS (
+        |  SELECT w, count(*) AS n FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents)
+        |  GROUP BY w),
+        |seedc AS (
+        |  SELECT piece, CAST(sum(n) AS BIGINT) AS c FROM (
+        |    SELECT n, unnest(flatten(list_transform(range(1, len(w) + 1),
+        |      i -> list_transform(range(1, least(4, len(w) - i + 1) + 1),
+        |        l -> substr(w, CAST(i AS INT), CAST(l AS INT)))))) AS piece
+        |    FROM wh)
+        |  GROUP BY piece),
+        |top0 AS (SELECT piece, c FROM seedc ORDER BY c DESC, piece LIMIT 60),
+        |v0 AS (SELECT piece, c FROM top0
+        |  UNION ALL
+        |  SELECT s.piece, s.c FROM seedc s ANTI JOIN top0 t ON s.piece = t.piece
+        |  WHERE len(s.piece) = 1),
+        |m1 AS (SELECT map(list(piece ORDER BY piece),
+        |         list(round(ln(CAST(c AS DOUBLE) / (SELECT sum(c) FROM v0)), 9) ORDER BY piece)) AS sc
+        |  FROM v0),
+        |dp1 AS (SELECT w, n,
+        |  list_reduce(
+        |    list_prepend([{'v': CAST(0 AS DOUBLE), 'ns': 0}],
+        |      list_transform(range(1, len(w) + 1), i -> [{'v': CAST(i AS DOUBLE), 'ns': 0}])),
+        |    (acc, x) -> list_append(acc,
+        |      list_max(list_transform(range(greatest(CAST(x[1].v AS INT) - 4, 0), CAST(x[1].v AS INT)),
+        |        s -> {'v': acc[s + 1].v + coalesce(
+        |                map_extract(sc, substr(w, s + 1, CAST(x[1].v AS INT) - s))[1],
+        |                CAST(-1e9 AS DOUBLE)),
+        |              'ns': -s})))) AS d
+        |  FROM wh, m1),
+        |seg1 AS (SELECT w, n,
+        |  list_reduce(
+        |    list_prepend([{'pos': len(w), 'ps': CAST([] AS VARCHAR[])}],
+        |      list_transform(range(1, len(w) + 1), i -> [{'pos': 0, 'ps': CAST([] AS VARCHAR[])}])),
+        |    (acc, x) -> [CASE WHEN acc[1].pos > 0 THEN
+        |        {'pos': -d[acc[1].pos + 1].ns,
+        |         'ps': list_prepend(substr(w, -d[acc[1].pos + 1].ns + 1,
+        |                  acc[1].pos + d[acc[1].pos + 1].ns), acc[1].ps)}
+        |      ELSE acc[1] END]) AS r
+        |  FROM dp1),
+        |c1 AS (SELECT piece, CAST(sum(n) AS BIGINT) AS c FROM (
+        |    SELECT n, unnest(r[1].ps) AS piece FROM seg1) GROUP BY piece),
+        |charsAll AS (SELECT DISTINCT substr(w, CAST(i AS INT), 1) AS piece
+        |  FROM wh, unnest(range(1, len(w) + 1)) AS u(i)),
+        |v1 AS (SELECT piece, c FROM c1
+        |  UNION ALL
+        |  SELECT ch.piece, CAST(1 AS BIGINT) AS c FROM charsAll ch ANTI JOIN c1 ON ch.piece = c1.piece),
+        |m2 AS (SELECT map(list(piece ORDER BY piece),
+        |         list(round(ln(CAST(c AS DOUBLE) / (SELECT sum(c) FROM v1)), 9) ORDER BY piece)) AS sc
+        |  FROM v1),
+        |dp2 AS (SELECT w, n,
+        |  list_reduce(
+        |    list_prepend([{'v': CAST(0 AS DOUBLE), 'ns': 0}],
+        |      list_transform(range(1, len(w) + 1), i -> [{'v': CAST(i AS DOUBLE), 'ns': 0}])),
+        |    (acc, x) -> list_append(acc,
+        |      list_max(list_transform(range(greatest(CAST(x[1].v AS INT) - 4, 0), CAST(x[1].v AS INT)),
+        |        s -> {'v': acc[s + 1].v + coalesce(
+        |                map_extract(sc, substr(w, s + 1, CAST(x[1].v AS INT) - s))[1],
+        |                CAST(-1e9 AS DOUBLE)),
+        |              'ns': -s})))) AS d
+        |  FROM wh, m2),
+        |seg2 AS (SELECT w, n,
+        |  list_reduce(
+        |    list_prepend([{'pos': len(w), 'ps': CAST([] AS VARCHAR[])}],
+        |      list_transform(range(1, len(w) + 1), i -> [{'pos': 0, 'ps': CAST([] AS VARCHAR[])}])),
+        |    (acc, x) -> [CASE WHEN acc[1].pos > 0 THEN
+        |        {'pos': -d[acc[1].pos + 1].ns,
+        |         'ps': list_prepend(substr(w, -d[acc[1].pos + 1].ns + 1,
+        |                  acc[1].pos + d[acc[1].pos + 1].ns), acc[1].ps)}
+        |      ELSE acc[1] END]) AS r
+        |  FROM dp2),
+        |c2 AS (SELECT piece, CAST(sum(n) AS BIGINT) AS c FROM (
+        |    SELECT n, unnest(r[1].ps) AS piece FROM seg2) GROUP BY piece),
+        |v2 AS (SELECT piece, c FROM c2
+        |  UNION ALL
+        |  SELECT ch.piece, CAST(1 AS BIGINT) AS c FROM charsAll ch ANTI JOIN c2 ON ch.piece = c2.piece),
+        |topf AS (SELECT piece, c FROM v2 ORDER BY c DESC, piece LIMIT 40),
+        |vf AS (SELECT piece, c FROM topf
+        |  UNION ALL
+        |  SELECT v.piece, v.c FROM v2 v ANTI JOIN topf t ON v.piece = t.piece
+        |  WHERE len(v.piece) = 1)
+        |,mf AS (SELECT map(list(piece ORDER BY piece),
+        |  list(round(ln(CAST(c AS DOUBLE) / (SELECT sum(c) FROM vf)), 9) ORDER BY piece)) AS sc
+        | FROM vf),
+        |dpf AS (SELECT w, n,
+        |  list_reduce(
+        |    list_prepend([{'v': CAST(0 AS DOUBLE), 'ns': 0}],
+        |      list_transform(range(1, len(w) + 1), i -> [{'v': CAST(i AS DOUBLE), 'ns': 0}])),
+        |    (acc, x) -> list_append(acc,
+        |      list_max(list_transform(range(greatest(CAST(x[1].v AS INT) - 4, 0), CAST(x[1].v AS INT)),
+        |        s -> {'v': acc[s + 1].v + coalesce(
+        |                map_extract(sc, substr(w, s + 1, CAST(x[1].v AS INT) - s))[1],
+        |                CAST(-1e9 AS DOUBLE)),
+        |              'ns': -s})))) AS d
+        | FROM wh, mf),
+        |segf AS (SELECT w,
+        |  list_reduce(
+        |    list_prepend([{'pos': len(w), 'ps': CAST([] AS VARCHAR[])}],
+        |      list_transform(range(1, len(w) + 1), i -> [{'pos': 0, 'ps': CAST([] AS VARCHAR[])}])),
+        |    (acc, x) -> [CASE WHEN acc[1].pos > 0 THEN
+        |        {'pos': -d[acc[1].pos + 1].ns,
+        |         'ps': list_prepend(substr(w, -d[acc[1].pos + 1].ns + 1,
+        |                  acc[1].pos + d[acc[1].pos + 1].ns), acc[1].ps)}
+        |      ELSE acc[1] END]) AS r
+        | FROM dpf),
+        |dt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |occ AS (SELECT doc_id, CAST(i AS INT) AS i, t[CAST(i AS INT)] AS word
+        | FROM dt, unnest(range(1, len(t) + 1)) AS u(i))
+        |SELECT o.doc_id, o.i - 1 AS pos, o.word,
+        |  array_to_string(s.r[1].ps, '|') AS pieces,
+        |  CAST(len(s.r[1].ps) AS BIGINT) AS n_pieces
+        |FROM occ o JOIN segf s ON s.w = o.word
+        |ORDER BY o.doc_id, pos""".stripMargin,
     // the oracle states the GLOBAL-window skyline rule; the Spark plan
     // is the bucket-pruned equivalent (monotone-bucket proof in the
     // skyline2d scaladoc)

@@ -1115,4 +1115,40 @@ object TextAnalysis {
     vf.select(col("piece"), col("c").as("n"),
       round(log(col("c").cast("double") / lit(totf)), 9).as("logp"))
   }
+
+  /** Unigram-LM ENCODING — apply a trained [[unigramLmVocab]] to every
+    * (doc, word) of the corpus, the T22-for-unigram step: each token
+    * becomes its Viterbi-best piece sequence under the trained logp
+    * scores. The vocab is collected once (vocabulary-sized) and
+    * broadcast; encoding is ONE scan-bound mapPartitions pass, per word
+    * O(maxPieceLen × length) with no shuffle — exactly how a
+    * SentencePiece worker runs in production (the bpeEncode precedent:
+    * no Catalyst expression for the dp recursion). Concatenating a
+    * word's pieces always reproduces the word (segmentations are
+    * partitions of it — the roundtrip invariant), and chars are always
+    * in the trained vocab, so every word of the training corpus — and
+    * any held-out word over its alphabet — encodes with finite score.
+    */
+  def unigramEncode(docs: DataFrame, vocab: DataFrame, maxPieceLen: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val scores: Map[String, Double] = vocab
+      .select(col("piece"), col("logp")).as[(String, Double)]
+      .collect().toMap
+    val bc = spark.sparkContext.broadcast(scores)
+    val L = maxPieceLen
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "word")))
+      .select(col("doc_id"), col("pos").cast("int").as("pos"), col("word"))
+      .as[(Long, Int, String)]
+      .mapPartitions { it =>
+        val sc = bc.value
+        it.map { case (d, p, w) =>
+          val seg = viterbiSegment(w, L, sc)
+          (d, p, w, seg.mkString("|"), seg.length.toLong)
+        }
+      }
+      .toDF("doc_id", "pos", "word", "pieces", "n_pieces")
+  }
 }

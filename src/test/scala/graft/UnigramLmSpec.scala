@@ -76,6 +76,22 @@ class UnigramLmSpec extends SparkSpec {
     }
   }
 
+  test("unigramEncode: every token roundtrips through in-vocab pieces") {
+    val vdf = TextAnalysis.unigramLmVocab(corpus, maxPieceLen = 4,
+      seedSize = 30, emRounds = 2, vocabSize = 15)
+    val pieces = vocab.map(_.getString(0)).toSet
+    val enc = TextAnalysis.unigramEncode(corpus, vdf, maxPieceLen = 4)
+      .collect()
+    assert(enc.length === corpus.select(explode(split($"text", " ")))
+      .count().toInt)
+    enc.foreach { r =>
+      val (word, ps) = (r.getString(2), r.getString(3).split("\\|").toSeq)
+      assert(ps.mkString("") === word, s"roundtrip broke: $word -> $ps")
+      assert(ps.forall(pieces), s"out-of-vocab piece in $word -> $ps")
+      assert(r.getLong(4) === ps.length.toLong)
+    }
+  }
+
   test("vocabSize prune keeps at most vocabSize multi-char pieces") {
     val multi = vocab.count(_.getString(0).length > 1)
     assert(vocab.length <= 15 + 10, s"vocab blew past prune: ${vocab.length}")
