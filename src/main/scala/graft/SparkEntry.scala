@@ -2064,6 +2064,21 @@ object SparkEntry {
       .orderBy($"da", $"db")
   }
 
+  private def m11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // REAL DCT pHash over really-decoded pixels: 8×8 planted PPMs make
+    // the block-mean grayscale the pixels THEMSELVES, so the oracle
+    // rebuilds gray64 with pure string ops and the DCT — literal cosine
+    // table, fixed-order dot products — is the arithmetic under test,
+    // hash-value-compared per doc (the m8 golden discipline, applied to
+    // the real-decode path instead of the stub)
+    val withBin = t(s, dir, "documents").withColumn("payload",
+      operators.Multimodal.ppmPayload(lit(8), lit(8),
+        concat(lit("img11:"), $"doc_id".cast("string")), reps = 6))
+    operators.Multimodal.dctPerceptualHash(withBin, "payload", "doc_id")
+      .orderBy($"doc_id")
+  }
+
   private def m8(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // Golden cross-engine pin of the STUB hex-sampling aHash arithmetic
@@ -3322,6 +3337,7 @@ object SparkEntry {
     "d32_exact_substr" -> (d32 _),
     "t31_unigram_lm" -> (t31 _),
     "t32_unigram_encode" -> (t32 _),
+    "m11_phash_dct" -> (m11 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5689,6 +5705,46 @@ object SparkEntry {
     // the golden twin m6's analytic oracle lost (ADVICE r8): DuckDB
     // re-derives the stub 64-sample aHash with the same IEEE/int ops
     // (floor-scaled hex sampling, integer mean via >>6, bits 0–62)
+    // DCT pHash golden: gray64 of an 8x8 PPM is its pixels (ascii of
+    // the md5-hex payload chars), the cosine table is the SAME literal
+    // doubles as the Scala source, every dot product the same strict
+    // left fold - hash values compare exactly, no tolerance
+    "m11_phash_dct" ->
+      """WITH d AS (SELECT doc_id,
+        |  substr(md5('img11:' || CAST(doc_id AS VARCHAR) || ':0') || md5('img11:' || CAST(doc_id AS VARCHAR) || ':1') || md5('img11:' || CAST(doc_id AS VARCHAR) || ':2') || md5('img11:' || CAST(doc_id AS VARCHAR) || ':3') || md5('img11:' || CAST(doc_id AS VARCHAR) || ':4') || md5('img11:' || CAST(doc_id AS VARCHAR) || ':5'), 1, 192) AS px
+        | FROM documents),
+        |gg AS (SELECT doc_id, list_transform(range(0, 64), i ->
+        |   (ascii(substr(px, CAST(3 * i + 1 AS INT), 1))
+        |    + ascii(substr(px, CAST(3 * i + 2 AS INT), 1))
+        |    + ascii(substr(px, CAST(3 * i + 3 AS INT), 1))) // 3) AS g
+        | FROM d),
+        |ctt AS (SELECT [
+        |  [CAST('1.0' AS DOUBLE), CAST('1.0' AS DOUBLE), CAST('1.0' AS DOUBLE), CAST('1.0' AS DOUBLE), CAST('1.0' AS DOUBLE), CAST('1.0' AS DOUBLE), CAST('1.0' AS DOUBLE), CAST('1.0' AS DOUBLE)],
+        |  [CAST('0.9807852804032304' AS DOUBLE), CAST('0.8314696123025452' AS DOUBLE), CAST('0.5555702330196023' AS DOUBLE), CAST('0.19509032201612833' AS DOUBLE), CAST('-0.1950903220161282' AS DOUBLE), CAST('-0.555570233019602' AS DOUBLE), CAST('-0.8314696123025453' AS DOUBLE), CAST('-0.9807852804032304' AS DOUBLE)],
+        |  [CAST('0.9238795325112867' AS DOUBLE), CAST('0.38268343236508984' AS DOUBLE), CAST('-0.3826834323650897' AS DOUBLE), CAST('-0.9238795325112867' AS DOUBLE), CAST('-0.9238795325112868' AS DOUBLE), CAST('-0.38268343236509034' AS DOUBLE), CAST('0.38268343236509' AS DOUBLE), CAST('0.9238795325112865' AS DOUBLE)],
+        |  [CAST('0.8314696123025452' AS DOUBLE), CAST('-0.1950903220161282' AS DOUBLE), CAST('-0.9807852804032304' AS DOUBLE), CAST('-0.5555702330196022' AS DOUBLE), CAST('0.5555702330196018' AS DOUBLE), CAST('0.9807852804032304' AS DOUBLE), CAST('0.19509032201612878' AS DOUBLE), CAST('-0.8314696123025451' AS DOUBLE)]] AS ct),
+        |co AS (SELECT doc_id,
+        |   list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 64), i -> g[CAST(i AS INT) + 1] * ct[1][CAST(i // 8 AS INT) + 1] * ct[1][CAST(i % 8 AS INT) + 1])), (a, b) -> a + b) AS dc,
+        |   list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 64), i -> g[CAST(i AS INT) + 1] * ct[1][CAST(i // 8 AS INT) + 1] * ct[2][CAST(i % 8 AS INT) + 1])), (a, b) -> a + b) AS c1,
+        |   list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 64), i -> g[CAST(i AS INT) + 1] * ct[1][CAST(i // 8 AS INT) + 1] * ct[3][CAST(i % 8 AS INT) + 1])), (a, b) -> a + b) AS c2,
+        |   list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 64), i -> g[CAST(i AS INT) + 1] * ct[1][CAST(i // 8 AS INT) + 1] * ct[4][CAST(i % 8 AS INT) + 1])), (a, b) -> a + b) AS c3,
+        |   list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 64), i -> g[CAST(i AS INT) + 1] * ct[2][CAST(i // 8 AS INT) + 1] * ct[1][CAST(i % 8 AS INT) + 1])), (a, b) -> a + b) AS c4,
+        |   list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 64), i -> g[CAST(i AS INT) + 1] * ct[2][CAST(i // 8 AS INT) + 1] * ct[2][CAST(i % 8 AS INT) + 1])), (a, b) -> a + b) AS c5,
+        |   list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 64), i -> g[CAST(i AS INT) + 1] * ct[2][CAST(i // 8 AS INT) + 1] * ct[3][CAST(i % 8 AS INT) + 1])), (a, b) -> a + b) AS c6,
+        |   list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 64), i -> g[CAST(i AS INT) + 1] * ct[2][CAST(i // 8 AS INT) + 1] * ct[4][CAST(i % 8 AS INT) + 1])), (a, b) -> a + b) AS c7,
+        |   list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 64), i -> g[CAST(i AS INT) + 1] * ct[3][CAST(i // 8 AS INT) + 1] * ct[1][CAST(i % 8 AS INT) + 1])), (a, b) -> a + b) AS c8,
+        |   list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 64), i -> g[CAST(i AS INT) + 1] * ct[3][CAST(i // 8 AS INT) + 1] * ct[2][CAST(i % 8 AS INT) + 1])), (a, b) -> a + b) AS c9,
+        |   list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 64), i -> g[CAST(i AS INT) + 1] * ct[3][CAST(i // 8 AS INT) + 1] * ct[3][CAST(i % 8 AS INT) + 1])), (a, b) -> a + b) AS c10,
+        |   list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 64), i -> g[CAST(i AS INT) + 1] * ct[3][CAST(i // 8 AS INT) + 1] * ct[4][CAST(i % 8 AS INT) + 1])), (a, b) -> a + b) AS c11,
+        |   list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 64), i -> g[CAST(i AS INT) + 1] * ct[4][CAST(i // 8 AS INT) + 1] * ct[1][CAST(i % 8 AS INT) + 1])), (a, b) -> a + b) AS c12,
+        |   list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 64), i -> g[CAST(i AS INT) + 1] * ct[4][CAST(i // 8 AS INT) + 1] * ct[2][CAST(i % 8 AS INT) + 1])), (a, b) -> a + b) AS c13,
+        |   list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 64), i -> g[CAST(i AS INT) + 1] * ct[4][CAST(i // 8 AS INT) + 1] * ct[3][CAST(i % 8 AS INT) + 1])), (a, b) -> a + b) AS c14,
+        |   list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 64), i -> g[CAST(i AS INT) + 1] * ct[4][CAST(i // 8 AS INT) + 1] * ct[4][CAST(i % 8 AS INT) + 1])), (a, b) -> a + b) AS c15
+        | FROM gg, ctt),
+        |mm AS (SELECT *, (c1 + c2 + c3 + c4 + c5 + c6 + c7 + c8 + c9 + c10 + c11 + c12 + c13 + c14 + c15) / CAST(15 AS DOUBLE) AS m FROM co)
+        |SELECT doc_id, CAST(dc AS BIGINT) AS dc,
+        | ((CASE WHEN c1 > m THEN CAST(2 AS BIGINT) ELSE CAST(0 AS BIGINT) END) | (CASE WHEN c2 > m THEN CAST(4 AS BIGINT) ELSE CAST(0 AS BIGINT) END) | (CASE WHEN c3 > m THEN CAST(8 AS BIGINT) ELSE CAST(0 AS BIGINT) END) | (CASE WHEN c4 > m THEN CAST(16 AS BIGINT) ELSE CAST(0 AS BIGINT) END) | (CASE WHEN c5 > m THEN CAST(32 AS BIGINT) ELSE CAST(0 AS BIGINT) END) | (CASE WHEN c6 > m THEN CAST(64 AS BIGINT) ELSE CAST(0 AS BIGINT) END) | (CASE WHEN c7 > m THEN CAST(128 AS BIGINT) ELSE CAST(0 AS BIGINT) END) | (CASE WHEN c8 > m THEN CAST(256 AS BIGINT) ELSE CAST(0 AS BIGINT) END) | (CASE WHEN c9 > m THEN CAST(512 AS BIGINT) ELSE CAST(0 AS BIGINT) END) | (CASE WHEN c10 > m THEN CAST(1024 AS BIGINT) ELSE CAST(0 AS BIGINT) END) | (CASE WHEN c11 > m THEN CAST(2048 AS BIGINT) ELSE CAST(0 AS BIGINT) END) | (CASE WHEN c12 > m THEN CAST(4096 AS BIGINT) ELSE CAST(0 AS BIGINT) END) | (CASE WHEN c13 > m THEN CAST(8192 AS BIGINT) ELSE CAST(0 AS BIGINT) END) | (CASE WHEN c14 > m THEN CAST(16384 AS BIGINT) ELSE CAST(0 AS BIGINT) END) | (CASE WHEN c15 > m THEN CAST(32768 AS BIGINT) ELSE CAST(0 AS BIGINT) END)) AS phash
+        |FROM mm ORDER BY doc_id""".stripMargin,
     "m8_phash_golden" ->
       """WITH d AS (SELECT doc_id, hex(encode('g:' || text)) AS hx,
         |  CAST(octet_length(encode('g:' || text)) AS BIGINT) AS len
