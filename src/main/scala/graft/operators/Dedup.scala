@@ -1083,16 +1083,35 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(w >= 1, s"w must be >= 1: $w")
-    val docs = widen(docs0)
-    val toks = docs.select(col(idCol).as("doc_id"),
-      graft.functions.Fence(split(trim(col(textCol)), "\\s+")).as("t"))
+    val toks = tokenFrame(docs0, textCol, idCol)
       .localCheckpoint() // consumed by the fingerprint pass AND the
                          // rebuild join; re-running the scan+split per
                          // branch would double the corpus read
-    // gram hashes (1-based), then per-window rightmost argmin: the
-    // reversed-slice array_position finds the LAST index holding the
-    // window minimum, mirrored verbatim in the DuckDB oracle
-    val sel = toks.filter(size(col("t")) >= k)
+    val sel = winnowOccurrences(toks, k, w)
+    val canon = sel.groupBy(col("fp")).agg(min(col("okey")).as("keep_key"))
+    val removals = sel.join(canon, "fp")
+      .filter(col("okey") =!= col("keep_key"))
+      .select(col("doc_id"), col("p"))
+    trimByRemovals(toks, removals, k)
+  }
+
+  /** (doc_id, t) token-array frame on the widened scan — the shared
+    * front of [[exactSubstrTrim]] and its streaming face (ST31). */
+  private[graft] def tokenFrame(docs0: DataFrame,
+      textCol: String, idCol: String): DataFrame =
+    widen(docs0).select(col(idCol).as("doc_id"),
+      graft.functions.Fence(split(trim(col(textCol)), "\\s+")).as("t"))
+
+  /** Positional winnowing occurrences over a [[tokenFrame]]: one row
+    * per SELECTED k-gram — (doc_id, p, fp, okey) with p the 1-based
+    * gram position, fp the gram's 32-bit md5-prefix hash and okey the
+    * packed (doc_id, p) total order. Gram hashes (1-based), then per-
+    * window rightmost argmin: the reversed-slice array_position finds
+    * the LAST index holding the window minimum, mirrored verbatim in
+    * the DuckDB oracle. */
+  private[graft] def winnowOccurrences(toks: DataFrame,
+      k: Int, w: Int): DataFrame =
+    toks.filter(size(col("t")) >= k)
       .select(col("doc_id"),
         graft.functions.Fence(expr(
           s"""transform(sequence(1, size(t) - ${k - 1}),
@@ -1107,9 +1126,13 @@ object Dedup {
       .select(col("doc_id"), col("p").cast("int").as("p"),
         element_at(col("h"), col("p").cast("int")).as("fp"),
         (col("doc_id") * lit(1048576L) + col("p")).as("okey"))
-    val canon = sel.groupBy(col("fp")).agg(min(col("okey")).as("keep_key"))
-    val removedIdx = sel.join(canon, "fp")
-      .filter(col("okey") =!= col("keep_key"))
+
+  /** Apply (doc_id, p) gram removals to a [[tokenFrame]]: the union of
+    * [p, p+k−1] token spans drops out, every input doc appears in the
+    * output (untouched docs keep their text). */
+  private[graft] def trimByRemovals(toks: DataFrame, removals: DataFrame,
+      k: Int): DataFrame = {
+    val removedIdx = removals
       .groupBy(col("doc_id"))
       .agg(sort_array(array_distinct(flatten(collect_list(
         sequence(col("p"), col("p") + lit(k - 1)))))).as("rem"))

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, when}
+import org.apache.spark.sql.functions.{col, lit, min, when}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Streaming materialized-view maintenance — the streaming twin of
@@ -77,6 +77,70 @@ object StreamAggState {
     * proven by its StoreReplayPropertySpec membership, not a bespoke
     * test.
     */
+  /** Streaming ExactSubstr dedup against a MAINTAINED fingerprint
+    * store — the streaming face of D34 the way maintainLshDedup is
+    * D6's: each trigger winnow-selects ONLY its batch, merges its
+    * per-fingerprint argmin into the epoch-keyed (fp, keep_key) store,
+    * trims the batch's non-canonical passages against the MERGED store
+    * (so a passage first seen triggers ago still trims today's clone,
+    * and within-batch repeats trim immediately), and writes the
+    * trimmed docs to values/batch_id=N. The store is one row per
+    * DISTINCT fingerprint — O(corpus grams / w·2) keys, independent of
+    * duplication frequency, the same no-pair-join property as the
+    * batch operator. When doc ids are monotone with arrival order
+    * (ingest reality), the union of all trigger outputs EQUALS the
+    * batch exactSubstrTrim of the full corpus — pinned by
+    * StreamingSpec; crash-replay idempotence by
+    * StoreReplayPropertySpec membership.
+    */
+  def maintainExactSubstr(stream: DataFrame, k: Int, w: Int,
+      statePath: String, valuesPath: String,
+      checkpointPath: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        processExactSubstrTrigger(batch.toDF(), batchId, k, w,
+          statePath, valuesPath)
+      }
+      .start()
+
+  private[graft] def processExactSubstrTrigger(batch: DataFrame,
+      batchId: Long, k: Int, w: Int, statePath: String,
+      valuesPath: String): Unit = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val toks = Dedup.tokenFrame(batch, "text", "doc_id").localCheckpoint()
+    val occ = Dedup.winnowOccurrences(toks, k, w)
+      .localCheckpoint() // feeds the store merge AND the removals join
+    val batchCanon = occ.groupBy(col("fp")).agg(min(col("okey")).as("keep_key"))
+    val prior = StreamErrorHandling
+      .readPendingBefore(spark, statePath, batchId).map(_._2)
+    val store = prior
+      .map(_.unionByName(batchCanon).groupBy(col("fp"))
+        .agg(min(col("keep_key")).as("keep_key")))
+      .getOrElse(batchCanon)
+      .localCheckpoint() // consumed by removals AND the epoch write
+    val removals = occ.join(store, "fp")
+      .filter(col("okey") =!= col("keep_key"))
+      .select(col("doc_id"), col("p"))
+    // values BEFORE the state epoch: a crash in between replays the
+    // trigger, which rewrites both destinations idempotently (the
+    // store was computed from epochs < N only)
+    Dedup.trimByRemovals(toks, removals, k)
+      .write.mode("overwrite").parquet(s"$valuesPath/batch_id=$batchId")
+    store.write.mode("overwrite").parquet(s"$statePath/epoch=$batchId")
+    // epoch GC: only the newest epoch below batchId is replay-reachable
+    val old = StreamErrorHandling.pendingEpochs(spark, statePath)
+      .filter(_ < batchId)
+    if (old.size > 1) {
+      val p = new org.apache.hadoop.fs.Path(statePath)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      old.dropRight(1).foreach { e =>
+        fs.delete(new org.apache.hadoop.fs.Path(p, s"epoch=$e"), true); ()
+      }
+    }
+  }
+
   def maintainLshDedup(stream: DataFrame, numHashes: Int, rowsPerBand: Int,
       shingleSize: Int, threshold: Double, statePath: String,
       pairsPath: String, checkpointPath: String): StreamingQuery =

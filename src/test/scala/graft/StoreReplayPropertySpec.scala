@@ -193,6 +193,18 @@ class StoreReplayPropertySpec extends SparkSpec {
         (b, id, rt) => E.processBloomDedupTrigger(b, id, "k",
           expectedItems = 10000L, fpp = 0.01, s"$rt/values", s"$rt/state"),
         rt => tagged("values" -> canonPath(s"$rt/values"))),
+      Member("maintainExactSubstr (ST31)", 3,
+        i => (0 until 5).map { j =>
+          val run = (1 to 8).map(x => s"r$x").mkString(" ")
+          val text =
+            if (j % 2 == 0) s"u${i}${j}a u${i}${j}b $run u${i}${j}c"
+            else s"v${i}${j}a v${i}${j}b v${i}${j}c v${i}${j}d v${i}${j}e"
+          ((i * 10 + j).toLong, text)
+        }.toDF("doc_id", "text"),
+        (b, id, rt) => A.processExactSubstrTrigger(b, id, 3, 4,
+          s"$rt/state", s"$rt/values"),
+        rt => tagged("state" -> latestState(s"$rt/state"),
+          "values" -> canonPath(s"$rt/values"))),
       Member("contaminationGate (ST30)", 3,
         i => (0 until 8).map { j =>
           val text =

@@ -110,6 +110,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("maintainExactSubstr (ST31): trigger outputs union to the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val tmp = Files.createTempDirectory("graft-xsub").toString
+    val q = graft.streaming.StreamAggState.maintainExactSubstr(
+      mem.toDF().toDF("doc_id", "text"), k = 3, w = 4,
+      s"$tmp/state", s"$tmp/values", s"$tmp/ckpt")
+    val base = (1 to 30).map(i => s"a$i").mkString(" ")
+    val run6 = (5 to 10).map(i => s"a$i").mkString(" ") // w+k-1 boundary run
+    val triggers = Seq(
+      Seq((1L, base), (2L, "f1 f2 f3 f4 f5 unique here")),
+      Seq((3L, s"g1 g2 g3 g4 g5 $run6 h1 h2 h3")), // clone of a prior trigger
+      Seq((4L, s"$run6 k1 k2 k3"), (5L, "l1 l2 l3 l4 l5")))
+    triggers.foreach { t => mem.addData(t); q.processAllAvailable() }
+    q.stop()
+    // doc ids are monotone with arrival, so the streaming store's
+    // first-arriving canonical IS the batch operator's global argmin:
+    // the union of trigger outputs must EQUAL the batch d32 verdict
+    val want = graft.operators.Dedup
+      .exactSubstrTrim(triggers.flatten.toDF("doc_id", "text"), 3, 4)
+      .collect().map(_.toString).sorted.toSeq
+    val got = spark.read.parquet(s"$tmp/values")
+      .select($"doc_id", $"n_tokens", $"n_removed", $"text_out")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === want)
+    // the cross-trigger clones really lost the planted passage
+    val rem = spark.read.parquet(s"$tmp/values")
+      .select($"doc_id", $"n_removed").as[(Long, Long)].collect().toMap
+    assert(rem(1L) === 0L, "first occurrence is canonical")
+    assert(rem(3L) >= 3L && rem(4L) >= 3L, s"clones must trim: $rem")
+  }
+
   test("captureToDlq splits a stream into values and dead letters") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
