@@ -2064,6 +2064,14 @@ object SparkEntry {
       .orderBy($"da", $"db")
   }
 
+  private def p24(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // FFD bin packing per shard at a 200-token budget: no doc straddles
+    // a bin (p3's chop trades order-preservation for exactly that)
+    operators.Pipeline.ffdPack(t(s, dir, "documents"), budget = 200L)
+      .orderBy($"shard", $"doc_id")
+  }
+
   private def m11(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // REAL DCT pHash over really-decoded pixels: 8×8 planted PPMs make
@@ -3338,6 +3346,7 @@ object SparkEntry {
     "t31_unigram_lm" -> (t31 _),
     "t32_unigram_encode" -> (t32 _),
     "m11_phash_dct" -> (m11 _),
+    "p24_ffd_pack" -> (p24 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5745,6 +5754,41 @@ object SparkEntry {
         |SELECT doc_id, CAST(dc AS BIGINT) AS dc,
         | ((CASE WHEN c1 > m THEN CAST(2 AS BIGINT) ELSE CAST(0 AS BIGINT) END) | (CASE WHEN c2 > m THEN CAST(4 AS BIGINT) ELSE CAST(0 AS BIGINT) END) | (CASE WHEN c3 > m THEN CAST(8 AS BIGINT) ELSE CAST(0 AS BIGINT) END) | (CASE WHEN c4 > m THEN CAST(16 AS BIGINT) ELSE CAST(0 AS BIGINT) END) | (CASE WHEN c5 > m THEN CAST(32 AS BIGINT) ELSE CAST(0 AS BIGINT) END) | (CASE WHEN c6 > m THEN CAST(64 AS BIGINT) ELSE CAST(0 AS BIGINT) END) | (CASE WHEN c7 > m THEN CAST(128 AS BIGINT) ELSE CAST(0 AS BIGINT) END) | (CASE WHEN c8 > m THEN CAST(256 AS BIGINT) ELSE CAST(0 AS BIGINT) END) | (CASE WHEN c9 > m THEN CAST(512 AS BIGINT) ELSE CAST(0 AS BIGINT) END) | (CASE WHEN c10 > m THEN CAST(1024 AS BIGINT) ELSE CAST(0 AS BIGINT) END) | (CASE WHEN c11 > m THEN CAST(2048 AS BIGINT) ELSE CAST(0 AS BIGINT) END) | (CASE WHEN c12 > m THEN CAST(4096 AS BIGINT) ELSE CAST(0 AS BIGINT) END) | (CASE WHEN c13 > m THEN CAST(8192 AS BIGINT) ELSE CAST(0 AS BIGINT) END) | (CASE WHEN c14 > m THEN CAST(16384 AS BIGINT) ELSE CAST(0 AS BIGINT) END) | (CASE WHEN c15 > m THEN CAST(32768 AS BIGINT) ELSE CAST(0 AS BIGINT) END)) AS phash
         |FROM mm ORDER BY doc_id""".stripMargin,
+    // FFD replayed as the SAME fold the Scala pass runs: state is a
+    // LIST [caps, bins, [toks]] (DuckDB 1.0 list_reduce mis-folds
+    // STRUCT accumulators; lists fold correctly - the t31 discipline),
+    // docs sorted (toks DESC, doc_id), budget 200, all-integer
+    "p24_ffd_pack" ->
+      """WITH d AS (SELECT source AS shard, doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents),
+        |s AS (SELECT shard,
+        |  list(struct_pack(doc_id := doc_id, toks := toks) ORDER BY toks DESC, doc_id) AS ds
+        | FROM d GROUP BY shard),
+        |f AS (SELECT shard, ds,
+        |  list_reduce(list_prepend(
+        |    [CAST([] AS BIGINT[]), CAST([] AS BIGINT[]), [CAST(0 AS BIGINT)]],
+        |    list_transform(ds, x ->
+        |      [CAST([] AS BIGINT[]), CAST([] AS BIGINT[]), [CAST(x.toks AS BIGINT)]])),
+        |   (acc, x) -> CASE
+        |     WHEN len(list_filter(range(1, len(acc[1]) + 1),
+        |            i -> acc[1][CAST(i AS INT)] >= x[3][1])) = 0
+        |     THEN [list_append(acc[1], CAST(200 AS BIGINT) - x[3][1]),
+        |           list_append(acc[2], CAST(len(acc[1]) + 1 AS BIGINT)),
+        |           [CAST(0 AS BIGINT)]]
+        |     ELSE [list_transform(range(1, len(acc[1]) + 1), i ->
+        |             CASE WHEN i = list_filter(range(1, len(acc[1]) + 1),
+        |                    j -> acc[1][CAST(j AS INT)] >= x[3][1])[1]
+        |                  THEN acc[1][CAST(i AS INT)] - x[3][1]
+        |                  ELSE acc[1][CAST(i AS INT)] END),
+        |           list_append(acc[2],
+        |             CAST(list_filter(range(1, len(acc[1]) + 1),
+        |               j -> acc[1][CAST(j AS INT)] >= x[3][1])[1] AS BIGINT)),
+        |           [CAST(0 AS BIGINT)]] END) AS st
+        | FROM s)
+        |SELECT shard, ds[CAST(j AS INT)].doc_id AS doc_id,
+        | ds[CAST(j AS INT)].toks AS toks, st[2][CAST(j AS INT)] AS bin
+        |FROM f, unnest(range(1, len(ds) + 1)) AS u(j)
+        |ORDER BY shard, doc_id""".stripMargin,
     "m8_phash_golden" ->
       """WITH d AS (SELECT doc_id, hex(encode('g:' || text)) AS hx,
         |  CAST(octet_length(encode('g:' || text)) AS BIGINT) AS len

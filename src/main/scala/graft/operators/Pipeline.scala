@@ -77,6 +77,49 @@ object Pipeline {
       .withColumn("seq_id", expr(s"(cum - toks) div $budget"))
   }
 
+  /** First-fit-decreasing bin packing of documents into fixed-token-
+    * budget bins, independently per shard — the LOWER-WASTE alternative
+    * to [[packSequences]]' concat-and-chop: no document ever straddles
+    * or overfills a bin (except a single doc longer than the budget,
+    * which gets a bin of its own), at the cost of not preserving
+    * arrival order. Classic FFD: docs sorted (toks DESC, doc_id ASC),
+    * each placed in the FIRST bin with enough remaining capacity, else
+    * a new bin — the textbook 11/9·OPT+1 guarantee. Packing is
+    * inherently sequential PER SHARD (state = open-bin capacities), so
+    * it runs as one compiled pass per shard group — the
+    * [[packSequences]] parallelism premise: shards are file/source
+    * granules, thousands at corpus scale, each shard-sized group
+    * bounded. The linear first-fit scan is O(bins) per doc; a
+    * capacity-indexed tree would cut that, pointless at shard-bounded
+    * group sizes. Bin ids are 1-based per shard. Engine-exact: all
+    * integer arithmetic, a total sort order, and the oracle replays
+    * the identical fold (list_reduce over the same sorted struct list).
+    */
+  def ffdPack(docs: DataFrame, budget: Long,
+      shardCol: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1: $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(shardCol).as("shard"), col(idCol).cast("long").as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("toks"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val ds = it.map(t => (t._2, t._3)).toArray
+          .sortBy { case (id, tk) => (-tk, id) }
+        val caps = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val out = ds.map { case (id, tk) =>
+          var i = 0
+          while (i < caps.length && caps(i) < tk) i += 1
+          if (i == caps.length) caps += (budget - tk) else caps(i) -= tk
+          (shard, id, tk, (i + 1).toLong)
+        }
+        out.iterator
+      }
+      .toDF("shard", "doc_id", "toks", "bin")
+  }
+
   /** Loss-mask offsets for [[packSequences]] — the metadata half a
     * dataloader actually consumes: per packed sequence, where each
     * document STARTS and ENDS (token offsets within the sequence), so

@@ -700,4 +700,36 @@ class PipelineSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(acct == Seq(("big.com", 7L, 3L, 4L), ("small.org", 3L, 3L, 0L)))
   }
+  test("ffdPack: textbook FFD placement, bin-capacity invariant, oversize docs") {
+    import spark.implicits._
+    // toks [7,5,4,3] at budget 10: FFD places 7->b1, 5->b2, 4->b2, 3->b1
+    def doc(id: Long, n: Int) = (id, "sh", (1 to n).map(i => s"w$i").mkString(" "))
+    val out = operators.Pipeline.ffdPack(
+      Seq(doc(1, 7), doc(2, 5), doc(3, 4), doc(4, 3)).toDF("doc_id", "source", "text"),
+      budget = 10L)
+      .select($"doc_id", $"bin").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+
+    // invariant on a bigger deterministic corpus: no multi-doc bin over
+    // budget, and an oversize doc sits alone in its own bin
+    val docs = (1L to 60L).map(i => (i, s"s${i % 3}",
+      (1 to (if (i == 7) 25 else (i * 13 % 9 + 1)).toInt)
+        .map(j => s"t$j").mkString(" "))).toDF("doc_id", "source", "text")
+    val packed = operators.Pipeline.ffdPack(docs, budget = 12L)
+      .as[(String, Long, Long, Long)].collect()
+    val byBin = packed.groupBy(r => (r._1, r._4))
+    byBin.foreach { case ((sh, bin), rows) =>
+      if (rows.length > 1)
+        assert(rows.map(_._3).sum <= 12L, s"bin ($sh,$bin) over budget: $rows")
+    }
+    val oversize = packed.find(_._2 == 7L).get
+    assert(oversize._3 === 25L)
+    assert(byBin((oversize._1, oversize._4)).length === 1,
+      "oversize doc must sit alone in its bin")
+    // determinism
+    val again = operators.Pipeline.ffdPack(docs, budget = 12L)
+      .as[(String, Long, Long, Long)].collect()
+    assert(packed.sortBy(r => (r._1, r._2)).toSeq ===
+      again.sortBy(r => (r._1, r._2)).toSeq)
+  }
 }
