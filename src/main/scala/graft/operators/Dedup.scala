@@ -1117,12 +1117,18 @@ object Dedup {
           s"""transform(sequence(1, size(t) - ${k - 1}),
              |  i -> cast(conv(substring(md5(concat_ws(' ', slice(t, i, $k))), 1, 8), 16, 10) as bigint))"""
             .stripMargin)).as("h"))
-      .select(col("doc_id"), col("h"), explode(array_distinct(expr(
+      // Fence the positions array too: the explode child is an
+      // O(grams×w) deterministic transform, and InferFiltersFromGenerate
+      // would otherwise inline a copy into the isnotnull/size filter it
+      // plants below the Generate — doubling the dominant per-row work
+      // (the e7/d2 duplication class; review finding, round 10)
+      .select(col("doc_id"), col("h"), explode(graft.functions.Fence(
+        array_distinct(expr(
         s"""transform(sequence(1, greatest(size(h) - ${w - 1}, 1)),
            |  j -> j + least($w, size(h) - j + 1)
            |    - array_position(reverse(slice(h, j, least($w, size(h) - j + 1))),
            |        array_min(slice(h, j, least($w, size(h) - j + 1)))))"""
-          .stripMargin))).as("p"))
+          .stripMargin)))).as("p"))
       .select(col("doc_id"), col("p").cast("int").as("p"),
         element_at(col("h"), col("p").cast("int")).as("fp"),
         (col("doc_id") * lit(1048576L) + col("p")).as("okey"))

@@ -312,9 +312,13 @@ object Multimodal {
     * stub fallback lives in [[perceptualHash]].
     */
   def dctPerceptualHash(df0: DataFrame, binCol: String, idCol: String): DataFrame = {
-    // widen BEFORE the per-row CPU (md5 payloads + decode + 1024-term
-    // DCT): a small-SF scan is one partition, and the whole pipeline
-    // would run single-threaded on it (the d2/t30 lesson)
+    // widen BEFORE the heavy per-row CPU (decode + 1024-term DCT): a
+    // small-SF scan is one partition, and the whole pipeline would run
+    // single-threaded on it (the d2/t30 lesson). Note the widen sits
+    // ABOVE any expression the caller already attached to df0 — a
+    // caller-synthesized payload column (the m11 test plant) is
+    // computed pre-shuffle; real payloads come from storage, where the
+    // scan itself is the parallel stage.
     val df = Dedup.widen(df0)
     val spark = df.sparkSession
     import spark.implicits._

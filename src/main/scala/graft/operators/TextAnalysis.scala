@@ -1000,11 +1000,18 @@ object TextAnalysis {
     * SMALLEST start (the longest candidate piece), implemented as a
     * strict-> ascending scan — exactly the oracle's list_max over
     * (v, −s) structs. All arithmetic is double adds in recursion order,
-    * so dp values are bit-identical across engines.
+    * so dp values are bit-identical across engines. Positions are CODE
+    * POINTS, not UTF-16 units: Spark SQL substring/length and DuckDB
+    * substr/len both count code points, so a java String.substring
+    * segmentation would split surrogate pairs on an astral-plane word
+    * and diverge from the seed inventory and the oracle (latent on the
+    * ASCII testdata; review finding, round 10).
     */
   private[graft] def viterbiSegment(w: String, maxPieceLen: Int,
       scores: collection.Map[String, Double]): List[String] = {
-    val n = w.length
+    val cps = w.codePoints().toArray
+    val n = cps.length
+    def piece(s: Int, e: Int): String = new String(cps, s, e - s)
     val dp = new Array[Double](n + 1)
     val bp = new Array[Int](n + 1)
     var i = 1
@@ -1013,7 +1020,7 @@ object TextAnalysis {
       var bestS = -1
       var s = math.max(0, i - maxPieceLen)
       while (s < i) {
-        val v = dp(s) + scores.getOrElse(w.substring(s, i), -1e9)
+        val v = dp(s) + scores.getOrElse(piece(s, i), -1e9)
         if (v > best) { best = v; bestS = s }
         s += 1
       }
@@ -1024,7 +1031,7 @@ object TextAnalysis {
     var out = List.empty[String]
     while (pos > 0) {
       val s = bp(pos)
-      out = w.substring(s, pos) :: out
+      out = piece(s, pos) :: out
       pos = s
     }
     out
