@@ -111,6 +111,7 @@ object Bench {
     // regression loudly so a contended number never gets committed
     // unexamined.
     val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_out.json")
+    var foreignSf = false
     val prior: Map[String, Double] = try {
       val ref = java.nio.file.Files.readString(java.nio.file.Paths.get(refPath))
       // an artifact from a DIFFERENT scale factor must not serve as the
@@ -120,6 +121,7 @@ object Bench {
       // the new "sf" label (review finding, round 10)
       val priorSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(ref).map(_.group(1))
       if (priorSf.exists(_ != sfDir)) {
+        foreignSf = true
         System.err.println(s"[bench] prior $refPath measured sf " +
           s"'${priorSf.get}' != current '$sfDir' - ignoring it (no merge, " +
           "no drift compare); set SPARK_GRAFT_BENCH_REF for cross-SF runs")
@@ -171,7 +173,22 @@ object Bench {
     // truncated the per-query map in past rounds (BENCH_r06 lost 94/160
     // times). Write the full JSON to a file so the evidence survives;
     // SPARK_GRAFT_BENCH_OUT overrides the default repo-relative path.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // A foreign-SF run with no explicit SPARK_GRAFT_BENCH_OUT must not
+    // erase the committed default artifact: the SF-mismatch guard above
+    // already excluded the prior from the merge, so writing this run's
+    // foreign-SF-only result to bench_out.json would still shrink the
+    // on-disk baseline — exactly the forgotten-env scenario the guard
+    // detects (ADVICE r10). Redirect to an SF-suffixed sibling instead.
+    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse {
+      if (foreignSf) {
+        val suffix = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+        val p = s"bench_out.$suffix.json"
+        System.err.println(s"[bench] foreign-SF run and SPARK_GRAFT_BENCH_OUT " +
+          s"unset - redirecting the artifact to $p so bench_out.json keeps " +
+          "the committed baseline")
+        p
+      } else "bench_out.json"
+    }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case t: Throwable => System.err.println(s"[bench] write $outPath failed: $t") }
     spark.stop()

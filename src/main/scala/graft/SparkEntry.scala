@@ -6057,14 +6057,14 @@ object SparkEntry {
         |det AS (SELECT did + (SELECT o FROM off) AS doc_id,
         |  array_to_string(list_transform(range(1, 6),
         |    i -> 'zzqa' || CAST(did AS VARCHAR) || 'x' || CAST(i AS VARCHAR)), ' ')
-        |  || ' ' || array_to_string(t[5:10], ' ') || ' ' ||
+        |  || ' ' || coalesce(array_to_string(t[5:10], ' '), '') || ' ' ||
         |  array_to_string(list_transform(range(1, 6),
         |    i -> 'zzqb' || CAST(did AS VARCHAR) || 'x' || CAST(i AS VARCHAR)), ' ') AS text
         | FROM src WHERE did % 50 = 0),
         |miss AS (SELECT did + (SELECT o FROM off) * 2 AS doc_id,
         |  array_to_string(list_transform(range(1, 6),
         |    i -> 'zzqc' || CAST(did AS VARCHAR) || 'x' || CAST(i AS VARCHAR)), ' ')
-        |  || ' ' || array_to_string(t[5:6], ' ') || ' ' ||
+        |  || ' ' || coalesce(array_to_string(t[5:6], ' '), '') || ' ' ||
         |  array_to_string(list_transform(range(1, 6),
         |    i -> 'zzqd' || CAST(did AS VARCHAR) || 'x' || CAST(i AS VARCHAR)), ' ') AS text
         | FROM src WHERE did % 50 = 10),

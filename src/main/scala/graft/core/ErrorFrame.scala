@@ -50,6 +50,16 @@ final case class ErrorFrame private (
     * heuristic ([[sourceLineage]]); else nulls. Explicit beats heuristic —
     * a frame with unrelated topic/partition/offset columns can opt out via
     * either explicit form.
+    *
+    * STABILITY: the batch analog's offset is
+    * `monotonically_increasing_id()`, which is PARTITION-LAYOUT-DEPENDENT
+    * — a re-run over the same data can assign the same row a different
+    * offset (unlike a Kafka offset, which is durable). It identifies a
+    * row within ONE job's output, nothing more; DLQ replay here keys on
+    * content, not offset, so correctness never depends on it. A DLQ
+    * store that needs a STABLE cross-run identity should pass
+    * [[ErrorFrame.contentLineage]] as `lineageCols` — offset becomes a
+    * content hash: same input bytes, same id, on any partitioning.
     */
   private def lineageOf(withLineage: Boolean,
       lineageCols: Option[(Column, Column, Column)]): (Column, Column, Column) =
@@ -278,6 +288,23 @@ object ErrorFrame {
   private val LOG_COL = CAPTURE_PREFIX + "log"
 
   def capturedCol(name: String): String = CAPTURE_PREFIX + name
+
+  /** Content-keyed lineage for DLQ stores that need a STABLE row
+    * identity (VERDICT r10): the batch `withLineage` offsets come from
+    * `monotonically_increasing_id()`, which can differ between re-runs
+    * of the same job over the same data (partition-layout-dependent).
+    * Here the offset is `xxhash64` of the stringified input — same
+    * input bytes ⇒ same id on ANY run, partitioning, or cluster size —
+    * so dedup/quarantine stores (e15's pattern) and cross-run joins key
+    * on something durable. topic = the caller's store label; partition
+    * = null (content has no meaningful partition — a non-null value
+    * would imply a placement that does not exist). Trade stated: two
+    * DISTINCT inputs can collide at 64 bits (~2^32 rows for a 50%
+    * birthday bound) — an identity for grouping and replay accounting,
+    * not a uniqueness proof.
+    */
+  def contentLineage(input: Column, label: String = "batch"): (Column, Column, Column) =
+    (lit(label), lit(null).cast("int"), xxhash64(input.cast("string")))
 
   /** Capture errors of one or more computed columns over `df`.
     *

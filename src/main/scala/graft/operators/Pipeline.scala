@@ -101,12 +101,29 @@ object Pipeline {
     require(budget >= 1, s"budget must be >= 1: $budget")
     val spark = docs.sparkSession
     import spark.implicits._
+    // The per-shard fold materializes the whole group (the sequential
+    // FFD state demands it) — a skewed or giant shard would otherwise
+    // OOM the executor SILENTLY. Same discipline as TopKPerKeyExec's
+    // byte budget: fail loudly at a configurable doc-count cap instead
+    // (ADVICE r10); a corpus whose shards legitimately exceed it should
+    // raise the cap or re-shard upstream (P10's shuffle-shard).
+    val maxGroupDocs = spark.conf
+      .getOption("spark.graft.ffd.maxGroupDocs").map(_.toInt).getOrElse(5000000)
     docs.select(col(shardCol).as("shard"), col(idCol).cast("long").as("doc_id"),
         size(split(col(textCol), " ")).cast("long").as("toks"))
       .as[(String, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (shard, it) =>
-        val ds = it.map(t => (t._2, t._3)).toArray
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        it.foreach { t =>
+          if (buf.length >= maxGroupDocs)
+            throw new IllegalStateException(
+              s"ffdPack shard '$shard' exceeds $maxGroupDocs docs - the " +
+                "per-shard sequential fold would buffer it whole; raise " +
+                "spark.graft.ffd.maxGroupDocs or re-shard the input")
+          buf += ((t._2, t._3))
+        }
+        val ds = buf.toArray
           .sortBy { case (id, tk) => (-tk, id) }
         val caps = scala.collection.mutable.ArrayBuffer.empty[Long]
         val out = ds.map { case (id, tk) =>

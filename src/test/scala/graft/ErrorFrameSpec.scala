@@ -98,6 +98,35 @@ class ErrorFrameSpec extends SparkSpec {
     assert(r.getAs[String]("description") == "test pipeline")
   }
 
+  test("contentLineage: offsets stable across partitioning, unlike batch ids") {
+    // the monotonically_increasing_id batch offsets are partition-layout-
+    // dependent (documented in lineageOf); contentLineage keys on the
+    // input bytes, so ANY layout of the same data yields the same offset
+    def dlOffsets(parts: Int): Map[String, Long] = {
+      val ef = ErrorFrame.captureErrors(
+        Seq(("a", "zap"), ("b", "pow"), ("c", "3")).toDF("id", "s").repartition(parts),
+        Map("v" -> expr("cast(s as int)")), input = $"s")
+      ef.deadLetters("lineage",
+          lineageCols = Some(ErrorFrame.contentLineage($"s", "dlq-store")))
+        .select($"input_value", $"offset").as[(String, Long)].collect().toMap
+    }
+    val one = dlOffsets(1)
+    val eight = dlOffsets(8)
+    assert(one.keySet == Set("zap", "pow") && one == eight)
+    // the offset IS the content hash — recomputable by any reader
+    val expected = spark.range(1).select(
+      xxhash64(lit("zap")), xxhash64(lit("pow"))).as[(Long, Long)].head()
+    assert((one("zap"), one("pow")) == expected)
+    // topic carries the store label; partition is null by contract
+    val r = ErrorFrame.captureErrors(
+        Seq(("a", "zap")).toDF("id", "s"),
+        Map("v" -> expr("cast(s as int)")), input = $"s")
+      .deadLetters("lineage",
+        lineageCols = Some(ErrorFrame.contentLineage($"s", "dlq-store")))
+      .select($"topic", $"partition").collect().head
+    assert(r.getString(0) == "dlq-store" && r.isNullAt(1))
+  }
+
   test("withErrorHeaders emits kafka-style headers with reference keys") {
     val h = captured.withErrorHeaders("desc").select(explode($"headers").as("h"))
       .select($"h.key", $"h.value".cast("string")).as[(String, String)].collect().toMap
