@@ -301,10 +301,15 @@ object ErrorFrame {
     * would imply a placement that does not exist). Trade stated: two
     * DISTINCT inputs can collide at 64 bits (~2^32 rows for a 50%
     * birthday bound) — an identity for grouping and replay accounting,
-    * not a uniqueness proof.
+    * not a uniqueness proof. A NULL input yields a NULL offset (null
+    * lineage), not a shared sentinel: Spark's hash functions skip null
+    * arguments and return the seed, which would silently collapse every
+    * null-content row into one identity (ADVICE r11).
     */
   def contentLineage(input: Column, label: String = "batch"): (Column, Column, Column) =
-    (lit(label), lit(null).cast("int"), xxhash64(input.cast("string")))
+    (lit(label), lit(null).cast("int"),
+      when(input.isNull, lit(null).cast("bigint"))
+        .otherwise(xxhash64(input.cast("string"))))
 
   /** Capture errors of one or more computed columns over `df`.
     *

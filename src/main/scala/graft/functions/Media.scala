@@ -19,12 +19,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * `format = "unknown"` for them.
   *
   * Returned struct (fields null unless the format provides them):
-  *   format       "ppm" | "png" | "wav" | "unknown"
-  *   width/height/maxval            PPM/PNG image dimensions
+  *   format       "ppm" | "png" | "jpeg" | "wav" | "unknown"
+  *   width/height/maxval            PPM/PNG/JPEG image dimensions
   *   channels/sample_rate/bits/n_samples/block_align   WAV audio
   *   data_offset  byte offset of the payload's sample/pixel data
-  *                (PNG: first IDAT chunk)
-  *   gray64       PPM/PNG: 8×8 block-mean grayscale (row-major, 64
+  *                (PNG: first IDAT chunk; JPEG: entropy data after SOS)
+  *   gray64       PPM/PNG/JPEG: 8×8 block-mean grayscale (row-major, 64
   *                longs) — what a real thumbnail resize produces; block
   *                value = Σ(r+g+b) over the block / (3 · #pixels)
   *                (integer division; empty blocks on images narrower
@@ -76,6 +76,8 @@ object DecodeMedia {
       bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G' &&
       bytes(4) == 0x0d && bytes(5) == 0x0a && bytes(6) == 0x1a &&
       bytes(7) == 0x0a) decodePng(bytes)
+    else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8) decodeJpeg(bytes)
     else unknown
   }
 
@@ -158,8 +160,9 @@ object DecodeMedia {
 
   /** PNG via JDK ImageIO — ships WITH the JVM, no dependency, and PNG
     * is lossless so decoded sRGB values are bit-identical across JVMs
-    * (the determinism JPEG's IDCT can't pin — JPEG stays out, see
-    * SURVEY §6). Guards before the real decode: the IHDR dimensions
+    * (the cross-engine determinism JPEG's IDCT can't give — see
+    * [[decodeJpeg]] for JPEG's per-JVM tier). Guards before the real
+    * decode: the IHDR dimensions
     * are peeked from the HEADER (PNG spec: IHDR is the first chunk)
     * so a crafted 1-KB payload declaring 2³¹ pixels can never allocate
     * an unbounded BufferedImage — oversize or malformed degrades to
@@ -168,7 +171,7 @@ object DecodeMedia {
     * seeking reader would target); gray64 is the same 8×8 block-mean
     * grayscale as PPM, over ImageIO's decoded sRGB pixels.
     */
-  private val maxPngPixels = 1L << 24 // 16M pixels ≈ 64 MB ARGB raster
+  private val maxImagePixels = 1L << 24 // 16M pixels ≈ 64 MB ARGB raster
 
   // ImageIO.setUseCache is a JVM-GLOBAL synchronized mutator — run it
   // once at class init (no executor /tmp spill files), never on the
@@ -185,8 +188,8 @@ object DecodeMedia {
     // bound each dimension BEFORE multiplying: wDecl/hDecl are
     // unsigned 32-bit from untrusted bytes, and a crafted
     // 0xFFFFFFF0 × 0xFFFFFFF0 product wraps the Long guard
-    if (wDecl <= 0 || hDecl <= 0 || wDecl > maxPngPixels ||
-      hDecl > maxPngPixels || wDecl * hDecl > maxPngPixels) return unknown
+    if (wDecl <= 0 || hDecl <= 0 || wDecl > maxImagePixels ||
+      hDecl > maxImagePixels || wDecl * hDecl > maxImagePixels) return unknown
     // chunk walk for the first IDAT offset (Long-advance, same
     // malformed-size discipline as the WAV walk)
     var i = 8
@@ -209,6 +212,20 @@ object DecodeMedia {
     if (img == null) return unknown
     val w = img.getWidth; val h = img.getHeight
     if (w <= 0 || h <= 0) return unknown
+    val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(11)
+    r.update(0, UTF8String.fromString("png"))
+    r.update(1, w); r.update(2, h); r.update(3, 255)
+    r.update(9, idatOff)
+    r.update(10, new GenericArrayData(imageGray64(img)))
+    r
+  }
+
+  /** The shared 8×8 block-mean grayscale over a decoded image — same
+    * arithmetic as the PPM path: block value = Σ(r+g+b) / (3 · #pixels),
+    * integer division, empty blocks (images narrower than 8px) report 0.
+    */
+  private def imageGray64(img: java.awt.image.BufferedImage): Array[Long] = {
+    val w = img.getWidth; val h = img.getHeight
     val gray = new Array[Long](64)
     var by = 0
     while (by < 8) {
@@ -235,11 +252,72 @@ object DecodeMedia {
       }
       by += 1
     }
+    gray
+  }
+
+  /** Baseline/progressive JPEG via the JDK's bundled ImageIO reader —
+    * the format real corpora actually ship (VERDICT r11 task 4). Two
+    * determinism tiers, stated honestly: the HEADER fields
+    * (width/height from the SOF marker, data_offset = start of the
+    * entropy-coded stream after SOS) are byte-exact facts of the
+    * payload; the PIXELS (gray64) come through an IDCT, which is
+    * deterministic for a given JDK (pure-Java fixed-point decoder) but
+    * NOT pinned across decoder implementations — so gray64-derived
+    * hashes (m6/m11) are reproducible per-JVM and golden-pinned in
+    * DctPhashSpec (the m8 precedent), while ORACLE rows stay on
+    * PPM/PNG, whose lossless decode is engine-independent.
+    *
+    * Marker-walk guards mirror PNG's IHDR peek: dimensions are read
+    * from the SOF header BEFORE ImageIO is allowed to allocate, a
+    * segment that fails to advance the cursor degrades to `unknown`,
+    * and only frames within [[maxImagePixels]] decode.
+    */
+  private def decodeJpeg(b: Array[Byte]): InternalRow = {
+    var i = 2
+    var w = -1; var h = -1
+    var sosOff = -1L
+    while (sosOff < 0 && i + 4 <= b.length) {
+      // skip fill bytes: markers may be preceded by any number of 0xFF
+      if ((b(i) & 0xff) != 0xff) return unknown
+      var j = i
+      while (j < b.length && (b(j) & 0xff) == 0xff) j += 1
+      if (j >= b.length) return unknown
+      val marker = b(j) & 0xff
+      // standalone markers without a length field
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) {
+        i = j + 1
+      } else {
+        if (j + 3 > b.length) return unknown
+        val len = ((b(j + 1) & 0xff) << 8) | (b(j + 2) & 0xff)
+        if (len < 2) return unknown
+        val body = j + 3
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof && body + 5 <= b.length) {
+          h = ((b(body + 1) & 0xff) << 8) | (b(body + 2) & 0xff)
+          w = ((b(body + 3) & 0xff) << 8) | (b(body + 4) & 0xff)
+        }
+        if (marker == 0xda) sosOff = j + 1L + len // entropy-coded data
+        val next = j + 1L + len
+        if (next <= i || next > Int.MaxValue) return unknown
+        i = next.toInt
+      }
+    }
+    if (w <= 0 || h <= 0 || sosOff < 0 ||
+      w > maxImagePixels || h > maxImagePixels ||
+      w.toLong * h > maxImagePixels) return unknown
+    val img =
+      try {
+        imageIoConfigured
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      } catch { case _: Throwable => null }
+    if (img == null) return unknown
+    if (img.getWidth <= 0 || img.getHeight <= 0) return unknown
     val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(11)
-    r.update(0, UTF8String.fromString("png"))
-    r.update(1, w); r.update(2, h); r.update(3, 255)
-    r.update(9, idatOff)
-    r.update(10, new GenericArrayData(gray))
+    r.update(0, UTF8String.fromString("jpeg"))
+    r.update(1, img.getWidth); r.update(2, img.getHeight); r.update(3, 255)
+    r.update(9, sosOff)
+    r.update(10, new GenericArrayData(imageGray64(img)))
     r
   }
 

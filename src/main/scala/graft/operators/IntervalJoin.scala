@@ -34,6 +34,7 @@ object IntervalJoin {
     expr(s"($colName - pmod($colName, ${w}L)) div ${w}L")
 
   private val JoinTypes = Set("inner", "left_outer", "left_semi", "left_anti")
+  private val RightJoinTypes = Set("right_outer", "right_semi", "right_anti")
 
   /** Binned interval join. `left`/`right` must have disjoint column
     * names apart from the key equality expressed via `leftKey`/
@@ -52,9 +53,20 @@ object IntervalJoin {
     * no dedup pass needed. For `joinType = "inner"`, when the two
     * sides differ in size pass the smaller one as `right` (flipping
     * the bounds to `[-upper, -lower]` flips the direction); for the
-    * outer/semi/anti variants the LEFT side is pinned as the
-    * preserved/probe side, so the replication of `right` is forced by
-    * the semantics.
+    * outer/semi/anti variants the preserved/probe side is pinned by
+    * the join type, so which side gets replicated is forced by the
+    * semantics.
+    *
+    * `right_outer` / `right_semi` / `right_anti` are NAMED MODES
+    * (VERDICT r11 task 6): internally the sides are swapped and the
+    * bounds flipped to `[-upper, -lower]` — algebraically
+    * `rt - lt ∈ [lower, upper] ⟺ lt - rt ∈ [-upper, -lower]` — so the
+    * caller states the same predicate for every mode and can no longer
+    * flip the bounds wrong by hand. The RIGHT side is then the
+    * preserved probe side (lands in one bucket; `left` is the
+    * replicated side): `right_outer` returns all columns of both sides
+    * (left-columns-first order kept), `right_semi` / `right_anti`
+    * return right columns only.
     *
     * Admissible time range: bucket arithmetic computes
     * `rightTime - upper` and `rightTime - lower` as raw 64-bit
@@ -69,9 +81,19 @@ object IntervalJoin {
       lower: Long, upper: Long,
       joinType: String = "inner"): DataFrame = {
     require(upper >= lower, s"empty interval: [$lower, $upper]")
+    if (RightJoinTypes.contains(joinType)) {
+      // same predicate, right side preserved: swap sides, flip bounds,
+      // run the mirrored left-sided mode (see scaladoc)
+      val flipped = binned(right, left, rightKey, leftKey, rightTime, leftTime,
+        -upper, -lower, joinType.replace("right_", "left_"))
+      return if (joinType == "right_outer")
+        flipped.select((left.columns ++ right.columns).map(col).toSeq: _*)
+      else flipped
+    }
     require(JoinTypes.contains(joinType),
-      s"unsupported joinType '$joinType' (supported: ${JoinTypes.mkString(", ")}); " +
-        "for right-sided variants swap the sides and flip the bounds to [-upper, -lower]")
+      s"unsupported joinType '$joinType' (supported: " +
+        s"${(JoinTypes ++ RightJoinTypes).toSeq.sorted.mkString(", ")}; " +
+        "full_outer via binnedFullOuter)")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty,
       s"left and right column names must be disjoint — shared: " +
@@ -123,10 +145,9 @@ object IntervalJoin {
     * a right row that matches in one replica bucket but not the other.
     * Composition instead: the `left_outer` pass preserves left exactly
     * (a left row sits in ONE bucket), and the unmatched-right set comes
-    * from a second binned pass with the sides swapped and the bounds
-    * flipped to `[-upper, -lower]` — there the right frame is the
-    * preserved probe side, so `left_anti` emits each matchless right
-    * row exactly once (the q30 machinery mirrored). Two passes = the
+    * from a `right_anti` pass — same predicate, right frame as the
+    * preserved probe side, so each matchless right row is emitted
+    * exactly once (the q30 machinery mirrored). Two passes = the
     * intrinsic cost: both-sides-preserved semantics needs each side
     * probed as the preserved side once; shuffle volume stays the
     * binned-join bound (≤ 2× replication, never a nested loop).
@@ -137,8 +158,8 @@ object IntervalJoin {
       lower: Long, upper: Long): DataFrame = {
     val matched = binned(left, right, leftKey, rightKey, leftTime, rightTime,
       lower, upper, "left_outer")
-    val unmatchedRight = binned(right, left, rightKey, leftKey, rightTime,
-      leftTime, -upper, -lower, "left_anti")
+    val unmatchedRight = binned(left, right, leftKey, rightKey, leftTime,
+      rightTime, lower, upper, "right_anti")
     val leftNulls = left.schema.fields
       .map(f => lit(null).cast(f.dataType).as(f.name))
     matched.unionByName(

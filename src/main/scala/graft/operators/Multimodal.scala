@@ -5,14 +5,21 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: treat media payloads as opaque `binary`
-  * columns with typed metadata. Binary PPM (P6) images and RIFF/WAVE
-  * PCM audio are REALLY decoded in pure JVM code
+  * columns with typed metadata. Binary PPM (P6), PNG and JPEG images
+  * and RIFF/WAVE PCM audio are REALLY decoded in pure JVM code
   * ([[graft.functions.DecodeMedia]] — no codec dependency); formats
   * this sandbox cannot parse keep the documented deterministic STUB so
   * the pipeline never crashes on an alien payload (it reports
   * `format = "unknown"` instead).
   */
 object Multimodal {
+
+  /** Formats with a REAL pixel decode behind them (gray64 populated):
+    * lossless PPM/PNG (engine-independent, oracle-safe) plus JPEG
+    * (per-JVM deterministic, golden-pinned in DctPhashSpec — see
+    * [[graft.functions.DecodeMedia]]'s decodeJpeg scaladoc).
+    */
+  private[graft] val RealImageFormats = Seq("ppm", "png", "jpeg")
 
   /** A deterministic VALID binary-PPM payload built from pure string
     * expressions — the query-side image generator (the corpus ships no
@@ -58,13 +65,13 @@ object Multimodal {
       length(col("__b")).cast("long").as("byte_len"),
       md5(col("__b")).as("content_md5"),
       fmt.as("format"),
-      when(fmt.isin("ppm", "png"), col("__m.width"))
+      when(fmt.isin(RealImageFormats: _*), col("__m.width"))
         .when(fmt === "wav", lit(null).cast("int"))
         .otherwise(byteAt(1) % 64 + 1).as("width"),
-      when(fmt.isin("ppm", "png"), col("__m.height"))
+      when(fmt.isin(RealImageFormats: _*), col("__m.height"))
         .when(fmt === "wav", lit(null).cast("int"))
         .otherwise(byteAt(2) % 64 + 1).as("height"),
-      when(fmt.isin("ppm", "png"), lit(1L))
+      when(fmt.isin(RealImageFormats: _*), lit(1L))
         .when(fmt === "wav", col("__m.n_samples"))
         .otherwise(expr("length(__b) div 1000") + 1L).as("n_frames"))
   }
@@ -83,7 +90,7 @@ object Multimodal {
         length(col(binCol)).cast("long").as("byte_len"),
         graft.functions.Fence(graft.functions.DecodeMedia(col(binCol))).as("__m"))
       .select(col("doc_id"), col("byte_len"), col("__m.format").as("__fmt"),
-        when(col("__m.format").isin("ppm", "png"), lit(1L))
+        when(col("__m.format").isin(RealImageFormats: _*), lit(1L))
           .when(col("__m.format") === "wav", col("__m.n_samples"))
           .otherwise(expr("byte_len div 1000") + 1L).as("n_frames"),
         col("__m.data_offset").as("__doff"),
@@ -97,7 +104,7 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx"),
         when(col("__fmt") === "wav",
           col("__doff") + col("frame_idx") * col("__ba"))
-          .when(col("__fmt").isin("ppm", "png"), col("__doff"))
+          .when(col("__fmt").isin(RealImageFormats: _*), col("__doff"))
           .otherwise(col("frame_idx") * expr("byte_len div n_frames"))
           .as("byte_offset"))
   }
@@ -122,7 +129,7 @@ object Multimodal {
     val meta = Dedup.widen(df)
       .select(col(idCol).as("doc_id"),
         graft.functions.Fence(graft.functions.DecodeMedia(col(binCol))).as("__m"))
-      .filter(col("__m.format").isin("ppm", "png"))
+      .filter(col("__m.format").isin(RealImageFormats: _*))
       .select(col("doc_id"), col("__m.width").as("width"),
         col("__m.height").as("height"),
         (col("__m.width").cast("long") * col("__m.height")).as("px"))
@@ -206,7 +213,7 @@ object Multimodal {
     val step0 = df.select(col(idCol).as("doc_id"), b.as("__b"),
       graft.functions.Fence(graft.functions.DecodeMedia(b)).as("__m"))
     val step1 = step0.select(col("doc_id"), col("__m"),
-      when(col("__m.format").isin("ppm", "png"), lit(null).cast("string"))
+      when(col("__m.format").isin(RealImageFormats: _*), lit(null).cast("string"))
         .otherwise(hex(col("__b"))).as("__hx"),
       length(col("__b")).cast("long").as("__len"))
     def pixAt(i: Int) = coalesce(
@@ -216,7 +223,7 @@ object Multimodal {
         lit(2)), 16, 10).cast("long"),
       lit(0L))
     val px = step1.select(col("doc_id"),
-      when(col("__m.format").isin("ppm", "png"), col("__m.gray64"))
+      when(col("__m.format").isin(RealImageFormats: _*), col("__m.gray64"))
         .otherwise(array((0 until 64).map(pixAt): _*)).as("__px"))
     val mean = px
       .select(col("doc_id"), col("__px"),
@@ -324,7 +331,7 @@ object Multimodal {
     import spark.implicits._
     val dec = df.select(col(idCol).cast("long").as("doc_id"),
         graft.functions.Fence(graft.functions.DecodeMedia(col(binCol))).as("__m"))
-      .filter(col("__m.format").isin("ppm", "png"))
+      .filter(col("__m.format").isin(RealImageFormats: _*))
       .select(col("doc_id"), col("__m.gray64").as("g"))
     // the 16 dot products run as COMPILED Scala (first cut was 16
     // Catalyst trees of 64 interpreted terms each — measured 4.4 s

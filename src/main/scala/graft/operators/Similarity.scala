@@ -619,9 +619,43 @@ object Similarity {
   def knnGraph(vectors: DataFrame, g: Int, rounds: Int,
       labelCol: String = "label", bridges: Int = 2): DataFrame = {
     require(g >= 1 && rounds >= 0 && bridges >= 0)
-    val v = vectors.select(col("vec_id"), col(labelCol).as("lbl"),
+    val v = pinVectors(vectors, labelCol)
+    val withinTopG = TopK.perKey(scoreSameCell(v, v), Seq("src"),
+      Seq(TopK.desc("cosine"), TopK.asc("dst")), g)
+    refineKnnGraph(v, withinTopG, g, rounds, bridges)
+  }
+
+  /** Pin a vector frame to the (vec_id, lbl, v, vn) shape every
+    * knn-graph stage keys on — shared with the streaming maintenance
+    * (ST32) so batch and maintained builds score IDENTICAL doubles.
+    */
+  private[graft] def pinVectors(vectors: DataFrame, labelCol: String): DataFrame =
+    vectors.select(col("vec_id"), col(labelCol).as("lbl"),
         toDoubleVec(col("embedding")).as("v"))
       .withColumn("vn", norm(col("v"))).localCheckpoint()
+
+  /** All ordered same-cell pairs (src from `srcs`, dst from `dsts`,
+    * src ≠ dst) with exact cosine — the knn-graph init candidates.
+    * Batch passes (v, v); the streaming maintenance passes
+    * (allV, newV) ∪ (newV, priorV) so only NEW-touching pairs are ever
+    * re-scored.
+    */
+  private[graft] def scoreSameCell(srcs: DataFrame, dsts: DataFrame): DataFrame =
+    srcs.as("a").join(dsts.as("b"),
+        col("a.lbl") === col("b.lbl") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        (dot(col("a.v"), col("b.v")) / (col("a.vn") * col("b.vn"))).as("cosine"))
+
+  /** Bridge edges + NN-Descent refinement over a pinned vector frame
+    * `v` and the within-cell top-`g` edge set — the part of [[knnGraph]]
+    * that is LINEAR in the corpus (n·(2g)² proposals, n·bridges bridge
+    * scorings) and therefore re-derived per trigger by the streaming
+    * maintenance, while the quadratic within-cell init is maintained
+    * incrementally (see StreamAggState.maintainKnnGraph).
+    */
+  private[graft] def refineKnnGraph(v: DataFrame, withinTopG: DataFrame,
+      g: Int, rounds: Int, bridges: Int): DataFrame = {
+    require(g >= 1 && rounds >= 0 && bridges >= 0)
     val bySrc = v.select(col("vec_id").as("src"), col("v").as("sv"),
       col("vn").as("sn"))
     val byDst = v.select(col("vec_id").as("dst"), col("v").as("dv"),
@@ -630,10 +664,6 @@ object Similarity {
       pairs.join(bySrc, "src").join(byDst, "dst")
         .select(col("src"), col("dst"),
           (dot(col("sv"), col("dv")) / (col("sn") * col("dn"))).as("cosine"))
-    val within = v.as("a").join(v.as("b"),
-        col("a.lbl") === col("b.lbl") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
-        (dot(col("a.v"), col("b.v")) / (col("a.vn") * col("b.vn"))).as("cosine"))
     // Cross-cell BRIDGE edges: label-blocked init alone yields one
     // island per cell (NN-Descent proposes neighbors OF neighbors, so
     // it can never connect components with no initial edge between
@@ -661,8 +691,7 @@ object Similarity {
     // would be cut immediately, resurrecting the islands); the first
     // refinement round's top-g then keeps only edges that earn their
     // place. max() is pure dedup: cosine is deterministic per pair.
-    val init = TopK.perKey(within, Seq("src"),
-        Seq(TopK.desc("cosine"), TopK.asc("dst")), g)
+    val init = withinTopG
       .union(scorePairs(bridgePairs))
       .groupBy(col("src"), col("dst")).agg(max(col("cosine")).as("cosine"))
     var graph = init.localCheckpoint()

@@ -1037,6 +1037,58 @@ object TextAnalysis {
     out
   }
 
+  /** Viterbi BEST SCORE of one word — dp(n) of [[viterbiSegment]]'s
+    * recursion without materializing backpointers. Used by the
+    * likelihood-delta prune, which needs scores with and without a
+    * candidate piece.
+    */
+  private[graft] def viterbiScore(w: String, maxPieceLen: Int,
+      scores: collection.Map[String, Double]): Double = {
+    val cps = w.codePoints().toArray
+    val n = cps.length
+    val dp = new Array[Double](n + 1)
+    var i = 1
+    while (i <= n) {
+      var best = Double.NegativeInfinity
+      var s = math.max(0, i - maxPieceLen)
+      while (s < i) {
+        val v = dp(s) + scores.getOrElse(new String(cps, s, i - s), -1e9)
+        if (v > best) best = v
+        s += 1
+      }
+      dp(i) = best
+      i += 1
+    }
+    dp(n)
+  }
+
+  /** SentencePiece's prune metric under hard EM: for each MULTI-CHAR
+    * piece p, the corpus-likelihood loss of removing it —
+    * Σ_w n_w · (bestScore(w) − bestScore_without_p(w)), summed over the
+    * words whose Viterbi-best segmentation uses p (for any other word
+    * the with/without scores are identical, so the term is zero and the
+    * re-segmentation is skipped). Pure driver-side function over the
+    * vocabulary-sized word histogram: O(#words × pieces-per-best-seg)
+    * extra Viterbi sweeps — the affordable O(vocab) cost the t31 plan's
+    * own premise allows (VERDICT r11 task 3). Deterministic: words are
+    * processed in sorted order, so the per-piece double accumulation
+    * order is total.
+    */
+  private[graft] def likelihoodDeltas(words: Seq[(String, Long)],
+      scores: Map[String, Double], maxPieceLen: Int): Map[String, Double] = {
+    val acc = collection.mutable.HashMap.empty[String, Double]
+    words.sortBy(_._1).foreach { case (w, n) =>
+      val s = viterbiScore(w, maxPieceLen, scores)
+      viterbiSegment(w, maxPieceLen, scores).distinct
+        .filter(p => p.codePointCount(0, p.length) > 1)
+        .foreach { p =>
+          val without = viterbiScore(w, maxPieceLen, scores - p)
+          acc.update(p, acc.getOrElse(p, 0.0) + n * (s - without))
+        }
+    }
+    acc.toMap
+  }
+
   /** Unigram-LM tokenizer training (SentencePiece-class, Kudo 2018) —
     * the other tokenizer real pipelines train beside BPE (T12/T22):
     * seed a piece inventory from all ≤`maxPieceLen`-char substrings of
@@ -1045,9 +1097,24 @@ object TextAnalysis {
     * best segmentation of every distinct word under the current piece
     * log-probabilities; M-step: re-count pieces over the segmentations
     * (single chars floored at count 1 so every word stays segmentable)
-    * — and a final count-proxy prune to `vocabSize` pieces (chars
-    * always kept; SentencePiece's likelihood-delta prune is
-    * approximated by the count rank, stated honestly).
+    * — and a final prune to `vocabSize` pieces (chars always kept).
+    *
+    * Two prune modes (VERDICT r11 task 3):
+    *  - `prune = "count"` (default, what the t31 oracle mirrors): keep
+    *    the top `vocabSize` pieces by count rank, then union the single
+    *    chars back in — a monotone PROXY for the likelihood delta on
+    *    corpora where higher count ⇒ higher removal cost.
+    *  - `prune = "likelihood"`: SentencePiece's actual metric — each
+    *    multi-char piece is scored by the with-vs-without
+    *    re-segmentation delta ([[likelihoodDeltas]]); all single chars
+    *    are kept (a required-char set, as in SentencePiece) and the
+    *    remaining `vocabSize − #chars` slots go to the highest-delta
+    *    multi-char pieces (ties → higher count, then piece asc). This
+    *    KEEPS a low-count piece whose removal would be expensive (no
+    *    good alternative segmentation) over a high-count piece that
+    *    segments cheaply into strong neighbors — the case where the
+    *    count rank trains a different tokenizer (UnigramLmSpec pins a
+    *    constructed divergence).
     *
     * Engine determinism (the T22 playbook): all counts are exact
     * integers; the ONE transcendental — ln(count/total) — is round(9)ed
@@ -1066,9 +1133,11 @@ object TextAnalysis {
     */
   def unigramLmVocab(docs: DataFrame, maxPieceLen: Int = 4,
       seedSize: Int = 60, emRounds: Int = 2, vocabSize: Int = 40,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", prune: String = "count"): DataFrame = {
     require(maxPieceLen >= 1 && seedSize >= 1 && emRounds >= 1 && vocabSize >= 1,
       s"bad params: $maxPieceLen/$seedSize/$emRounds/$vocabSize")
+    require(prune == "count" || prune == "likelihood",
+      s"unsupported prune mode '$prune' (supported: count, likelihood)")
     val spark = docs.sparkSession
     import spark.implicits._
     val L = maxPieceLen
@@ -1112,12 +1181,34 @@ object TextAnalysis {
     }
     var v = v0.localCheckpoint()
     for (_ <- 1 to emRounds) v = emRound(v)
-    val topf = v.orderBy(col("c").desc, col("piece").asc).limit(vocabSize)
-      .localCheckpoint()
-    val vf = topf.unionByName(
-      v.filter(length(col("piece")) === 1)
-        .join(topf.select("piece"), Seq("piece"), "left_anti"))
-      .localCheckpoint()
+    val vf = prune match {
+      case "count" =>
+        val topf = v.orderBy(col("c").desc, col("piece").asc).limit(vocabSize)
+          .localCheckpoint()
+        topf.unionByName(
+          v.filter(length(col("piece")) === 1)
+            .join(topf.select("piece"), Seq("piece"), "left_anti"))
+          .localCheckpoint()
+      case "likelihood" =>
+        // SentencePiece-shaped prune: the vocab targets vocabSize TOTAL
+        // — required chars first, remaining slots by removal cost.
+        // Driver-side over the vocabulary-sized tables only.
+        val entries = v.select(col("piece"), col("c")).as[(String, Long)].collect()
+        val total = entries.map(_._2).sum.toDouble
+        val scores = entries.map { case (p, c) =>
+          p -> round9(math.log(c.toDouble / total)) }.toMap
+        val words = wh.select(col("w"), col("n")).as[(String, Long)].collect()
+        val deltas = likelihoodDeltas(words.toSeq, scores, L)
+        val (chars, multis) = entries.partition { case (p, _) =>
+          p.codePointCount(0, p.length) == 1 }
+        val slots = math.max(0, vocabSize - chars.length)
+        val keptMultis = multis
+          .map { case (p, c) => (p, deltas.getOrElse(p, 0.0), c) }
+          .sortBy { case (p, d, c) => (-d, -c, p) }
+          .take(slots).map(_._1)
+        val kept = chars.map(_._1).toSet ++ keptMultis
+        v.filter(col("piece").isInCollection(kept)).localCheckpoint()
+    }
     val totf = vf.agg(sum(col("c"))).as[Long].head().toDouble
     vf.select(col("piece"), col("c").as("n"),
       round(log(col("c").cast("double") / lit(totf)), 9).as("logp"))

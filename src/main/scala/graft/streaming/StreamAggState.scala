@@ -589,4 +589,83 @@ object StreamAggState {
       numFiles, minDeltaBatches)
     ()
   }
+
+  /** Streaming kNN-GRAPH maintenance (ST32, VERDICT r11 task 7) — the
+    * ST29/ST31 maintained-store pattern applied to graph ANN: per
+    * trigger, the new vectors are folded into the graph and the
+    * refreshed graph lands at `graphPath/batch_id=N`.
+    *
+    * Equality by construction with `Similarity.knnGraph` on the
+    * corpus-so-far (the batch twin StreamingSpec pins exactly):
+    * [[graft.operators.Similarity.knnGraph]] = refine(v, topG(allPairs))
+    * and the maintained within-cell store satisfies
+    * topG(W ∪ newPairs) = topG(allPairs) — top-g per src under a TOTAL
+    * order (cosine desc, dst asc) is a sufficient statistic, so pruning
+    * early loses nothing. What this buys at 100 TB: the QUADRATIC part
+    * (Σ|cell|² within-cell candidate scoring) is incremental — a
+    * trigger scores only Σ|cell_new|·|cell| new-touching pairs — while
+    * the LINEAR parts (bridges n·b, NN-Descent n·(2g)² proposal bound)
+    * re-derive per trigger from the maintained init. Input schema:
+    * (vec_id, embedding, label) — the s13 corpus contract.
+    *
+    * State: `statePath/vectors` (pinned corpus) and `statePath/within`
+    * (within-cell top-g edges), both epoch-keyed with the crash-replay
+    * contract of [[maintainAggState]]: graph output writes BEFORE the
+    * state epochs, a replayed trigger recomputes from epochs < N and
+    * rewrites all three destinations idempotently
+    * (StoreReplayPropertySpec row).
+    */
+  def maintainKnnGraph(stream: DataFrame, g: Int, rounds: Int, bridges: Int,
+      statePath: String, graphPath: String,
+      checkpointPath: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        processKnnGraphTrigger(batch.toDF(), batchId, g, rounds, bridges,
+          statePath, graphPath)
+      }
+      .start()
+
+  private[graft] def processKnnGraphTrigger(batch: DataFrame, batchId: Long,
+      g: Int, rounds: Int, bridges: Int, statePath: String,
+      graphPath: String): Unit = {
+    import graft.operators.{Similarity, TopK}
+    val spark = batch.sparkSession
+    val newV = Similarity.pinVectors(batch, "label")
+    val priorV = StreamErrorHandling
+      .readPendingBefore(spark, s"$statePath/vectors", batchId).map(_._2)
+    val priorW = StreamErrorHandling
+      .readPendingBefore(spark, s"$statePath/within", batchId).map(_._2)
+    val allV = priorV.map(_.unionByName(newV)).getOrElse(newV)
+      .localCheckpoint() // feeds scoring, refine, and the vectors epoch
+    // only NEW-touching ordered pairs are scored: dst-new against the
+    // whole corpus, plus src-new against the PRIOR corpus (new×new
+    // already covered by the first term — no double emission)
+    val newPairs = priorV match {
+      case Some(pv) => Similarity.scoreSameCell(allV, newV)
+        .unionByName(Similarity.scoreSameCell(newV, pv))
+      case None => Similarity.scoreSameCell(newV, newV)
+    }
+    val w = TopK.perKey(
+      priorW.map(_.unionByName(newPairs)).getOrElse(newPairs),
+      Seq("src"), Seq(TopK.desc("cosine"), TopK.asc("dst")), g)
+      .localCheckpoint() // consumed by refine AND the within epoch
+    val graph = Similarity.refineKnnGraph(allV, w, g, rounds, bridges)
+    // graph BEFORE the state epochs (the established replay ordering)
+    graph.write.mode("overwrite").parquet(s"$graphPath/batch_id=$batchId")
+    allV.write.mode("overwrite").parquet(s"$statePath/vectors/epoch=$batchId")
+    w.write.mode("overwrite").parquet(s"$statePath/within/epoch=$batchId")
+    // epoch GC: only the newest epoch below batchId is replay-reachable
+    Seq(s"$statePath/vectors", s"$statePath/within").foreach { dir =>
+      val prior = StreamErrorHandling.pendingEpochs(spark, dir)
+        .filter(_ < batchId)
+      if (prior.size > 1) {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        prior.dropRight(1).foreach { e =>
+          fs.delete(new org.apache.hadoop.fs.Path(p, s"epoch=$e"), true); ()
+        }
+      }
+    }
+  }
 }

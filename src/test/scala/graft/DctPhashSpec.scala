@@ -59,6 +59,57 @@ class DctPhashSpec extends SparkSpec {
     }
   }
 
+  /** Deterministic JPEG payload: fixed-pattern RGB image encoded
+    * through the JDK's own ImageIO JPEG writer (no external encoder in
+    * the zero-egress sandbox — a real corpus's JPEGs go through the
+    * same ImageIO READ path regardless of what wrote them).
+    */
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y,
+        (((x * 4) % 256) << 16) | (((y * 5) % 256) << 8) | ((x + y) * 3) % 256)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", baos)
+    baos.toByteArray
+  }
+
+  test("JPEG payloads decode for real: header metadata, per-JVM determinism, " +
+      "and the committed golden pin (VERDICT r11 task 4)") {
+    val bytes = jpegBytes(64, 48)
+    // header facts are byte-exact: SOF dimensions, format tag
+    val meta = Multimodal.binaryMetadata(
+      Seq((1L, bytes)).toDF("doc_id", "payload"), "payload", "doc_id")
+      .collect().head
+    assert(meta.getAs[String]("format") === "jpeg")
+    assert(meta.getAs[Int]("width") === 64)
+    assert(meta.getAs[Int]("height") === 48)
+    // per-JVM determinism: re-encode + re-decode of the same pixels is
+    // bit-identical through both hash pipelines (aHash m6 and pHash m11)
+    val again = jpegBytes(64, 48)
+    assert(java.util.Arrays.equals(bytes, again), "ImageIO JPEG encode drifted")
+    val df = Seq((1L, bytes), (2L, again)).toDF("doc_id", "payload")
+    val ahash = Multimodal.perceptualHash(df, "payload", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ahash(1L) === ahash(2L))
+    val phash = Multimodal.dctPerceptualHash(df, "payload", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(phash(1L) === phash(2L))
+    // committed GOLDEN values (the m8 golden-twin precedent): these pin
+    // the JDK's JPEG IDCT output — deterministic for a given JDK, NOT
+    // cross-engine, which is why the m6/m11 ORACLE rows stay on PPM/PNG
+    // and this pin lives in a spec. A JDK upgrade that changes the
+    // decoder fails here deliberately; re-golden after inspecting.
+    assert(ahash(1L) === GOLDEN_JPEG_AHASH,
+      s"JPEG aHash drifted from golden: ${ahash(1L)}")
+    assert(phash(1L) === GOLDEN_JPEG_PHASH,
+      s"JPEG (dc, phash) drifted from golden: ${phash(1L)}")
+  }
+
+  private val GOLDEN_JPEG_AHASH = 9151029638986776768L
+  private val GOLDEN_JPEG_PHASH = (8109L, 65480L) // (dc, phash)
+
   test("undecodable payloads are excluded (decode-or-nothing)") {
     val out = Multimodal.dctPerceptualHash(
       Seq((1L, "not an image".getBytes("UTF-8")),

@@ -125,6 +125,13 @@ class ErrorFrameSpec extends SparkSpec {
         lineageCols = Some(ErrorFrame.contentLineage($"s", "dlq-store")))
       .select($"topic", $"partition").collect().head
     assert(r.getString(0) == "dlq-store" && r.isNullAt(1))
+    // NULL input ⇒ NULL offset, not the xxhash64 seed sentinel: Spark
+    // hash functions skip null args and return the seed (42), which
+    // would collapse all null-content rows into one identity (ADVICE r11)
+    val nullOff = spark.range(1)
+      .select(ErrorFrame.contentLineage(lit(null).cast("string"))._3)
+      .collect().head
+    assert(nullOff.isNullAt(0))
   }
 
   test("withErrorHeaders emits kafka-style headers with reference keys") {

@@ -886,6 +886,48 @@ class OperatorsSpec extends SparkSpec {
     assert(dec(evil.array()).getString(0) === "unknown")
   }
 
+  test("DecodeMedia: JPEG header peek, data_offset, guards degrade to unknown") {
+    import graft.functions.DecodeMedia
+    def dec(bytes: Array[Byte]) =
+      Seq(Tuple1(bytes)).toDF("b").select(DecodeMedia($"b").as("m"))
+        .select($"m.*").collect().head
+    val w = 24; val h = 17
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (((x * 11 + y) % 256) << 16) |
+        (((5 * x + 2 * y) % 256) << 8) | ((x + 7 * y) % 256))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", bos)
+    val jpg = bos.toByteArray
+    val m = dec(jpg)
+    assert(m.getString(0) === "jpeg")
+    // dimensions come from the SOF marker peek — byte-exact header facts
+    assert((m.getInt(1), m.getInt(2), m.getInt(3)) === ((w, h, 255)))
+    // data_offset points at the entropy-coded stream: right after the
+    // SOS header, strictly inside the payload, before the EOI trailer
+    val off = m.getLong(9)
+    assert(off > 0 && off < jpg.length - 2)
+    // gray64 present (JPEG is lossy: values are JDK-decoder facts, the
+    // committed golden pin lives in DctPhashSpec)
+    assert(m.getSeq[Long](10).length === 64)
+    assert(m.getSeq[Long](10).forall(v => v >= 0L && v <= 255L))
+    // truncated before any SOF/SOS degrades to unknown, never throws
+    assert(dec(jpg.take(4)).getString(0) === "unknown")
+    // declared SOF dims over the allocation cap never reach ImageIO:
+    // patch the SOF height bytes to 0xFFFF and width to 0xFFFF
+    val sofIdx = jpg.indices.find(i => (jpg(i) & 0xff) == 0xff &&
+      (jpg(i + 1) & 0xff) >= 0xc0 && (jpg(i + 1) & 0xff) <= 0xc3).get
+    val big = jpg.clone()
+    big(sofIdx + 5) = 0xff.toByte; big(sofIdx + 6) = 0xff.toByte
+    big(sofIdx + 7) = 0xff.toByte; big(sofIdx + 8) = 0xff.toByte
+    assert(dec(big).getString(0) === "unknown")
+    // a segment length that fails to advance the cursor terminates
+    val stuck = Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xe0.toByte, 0x00, 0x01) // declared len 1 < 2
+    assert(dec(stuck).getString(0) === "unknown")
+  }
+
   test("tuneBanding: closed-form choice is feasible, minimal, and constraint-aware") {
     // θ=0.5, recall 0.9: cheapest S-curve is 4 bands of 1 row
     // (1 − 0.5⁴ = 0.9375 ≥ 0.9 at 4 hashes; nothing cheaper exists)

@@ -187,6 +187,18 @@ class StoreReplayPropertySpec extends SparkSpec {
           "bands" -> latestState(s"$rt/state/bands"),
           "docs" -> latestState(s"$rt/state/docs"),
           "pairs" -> canonPath(s"$rt/pairs"))),
+      Member("maintainKnnGraph (ST32)", 3,
+        i => (0 until 6).map { j =>
+          val id = (i * 10 + j).toLong
+          (id, (0 until 8).map(d =>
+            (((id * 31 + d * 7) % 13).toFloat - 6f) / 3f), (j % 3))
+        }.toDF("vec_id", "embedding", "label"),
+        (b, id, rt) => A.processKnnGraphTrigger(b, id, g = 2, rounds = 1,
+          bridges = 1, s"$rt/state", s"$rt/graph"),
+        rt => tagged(
+          "vectors" -> latestState(s"$rt/state/vectors"),
+          "within" -> latestState(s"$rt/state/within"),
+          "graph" -> canonPath(s"$rt/graph"))),
       Member("dedupStreamingBloom (ST17)", 3,
         i => (0 until 40).map(j => (s"k${(i * 20 + j * 3) % 70}", j.toLong))
           .toDF("k", "x"),

@@ -767,6 +767,51 @@ class StreamingSpec extends SparkSpec {
     assert(snap() == before, "replayed trigger re-appended")
   }
 
+  test("maintainKnnGraph: per-trigger graph EQUALS the batch s13 knnGraph " +
+      "twin on the corpus-so-far; replay rewrites") {
+    import graft.streaming.StreamAggState
+    val tmp = Files.createTempDirectory("graft-knn").toString
+    def emb(id: Long): Seq[Float] =
+      (0 until 8).map(d => (((id * 37 + d * 11) % 17).toFloat - 8f) / 4f)
+    def rows(ids: Seq[Long]): Seq[(Long, Seq[Float], Int)] =
+      ids.map(id => (id, emb(id), (id % 3).toInt))
+    val t0 = rows(Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    val t1 = rows(Seq(10L, 11L, 12L))
+    val t2 = rows(Seq(20L, 21L))
+    def trig(rs: Seq[(Long, Seq[Float], Int)], id: Long): Unit =
+      StreamAggState.processKnnGraphTrigger(
+        rs.toDF("vec_id", "embedding", "label"), id, g = 2, rounds = 2,
+        bridges = 1, s"$tmp/state", s"$tmp/graph")
+    trig(t0, 0L); trig(t1, 1L); trig(t2, 2L)
+    def got(id: Long): Set[(Long, Long, Double)] =
+      spark.read.parquet(s"$tmp/graph/batch_id=$id")
+        .select($"src", $"dst", $"cosine").as[(Long, Long, Double)]
+        .collect().toSet
+    def twin(corpus: Seq[(Long, Seq[Float], Int)]): Set[(Long, Long, Double)] =
+      graft.operators.Similarity.knnGraph(
+          corpus.toDF("vec_id", "embedding", "label"), g = 2, rounds = 2,
+          bridges = 1)
+        .select($"src", $"dst", $"cosine").as[(Long, Long, Double)]
+        .collect().toSet
+    // EXACT set equality, doubles included: the maintained within-cell
+    // top-g is a sufficient statistic (topG(W ∪ new) = topG(all)) and
+    // both sides score through the identical pinned expressions
+    assert(got(0L) == twin(t0))
+    assert(got(1L) == twin(t0 ++ t1))
+    assert(got(2L) == twin(t0 ++ t1 ++ t2))
+    // every vertex of the corpus-so-far carries edges in the final graph
+    assert(got(2L).map(_._1) == (t0 ++ t1 ++ t2).map(_._1).toSet)
+    // crash-replay of the last trigger: graph and both state stores
+    // unchanged (the generic StoreReplayPropertySpec member proves all
+    // replay points; this is the readable worked example)
+    def snap() = (got(2L),
+      StreamAggState.readState(spark, s"$tmp/state/vectors").get.count(),
+      StreamAggState.readState(spark, s"$tmp/state/within").get.count())
+    val before = snap()
+    trig(t2, 2L)
+    assert(snap() == before, "replayed trigger re-appended")
+  }
+
   test("maintainScd2: incremental versions equal one batch scd2 over all history; replay rewrites") {
     import graft.streaming.StreamAggState
     val tmp = Files.createTempDirectory("graft-scd2").toString

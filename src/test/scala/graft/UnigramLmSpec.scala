@@ -92,6 +92,56 @@ class UnigramLmSpec extends SparkSpec {
     }
   }
 
+  test("likelihoodDeltas: removal cost is the with-vs-without re-segmentation gap") {
+    // removing "ab" is cheap: the chars segment it nearly as well
+    val cheap = TextAnalysis.likelihoodDeltas(
+      Seq(("ab", 10L)), Map("ab" -> -1.0, "a" -> -0.6, "b" -> -0.6), 2)
+    assert(math.abs(cheap("ab") - 10.0 * (-1.0 - (-1.2))) < 1e-12)
+    // removing "cd" is expensive: its chars are rare
+    val dear = TextAnalysis.likelihoodDeltas(
+      Seq(("cd", 6L)), Map("cd" -> -2.0, "c" -> -4.0, "d" -> -4.0), 2)
+    assert(math.abs(dear("cd") - 6.0 * (-2.0 - (-8.0))) < 1e-12)
+    // a piece not used by any best segmentation has no entry (delta 0)
+    assert(!cheap.contains("a") && !dear.contains("c"))
+  }
+
+  test("likelihood-delta prune CHOOSES DIFFERENT pieces than the count rank " +
+      "(VERDICT r11 task 3): keeps the low-count expensive piece, drops the " +
+      "high-count cheap one") {
+    // Constructed divergence: token "ab" is FREQUENT (count 10) but its
+    // chars also occur as frequent standalone words (15 each), so
+    // re-segmenting "ab" -> "a","b" is cheap. Tokens "cd"/"ef" are less
+    // frequent (6/8) but their chars occur ONLY inside them (EM floor
+    // count 1), so removal costs ~the -1e9-free char path: huge delta.
+    val docs = (
+      Seq.fill(15)("a") ++ Seq.fill(15)("b") ++ Seq.fill(10)("ab") ++
+      Seq.fill(8)("ef") ++ Seq.fill(6)("cd")
+    ).zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    def train(prune: String) = TextAnalysis.unigramLmVocab(docs,
+      maxPieceLen = 2, seedSize = 30, emRounds = 2, vocabSize = 8,
+      prune = prune).collect()
+    val byCount = train("count")
+    val byDelta = train("likelihood")
+    val countPieces = byCount.map(_.getString(0)).toSet
+    val deltaPieces = byDelta.map(_.getString(0)).toSet
+    // count mode keeps all three multis (ab outranks the floor-1 chars)
+    assert(Set("ab", "cd", "ef").subsetOf(countPieces), s"count kept: $countPieces")
+    // the count-rank witness: ab really does outcount cd in the trained table
+    val n = byCount.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n("ab") > n("cd"),
+      s"divergence witness broke: n(ab)=${n("ab")} !> n(cd)=${n("cd")}")
+    // likelihood mode: 6 required chars + the 2 highest-delta multis —
+    // ab is PRUNED despite its higher count; cd/ef survive
+    assert(deltaPieces === Set("a", "b", "c", "d", "e", "f", "cd", "ef"),
+      s"delta kept: $deltaPieces")
+    // both modes still yield a usable tokenizer: every corpus word
+    // roundtrips under the delta-pruned vocab
+    val scores = byDelta.map(r => r.getString(0) -> r.getDouble(2)).toMap
+    Seq("ab", "cd", "ef", "a", "b").foreach { w =>
+      assert(TextAnalysis.viterbiSegment(w, 2, scores).mkString("") === w)
+    }
+  }
+
   test("vocabSize prune keeps at most vocabSize multi-char pieces") {
     val multi = vocab.count(_.getString(0).length > 1)
     assert(vocab.length <= 15 + 10, s"vocab blew past prune: ${vocab.length}")
