@@ -2970,6 +2970,26 @@ object SparkEntry {
       .orderBy($"doc_id", $"pos")
   }
 
+  private def t33(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // BM25 top-k retrieval; the query set derives deterministically
+    // from the corpus itself (no external query file ships with the
+    // testdata): the 6 globally most frequent tokens (count desc, token
+    // asc — TakeOrdered, never a vocabulary-wide window sort), paired
+    // into 3 two-term queries by rank (r−1) mod 3, so each query mixes
+    // a high-df and a lower-df term and idf does real work
+    val docs = t(s, dir, "documents")
+    val counts = docs
+      .select(explode(split(trim($"text"), "\\s+")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+    val top6 = counts.orderBy($"n".desc, $"tok".asc).limit(6)
+    val queries = top6.withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"n".desc, $"tok".asc)))
+      .select((($"r" - 1) % 3).cast("long").as("qid"), $"tok".as("term"))
+    operators.TextAnalysis.bm25TopDocs(docs, queries, k = 5)
+      .orderBy($"qid", $"score".desc, $"doc_id")
+  }
+
   private def s15(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // cosine RANGE search with a sign-LSH blocking predicate: all pairs
@@ -3347,6 +3367,7 @@ object SparkEntry {
     "t32_unigram_encode" -> (t32 _),
     "m11_phash_dct" -> (m11 _),
     "p24_ffd_pack" -> (p24 _),
+    "t33_bm25" -> (t33 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6545,5 +6566,40 @@ object SparkEntry {
         | CASE WHEN take_prev THEN prev_id ELSE next_id END AS matched_id,
         | CAST(CASE WHEN take_prev THEN prev_t ELSE next_t END - tus AS BIGINT) AS dt_us
         |FROM r ORDER BY event_id""".stripMargin,
+    // BM25: every count is an exact integer; the ONE ln is round(9)ed
+    // BEFORE entering products (t31 rule); the per-(q,d) sum folds over
+    // the SORTED contrib list (d20 pattern); constants mirror the Spark
+    // expression OP BY OP — CAST(1.2 AS DOUBLE) + 1.0, never a bare 2.2
+    // (the derived-double-constant rule)
+    "t33_bm25" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+        |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl),
+        |vocab AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+        |top6 AS (SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS r
+        |  FROM vocab ORDER BY n DESC, tok ASC LIMIT 6),
+        |q AS (SELECT CAST((r - 1) % 3 AS BIGINT) AS qid, tok AS term FROM top6),
+        |dfreq AS (SELECT tok, COUNT(*) AS dfq FROM tf
+        |  WHERE tok IN (SELECT term FROM q) GROUP BY tok),
+        |contrib AS (SELECT q.qid, tf.doc_id,
+        |  round(ln(1.0 + (n_docs - dfq + CAST(0.5 AS DOUBLE))
+        |      / (dfq + CAST(0.5 AS DOUBLE))), 9)
+        |   * (tf * (CAST(1.2 AS DOUBLE) + 1.0))
+        |   / (tf + CAST(1.2 AS DOUBLE) * (1.0 - CAST(0.75 AS DOUBLE)
+        |      + ((CAST(0.75 AS DOUBLE) * dl)
+        |         / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS contrib
+        | FROM tf JOIN q ON tf.tok = q.term
+        | JOIN dfreq ON tf.tok = dfreq.tok
+        | JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+        |scored AS (SELECT qid, doc_id,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(contrib))),
+        |    (acc, x) -> acc + x) AS score
+        | FROM contrib GROUP BY qid, doc_id),
+        |ranked AS (SELECT *, ROW_NUMBER() OVER (
+        |  PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rk FROM scored)
+        |SELECT qid, doc_id, score FROM ranked WHERE rk <= 5
+        |ORDER BY qid, score DESC, doc_id""".stripMargin,
   )
 }

@@ -92,6 +92,62 @@ object TextAnalysis {
       .select(col("doc_id"), col("rank"), col("tok"), col("tfidf"))
   }
 
+  /** BM25 document scoring + top-k retrieval (Robertson/Spärck Jones —
+    * the lexical-retrieval standard beside [[tfidfTopTerms]], and the
+    * scorer real training pipelines use for quality-filtering and
+    * contamination lookups): for each (qid, term) in `queryTerms`,
+    * score(q, d) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))
+    * with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) ≥ 0, and return
+    * each query's best `k` documents.
+    *
+    * Scale shape: `queryTerms` broadcasts and PRUNES the postings
+    * before anything is scored — only matched (doc, term) rows ever
+    * shuffle, never a queries × corpus cross join; document lengths and
+    * term document-frequencies are single hash aggregates off the same
+    * tf frame; (N, total_len) is a 1-row broadcast; the per-query top-k
+    * runs through TopKPerKey bounded heaps, not a window sort.
+    *
+    * Engine determinism (the codified toolkit): every count is an exact
+    * integer; avgdl is ONE IEEE division of two exact longs; the ONE
+    * transcendental — idf's ln, argument > 1 so no −0 hazard — is
+    * round(9)ed before entering any product (the t31 rule); the
+    * per-(q, d) sum over matched terms folds in SORTED order (the d20
+    * sorted-fold pattern), so scores are bit-identical across engines
+    * with NO tolerance compare.
+    */
+  def bm25TopDocs(docs: DataFrame, queryTerms: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1 && k1 >= 0 && b >= 0 && b <= 1, s"bad params: $k/$k1/$b")
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds postings, doc lengths, and df
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+    val terms = queryTerms.select(col("term")).distinct()
+    val dfreq = tf.join(broadcast(terms), tf("tok") === col("term"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("dfq"))
+    val avgdl = col("total_len").cast("double") / col("n_docs").cast("double")
+    val idf = round(log(lit(1.0) +
+      (col("n_docs") - col("dfq") + lit(0.5)) / (col("dfq") + lit(0.5))), 9)
+    val contrib = tf
+      .join(broadcast(queryTerms.select(col("qid"), col("term"))),
+        tf("tok") === col("term"))
+      .join(dfreq, "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"),
+        (idf * (col("tf") * (lit(k1) + lit(1.0))) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl)))
+          .as("contrib"))
+    val scored = contrib.groupBy(col("qid"), col("doc_id"))
+      .agg(aggregate(sort_array(collect_list(col("contrib"))), lit(0.0),
+        (acc, x) => acc + x).as("score"))
+    TopK.perKey(scored, Seq("qid"),
+      Seq(TopK.desc("score"), TopK.asc("doc_id")), k)
+  }
+
   /** Corpus vocabulary: top-k tokens per group by frequency — the
     * tokenizer-training precursor (what a BPE trainer consumes). The
     * count is ONE hash aggregate on (group, token) with map-side

@@ -1027,4 +1027,33 @@ class OperatorsSpec extends SparkSpec {
     assert(got(3L) === "malformed_manifest")
     assert(got(4L) === "undeclared")
   }
+
+  test("bm25TopDocs: hand-checked exact scores, pruned postings, length " +
+      "normalization and multi-term sums") {
+    val docs = Seq((1L, "x x y"), (2L, "x z"), (3L, "y y y z"))
+      .toDF("doc_id", "text")
+    val queries = Seq((0L, "x"), (1L, "z"), (2L, "x"), (2L, "y"))
+      .toDF("qid", "term")
+    val out = TextAnalysis.bm25TopDocs(docs, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // driver-side mirror of the exact op order (N=3, avgdl=9/3,
+    // df(x)=df(y)=df(z)=2): idf round(9)ed before any product
+    def round9(v: Double) = BigDecimal(v)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val idf = round9(math.log(1.0 + (3L - 2L + 0.5) / (2L + 0.5)))
+    val avgdl = 9.0 / 3.0
+    def s(tf: Long, dl: Long): Double =
+      idf * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    assert(out((0L, 1L)) === s(2L, 3L)) // exact doubles, no tolerance
+    assert(out((0L, 2L)) === s(1L, 2L))
+    // d3 has no 'x': pruned by the broadcast term join, never scored
+    assert(!out.contains((0L, 3L)))
+    // repeated term beats single occurrence; shorter doc beats longer
+    // at equal tf (the length normalization doing its job)
+    assert(out((0L, 1L)) > out((0L, 2L)))
+    assert(out((1L, 2L)) > out((1L, 3L)))
+    // multi-term query: score is the (sorted-fold) sum of both terms'
+    // contributions — for two doubles the fold equals plain addition
+    assert(out((2L, 1L)) === s(2L, 3L) + s(1L, 3L))
+  }
 }
