@@ -3034,6 +3034,45 @@ object SparkEntry {
       .orderBy($"from_state", $"to_state")
   }
 
+  private def q55(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Kleinberg 2-state burst detection over each user's activity
+    // stream (s=2, gamma=0.5 — tuned so the driver corpus yields real
+    // episodes, 148 at sf0.01): integer-only output (1-based gap
+    // positions), so the oracle restates the identical Viterbi fold
+    // via list_reduce and hashes exactly — no tolerance compare.
+    operators.Bursts.kleinberg(t(s, dir, "events"), 2.0, 0.5)
+      .orderBy($"user_id", $"burst_start")
+  }
+
+  private def d33(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // symmetric-delete (SymSpell) edit-distance<=1 variant mining over
+    // the corpus vocabulary. The driver vocabulary has no natural ed-1
+    // pairs, so the query PLANTS typo variants (the s15 precedent):
+    // among tokens of length >= 5, top-12 by (count desc, tok asc —
+    // TakeOrdered then a window over the 12-row limit, the t33 shape),
+    // every 3rd rank contributes its first-char-dropped form at
+    // df = n div 10 + 1. At sf1/sf10 the MakeSf1 replica suffixes add
+    // natural ed-1 pairs on top (join~12 vs join~13), so the bench
+    // exercises the blocking join for real.
+    val toks = t(s, dir, "documents")
+      .select(explode(split(trim($"text"), "\\s+")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+    val top12 = toks.filter(length($"tok") >= 5)
+      .orderBy($"n".desc, $"tok".asc).limit(12)
+    val planted = top12.withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"n".desc, $"tok".asc)))
+      .filter($"r" % 3 === 0)
+      .select($"tok".substr(lit(2), length($"tok")).as("term"),
+        (expr("n div 10") + 1L).as("df"))
+    val vocab = toks.select($"tok".as("term"), $"n".as("df"))
+      .unionByName(planted)
+      .groupBy($"term").agg(max($"df").as("df"))
+    operators.Dedup.editVariants(vocab)
+      .orderBy($"variant", $"canonical")
+  }
+
   private def p20(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // importance reweighting to a uniform source mix, capped at 4x.
@@ -3368,6 +3407,8 @@ object SparkEntry {
     "m11_phash_dct" -> (m11 _),
     "p24_ffd_pack" -> (p24 _),
     "t33_bm25" -> (t33 _),
+    "q55_bursts" -> (q55 _),
+    "d33_edit_variants" -> (d33 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6601,5 +6642,82 @@ object SparkEntry {
         |  PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rk FROM scored)
         |SELECT qid, doc_id, score FROM ranked WHERE rk <= 5
         |ORDER BY qid, score DESC, doc_id""".stripMargin,
+    // Kleinberg bursts: the Viterbi dp restated as the codified
+    // list_reduce fold (LIST-of-lists accumulator — struct accumulators
+    // mis-fold, the p24 lesson): acc = [[c0, c1], path0, path1]. Every
+    // float op mirrors the Spark fold OP BY OP — epoch_ns (the long-
+    // nanos contract; epoch_us would change every lambda·gap product),
+    // ONE division for lambda0, each ln round(9)ed before the dp sums,
+    // ties prefer the base state via <=. The OUTPUT is integer-only, so
+    // episode extraction is free-form SQL (islands via row_number).
+    "q55_bursts" ->
+      """WITH u AS (SELECT user_id, list_sort(list(epoch_ns(ts))) AS tss
+        |  FROM events GROUP BY user_id),
+        |p AS (SELECT user_id, tss, len(tss) AS n,
+        |   tss[len(tss)] - tss[1] AS span
+        | FROM u WHERE len(tss) >= 2 AND tss[len(tss)] - tss[1] > 0),
+        |c AS (SELECT user_id,
+        |  CAST(n - 1 AS DOUBLE) / CAST(span AS DOUBLE) AS lam0,
+        |  (CAST(n - 1 AS DOUBLE) / CAST(span AS DOUBLE)) * CAST(2.0 AS DOUBLE) AS lam1,
+        |  round(ln(CAST(n - 1 AS DOUBLE)), 9) * CAST(0.5 AS DOUBLE) AS trans,
+        |  list_transform(range(1, n), i -> tss[i+1] - tss[i]) AS gaps
+        | FROM p),
+        |f AS (SELECT user_id,
+        |  list_reduce(
+        |   list_prepend([[CAST(0.0 AS DOUBLE), 1e18], [], []],
+        |     list_transform(gaps, g -> [[CAST(g AS DOUBLE)]])),
+        |   (acc, x) -> [
+        |    [ ((lam0 * x[1][1]) - round(ln(lam0), 9))
+        |       + (CASE WHEN acc[1][1] <= acc[1][2] THEN acc[1][1] ELSE acc[1][2] END),
+        |      ((lam1 * x[1][1]) - round(ln(lam1), 9))
+        |       + (CASE WHEN (acc[1][1] + trans) <= acc[1][2]
+        |          THEN (acc[1][1] + trans) ELSE acc[1][2] END) ],
+        |    list_append(CASE WHEN acc[1][1] <= acc[1][2]
+        |      THEN acc[2] ELSE acc[3] END, CAST(0.0 AS DOUBLE)),
+        |    list_append(CASE WHEN (acc[1][1] + trans) <= acc[1][2]
+        |      THEN acc[2] ELSE acc[3] END, CAST(1.0 AS DOUBLE))
+        |   ]) AS acc
+        | FROM c),
+        |st AS (SELECT user_id,
+        |  CASE WHEN acc[1][1] <= acc[1][2] THEN acc[2] ELSE acc[3] END AS states
+        | FROM f),
+        |e AS (SELECT user_id, unnest(states) AS s,
+        |  unnest(range(1, len(states)+1)) AS pos FROM st),
+        |isl AS (SELECT user_id, pos,
+        |  pos - row_number() OVER (PARTITION BY user_id ORDER BY pos) AS grp
+        | FROM e WHERE s = 1.0)
+        |SELECT user_id, CAST(min(pos) AS BIGINT) AS burst_start,
+        | CAST(max(pos) AS BIGINT) AS burst_end,
+        | CAST(count(*) AS BIGINT) AS n_gaps,
+        | CAST(count(*) + 1 AS BIGINT) AS n_events
+        |FROM isl GROUP BY user_id, grp
+        |ORDER BY user_id, burst_start""".stripMargin,
+    // edit-distance variants: the oracle states the NAIVE quadratic
+    // join the symmetric-delete blocking avoids; counts/df are exact
+    // integers, the plant mirrors the Spark query op by op (div for
+    // integral division, max-merge on term collisions).
+    "d33_edit_variants" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+        |top12 AS (SELECT tok, n, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS r
+        |  FROM (SELECT * FROM v WHERE length(tok) >= 5
+        |        ORDER BY n DESC, tok ASC LIMIT 12)),
+        |planted AS (SELECT substring(tok, 2) AS term, n // 10 + 1 AS df
+        |  FROM top12 WHERE r % 3 = 0),
+        |vocab AS (SELECT term, CAST(MAX(df) AS BIGINT) AS df FROM (
+        |   SELECT tok AS term, n AS df FROM v
+        |   UNION ALL SELECT term, df FROM planted) GROUP BY term),
+        |vv AS (SELECT term, df FROM vocab WHERE length(term) >= 3),
+        |pairs AS (SELECT a.term AS ta, a.df AS dfa, b.term AS tb, b.df AS dfb
+        | FROM vv a JOIN vv b ON a.term < b.term
+        | WHERE abs(length(a.term) - length(b.term)) <= 1
+        |   AND levenshtein(a.term, b.term) <= 1)
+        |SELECT
+        | CASE WHEN dfa > dfb OR (dfa = dfb AND ta < tb) THEN tb ELSE ta END AS variant,
+        | CASE WHEN dfa > dfb OR (dfa = dfb AND ta < tb) THEN ta ELSE tb END AS canonical,
+        | CASE WHEN dfa > dfb OR (dfa = dfb AND ta < tb) THEN dfb ELSE dfa END AS df_variant,
+        | CASE WHEN dfa > dfb OR (dfa = dfb AND ta < tb) THEN dfa ELSE dfb END AS df_canonical
+        |FROM pairs ORDER BY variant, canonical""".stripMargin,
   )
 }

@@ -1153,6 +1153,61 @@ object Dedup {
             i => element_at(col("t"), i)))).as("text_out"))
   }
 
+  /** Edit-distance-1 variant mining over a vocabulary via
+    * symmetric-delete blocking (the SymSpell family): every term emits
+    * itself plus its single-character-deletion neighborhood as join
+    * keys, and any pair at Levenshtein ≤ 1 provably shares a key —
+    * equal-length pairs differ in one position, so deleting that
+    * position from EACH yields the same string; length-±1 pairs make
+    * the shorter term itself a deletion of the longer. The key join is
+    * therefore a SUPERSET of the answer (no recall loss), verified by
+    * one exact codegen'd `levenshtein` per candidate.
+    *
+    * Scale shape: a term of length L emits L+1 keys, so the blocking
+    * frame is Σ(L+1) ≈ (avg_len+1)·|vocab| rows and the ONE shuffle is
+    * keyed by deletion strings; vocabulary is corpus-SUBLINEAR (Heaps'
+    * law), so at 100 TB this runs on a frame orders of magnitude below
+    * the corpus. Bucket degeneracy comes only from very short terms
+    * (deleting from 2-char terms funnels into shared 1-char keys) —
+    * the `minLen` floor removes them, the same observable-cap
+    * discipline as LSH's maxBucket. Never a pairwise scan: the naive
+    * |vocab|² Levenshtein join the oracle states is exactly what this
+    * avoids.
+    *
+    * Output: one row per unordered ed≤1 pair, oriented variant →
+    * canonical by (df desc, term asc) — the normalization direction a
+    * noisy-text pipeline applies.
+    */
+  def editVariants(vocab: DataFrame, termCol: String = "term",
+      dfCol: String = "df", minLen: Int = 3): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2: $minLen")
+    val v = vocab
+      .select(col(termCol).cast("string").as("__t"),
+        col(dfCol).cast("long").as("__df"))
+      .filter(length(col("__t")) >= minLen)
+    val keyed = v.select(col("__t"), col("__df"),
+      explode(array_union(array(col("__t")),
+        transform(sequence(lit(1), length(col("__t"))), i =>
+          concat(col("__t").substr(lit(1), i - 1),
+            col("__t").substr(i + 1, length(col("__t"))))))).as("__k"))
+    val a = keyed.select(col("__k"), col("__t").as("ta"), col("__df").as("dfa"))
+    val b = keyed.select(col("__k"), col("__t").as("tb"), col("__df").as("dfb"))
+    val cand = a.join(b, Seq("__k"))
+      .filter(col("ta") < col("tb"))
+      .select(col("ta"), col("tb"), col("dfa"), col("dfb"))
+      .distinct() // a pair can share several deletion keys
+    val canonFirst = col("dfa") > col("dfb") ||
+      (col("dfa") === col("dfb") && col("ta") < col("tb"))
+    cand
+      .filter(abs(length(col("ta")) - length(col("tb"))) <= 1)
+      .filter(levenshtein(col("ta"), col("tb")) <= 1)
+      .select(
+        when(canonFirst, col("tb")).otherwise(col("ta")).as("variant"),
+        when(canonFirst, col("ta")).otherwise(col("tb")).as("canonical"),
+        when(canonFirst, col("dfb")).otherwise(col("dfa")).as("df_variant"),
+        when(canonFirst, col("dfa")).otherwise(col("dfb")).as("df_canonical"))
+  }
+
   def bloomPrefilter(newBatch: DataFrame, corpus: DataFrame, keyCol: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     val bf = corpus.stat.bloomFilter(keyCol, expectedItems, fpp)

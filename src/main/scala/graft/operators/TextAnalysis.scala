@@ -117,12 +117,27 @@ object TextAnalysis {
     */
   def bm25TopDocs(docs: DataFrame, queryTerms: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    require(k >= 1 && k1 >= 0 && b >= 0 && b <= 1, s"bad params: $k/$k1/$b")
-    val tf = docs
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    bm25TopDocsFromTf(termFrequencies(docs, textCol, idCol)
+      .localCheckpoint(), // feeds postings, doc lengths, and df
+      queryTerms, k, k1, b)
+
+  /** The (doc_id, tok, tf) frame BM25 consumes — factored out so the
+    * streaming maintainer (ST33) can keep exactly this frame as its
+    * incremental store: tf of a union of disjoint-doc batches IS the
+    * union of per-batch tfs, so scoring from the maintained store
+    * equals the batch [[bm25TopDocs]] by construction.
+    */
+  private[graft] def termFrequencies(docs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // feeds postings, doc lengths, and df
+
+  /** BM25 scoring + top-k off a prebuilt (doc_id, tok, tf) frame. */
+  private[graft] def bm25TopDocsFromTf(tf: DataFrame, queryTerms: DataFrame,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1 && k1 >= 0 && b >= 0 && b <= 1, s"bad params: $k/$k1/$b")
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
     val terms = queryTerms.select(col("term")).distinct()

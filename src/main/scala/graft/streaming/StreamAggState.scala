@@ -668,4 +668,59 @@ object StreamAggState {
       }
     }
   }
+
+  /** Streaming BM25 retrieval against a MAINTAINED postings store —
+    * the streaming face of t33 the way maintainLshDedup is d6's: each
+    * trigger tokenizes ONLY its batch into a (doc_id, tok, tf) frame,
+    * folds it into the epoch-keyed postings store, re-scores the fixed
+    * `queryTerms` against the merged store, and writes the per-query
+    * top-k to `scoresPath/batch_id=N`. Because batches carry disjoint
+    * doc ids, tf-of-union IS union-of-tf, so every trigger's scores
+    * EQUAL the batch `TextAnalysis.bm25TopDocs` on the corpus-so-far
+    * by construction — StreamingSpec pins that equality exactly
+    * (scores included: df/dl/avgdl all derive from the same store
+    * both ways). The tokenize-and-aggregate cost — the corpus-sized
+    * part — is ∝ batch; the scoring join prunes to query-term postings
+    * before anything scores (the t33 shape); the store rewrite is the
+    * compacted-log family's documented O(corpus) I/O per trigger with
+    * epoch GC holding STORAGE at O(corpus). Crash contract: scores
+    * write BEFORE the state epoch; a replayed trigger recomputes from
+    * epochs < N and rewrites both idempotently
+    * (StoreReplayPropertySpec row).
+    */
+  def maintainBm25(stream: DataFrame, queryTerms: DataFrame, k: Int,
+      statePath: String, scoresPath: String, checkpointPath: String,
+      k1: Double = 1.2, b: Double = 0.75): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        processBm25Trigger(batch.toDF(), batchId, queryTerms, k, k1, b,
+          statePath, scoresPath)
+      }
+      .start()
+
+  private[graft] def processBm25Trigger(batch: DataFrame, batchId: Long,
+      queryTerms: DataFrame, k: Int, k1: Double, b: Double,
+      statePath: String, scoresPath: String): Unit = {
+    import graft.operators.TextAnalysis
+    val spark = batch.sparkSession
+    val batchTf = TextAnalysis.termFrequencies(batch)
+    val prior = StreamErrorHandling
+      .readPendingBefore(spark, statePath, batchId).map(_._2)
+    val store = prior.map(_.unionByName(batchTf)).getOrElse(batchTf)
+      .localCheckpoint() // consumed by scoring AND the epoch write
+    TextAnalysis.bm25TopDocsFromTf(store, queryTerms, k, k1, b)
+      .write.mode("overwrite").parquet(s"$scoresPath/batch_id=$batchId")
+    store.write.mode("overwrite").parquet(s"$statePath/epoch=$batchId")
+    // epoch GC: only the newest epoch below batchId is replay-reachable
+    val old = StreamErrorHandling.pendingEpochs(spark, statePath)
+      .filter(_ < batchId)
+    if (old.size > 1) {
+      val p = new org.apache.hadoop.fs.Path(statePath)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      old.dropRight(1).foreach { e =>
+        fs.delete(new org.apache.hadoop.fs.Path(p, s"epoch=$e"), true); ()
+      }
+    }
+  }
 }

@@ -1056,4 +1056,109 @@ class OperatorsSpec extends SparkSpec {
     // contributions — for two doubles the fold equals plain addition
     assert(out((2L, 1L)) === s(2L, 3L) + s(1L, 3L))
   }
+
+  test("editVariants: symmetric-delete blocking equals the naive " +
+      "quadratic join — no recall loss — and orients variant→canonical") {
+    val vocab = Seq(
+      ("color", 100L), ("colour", 40L), ("colr", 5L), ("dolor", 60L),
+      ("banana", 50L), ("bananna", 7L), ("cat", 9L), ("at", 900L),
+      ("stream", 80L), ("steam", 80L))
+      .toDF("term", "df")
+    val got = Dedup.editVariants(vocab).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // naive ground truth over the minLen-filtered vocabulary
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val terms = vocab.collect().map(r => (r.getString(0), r.getLong(1)))
+      .filter(_._1.length >= 3)
+    val want = (for {
+      (ta, dfa) <- terms; (tb, dfb) <- terms
+      if ta < tb && lev(ta, tb) <= 1
+    } yield
+      if (dfa > dfb || (dfa == dfb && ta < tb)) (tb, ta, dfb, dfa)
+      else (ta, tb, dfa, dfb)).toSet
+    assert(got === want)
+    // the cases that matter: deletion, insertion, substitution all
+    // found; ed-2 pairs and sub-minLen terms excluded
+    assert(got.contains(("colr", "color", 5L, 100L)))     // deletion
+    assert(got.contains(("colour", "color", 40L, 100L)))  // insertion
+    assert(got.contains(("dolor", "color", 60L, 100L)))   // substitution
+    assert(got.contains(("stream", "steam", 80L, 80L)))   // df tie → lex
+    assert(!got.exists(p => p._1 == "colour" && p._2 == "colr")) // ed 2
+    assert(!got.exists(p => p._1 == "at" || p._2 == "at")) // minLen floor
+  }
+
+  test("kleinberg bursts: equals an independent driver-side Viterbi, " +
+      "uniform streams stay quiet, degenerate keys drop") {
+    import graft.operators.Bursts
+    val sec = 1000000000L
+    // user 1: three 1s-gap clusters inside 100s-gap quiet stretches;
+    // user 2: perfectly uniform (never bursts: equal gaps at the mean
+    // rate cost more in the burst state); user 3: one event (dropped);
+    // user 4: two events at the same instant (zero span, dropped)
+    val u1 = Seq(0L, 100L, 200L, 201L, 202L, 203L, 204L, 300L, 400L,
+      401L, 402L, 403L, 500L, 600L).map(_ * sec)
+    val u2 = (0 until 20).map(i => i * 50L * sec)
+    val events = (u1.map(ts => (1L, ts)) ++ u2.map(ts => (2L, ts)) ++
+      Seq((3L, 7L * sec), (4L, 9L * sec), (4L, 9L * sec)))
+      .toDF("user_id", "ts")
+    val got = Bursts.kleinberg(events, 2.0, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // independent reimplementation of the dp (same rounding contract)
+    def round9(v: Double) = BigDecimal(v)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def episodes(tss: Seq[Long], s: Double, gamma: Double)
+        : Seq[(Long, Long)] = {
+      val n = tss.length; val span = tss.last - tss.head
+      if (n < 2 || span <= 0) return Nil
+      val lam0 = (n - 1).toDouble / span.toDouble
+      val lam1 = lam0 * s
+      val ln0 = round9(math.log(lam0)); val ln1 = round9(math.log(lam1))
+      val trans = round9(math.log((n - 1).toDouble)) * gamma
+      var c0 = 0.0; var c1 = 1.0e18
+      var p0 = Vector.empty[Int]; var p1 = Vector.empty[Int]
+      tss.sliding(2).map(w => w(1) - w(0)).foreach { g =>
+        val gd = g.toDouble
+        val stay0 = c0 <= c1; val up = c0 + trans; val enter0 = up <= c1
+        val n0 = (lam0 * gd - ln0) + (if (stay0) c0 else c1)
+        val n1 = (lam1 * gd - ln1) + (if (enter0) up else c1)
+        val np0 = (if (stay0) p0 else p1) :+ 0
+        val np1 = (if (enter0) p0 else p1) :+ 1
+        c0 = n0; c1 = n1; p0 = np0; p1 = np1
+      }
+      val st = if (c0 <= c1) p0 else p1
+      val runs = scala.collection.mutable.Buffer.empty[(Long, Long)]
+      var start = -1
+      st.zipWithIndex.foreach { case (x, i) =>
+        if (x == 1 && start < 0) start = i + 1
+        if (x == 0 && start > 0) { runs += ((start.toLong, i.toLong)); start = -1 }
+      }
+      if (start > 0) runs += ((start.toLong, st.length.toLong))
+      runs.toSeq
+    }
+    val want = (for {
+      (uid, tss) <- Seq((1L, u1), (2L, u2.toSeq))
+      (s0, e0) <- episodes(tss.sorted, 2.0, 0.5)
+    } yield (uid, s0, e0, e0 - s0 + 1, e0 - s0 + 2)).toSet
+    assert(got === want)
+    assert(got.exists(_._1 == 1L), "the planted clusters must burst")
+    assert(!got.exists(_._1 == 2L), "uniform stream must stay quiet")
+    assert(!got.exists(e => e._1 == 3L || e._1 == 4L),
+      "single-event and zero-span keys drop")
+    // the planted 1s-gap runs are exactly what gets flagged: every
+    // episode of user 1 covers only sub-mean gaps
+    val gaps1 = u1.sorted.sliding(2).map(w => w(1) - w(0)).toVector
+    got.filter(_._1 == 1L).foreach { case (_, s0, e0, _, _) =>
+      (s0 to e0).foreach(p =>
+        assert(gaps1(p.toInt - 1) <= 1L * sec, s"gap $p in burst is short"))
+    }
+  }
 }

@@ -199,6 +199,17 @@ class StoreReplayPropertySpec extends SparkSpec {
           "vectors" -> latestState(s"$rt/state/vectors"),
           "within" -> latestState(s"$rt/state/within"),
           "graph" -> canonPath(s"$rt/graph"))),
+      Member("maintainBm25 (ST33)", 3,
+        i => (0 until 6).map { j =>
+          val text = (0 until 10)
+            .map(k => s"w${((i * 6 + j) * 5 + k * 3) % 12}").mkString(" ")
+          ((i * 10 + j).toLong, text)
+        }.toDF("doc_id", "text"),
+        (b, id, rt) => A.processBm25Trigger(b, id,
+          Seq((0L, "w0"), (0L, "w3"), (1L, "w7")).toDF("qid", "term"),
+          3, 1.2, 0.75, s"$rt/state", s"$rt/scores"),
+        rt => tagged("state" -> latestState(s"$rt/state"),
+          "scores" -> canonPath(s"$rt/scores"))),
       Member("dedupStreamingBloom (ST17)", 3,
         i => (0 until 40).map(j => (s"k${(i * 20 + j * 3) % 70}", j.toLong))
           .toDF("k", "x"),

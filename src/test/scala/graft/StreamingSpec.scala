@@ -142,6 +142,35 @@ class StreamingSpec extends SparkSpec {
     assert(rem(3L) >= 3L && rem(4L) >= 3L, s"clones must trim: $rem")
   }
 
+  test("maintainBm25 (ST33): per-trigger scores EQUAL the batch t33 twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val tmp = Files.createTempDirectory("graft-bm25").toString
+    val queries = Seq((0L, "hash"), (0L, "join"), (1L, "scan"))
+      .toDF("qid", "term")
+    val q = graft.streaming.StreamAggState.maintainBm25(
+      mem.toDF().toDF("doc_id", "text"), queries, 3,
+      s"$tmp/state", s"$tmp/scores", s"$tmp/ckpt")
+    val triggers = Seq(
+      Seq((1L, "hash join hash scan"), (2L, "scan scan filter")),
+      Seq((3L, "join join hash"), (4L, "filter sort merge scan")),
+      Seq((5L, "hash hash hash scan join"), (6L, "scan hash")))
+    var seen = Seq.empty[(Long, String)]
+    triggers.zipWithIndex.foreach { case (t, id) =>
+      seen = seen ++ t
+      mem.addData(t); q.processAllAvailable()
+      // df, dl, avgdl, N all move as the corpus grows: the maintained
+      // store must reproduce the batch scorer EXACTLY, doubles included
+      val want = graft.operators.TextAnalysis
+        .bm25TopDocs(seen.toDF("doc_id", "text"), queries, 3)
+        .collect().map(_.toString).sorted.toSeq
+      val got = spark.read.parquet(s"$tmp/scores/batch_id=$id")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got === want, s"trigger $id diverged from the batch twin")
+    }
+    q.stop()
+  }
+
   test("captureToDlq splits a stream into values and dead letters") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
