@@ -3034,6 +3034,21 @@ object SparkEntry {
       .orderBy($"from_state", $"to_state")
   }
 
+  private def d34(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the d14 capacity knob, EXERCISED: 63-bit SimHash in 3 × 21-bit
+    // band slices — 2^21 buckets per band where d14's 8-bit slices gave
+    // 2^8, the saturation BENCH_SCALING_r12 flagged (e2=1.32 at 500k
+    // docs). Pigeonhole stays exact for hamming <= 2 < 3 bands; same
+    // per-da aggregate pin as d14 so the pair set never dumps.
+    operators.Dedup.simHashNearDup(t(s, dir, "documents"),
+        nBits = 63, bands = 3, maxHamming = 2)
+      .groupBy($"da")
+      .agg(count(lit(1)).as("n_pairs"), sum($"hamming").as("sum_hamming"),
+        min($"db").as("first_db"))
+      .orderBy($"da")
+  }
+
   private def q55(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // Kleinberg 2-state burst detection over each user's activity
@@ -3409,6 +3424,7 @@ object SparkEntry {
     "t33_bm25" -> (t33 _),
     "q55_bursts" -> (q55 _),
     "d33_edit_variants" -> (d33 _),
+    "d34_simhash_wide" -> (d34 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6719,5 +6735,33 @@ object SparkEntry {
         | CASE WHEN dfa > dfb OR (dfa = dfb AND ta < tb) THEN dfb ELSE dfa END AS df_variant,
         | CASE WHEN dfa > dfb OR (dfa = dfb AND ta < tb) THEN dfa ELSE dfb END AS df_canonical
         |FROM pairs ORDER BY variant, canonical""".stripMargin,
+    // 63-bit SimHash: bits 1-32 from md5(tok) digit parity (the d14
+    // derivation), bits 33-63 from a SECOND digest md5(tok || '#') —
+    // the same two-digest rule SimHashSig implements; 63 bits keep the
+    // folded BIGINT sign-clear on both engines.
+    "d34_simhash_wide" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents),
+        |bits AS (SELECT unnest(range(1, 64)) AS b),
+        |contrib AS (
+        |  SELECT doc_id, b,
+        |    SUM(CASE WHEN (CASE WHEN b <= 32 THEN substr(md5(tok), b, 1)
+        |          ELSE substr(md5(tok || '#'), b - 32, 1) END)
+        |        IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS sgn
+        |  FROM toks CROSS JOIN bits GROUP BY doc_id, b),
+        |sig AS (SELECT doc_id,
+        |  list_reduce(list(CAST(CASE WHEN sgn > 0 THEN 1 ELSE 0 END AS BIGINT) ORDER BY b),
+        |    (a, x) -> a * 2 + x) AS sig
+        |  FROM contrib GROUP BY doc_id),
+        |banded AS (SELECT doc_id, sig, band,
+        |   (sig >> CAST(63 - 21 * (band + 1) AS INT)) & 2097151 AS bval
+        |  FROM sig, (SELECT unnest(range(0, 3)) AS band) bs),
+        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.sig AS siga, b.sig AS sigb
+        |  FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+        |SELECT da, COUNT(*) AS n_pairs,
+        |  CAST(SUM(bit_count(xor(siga, sigb))) AS BIGINT) AS sum_hamming,
+        |  MIN(db) AS first_db
+        |FROM cand WHERE bit_count(xor(siga, sigb)) <= 2
+        |GROUP BY da ORDER BY da""".stripMargin,
   )
 }

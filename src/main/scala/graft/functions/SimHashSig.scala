@@ -17,7 +17,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * the token set and the fingerprint bit is '1' iff the sum is positive —
   * the same engine-reproducible derivation as the SQL formulation
   * (`substr(md5(tok), b, 1) IN ('1','3',…,'f')`), so DuckDB computes the
-  * identical string.
+  * identical string. Bits 33..63 extend the family with a SECOND digest,
+  * md5(token ∥ '#'): digit b−32's parity, mirrored in SQL as
+  * `substr(md5(tok || '#'), b - 32, 1)` — 63 is the ceiling so the
+  * banded `conv(sig, 2, 10)` long stays sign-bit-clear on every engine
+  * (the m6/binarySignature precedent).
   *
   * Replaces the token × bit explode plan (32× row amplification + two
   * shuffles on (doc_id, bit)): one digest per token, counters in a local
@@ -27,7 +31,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class SimHashSig(child: Expression, nBits: Int)
     extends UnaryExpression with CodegenFallback {
-  require(nBits >= 1 && nBits <= 32, s"nBits must be in [1, 32], got $nBits")
+  require(nBits >= 1 && nBits <= 63, s"nBits must be in [1, 63], got $nBits")
 
   override def dataType: DataType = StringType
   override def prettyName: String = "simhash_sig"
@@ -45,14 +49,20 @@ case class SimHashSig(child: Expression, nBits: Int)
       // shingleSets never does): skip them instead of NPE-ing
       if (!arr.isNullAt(i)) {
         tokens += 1
+        val bytes = arr.getUTF8String(i).getBytes
         md.reset()
-        md.update(arr.getUTF8String(i).getBytes)
+        md.update(bytes)
         val d = md.digest()
+        val d2 = if (nBits <= 32) null else {
+          md.reset(); md.update(bytes); md.update('#'.toByte); md.digest()
+        }
         var b = 0
         while (b < nBits) {
           // hex digit b+1 of the md5 string: high nibble of byte b/2 when b
-          // is even, low nibble when odd; digit parity == nibble low bit
-          val nibble = if ((b & 1) == 0) (d(b >> 1) >> 4) & 0xf else d(b >> 1) & 0xf
+          // is even, low nibble when odd; digit parity == nibble low bit.
+          // Bits 32.. read digits 1.. of the second digest.
+          val (dig, p) = if (b < 32) (d, b) else (d2, b - 32)
+          val nibble = if ((p & 1) == 0) (dig(p >> 1) >> 4) & 0xf else dig(p >> 1) & 0xf
           sums(b) += (if ((nibble & 1) == 1) 1 else -1)
           b += 1
         }

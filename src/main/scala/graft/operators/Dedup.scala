@@ -532,8 +532,9 @@ object Dedup {
   def simHashNearDup(docs: DataFrame, nBits: Int = 32, bands: Int = 4,
       maxHamming: Int = 3, textCol: String = "text", idCol: String = "doc_id",
       maxBucket: Int = 10000): DataFrame = {
-    require(nBits >= 1 && nBits <= 32,
-      s"nBits must be in [1, 32] (SimHashSig's md5-hex derivation): $nBits")
+    require(nBits >= 1 && nBits <= 63,
+      s"nBits must be in [1, 63] (SimHashSig's two-digest md5-hex " +
+        s"derivation; 63 keeps conv()'s long sign-bit-clear): $nBits")
     require(nBits % bands == 0, s"bands ($bands) must divide nBits ($nBits)")
     require(maxHamming < bands,
       s"detection is only guaranteed for hamming < bands: $maxHamming >= $bands")

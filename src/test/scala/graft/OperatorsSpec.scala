@@ -82,6 +82,26 @@ class OperatorsSpec extends SparkSpec {
     // nBits < 32 prefixes the 32-bit fingerprint
     val fp8 = Dedup.simHash(short, nBits = 8).as[(Long, String)].collect().toMap
     assert(fp8.forall { case (id, s) => s == native(id).take(8) })
+    // bits 33..63 come from the SECOND digest md5(tok || '#') — the
+    // d34 oracle's derivation, restated here with the same SQL twin
+    val sqlFp63 = short
+      .select($"doc_id", explode(array_distinct(split($"text", " "))).as("tok"))
+      .withColumn("b", explode(sequence(lit(1), lit(63))))
+      .groupBy($"doc_id", $"b")
+      .agg(sum(when(expr(
+        "substr(md5(CASE WHEN b <= 32 THEN tok ELSE tok || '#' END), " +
+          "CASE WHEN b <= 32 THEN b ELSE b - 32 END, 1)")
+        .isin("1", "3", "5", "7", "9", "b", "d", "f"), 1).otherwise(-1)).as("sgn"))
+      .groupBy($"doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct($"b",
+        when($"sgn" > 0, "1").otherwise("0").as("bit")))), _.getField("bit")), "")
+        .as("simhash"))
+      .as[(Long, String)].collect().toMap
+    val native63 = Dedup.simHash(short, nBits = 63)
+      .as[(Long, String)].collect().toMap
+    assert(native63 == sqlFp63)
+    assert(native63.forall { case (id, s) =>
+      s.length == 63 && s.take(32) == native(id) })
   }
 
   test("ngram jaccard within block respects threshold and blocking") {
