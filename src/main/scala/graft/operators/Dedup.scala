@@ -1191,6 +1191,11 @@ object Dedup {
         transform(sequence(lit(1), length(col("__t"))), i =>
           concat(col("__t").substr(lit(1), i - 1),
             col("__t").substr(i + 1, length(col("__t"))))))).as("__k"))
+      // vocabulary-scale frame consumed by BOTH join sides: without the
+      // pin the whole upstream (often a corpus token count) derives
+      // twice — the broadcast side diverges from the probe side, so
+      // AQE's ReusedExchange can never kick in
+      .localCheckpoint()
     val a = keyed.select(col("__k"), col("__t").as("ta"), col("__df").as("dfa"))
     val b = keyed.select(col("__k"), col("__t").as("tb"), col("__df").as("dfb"))
     val cand = a.join(b, Seq("__k"))
