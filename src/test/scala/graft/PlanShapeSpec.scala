@@ -126,4 +126,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(!ns.exists(_.isInstanceOf[SortMergeJoinExec]),
       "q5 plans a SortMergeJoin against a broadcastable dimension")
   }
+
+  test("q55: one key exchange feeds a compiled MapPartitions DP — " +
+      "no window, no join, no second aggregate exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val ns = nodes(q("q55_bursts"))
+    assert(!ns.exists(_.isInstanceOf[WindowExec]), "q55 plans a window")
+    assert(ns.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.MapPartitionsExec]),
+      "q55 lost the compiled DP (MapPartitionsExec)")
+    // exactly the user_id hash exchange plus the output range exchange:
+    // a third would mean per-key state crossed a shuffle
+    val ex = ns.collect { case e: ShuffleExchangeExec => e }
+    assert(ex.size <= 2, s"q55 plans ${ex.size} exchanges:\n${ex.mkString("\n")}")
+  }
+
+  test("d33/d34: variant/near-dup blocking plans no cartesian, no window") {
+    for (name <- Seq("d33_edit_variants", "d34_simhash_wide")) {
+      val ns = nodes(q(name))
+      assert(!ns.exists(_.isInstanceOf[CartesianProductExec]),
+        s"$name plans a CartesianProduct")
+      assert(!ns.exists {
+        case w: WindowExec => w.partitionSpec.isEmpty &&
+          // d33's rank window rides the 12-row TakeOrdered limit — the
+          // one bounded exception the t33 shape established
+          !ns.exists(_.isInstanceOf[
+            org.apache.spark.sql.execution.TakeOrderedAndProjectExec])
+        case _ => false
+      }, s"$name plans an unbounded global window")
+    }
+    // d34's candidate join keeps the shuffle_hash hint
+    assert(nodes(q("d34_simhash_wide"))
+      .exists(_.isInstanceOf[ShuffledHashJoinExec]),
+      "d34 band self-join lost its shuffle_hash hint")
+  }
 }
