@@ -2087,6 +2087,42 @@ object SparkEntry {
       .orderBy($"doc_id")
   }
 
+  private def d35(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // SemDeDup capacity twin (the D36 recipe): identical pipeline to
+    // d16 but k grows with the corpus — k = max(4, ceil(N/250)) bounds
+    // expected cells at 250 vectors, so Σ|cell|² is N·250 (linear),
+    // never the pinned-k N²/k quadratic r12 measured at sf10.
+    operators.Similarity.semDedupScaled(t(s, dir, "embeddings"),
+        targetCell = 250, threshold = 0.3)
+      .orderBy($"vec_id")
+  }
+
+  private def m12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // m6's capacity twin: SAME planted payloads and hamming <= 7
+    // semantics, but the signature widens to aHash(63) || dHash(63) and
+    // the banding to 9 x 14-bit slices (16k buckets/band vs m6's 256) —
+    // the saturation law closed by capacity, not a new algorithm.
+    // Analytic-oracle caveat (the d14/d34 one): the oracle states the
+    // planted pair list with no bucket cap, while hammingNearDup2
+    // anti-joins buckets over maxBucket=10000 — sound while no 14-bit
+    // band bucket exceeds the cap at checked SFs (5000 docs over 16k
+    // buckets/band; OperatorsSpec pins emptiness of the oversized set).
+    val seed = when(pmod($"doc_id", lit(10L)) < 2L,
+      $"doc_id" - pmod($"doc_id", lit(10L))).otherwise($"doc_id")
+    val w = (pmod(seed, lit(9L)) + 8L).cast("int")
+    val h = (pmod(seed, lit(7L)) + 8L).cast("int")
+    val withBin = t(s, dir, "documents").withColumn("payload",
+      operators.Multimodal.ppmPayload(w, h,
+        concat(lit("img6:"), seed.cast("string")), reps = 21))
+    val ph = operators.Multimodal.perceptualHashWide(withBin, "payload", "doc_id")
+      .localCheckpoint()
+    operators.Dedup.hammingNearDup2(ph, nBitsHi = 63, nBitsLo = 63,
+        bands = 9, maxHamming = 7, sigHiCol = "phash_hi", sigLoCol = "phash_lo")
+      .orderBy($"da", $"db")
+  }
+
   private def m8(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // Golden cross-engine pin of the STUB hex-sampling aHash arithmetic
@@ -3425,6 +3461,8 @@ object SparkEntry {
     "q55_bursts" -> (q55 _),
     "d33_edit_variants" -> (d33 _),
     "d34_simhash_wide" -> (d34 _),
+    "d35_semdedup_scaled" -> (d35 _),
+    "m12_phash_wide" -> (m12 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5195,6 +5233,34 @@ object SparkEntry {
         |rm AS (SELECT DISTINCT vb AS vec_id FROM p)
         |SELECT cl.vec_id, cl.cluster_id FROM cl
         |WHERE cl.vec_id NOT IN (SELECT vec_id FROM rm) ORDER BY cl.vec_id""".stripMargin,
+    // d16's capacity twin: the IDENTICAL pipeline restated with k from
+    // a scalar subquery — GREATEST(4, ceil(N/250)) mirrors Spark's
+    // math.max(4, math.ceil(n/250.0)) on exact integers.
+    "d35_semdedup_scaled" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  list_reduce(list_transform(range(1, len(v)+1), i -> v[i]*v[i]), (x,y) -> x+y) AS vv
+        | FROM e),
+        |sr AS (SELECT vec_id, v, vv, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM n),
+        |s AS (SELECT vec_id AS cid, v AS c, vv AS cc FROM sr
+        |  WHERE rn <= (SELECT GREATEST(4, CAST(ceil(COUNT(*) / 250.0) AS BIGINT)) FROM e)),
+        |d AS (SELECT n.vec_id, s.cid,
+        |  n.vv + s.cc - 2 * list_reduce(list_transform(range(1, len(n.v)+1),
+        |    i -> n.v[i]*s.c[i]), (x,y) -> x+y) AS dist2
+        | FROM n CROSS JOIN s),
+        |r AS (SELECT vec_id, cid, dist2,
+        |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM d),
+        |a AS (SELECT vec_id, cid AS cluster_id FROM r WHERE rn = 1),
+        |cl AS (SELECT n.vec_id, a.cluster_id, n.v,
+        |  sqrt(list_reduce(list_transform(n.v, x -> x*x), (x,y) -> x+y)) AS nrm
+        | FROM n JOIN a USING (vec_id)),
+        |p AS (SELECT x.vec_id AS va, y.vec_id AS vb
+        | FROM cl x JOIN cl y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+        | WHERE list_reduce(list_transform(range(1, len(x.v)+1), i -> x.v[i]*y.v[i]),
+        |    (q,w) -> q+w) / (x.nrm * y.nrm) >= CAST(0.3 AS DOUBLE)),
+        |rm AS (SELECT DISTINCT vb AS vec_id FROM p)
+        |SELECT cl.vec_id, cl.cluster_id FROM cl
+        |WHERE cl.vec_id NOT IN (SELECT vec_id FROM rm) ORDER BY cl.vec_id""".stripMargin,
     "q9_profit" ->
       """SELECT n_name, CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))
@@ -5786,6 +5852,15 @@ object SparkEntry {
     // while no bucket exceeds the cap (the d14 caveat). phash pixels
     // are rebuilt with the SAME IEEE/int ops as the Spark side.
     "m6_phash_neardup" ->
+      """SELECT a.doc_id AS da, b.doc_id AS db, CAST(0 AS BIGINT) AS hamming
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id % 10 = 0 ORDER BY da, db""".stripMargin,
+    // m6's capacity twin: identical planted-pair semantics through the
+    // 126-bit aHash || dHash signature and 9 x 14-bit bands — the pair
+    // list is the same analytic set (byte-identical payloads -> both
+    // digests equal -> hamming 0; distinct seeds already exceed 7 on
+    // the aHash half alone, so widening can only push them further out)
+    "m12_phash_wide" ->
       """SELECT a.doc_id AS da, b.doc_id AS db, CAST(0 AS BIGINT) AS hamming
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
         |WHERE a.doc_id % 10 = 0 ORDER BY da, db""".stripMargin,
@@ -6738,7 +6813,12 @@ object SparkEntry {
     // 63-bit SimHash: bits 1-32 from md5(tok) digit parity (the d14
     // derivation), bits 33-63 from a SECOND digest md5(tok || '#') —
     // the same two-digest rule SimHashSig implements; 63 bits keep the
-    // folded BIGINT sign-clear on both engines.
+    // folded BIGINT sign-clear on both engines. Cap caveat (the d14
+    // asymmetry, inherited): this oracle generates candidates with NO
+    // bucket-size cap while simHashNearDup anti-joins band buckets over
+    // maxBucket=10000 — sound while no 21-bit band bucket exceeds the
+    // cap at the checked SFs (OperatorsSpec pins the oversized set
+    // empty at sf0.01/sf0.1 magnitudes).
     "d34_simhash_wide" ->
       """WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents),
         |bits AS (SELECT unnest(range(1, 64)) AS b),

@@ -520,11 +520,16 @@ object Dedup {
     *
     * Scale note: a band slice has `nBits / bands` bits, so bucket
     * count is 2^(nBits/bands) — size nBits for the corpus, within this
-    * signature's hard 32-bit ceiling ([[graft.functions.SimHashSig]]
-    * derives bit b from the b-th md5 hex digit, so nBits ≤ 32 is
-    * enforced, never silently truncated; a web-scale 64-bit variant
-    * needs a wider signature expression first, the banding here then
-    * works unchanged up to bit 62). Bucket skew
+    * signature's two-digest 63-bit ceiling ([[graft.functions.SimHashSig]]
+    * derives bits 1–32 from md5(token) hex digits and bits 33–63 from a
+    * second digest md5(token ∥ '#'); 63 keeps the banded BIGINT
+    * sign-clear on every engine, and nBits ≤ 63 is enforced, never
+    * silently truncated — the d14-vs-d34 capacity lesson: 8-bit slices
+    * saturate at 256 buckets/band once corpus ≫ bands·2⁸, while 21-bit
+    * slices of the same pipeline stay linear; [[autoHammingBanding]]
+    * sizes the width from a corpus-count estimate so a caller cannot
+    * instantiate a saturated banding without an explicit override;
+    * beyond 63 bits use the two-long [[hammingNearDup2]]). Bucket skew
     * is bounded the same way as MinHash LSH: near-identical corpora
     * concentrate in few buckets, and the verify stays cheap because it
     * is one xor per candidate pair, not a token join.
@@ -667,6 +672,105 @@ object Dedup {
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         expr("bit_count(a.sig ^ b.sig)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Hamming-LSH near-dup over a TWO-long wide signature — the
+    * capacity extension of [[hammingNearDup]] past 64 bits (the m6
+    * lesson: a 63-bit signature under a hamming ≤ 7 pigeonhole forces 8
+    * bands of ~8-bit slices = 256 buckets/band, which saturates once
+    * the corpus outgrows bands·2⁸ and turns Σ|bucket|² quadratic; two
+    * digests double the bit budget so the SAME hamming bound affords
+    * 14-bit slices = 16k buckets/band). The signature is the
+    * concatenation V = hi·2^nBitsLo + lo with `nBitsHi`/`nBitsLo` ≤ 63
+    * sign-clear bits per long; band b is bits
+    * [nBits − w(b+1), nBits − w·b) of V, extracted across the long
+    * boundary where it straddles. Pigeonhole exactness, shuffle shape
+    * (long band keys, shuffle-hash self-join, first-matching-band
+    * emission, broadcast `maxBucket` anti-join) and the verify
+    * (`bit_count(hi⊕hi) + bit_count(lo⊕lo)`) are [[hammingNearDup]]'s,
+    * unchanged — only the slice arithmetic widens.
+    */
+  def hammingNearDup2(sigs: DataFrame, nBitsHi: Int = 63, nBitsLo: Int = 63,
+      bands: Int = 9, maxHamming: Int = 7, idCol: String = "doc_id",
+      sigHiCol: String = "sig_hi", sigLoCol: String = "sig_lo",
+      maxBucket: Int = 10000): DataFrame = {
+    require(nBitsHi >= 1 && nBitsHi <= 63, s"nBitsHi must be in [1, 63]: $nBitsHi")
+    require(nBitsLo >= 1 && nBitsLo <= 63, s"nBitsLo must be in [1, 63]: $nBitsLo")
+    val nBits = nBitsHi + nBitsLo
+    require(nBits % bands == 0, s"bands ($bands) must divide nBits ($nBits)")
+    require(maxHamming < bands,
+      s"detection is only guaranteed for hamming < bands: $maxHamming >= $bands")
+    val w = nBits / bands
+    require(w <= 62, s"slice width must fit a sign-clear long key: $w")
+    val mask = (1L << w) - 1L
+    // slice b = (V >>> s) & mask with s = nBits − w(b+1); V's bit p is
+    // lo's bit p for p < nBitsLo, else hi's bit p − nBitsLo
+    def slice(hi: Column, lo: Column, b: Int): Column = {
+      val s = nBits - w * (b + 1)
+      val bits =
+        if (s >= nBitsLo) shiftrightunsigned(hi, s - nBitsLo)
+        else if (s + w <= nBitsLo) shiftrightunsigned(lo, s)
+        else shiftleft(hi, nBitsLo - s).bitwiseOR(shiftrightunsigned(lo, s))
+      bits.bitwiseAND(lit(mask))
+    }
+    val banded = sigs
+      .select(col(idCol).as("doc_id"), col(sigHiCol).cast("long").as("hi"),
+        col(sigLoCol).cast("long").as("lo"))
+      .select(col("doc_id"), col("hi"), col("lo"), posexplode(
+        array((0 until bands).map(b => lit(b.toLong * (mask + 1L)) +
+          slice(col("hi"), col("lo"), b)): _*))
+        .as(Seq("band", "bkey")))
+    val oversized = banded.groupBy(col("bkey")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket).select(col("bkey"))
+    val pruned = banded.join(broadcast(oversized), Seq("bkey"), "left_anti")
+    val firstBand = (0 until bands - 1).map { bp =>
+      (col("a.band") <= bp) ||
+        (slice(col("a.hi"), col("a.lo"), bp) =!= slice(col("b.hi"), col("b.lo"), bp))
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    pruned.as("a")
+      .join(pruned.as("b").hint("shuffle_hash"),
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id")
+          && firstBand)
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        (expr("bit_count(a.hi ^ b.hi)") + expr("bit_count(a.lo ^ b.lo)"))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Capacity auto-sizing for Hamming banding (the [[tuneBanding]] idea
+    * applied to the pigeonhole family, VERDICT r12 task 5): given a
+    * corpus-count ESTIMATE, the hamming bound to detect, and the bit
+    * budget the signature affords, choose (nBits, bands, sliceBits) so
+    * the banding cannot be instantiated saturated. bands = maxHamming+1
+    * (the tightest pigeonhole that keeps detection exact); sliceBits is
+    * the smallest width giving an expected uniform bucket load ≤
+    * `targetLoad` (2^w ≥ corpus / targetLoad), clamped to the budget
+    * w ≤ nBitsMax / bands. A clamped result is HONEST saturation — the
+    * signature is too narrow for the corpus at this hamming bound (m6's
+    * 63-bit/hamming-7 case) — and `saturated` reports it so the caller
+    * widens the signature ([[hammingNearDup2]], a second digest) rather
+    * than shipping a quadratic banding unknowingly. nBits = bands ·
+    * sliceBits uses the signature's TOP bits (the slice formulas in
+    * both consumers already read from the high end).
+    */
+  final case class HammingBanding(nBits: Int, bands: Int, sliceBits: Int,
+      saturated: Boolean)
+  def autoHammingBanding(corpusCount: Long, maxHamming: Int,
+      nBitsMax: Int = 63, targetLoad: Int = 16): HammingBanding = {
+    require(corpusCount >= 1, s"corpusCount must be >= 1: $corpusCount")
+    require(maxHamming >= 0, s"maxHamming must be >= 0: $maxHamming")
+    val bands = maxHamming + 1
+    require(bands <= nBitsMax,
+      s"hamming bound needs more bands than the signature has bits: " +
+        s"$bands > $nBitsMax")
+    val wMax = nBitsMax / bands
+    // smallest w with 2^w * targetLoad >= corpusCount (expected uniform
+    // load <= targetLoad), floor 1
+    val need = math.max(1L, (corpusCount + targetLoad - 1) / targetLoad)
+    // ceil(log2(need)) via bit arithmetic — no libm in a sizing contract
+    val wIdeal = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(need - 1))
+    val w = math.min(math.max(wIdeal, 1), wMax)
+    HammingBanding(bands * w, bands, w, saturated = wIdeal > wMax)
   }
 
   /** (doc_id, sig, band, bkey) band rows shared by [[simHashNearDup]]

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -204,12 +204,16 @@ object Multimodal {
     * the rest of the pipeline (and its Hamming-LSH consumer) is
     * unchanged.
     */
-  def perceptualHash(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+  def perceptualHash(df: DataFrame, binCol: String, idCol: String): DataFrame =
+    grayPixels(df, binCol, idCol)
+      .select(col("doc_id"), aHashOf(col("__px")).as("phash"))
+
+  /** Shared pixel pipeline of [[perceptualHash]] / [[perceptualHashWide]]:
+    * (doc_id, __px) with __px the 64 grayscale samples — really decoded
+    * block means for PPM/PNG, stub byte sampling otherwise.
+    */
+  private def grayPixels(df: DataFrame, binCol: String, idCol: String): DataFrame = {
     val b = col(binCol)
-    // PPM/PNG payloads hash over their REAL decoded pixels — gray64 is
-    // the decoder's 8×8 block-mean grayscale, exactly what a thumbnail
-    // resize feeds a production aHash; other formats keep the stub
-    // byte-sampling (hex dump computed only on that branch)
     val step0 = df.select(col(idCol).as("doc_id"), b.as("__b"),
       graft.functions.Fence(graft.functions.DecodeMedia(b)).as("__m"))
     val step1 = step0.select(col("doc_id"), col("__m"),
@@ -222,19 +226,48 @@ object Multimodal {
           * lit(2L) + lit(1L)).cast("int"),
         lit(2)), 16, 10).cast("long"),
       lit(0L))
-    val px = step1.select(col("doc_id"),
+    step1.select(col("doc_id"),
       when(col("__m.format").isin(RealImageFormats: _*), col("__m.gray64"))
         .otherwise(array((0 until 64).map(pixAt): _*)).as("__px"))
-    val mean = px
-      .select(col("doc_id"), col("__px"),
-        (1 to 64).map(i => element_at(col("__px"), i)).reduce(_ + _).as("__sum"))
-      .select(col("doc_id"), col("__px"), shiftright(col("__sum"), 6).as("__mean"))
-    val hash = (0 until 63)
-      .map(i => when(element_at(col("__px"), i + 1) > col("__mean"),
+  }
+
+  /** aHash of a 64-pixel array: bits 0–62 set when the pixel exceeds
+    * the integer mean (>>6 of the sum); pixel 63 joins the mean only so
+    * the sign bit stays clear (BIGINT shifts in range on every engine).
+    */
+  private def aHashOf(px: Column): Column = {
+    val sum = (1 to 64).map(i => element_at(px, i)).reduce(_ + _)
+    val mean = shiftright(sum, 6)
+    (0 until 63)
+      .map(i => when(element_at(px, i + 1) > mean, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** dHash of a 64-pixel array — the gradient (difference) hash, the
+    * standard second spatial-domain digest beside aHash: bit i set when
+    * pixel i+1 exceeds pixel i (63 adjacent pairs → 63 bits, sign
+    * clear). Independent of the mean, so aHash ∥ dHash genuinely
+    * carries more information than either alone.
+    */
+  private def dHashOf(px: Column): Column =
+    (0 until 63)
+      .map(i => when(element_at(px, i + 2) > element_at(px, i + 1),
         lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ bitwiseOR _)
-    mean.select(col("doc_id"), hash.as("phash"))
-  }
+
+  /** Wide two-digest perceptual hash — the m6 capacity knob (the D36
+    * recipe applied to images): the 63-bit aHash alone under a
+    * hamming ≤ 7 pigeonhole forces 8-bit band slices = 256 buckets/band,
+    * which saturates once the corpus outgrows bands·2⁸ (the measured
+    * r12 m6 quadratic). aHash (hi) ∥ dHash (lo) = 126 bits affords
+    * 9 × 14-bit slices = 16k buckets/band at the SAME hamming bound
+    * through [[graft.operators.Dedup.hammingNearDup2]]. Identical pixel
+    * pipeline — only the signature widens.
+    */
+  def perceptualHashWide(df: DataFrame, binCol: String, idCol: String): DataFrame =
+    grayPixels(df, binCol, idCol)
+      .select(col("doc_id"), aHashOf(col("__px")).as("phash_hi"),
+        dHashOf(col("__px")).as("phash_lo"))
 
   val featureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

@@ -437,6 +437,30 @@ object Similarity {
       .join(removed, Seq("vec_id"), "left_anti")
   }
 
+  /** [[semDedup]] with the cell count GROWN to the corpus — the d16
+    * capacity twin (the D36 recipe applied to SemDeDup, VERDICT r12):
+    * a k pinned at any constant makes the within-cell pair term
+    * Σ|cell|² = N²/k quadratic once the corpus outgrows k·targetCell;
+    * k = ⌈N / targetCell⌉ bounds the EXPECTED cell at `targetCell`, so
+    * the pair term is N·targetCell — linear in the corpus. The count
+    * is one driver-side scan (the same bounded-action reasoning as the
+    * Prefix offset collect); seeding/assignment stay the deterministic
+    * lowest-id [[kmeansAssign]] so the oracle restates the identical
+    * pipeline with k from a scalar subquery. The flat nearest-centroid
+    * scan is N·k·dim — subdominant at the measured SFs (k centroids
+    * broadcast; 2⁹ × 64 doubles at sf10); past that a deployment
+    * two-levels the assignment itself (IVF over the centroid set, the
+    * s5/s6 machinery) — the pair-search law this twin measures is
+    * unchanged by how the assignment is accelerated.
+    */
+  def semDedupScaled(vectors: DataFrame, targetCell: Int, threshold: Double,
+      minK: Int = 4): DataFrame = {
+    require(targetCell >= 1, s"targetCell must be >= 1: $targetCell")
+    val n = vectors.count()
+    val k = math.max(minK, math.ceil(n.toDouble / targetCell).toInt)
+    semDedup(vectors, k, threshold)
+  }
+
   /** Sign-bit binary signature of an embedding: bit i is set iff
     * element i+1 is strictly positive. `bits` ≤ 63 keeps the sign bit
     * clear (the m6 precedent — BIGINT shifts stay in range on every

@@ -1160,6 +1160,85 @@ object TextAnalysis {
     acc.toMap
   }
 
+  /** Forward–backward posterior expected piece counts of ONE word
+    * occurrence over its full segmentation lattice — the soft-EM
+    * E-step quantity (Kudo 2018 §3.2; Baum–Welch on the piece
+    * lattice): α(i) = Σ_s α(s)·p(piece[s,i)), β mirrored, and each
+    * lattice edge contributes α(s)·p·β(i)/Z. Pieces absent from the
+    * model have probability 0 (never a hard-EM −1e9 path — soft EM
+    * weights ALL segmentations, impossible ones contribute nothing).
+    * All loops run in index order, so the double accumulation order is
+    * total and run-reproducible. Z = 0 (no in-vocab segmentation —
+    * cannot happen while the char set rides the vocab) → empty map.
+    */
+  private[graft] def expectedPieceCounts(w: String, maxPieceLen: Int,
+      probs: collection.Map[String, Double]): collection.Map[String, Double] = {
+    val cps = w.codePoints().toArray
+    val n = cps.length
+    def piece(s: Int, e: Int): String = new String(cps, s, e - s)
+    val alpha = new Array[Double](n + 1); alpha(0) = 1.0
+    var i = 1
+    while (i <= n) {
+      var a = 0.0
+      var s = math.max(0, i - maxPieceLen)
+      while (s < i) { a += alpha(s) * probs.getOrElse(piece(s, i), 0.0); s += 1 }
+      alpha(i) = a; i += 1
+    }
+    val beta = new Array[Double](n + 1); beta(n) = 1.0
+    var s = n - 1
+    while (s >= 0) {
+      var b = 0.0
+      var e = math.min(n, s + maxPieceLen)
+      var j = s + 1
+      while (j <= e) { b += probs.getOrElse(piece(s, j), 0.0) * beta(j); j += 1 }
+      beta(s) = b; s -= 1
+    }
+    val z = alpha(n)
+    val acc = collection.mutable.LinkedHashMap.empty[String, Double]
+    if (z > 0) {
+      var s2 = 0
+      while (s2 < n) {
+        val e = math.min(n, s2 + maxPieceLen)
+        var i2 = s2 + 1
+        while (i2 <= e) {
+          val p = piece(s2, i2)
+          val pe = probs.getOrElse(p, 0.0)
+          if (pe > 0) {
+            val post = alpha(s2) * pe * beta(i2) / z
+            if (post > 0) acc.update(p, acc.getOrElse(p, 0.0) + post)
+          }
+          i2 += 1
+        }
+        s2 += 1
+      }
+    }
+    acc
+  }
+
+  /** One soft-EM round over the word histogram: piece probabilities
+    * from the current (possibly fractional) counts, then posterior
+    * expected counts accumulated over words in SORTED order (total
+    * double-accumulation order — the likelihoodDeltas discipline).
+    * Chars that gather no mass keep the hard-EM floor of 1 so every
+    * word stays segmentable next round.
+    */
+  private[graft] def softEmCounts(words: Seq[(String, Long)],
+      counts: Map[String, Double], maxPieceLen: Int,
+      chars: Set[String]): Map[String, Double] = {
+    val total = counts.toSeq.sortBy(_._1).map(_._2).sum
+    val probs: Map[String, Double] = counts.map { case (p, c) =>
+      p -> math.exp(round9(math.log(c / total)))
+    }
+    val acc = collection.mutable.HashMap.empty[String, Double]
+    words.sortBy(_._1).foreach { case (w, n) =>
+      expectedPieceCounts(w, maxPieceLen, probs).foreach { case (p, ec) =>
+        acc.update(p, acc.getOrElse(p, 0.0) + n * ec)
+      }
+    }
+    chars.foreach { ch => if (acc.getOrElse(ch, 0.0) <= 0.0) acc.update(ch, 1.0) }
+    acc.toMap
+  }
+
   /** Unigram-LM tokenizer training (SentencePiece-class, Kudo 2018) —
     * the other tokenizer real pipelines train beside BPE (T12/T22):
     * seed a piece inventory from all ≤`maxPieceLen`-char substrings of
@@ -1201,14 +1280,31 @@ object TextAnalysis {
     * (localCheckpoint-pinned), with per-round driver collects of
     * piece-table size — the same metadata-scale collect class as
     * bpeMerges. Output: (piece, n, logp) ordered by piece.
+    *
+    * Two E-steps (`em`, VERDICT r12 task 6):
+    *  - `em = "hard"` (default, what the t31 oracle mirrors): Viterbi
+    *    best segmentation only — each word's full count goes to its
+    *    single best piece sequence; counts stay exact integers.
+    *  - `em = "soft"`: SentencePiece's actual forward–backward
+    *    expectation ([[expectedPieceCounts]]) — every segmentation of
+    *    every word contributes posterior mass, so a piece can retain
+    *    count (and survive the prune) on the strength of SECOND-best
+    *    paths hard EM zeroes out entirely (UnigramLmSpec pins a corpus
+    *    where the two E-steps train different vocabularies). Runs
+    *    driver-side on the word histogram (the likelihoodDeltas cost
+    *    class) with sorted-order accumulation; output `n` is the
+    *    expected count as DOUBLE.
     */
   def unigramLmVocab(docs: DataFrame, maxPieceLen: Int = 4,
       seedSize: Int = 60, emRounds: Int = 2, vocabSize: Int = 40,
-      textCol: String = "text", prune: String = "count"): DataFrame = {
+      textCol: String = "text", prune: String = "count",
+      em: String = "hard"): DataFrame = {
     require(maxPieceLen >= 1 && seedSize >= 1 && emRounds >= 1 && vocabSize >= 1,
       s"bad params: $maxPieceLen/$seedSize/$emRounds/$vocabSize")
     require(prune == "count" || prune == "likelihood",
       s"unsupported prune mode '$prune' (supported: count, likelihood)")
+    require(em == "hard" || em == "soft",
+      s"unsupported em mode '$em' (supported: hard, soft)")
     val spark = docs.sparkSession
     import spark.implicits._
     val L = maxPieceLen
@@ -1229,6 +1325,50 @@ object TextAnalysis {
     val charsAll = wh.select(explode(expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("piece"))
       .distinct().localCheckpoint()
+
+    if (em == "soft") {
+      // SentencePiece's ACTUAL E-step (VERDICT r12 task 6, closing the
+      // hard-EM-only gap): posterior expected piece counts over every
+      // word's full segmentation lattice instead of Viterbi-best-only
+      // counts. Runs driver-side over the vocabulary-sized word
+      // histogram — the same O(vocab) cost class the likelihood prune
+      // already claims — with sorted-order accumulation everywhere, so
+      // the (fractional) counts are run-reproducible. Output n is the
+      // expected count as DOUBLE (the honest type; the oracle-checked
+      // t31 row stays on hard EM's exact integers).
+      val words = wh.select(col("w"), col("n")).as[(String, Long)]
+        .collect().sortBy(_._1).toSeq
+      val charsSet = charsAll.as[String].collect().toSet
+      var counts: Map[String, Double] =
+        v0.select(col("piece"), col("c")).as[(String, Long)].collect()
+          .map { case (p, c) => p -> c.toDouble }.toMap
+      for (_ <- 1 to emRounds)
+        counts = softEmCounts(words, counts, L, charsSet)
+      val isChar = (p: String) => p.codePointCount(0, p.length) == 1
+      val pruned: Seq[(String, Double)] = prune match {
+        case "count" =>
+          // mirror the hard count prune: top vocabSize by (c desc,
+          // piece asc), single chars unioned back in
+          val top = counts.toSeq.sortBy { case (p, c) => (-c, p) }
+            .take(vocabSize)
+          (top ++ counts.toSeq.filter(e => isChar(e._1))).distinct
+        case "likelihood" =>
+          val total = counts.toSeq.sortBy(_._1).map(_._2).sum
+          val scores = counts.map { case (p, c) =>
+            p -> round9(math.log(c / total)) }
+          val deltas = likelihoodDeltas(words, scores, L)
+          val (charsE, multis) = counts.toSeq.partition(e => isChar(e._1))
+          val slots = math.max(0, vocabSize - charsE.size)
+          val kept = multis.map { case (p, c) => (p, deltas.getOrElse(p, 0.0), c) }
+            .sortBy { case (p, d, c) => (-d, -c, p) }.take(slots)
+            .map(_._1).toSet
+          charsE ++ multis.filter(m => kept.contains(m._1))
+      }
+      val totf = pruned.sortBy(_._1).map(_._2).sum
+      return pruned.sortBy(_._1)
+        .map { case (p, c) => (p, c, round9(math.log(c / totf))) }
+        .toDF("piece", "n", "logp")
+    }
 
     def emRound(vocab: DataFrame): DataFrame = {
       val entries = vocab.select(col("piece"), col("c")).as[(String, Long)].collect()

@@ -61,6 +61,45 @@ object StreamAggState {
   def readState(spark: SparkSession, statePath: String): Option[DataFrame] =
     StreamErrorHandling.readPending(spark, statePath)
 
+  /** Streaming burst detection against a MAINTAINED per-user
+    * event-time store — ST34's store face (the punctuate face is
+    * [[StreamErrorHandling.burstDetect]]): each trigger folds its
+    * batch's (user_id, ts) pairs into the epoch-keyed store, DISTINCT
+    * by the pair so duplicate deliveries and replays collapse, and the
+    * current Kleinberg episodes are always derivable by running the
+    * UNCHANGED compiled batch operator over the store
+    * ([[burstEpisodesFromState]] — StreamingSpec pins equality with
+    * oracle-verified q55 over the same corpus). Epoch overwrite
+    * inherits the family crash contract (StoreReplayPropertySpec
+    * membership); epoch GC bounds storage at O(corpus).
+    */
+  def maintainBurstEvents(stream: DataFrame, statePath: String,
+      checkpointPath: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        processBurstTrigger(batch.toDF(), batchId, statePath)
+      }
+      .start()
+
+  private[graft] def processBurstTrigger(batch: DataFrame, batchId: Long,
+      statePath: String): Unit = {
+    val spark = batch.sparkSession
+    val prior = StreamErrorHandling
+      .readPendingBefore(spark, statePath, batchId).map(_._2)
+    val events = batch.select(col("user_id").cast("long").as("user_id"),
+      col("ts").cast("long").as("ts"))
+    prior.map(_.unionByName(events)).getOrElse(events).distinct()
+      .write.mode("overwrite").parquet(s"$statePath/epoch=$batchId")
+  }
+
+  /** Current burst episodes over everything the store has seen — the
+    * q55 batch operator applied to the maintained history. */
+  def burstEpisodesFromState(spark: SparkSession, statePath: String,
+      s: Double = 2.0, gamma: Double = 0.5): Option[DataFrame] =
+    readState(spark, statePath)
+      .map(st => graft.operators.Bursts.kleinberg(st, s, gamma))
+
   /** Streaming incremental near-dup detection against a MAINTAINED LSH
     * band index — the streaming face of d6/d25: each trigger signs
     * ONLY its batch, probes the epoch-keyed index of everything seen

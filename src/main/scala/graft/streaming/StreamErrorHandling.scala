@@ -932,6 +932,48 @@ object StreamErrorHandling {
       })
   }
 
+  /** Streaming Kleinberg burst detection (ST34) — q55's live face over
+    * [[Punctuate.eventTimePunctuate]] (the ST28 pattern): each user's
+    * exact long-nanos event times accumulate in punctuated state; once
+    * the watermark proves the history complete, the IDENTICAL compiled
+    * batch DP ([[graft.operators.Bursts.episodes]] — same λ0 division,
+    * same round(9)ed lns, same tie rule) runs once over the sorted
+    * times and the episodes emit. Emission is therefore arrival-order
+    * independent, and the verdicts EQUAL oracle-verified q55 row for
+    * row (StreamingBatchEquivalenceSpec). State per user is its event
+    * count — the q26/q55 bounded-history-per-key argument; the
+    * watermark bounds how long a silent user's history is held.
+    */
+  final case class BurstEpisode(user_id: Long, burst_start: Long,
+      burst_end: Long, n_gaps: Long, n_events: Long)
+  final case class BurstAccState(tss: List[Long])
+
+  def burstDetect(events: DataFrame, userCol: String, tsCol: String,
+      tsNsCol: String, s: Double, gamma: Double,
+      watermarkDelay: String): Dataset[BurstEpisode] = {
+    implicit val outEnc: Encoder[BurstEpisode] = Encoders.product[BurstEpisode]
+    implicit val stEnc: Encoder[Punctuate.PunctState[BurstAccState]] =
+      Encoders.product[Punctuate.PunctState[BurstAccState]]
+    implicit val kEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val rowEnc: Encoder[(Long, Long, Long, java.sql.Timestamp)] =
+      Encoders.product[(Long, Long, Long, java.sql.Timestamp)]
+    val rows = events.withWatermark(tsCol, watermarkDelay)
+      .select(col(userCol).cast("long"),
+        expr(s"unix_micros(`$tsCol`) div 1000"), // ms for the timer
+        col(tsNsCol).cast("long"), col(tsCol))
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+    val (sv, gv) = (s, gamma)
+    Punctuate.eventTimePunctuate[(Long, Long, Long, java.sql.Timestamp), Long,
+        BurstAccState, BurstEpisode](
+      rows, keyFn = _._1, tsMsFn = _._2,
+      zero = BurstAccState(Nil),
+      fold = (st, r) => BurstAccState(r._3 :: st.tss),
+      finish = (user, st) =>
+        graft.operators.Bursts.episodes(st.tss.sorted, sv, gv).iterator
+          .map { case (s0, e0) =>
+            BurstEpisode(user, s0, e0, e0 - s0 + 1L, e0 - s0 + 2L) })
+  }
+
   /** Idle-key (missing-heartbeat) detection (ST22) — the canonical
     * Kafka Streams punctuator use case: alert when a key goes SILENT.
     * Per key, fold first/last/count of its event times; when the

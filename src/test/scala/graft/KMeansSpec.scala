@@ -27,6 +27,28 @@ class KMeansSpec extends SparkSpec {
     assert(seeds === Map(0L -> 0.0, 1L -> 0.0))
   }
 
+  test("semDedupScaled: k grows with the corpus and equals pinned-k semDedup") {
+    // 12 vectors at targetCell=3 -> k = ceil(12/3) = 4 (above the
+    // minK floor); the capacity twin must be EXACTLY semDedup at that
+    // k — same assignment, same survivors — so the only difference vs
+    // a pinned-k deployment is the k law, never the pipeline
+    val many = (0L until 12L).map { i => // all nonzero: cosine needs a norm
+      (i, Array((i % 4).toFloat * 10f + (i / 4).toFloat * 0.1f + 1f,
+        (i % 4).toFloat + 1f))
+    }.toDF("vec_id", "embedding")
+    val scaled = Similarity.semDedupScaled(many, targetCell = 3,
+        threshold = 0.95, minK = 2)
+      .as[(Long, Long)].collect().toSet
+    val pinned = Similarity.semDedup(many, k = 4, threshold = 0.95)
+      .as[(Long, Long)].collect().toSet
+    assert(scaled == pinned && scaled.nonEmpty)
+    // the floor holds when the corpus is smaller than one target cell
+    val few = Similarity.semDedupScaled(many, targetCell = 1000,
+        threshold = 0.99, minK = 2)
+      .select($"cluster_id").distinct().as[Long].collect().toSet
+    assert(few.subsetOf(Set(0L, 1L))) // k floored at 2 -> seeds 0 and 1
+  }
+
   test("kmeansTrain: converges to the true cluster means and stops early") {
     val trained = Similarity.kmeansTrain(vecs, k = 2, maxIters = 10)
       .select($"cluster_id", $"centroid", $"n_assigned")

@@ -719,6 +719,91 @@ class OperatorsSpec extends SparkSpec {
     assert(got.size == expected.size)
   }
 
+  test("hammingNearDup2 equals brute force on random two-long signatures") {
+    val rnd = new scala.util.Random(1313)
+    // clustered 126-bit signatures: perturbations land in BOTH halves so
+    // hi-only, lo-only and mixed hamming splits all occur
+    val bases = Seq.fill(6)((rnd.nextLong() & Long.MaxValue,
+      rnd.nextLong() & Long.MaxValue))
+    val sigs = (1L to 60L).map { id =>
+      var (hi, lo) = bases(rnd.nextInt(bases.size))
+      (0 until rnd.nextInt(6)).foreach { _ =>
+        val b = rnd.nextInt(126)
+        if (b < 63) lo ^= 1L << b else hi ^= 1L << (b - 63)
+      }
+      (id, hi, lo)
+    }
+    val expected = (for {
+      (ia, ha, la) <- sigs; (ib, hb, lb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+      if h <= 7
+    } yield (ia, ib, h.toLong)).toSet
+    val got = Dedup.hammingNearDup2(sigs.toDF("doc_id", "sig_hi", "sig_lo"),
+        nBitsHi = 63, nBitsLo = 63, bands = 9, maxHamming = 7)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.toSet == expected)
+    assert(got.size == expected.size) // exactly-once across 9 bands
+  }
+
+  test("hammingNearDup2: a pair matching ONLY in the straddle band is found") {
+    // band 4 of 9x14 over 63+63 covers V bits [56, 70): lo bits 56..62
+    // AND hi bits 0..6 — the one slice whose key is assembled from both
+    // longs. Make a pair that differs somewhere in every other band but
+    // agrees exactly on those 14 bits, within hamming <= 7 overall.
+    val hiA = 0x7FFFFFFFFFFFFF00L & Long.MaxValue // hi bits 0..6 zero
+    val loA = 0x00FFFFFFFFFFFFFFL                 // lo bits 56..62 zero
+    // flip one bit inside each NON-straddle band of the pair's twin:
+    // bands 0..3 live in hi bits 7..62, bands 5..8 in lo bits 0..55
+    val hiB = hiA ^ (1L << 10) ^ (1L << 25) ^ (1L << 40) ^ (1L << 55)
+    val loB = loA ^ (1L << 5) ^ (1L << 20) ^ (1L << 35) ^ (1L << 50)
+    val out = Dedup.hammingNearDup2(
+        Seq((1L, hiA, loA), (2L, hiB, loB)).toDF("doc_id", "sig_hi", "sig_lo"),
+        nBitsHi = 63, nBitsLo = 63, bands = 9, maxHamming = 8)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 8L)))
+  }
+
+  test("autoHammingBanding: width tracks the corpus, saturation is honest") {
+    // 1k docs at hamming<=7 within 63 bits: 8 bands, 2^6*16 >= 1000
+    val small = Dedup.autoHammingBanding(1000L, maxHamming = 7, nBitsMax = 63)
+    assert(small == Dedup.HammingBanding(48, 8, 6, saturated = false))
+    // m6's measured failure mode: 63 bits cannot give 8 bands more than
+    // 7-bit slices — honest saturation, the caller must widen
+    val m6case = Dedup.autoHammingBanding(500000L, maxHamming = 7, nBitsMax = 63)
+    assert(m6case.sliceBits == 7 && m6case.saturated)
+    // the m12 fix: two digests (126 bits) afford 14-bit slices that
+    // cover an sf10-magnitude corpus without saturating
+    val wide = Dedup.autoHammingBanding(200000L, maxHamming = 7, nBitsMax = 126)
+    assert(wide == Dedup.HammingBanding(112, 8, 14, saturated = false))
+    // degenerate floors: a tiny corpus never chooses width 0
+    assert(Dedup.autoHammingBanding(1L, maxHamming = 0).sliceBits == 1)
+  }
+
+  test("m12/d34 cap-independence: maxBucket never bites at checked-SF magnitudes") {
+    // the analytic oracles state pair sets with NO bucket cap while the
+    // queries anti-join buckets over maxBucket=10000 — pin that the cap
+    // drops nothing at oracle-checked corpus magnitudes by running each
+    // pipeline capped and uncapped and asserting identical pairs
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val seed = when(pmod($"doc_id", lit(10L)) < 2L,
+      $"doc_id" - pmod($"doc_id", lit(10L))).otherwise($"doc_id")
+    val withBin = docs.withColumn("payload",
+      Multimodal.ppmPayload((pmod(seed, lit(9L)) + 8L).cast("int"),
+        (pmod(seed, lit(7L)) + 8L).cast("int"),
+        concat(lit("img6:"), seed.cast("string")), reps = 21))
+    val ph = Multimodal.perceptualHashWide(withBin, "payload", "doc_id")
+      .localCheckpoint()
+    def wide(cap: Int) = Dedup.hammingNearDup2(ph, nBitsHi = 63, nBitsLo = 63,
+        bands = 9, maxHamming = 7, sigHiCol = "phash_hi", sigLoCol = "phash_lo",
+        maxBucket = cap)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(wide(10000) == wide(Int.MaxValue) && wide(10000).nonEmpty)
+    def sim(cap: Int) = Dedup.simHashNearDup(docs, nBits = 63, bands = 3,
+        maxHamming = 2, maxBucket = cap)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sim(10000) == sim(Int.MaxValue) && sim(10000).nonEmpty)
+  }
+
   test("perceptualHash: identical payloads hash equal, sign bit clear") {
     val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "the quick brown fox jumps over the lazy dog"),

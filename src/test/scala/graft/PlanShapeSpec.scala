@@ -149,11 +149,15 @@ class PlanShapeSpec extends SparkSpec {
       assert(!ns.exists {
         case w: WindowExec => w.partitionSpec.isEmpty &&
           // d33's rank window rides the 12-row TakeOrdered limit — the
-          // one bounded exception the t33 shape established
-          !ns.exists(_.isInstanceOf[
+          // one bounded exception the t33 shape established. The
+          // exemption is SUBTREE-scoped (ADVICE r12): only a window
+          // whose own input is the TakeOrdered output is bounded; a
+          // TakeOrdered elsewhere in the plan must not excuse a genuine
+          // corpus-wide window added later.
+          !nodes(w.child).exists(_.isInstanceOf[
             org.apache.spark.sql.execution.TakeOrderedAndProjectExec])
         case _ => false
-      }, s"$name plans an unbounded global window")
+      }, s"$name plans an unbounded global window above an unbounded input")
     }
     // d34's candidate join keeps the shuffle_hash hint
     assert(nodes(q("d34_simhash_wide"))

@@ -228,6 +228,14 @@ class StoreReplayPropertySpec extends SparkSpec {
           s"$rt/state", s"$rt/values"),
         rt => tagged("state" -> latestState(s"$rt/state"),
           "values" -> canonPath(s"$rt/values"))),
+      Member("maintainBurstEvents (ST34)", 3,
+        i => (0 until 12).map { j =>
+          // repeats across triggers: the (user, ts) distinct must
+          // collapse duplicate deliveries as well as replays
+          ((j % 3).toLong, (i * 5 + j).toLong * 1000000000L)
+        }.toDF("user_id", "ts"),
+        (b, id, rt) => A.processBurstTrigger(b, id, s"$rt/state"),
+        rt => latestState(s"$rt/state")),
       Member("contaminationGate (ST30)", 3,
         i => (0 until 8).map { j =>
           val text =

@@ -323,6 +323,47 @@ class StreamingBatchEquivalenceSpec extends SparkSpec {
     assert(run(scattered, "sbe_attr3") == got)
   }
 
+  test("ST34 burstDetect equals batch q55; episodes arrival-order independent") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamErrorHandling.BurstEpisode
+    val rows = Tables.load(spark, sf, "events")
+      .select($"user_id", $"ts")
+      .as[(Long, Long)].collect().toSeq
+    val maxUs = rows.map(_._2 / 1000).max
+    val day = 86400L * 1000000L
+
+    def run(batches: Seq[Seq[(Long, Long)]], name: String): Set[BurstEpisode] = {
+      val mem = MemoryStream[(Long, Long)]
+      val ev = mem.toDF().toDF("user_id", "tns")
+        .withColumn("ets", timestamp_micros(expr("tns div 1000")))
+      val out = StreamErrorHandling.burstDetect(ev, "user_id", "ets",
+        "tns", s = 2.0, gamma = 0.5, watermarkDelay = "60 days")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      mem.addData(Seq((-1L, (maxUs + 61 * day) * 1000L))); q.processAllAvailable()
+      mem.addData(Seq((-2L, (maxUs + 122 * day) * 1000L))); q.processAllAvailable()
+      q.stop()
+      spark.table(name).as[BurstEpisode].collect()
+        .filter(_.user_id >= 0).toSet
+    }
+
+    val got = run(Seq(rows), "sbe_burst")
+    // FULL row equality with the oracle-verified batch q55 over the
+    // same corpus (same s/gamma, same compiled DP)
+    val want = SparkEntry.queries("q55_bursts")(spark, sf)
+      .collect().map(r => BurstEpisode(r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(want.nonEmpty, "fixture yields no burst episodes — vacuous")
+    assert(got == want)
+    // arrival-order independence: each user's events scattered over
+    // three triggers in arbitrary (non-chronological) order
+    val scattered = rows.zipWithIndex.groupBy(_._2 % 3).toSeq.sortBy(_._1)
+      .map(_._2.map(_._1))
+    assert(run(scattered, "sbe_burst3") == got)
+  }
+
   test("ST13 enrichToSink: per-trigger dim refresh; enrichment equals batch join") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -580,6 +580,40 @@ class StreamingSpec extends SparkSpec {
     assert(state() == expected, "replayed trigger double-counted")
   }
 
+  test("maintainBurstEvents (ST34): episodes from the maintained store equal " +
+      "batch q55 over the same corpus; replay rewrites") {
+    import graft.streaming.StreamAggState
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val rows = Tables.load(spark, sf, "events")
+      .select($"user_id", $"ts").as[(Long, Long)].collect().toSeq
+    val mem = MemoryStream[(Long, Long)]
+    val tmp = Files.createTempDirectory("graft-burststore").toString
+    val q = StreamAggState.maintainBurstEvents(
+      mem.toDF().toDF("user_id", "ts"),
+      statePath = s"$tmp/state", checkpointPath = s"$tmp/ckpt")
+    // three triggers, arbitrary split; one event delivered TWICE
+    // across triggers — the (user, ts) distinct collapses it
+    val parts = rows.zipWithIndex.groupBy(_._2 % 3).toSeq.sortBy(_._1)
+      .map(_._2.map(_._1))
+    mem.addData(parts(0)); q.processAllAvailable()
+    mem.addData(parts(1) :+ parts(0).head); q.processAllAvailable()
+    mem.addData(parts(2)); q.processAllAvailable()
+    q.stop()
+    def episodes(): Set[(Long, Long, Long, Long, Long)] =
+      StreamAggState.burstEpisodesFromState(spark, s"$tmp/state").get
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val got = episodes()
+    val want = SparkEntry.queries("q55_bursts")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(want.nonEmpty, "fixture yields no episodes — vacuous")
+    assert(got == want)
+    // crash replay of the last trigger: store (hence episodes) unchanged
+    StreamAggState.processBurstTrigger(
+      parts(2).toDF("user_id", "ts"), batchId = 2L, s"$tmp/state")
+    assert(episodes() == want, "replayed burst trigger changed the store")
+  }
+
   test("maintainCompactedLog: per-trigger merge equals one global compaction; replay rewrites") {
     import graft.streaming.StreamAggState
     val tmp = Files.createTempDirectory("graft-compact").toString

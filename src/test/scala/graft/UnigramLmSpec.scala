@@ -142,6 +142,42 @@ class UnigramLmSpec extends SparkSpec {
     }
   }
 
+  test("soft EM CHOOSES A DIFFERENT vocabulary than hard EM (VERDICT r12 " +
+      "task 6): posterior mass keeps the piece whose chars are rare, hard " +
+      "EM keeps the higher-count piece whose mass it never splits") {
+    // "ab" (10) outcounts "cd" (9), but a/b also occur standalone (15
+    // each) so ab's posterior splits with the a+b path; c/d occur ONLY
+    // inside cd, so cd keeps ~all its mass. Hard EM gives ab its full
+    // 10 (Viterbi winner-takes-all) -> count prune at 3 slots keeps ab;
+    // soft EM's expected counts rank cd above ab -> cd survives instead.
+    val docs = (
+      Seq.fill(15)("a") ++ Seq.fill(15)("b") ++ Seq.fill(10)("ab") ++
+      Seq.fill(9)("cd")
+    ).zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    def pieces(em: String) = TextAnalysis.unigramLmVocab(docs,
+      maxPieceLen = 2, seedSize = 30, emRounds = 2, vocabSize = 3,
+      em = em).collect().map(_.getString(0)).toSet
+    val hard = pieces("hard")
+    val soft = pieces("soft")
+    assert(hard.contains("ab") && !hard.contains("cd"), s"hard kept: $hard")
+    assert(soft.contains("cd") && !soft.contains("ab"), s"soft kept: $soft")
+    // both keep the full required char set
+    assert(Set("a", "b", "c", "d").subsetOf(hard & soft))
+  }
+
+  test("expectedPieceCounts: posterior mass sums to the word length bound " +
+      "and splits proportionally to path probabilities") {
+    // one word "ab", pieces ab (p=0.2) and a,b (p=0.4 each): path ab
+    // has mass 0.2, path a+b has 0.16 -> posteriors 5/9 and 4/9
+    val probs = Map("ab" -> 0.2, "a" -> 0.4, "b" -> 0.4)
+    val ec = TextAnalysis.expectedPieceCounts("ab", 2, probs)
+    assert(math.abs(ec("ab") - 0.2 / 0.36) < 1e-12)
+    assert(math.abs(ec("a") - 0.16 / 0.36) < 1e-12)
+    assert(math.abs(ec("b") - 0.16 / 0.36) < 1e-12)
+    // unreachable word (no in-vocab cover) -> empty, never a crash
+    assert(TextAnalysis.expectedPieceCounts("zz", 2, probs).isEmpty)
+  }
+
   test("vocabSize prune keeps at most vocabSize multi-char pieces") {
     val multi = vocab.count(_.getString(0).length > 1)
     assert(vocab.length <= 15 + 10, s"vocab blew past prune: ${vocab.length}")
