@@ -2123,6 +2123,64 @@ object SparkEntry {
       .orderBy($"da", $"db")
   }
 
+  private def p25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // DSIR data selection (Xie et al. 2023): hashed-unigram importance
+    // weights against the lang='en' target slice, top-25 kept. Two
+    // explode+hash-agg corpus passes; the 256-bucket model broadcasts.
+    operators.Pipeline.dsirSelect(t(s, dir, "documents"),
+      isTarget = $"lang" === "en", k = 25)
+  }
+
+  private def t34(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // trained quality classifier: 4 rounds of full-batch logistic GD
+    // distilling the corpus length gate (n_chars > 400) into a scorer
+    // over LENGTH-FREE distributional features (TTR / max-token-freq /
+    // mean token length) — accuracy climbs 146 → 459 of 500 at sf0.01,
+    // monotone. The training trace is the output; every round is one
+    // aggregate scan over the pinned standardized feature frame.
+    operators.TextAnalysis.trainQualityClassifier(t(s, dir, "documents"),
+      isPositive = $"n_chars" > 400L)
+  }
+
+  private def s16(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // JL sign projection 64→16, then brute-force top-5 in the
+    // PROJECTED space — every pair 4× cheaper; recall vs the exact
+    // 64-dim answer is pinned in OperatorsSpec (the s10 harness).
+    val emb = t(s, dir, "embeddings")
+    val proj = operators.Similarity.jlProject(emb, inDims = 64, outDims = 16)
+      .select($"vec_id", $"proj".as("embedding"))
+    val queries = broadcast(proj.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qv")))
+    operators.Similarity.bruteForceTopK(proj, queries, k = 5)
+      .select($"qid", $"rank", $"vec_id", $"cosine")
+      .orderBy($"qid", $"rank")
+  }
+
+  private def p26(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // DSIR resampling proper: Gumbel-top-k over the p25 weights with
+    // DERIVED (md5) noise — a seeded weighted sample without
+    // replacement, reproducible on any engine.
+    operators.Pipeline.dsirResample(t(s, dir, "documents"),
+      isTarget = $"lang" === "en", k = 25)
+  }
+
+  private def s17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // SQ8 coarse scan (int dots, scales cancel in the cosine ratio) →
+    // TopKPerKey candidate heaps → exact float re-rank of 32/query.
+    val emb = t(s, dir, "embeddings")
+    val queries = broadcast(emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"),
+        operators.Similarity.toDoubleVec($"embedding").as("qv")))
+    operators.Similarity.sq8RerankTopK(emb, queries, k = 5, candidates = 32)
+      .select($"qid", $"rank", $"vec_id", $"cosine")
+      .orderBy($"qid", $"rank")
+  }
+
   private def m8(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // Golden cross-engine pin of the STUB hex-sampling aHash arithmetic
@@ -2154,6 +2212,21 @@ object SparkEntry {
     operators.Multimodal.audioWindowStats(withBin, "payload", "doc_id",
         window = 256)
       .orderBy($"doc_id", $"win")
+  }
+
+  private def m13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // energy-gated activity segmentation over m9's REALLY decoded PCM
+    // corpus: threshold = the int16-uniform mean square (⌊(2^32−1)/12⌋
+    // = 357913941), so windows split near 50/50 and the islands are
+    // non-trivial. All-integer output — hash-exact analytic oracle.
+    val ns = (pmod($"doc_id", lit(40L)) * 31L + 300L).cast("long")
+    val withBin = t(s, dir, "documents").withColumn("payload",
+      graft.functions.EncodeWavPcm16(ns,
+        concat(lit("au:"), $"doc_id".cast("string"))))
+    operators.Multimodal.activitySegments(withBin, "payload", "doc_id",
+        window = 256, minMeanSquare = 357913941L)
+      .orderBy($"doc_id", $"seg_start")
   }
 
   private def t29(s: SparkSession, dir: String): DataFrame = {
@@ -3463,6 +3536,12 @@ object SparkEntry {
     "d34_simhash_wide" -> (d34 _),
     "d35_semdedup_scaled" -> (d35 _),
     "m12_phash_wide" -> (m12 _),
+    "p25_dsir_select" -> (p25 _),
+    "t34_quality_classifier" -> (t34 _),
+    "s16_jl_projection" -> (s16 _),
+    "m13_activity_segments" -> (m13 _),
+    "p26_dsir_resample" -> (p26 _),
+    "s17_sq8_rerank" -> (s17 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5864,6 +5943,250 @@ object SparkEntry {
       """SELECT a.doc_id AS da, b.doc_id AS db, CAST(0 AS BIGINT) AS hamming
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
         |WHERE a.doc_id % 10 = 0 ORDER BY da, db""".stripMargin,
+    // m9's PCM synthesis restated, then the integer energy gate and
+    // the islands trick — every output column an exact integer.
+    "m13_activity_segments" ->
+      """WITH d AS (SELECT doc_id, doc_id % 40 * 31 + 300 AS ns FROM documents),
+        |hxs AS (SELECT doc_id, ns,
+        |  list_aggregate(list_transform(range(0, (2 * ns + 15) // 16), b ->
+        |    md5('au:' || CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR))),
+        |   'string_agg', '') AS hx
+        | FROM d),
+        |smp AS (SELECT doc_id, ns, list_transform(range(0, ns), i ->
+        |   TRY_CAST('0x' || substr(hx, CAST(4 * i + 1 AS INT), 2) AS INT)
+        |   + 256 * TRY_CAST('0x' || substr(hx, CAST(4 * i + 3 AS INT), 2) AS INT)
+        |   - CASE WHEN TRY_CAST('0x' || substr(hx, CAST(4 * i + 3 AS INT), 2) AS INT) >= 128
+        |          THEN 65536 ELSE 0 END) AS smp
+        | FROM hxs),
+        |w AS (SELECT doc_id, ns, smp, unnest(range(0, (ns + 255) // 256)) AS win
+        | FROM smp),
+        |sub AS (SELECT doc_id, win,
+        |  smp[CAST(win * 256 + 1 AS INT):CAST(least((win + 1) * 256, ns) AS INT)] AS s
+        | FROM w),
+        |en AS (SELECT doc_id, CAST(win AS BIGINT) AS win,
+        |  CAST(len(s) AS BIGINT) AS n_samples,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(s, x -> CAST(x AS BIGINT) * x)), (a, b) -> a + b) AS energy
+        | FROM sub),
+        |act AS (SELECT * FROM en WHERE energy > 357913941 * n_samples),
+        |isl AS (SELECT *, win - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY win) AS g
+        | FROM act)
+        |SELECT doc_id, MIN(win) AS seg_start, MAX(win) AS seg_end,
+        | COUNT(*) AS n_windows, CAST(SUM(energy) AS BIGINT) AS seg_energy
+        |FROM isl GROUP BY doc_id, g ORDER BY doc_id, seg_start""".stripMargin,
+    // p25's scoring CTEs, then the Gumbel key: u exact from 13 md5 hex
+    // chars over 2^52, nested lns round(9)ed ONCE (generic double),
+    // one addition; ties on doc_id.
+    "p26_dsir_resample" ->
+      """WITH toks0 AS (SELECT doc_id, lang = 'en' AS tgt,
+        |   unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+        |toks AS (SELECT doc_id, tgt, substr(md5(tok), 1, 2) AS bucket FROM toks0),
+        |bt AS (SELECT bucket, COUNT(*) AS cr,
+        |   CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct
+        |  FROM toks GROUP BY bucket),
+        |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr, CAST(SUM(ct) AS BIGINT) AS nt FROM bt),
+        |lr AS (SELECT bucket,
+        |   CAST(round(ln(CAST(ct + 1 AS DOUBLE) * CAST(nr + 256 AS DOUBLE)
+        |     / (CAST(cr + 1 AS DOUBLE) * CAST(nt + 256 AS DOUBLE))), 9) AS DECIMAL(20,9)) AS term
+        |  FROM bt CROSS JOIN tot),
+        |scored AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(term) AS lw
+        |  FROM toks JOIN lr ON toks.bucket = lr.bucket GROUP BY doc_id),
+        |keyed AS (SELECT doc_id, n_tokens, CAST(lw AS DOUBLE) AS log_weight,
+        |   CAST(lw AS DOUBLE) + round(-ln(-ln(
+        |     (CAST(TRY_CAST('0x' || substr(md5('gum:' || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS DOUBLE)
+        |      + CAST(0.5 AS DOUBLE)) / CAST(4503599627370496 AS DOUBLE))), 9) AS gumbel_key
+        |  FROM scored)
+        |SELECT doc_id, n_tokens, log_weight, gumbel_key FROM keyed
+        |ORDER BY gumbel_key DESC, doc_id ASC LIMIT 25""".stripMargin,
+    // both stages restated: the same IEEE quantization, exact integer
+    // dots (scales cancel in the cosine ratio), candidate boundary and
+    // final ranks tie-broken on vec_id, exact re-rank = the s1 formula.
+    "s17_sq8_rerank" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |sc AS (SELECT vec_id, v, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |   list_transform(v, x -> abs(x))), (a, b) -> greatest(a, b)) AS scale FROM e),
+        |q8 AS (SELECT vec_id, v, list_transform(v, x -> CASE WHEN scale > 0
+        |   THEN CAST(floor(x / scale * 127.0 + 0.5) AS INT) ELSE 0 END) AS q FROM sc),
+        |qd AS (SELECT vec_id, v, q, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |   list_transform(q, x -> CAST(x AS BIGINT) * x)), (a, b) -> a + b) AS sdot FROM q8),
+        |qs AS (SELECT vec_id AS qid, v AS qv, q AS qq, sdot AS qdot FROM qd
+        |  WHERE vec_id < 10 AND sdot > 0),
+        |core AS (SELECT vec_id, v, q, sdot AS vdot FROM qd WHERE sdot > 0),
+        |coarse AS (SELECT qid, vec_id, qv, v,
+        |   CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(range(1, len(qq) + 1),
+        |       i -> CAST(qq[CAST(i AS INT)] AS BIGINT) * q[CAST(i AS INT)])),
+        |     (a, b) -> a + b) AS DOUBLE)
+        |    / (sqrt(CAST(qdot AS DOUBLE)) * sqrt(CAST(vdot AS DOUBLE))) AS approx
+        |  FROM qs JOIN core ON qid <> vec_id),
+        |cand AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |   ORDER BY approx DESC, vec_id ASC) AS crank FROM coarse),
+        |exact AS (SELECT qid, vec_id,
+        |  list_reduce(list_transform(range(1, len(qv)+1), i -> qv[i]*v[i]), (x,y) -> x+y) /
+        |   (sqrt(list_reduce(list_transform(qv, x -> x*x), (x,y) -> x+y)) *
+        |    sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y))) AS cosine
+        |  FROM cand WHERE crank <= 32),
+        |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |   ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank FROM exact)
+        |SELECT qid, rank, vec_id, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    // the JL ±1 matrix re-derived from md5 in SQL; each projected
+    // coordinate is the same 0.0-init left fold of exact ±x_i terms,
+    // then the s1 cosine/rank formulation over the 16-dim lists.
+    "s16_jl_projection" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |p AS (SELECT vec_id, list_transform(range(0, 16), j ->
+        |   list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i ->
+        |     v[CAST(i AS INT)] * (CASE WHEN substr(md5('jl:' || CAST(j AS VARCHAR) || ':'
+        |         || CAST(i - 1 AS VARCHAR)), 1, 1) < '8'
+        |       THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END))),
+        |    (x, y) -> x + y)) AS pv
+        |  FROM e),
+        |q AS (SELECT vec_id AS qid, pv AS qv FROM p WHERE vec_id < 10),
+        |scored AS (SELECT qid, vec_id,
+        |  list_reduce(list_transform(range(1, 17), i -> qv[CAST(i AS INT)] * pv[CAST(i AS INT)]), (x,y) -> x+y) /
+        |   (sqrt(list_reduce(list_transform(qv, x -> x*x), (x,y) -> x+y)) *
+        |    sqrt(list_reduce(list_transform(pv, x -> x*x), (x,y) -> x+y))) AS cosine
+        | FROM q JOIN p ON qid <> vec_id),
+        |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank FROM scored)
+        |SELECT qid, rank, vec_id, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    // the GD loop unrolled: per round one sigmoid projection (round(9)
+    // absorbing exp ulp), gradient sums as round(8) DECIMAL(20,8) —
+    // order-independent — and the weight update the same three double
+    // ops the Spark driver applies. Accuracy counts at INPUT weights.
+    "t34_quality_classifier" ->
+      """WITH tk AS (SELECT doc_id,
+        |   CASE WHEN n_chars > 400 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y,
+        |   unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+        |tc AS (SELECT doc_id, y, tok, COUNT(*) AS c, len(tok) AS tl
+        |  FROM tk GROUP BY doc_id, y, tok),
+        |raw AS (SELECT doc_id, y,
+        |   CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS r1,
+        |   CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS r2,
+        |   CAST(SUM(c * tl) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS r3
+        |  FROM tc GROUP BY doc_id, y),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |   SUM(CAST(round(r1, 9) AS DECIMAL(20,9))) AS sa1,
+        |   SUM(CAST(round(r1 * r1, 9) AS DECIMAL(20,9))) AS sb1,
+        |   SUM(CAST(round(r2, 9) AS DECIMAL(20,9))) AS sa2,
+        |   SUM(CAST(round(r2 * r2, 9) AS DECIMAL(20,9))) AS sb2,
+        |   SUM(CAST(round(r3, 9) AS DECIMAL(20,9))) AS sa3,
+        |   SUM(CAST(round(r3 * r3, 9) AS DECIMAL(20,9))) AS sb3
+        |  FROM raw),
+        |ms AS (SELECT n,
+        |   CAST(sa1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+        |   CAST(sa2 AS DOUBLE) / CAST(n AS DOUBLE) AS m2,
+        |   CAST(sa3 AS DOUBLE) / CAST(n AS DOUBLE) AS m3,
+        |   CAST(sb1 AS DOUBLE) / CAST(n AS DOUBLE) AS v1,
+        |   CAST(sb2 AS DOUBLE) / CAST(n AS DOUBLE) AS v2,
+        |   CAST(sb3 AS DOUBLE) / CAST(n AS DOUBLE) AS v3
+        |  FROM st),
+        |sdv AS (SELECT n, m1, m2, m3,
+        |   sqrt(v1 - m1 * m1) AS d1, sqrt(v2 - m2 * m2) AS d2, sqrt(v3 - m3 * m3) AS d3
+        |  FROM ms),
+        |f AS (SELECT doc_id, y,
+        |   (r1 - m1) / d1 AS x1, (r2 - m2) / d2 AS x2, (r3 - m3) / d3 AS x3
+        |  FROM raw CROSS JOIN sdv),
+        |wz AS (SELECT CAST(0 AS DOUBLE) AS a0, CAST(0 AS DOUBLE) AS a1,
+        |   CAST(0 AS DOUBLE) AS a2, CAST(0 AS DOUBLE) AS a3),
+        |sg1 AS (SELECT y, x1, x2, x3,
+        |   CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+        |     + exp(-(((a0 + a1 * x1) + a2 * x2) + a3 * x3))) AS ph
+        |  FROM f CROSS JOIN wz),
+        |gr1 AS (SELECT
+        |   SUM(CAST(round(ph - y, 9) AS DECIMAL(20,9))) AS g0,
+        |   SUM(CAST(round((ph - y) * x1, 9) AS DECIMAL(20,9))) AS g1,
+        |   SUM(CAST(round((ph - y) * x2, 9) AS DECIMAL(20,9))) AS g2,
+        |   SUM(CAST(round((ph - y) * x3, 9) AS DECIMAL(20,9))) AS g3,
+        |   CAST(SUM(CASE WHEN (ph >= CAST(0.5 AS DOUBLE)) = (y = CAST(1 AS DOUBLE))
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS nc FROM sg1),
+        |u1 AS (SELECT
+        |   a0 - CAST(2.0 AS DOUBLE) * (CAST(g0 AS DOUBLE) / CAST(n AS DOUBLE)) AS a0,
+        |   a1 - CAST(2.0 AS DOUBLE) * (CAST(g1 AS DOUBLE) / CAST(n AS DOUBLE)) AS a1,
+        |   a2 - CAST(2.0 AS DOUBLE) * (CAST(g2 AS DOUBLE) / CAST(n AS DOUBLE)) AS a2,
+        |   a3 - CAST(2.0 AS DOUBLE) * (CAST(g3 AS DOUBLE) / CAST(n AS DOUBLE)) AS a3
+        |  FROM gr1 CROSS JOIN wz CROSS JOIN sdv),
+        |sg2 AS (SELECT y, x1, x2, x3,
+        |   CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+        |     + exp(-(((a0 + a1 * x1) + a2 * x2) + a3 * x3))) AS ph
+        |  FROM f CROSS JOIN u1),
+        |gr2 AS (SELECT
+        |   SUM(CAST(round(ph - y, 9) AS DECIMAL(20,9))) AS g0,
+        |   SUM(CAST(round((ph - y) * x1, 9) AS DECIMAL(20,9))) AS g1,
+        |   SUM(CAST(round((ph - y) * x2, 9) AS DECIMAL(20,9))) AS g2,
+        |   SUM(CAST(round((ph - y) * x3, 9) AS DECIMAL(20,9))) AS g3,
+        |   CAST(SUM(CASE WHEN (ph >= CAST(0.5 AS DOUBLE)) = (y = CAST(1 AS DOUBLE))
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS nc FROM sg2),
+        |u2 AS (SELECT
+        |   a0 - CAST(2.0 AS DOUBLE) * (CAST(g0 AS DOUBLE) / CAST(n AS DOUBLE)) AS a0,
+        |   a1 - CAST(2.0 AS DOUBLE) * (CAST(g1 AS DOUBLE) / CAST(n AS DOUBLE)) AS a1,
+        |   a2 - CAST(2.0 AS DOUBLE) * (CAST(g2 AS DOUBLE) / CAST(n AS DOUBLE)) AS a2,
+        |   a3 - CAST(2.0 AS DOUBLE) * (CAST(g3 AS DOUBLE) / CAST(n AS DOUBLE)) AS a3
+        |  FROM gr2 CROSS JOIN u1 CROSS JOIN sdv),
+        |sg3 AS (SELECT y, x1, x2, x3,
+        |   CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+        |     + exp(-(((a0 + a1 * x1) + a2 * x2) + a3 * x3))) AS ph
+        |  FROM f CROSS JOIN u2),
+        |gr3 AS (SELECT
+        |   SUM(CAST(round(ph - y, 9) AS DECIMAL(20,9))) AS g0,
+        |   SUM(CAST(round((ph - y) * x1, 9) AS DECIMAL(20,9))) AS g1,
+        |   SUM(CAST(round((ph - y) * x2, 9) AS DECIMAL(20,9))) AS g2,
+        |   SUM(CAST(round((ph - y) * x3, 9) AS DECIMAL(20,9))) AS g3,
+        |   CAST(SUM(CASE WHEN (ph >= CAST(0.5 AS DOUBLE)) = (y = CAST(1 AS DOUBLE))
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS nc FROM sg3),
+        |u3 AS (SELECT
+        |   a0 - CAST(2.0 AS DOUBLE) * (CAST(g0 AS DOUBLE) / CAST(n AS DOUBLE)) AS a0,
+        |   a1 - CAST(2.0 AS DOUBLE) * (CAST(g1 AS DOUBLE) / CAST(n AS DOUBLE)) AS a1,
+        |   a2 - CAST(2.0 AS DOUBLE) * (CAST(g2 AS DOUBLE) / CAST(n AS DOUBLE)) AS a2,
+        |   a3 - CAST(2.0 AS DOUBLE) * (CAST(g3 AS DOUBLE) / CAST(n AS DOUBLE)) AS a3
+        |  FROM gr3 CROSS JOIN u2 CROSS JOIN sdv),
+        |sg4 AS (SELECT y, x1, x2, x3,
+        |   CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+        |     + exp(-(((a0 + a1 * x1) + a2 * x2) + a3 * x3))) AS ph
+        |  FROM f CROSS JOIN u3),
+        |gr4 AS (SELECT
+        |   SUM(CAST(round(ph - y, 9) AS DECIMAL(20,9))) AS g0,
+        |   SUM(CAST(round((ph - y) * x1, 9) AS DECIMAL(20,9))) AS g1,
+        |   SUM(CAST(round((ph - y) * x2, 9) AS DECIMAL(20,9))) AS g2,
+        |   SUM(CAST(round((ph - y) * x3, 9) AS DECIMAL(20,9))) AS g3,
+        |   CAST(SUM(CASE WHEN (ph >= CAST(0.5 AS DOUBLE)) = (y = CAST(1 AS DOUBLE))
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS nc FROM sg4),
+        |u4 AS (SELECT
+        |   a0 - CAST(2.0 AS DOUBLE) * (CAST(g0 AS DOUBLE) / CAST(n AS DOUBLE)) AS a0,
+        |   a1 - CAST(2.0 AS DOUBLE) * (CAST(g1 AS DOUBLE) / CAST(n AS DOUBLE)) AS a1,
+        |   a2 - CAST(2.0 AS DOUBLE) * (CAST(g2 AS DOUBLE) / CAST(n AS DOUBLE)) AS a2,
+        |   a3 - CAST(2.0 AS DOUBLE) * (CAST(g3 AS DOUBLE) / CAST(n AS DOUBLE)) AS a3
+        |  FROM gr4 CROSS JOIN u3 CROSS JOIN sdv)
+        |SELECT CAST(1 AS BIGINT) AS round, gr1.nc AS n_correct,
+        |  u1.a0 AS w0, u1.a1 AS w1, u1.a2 AS w2, u1.a3 AS w3 FROM gr1 CROSS JOIN u1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), gr2.nc, u2.a0, u2.a1, u2.a2, u2.a3 FROM gr2 CROSS JOIN u2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), gr3.nc, u3.a0, u3.a1, u3.a2, u3.a3 FROM gr3 CROSS JOIN u3
+        |UNION ALL
+        |SELECT CAST(4 AS BIGINT), gr4.nc, u4.a0, u4.a1, u4.a2, u4.a3 FROM gr4 CROSS JOIN u4
+        |ORDER BY round""".stripMargin,
+    // DSIR restated literally: the same add-1-smoothed bucket LMs over
+    // md5-prefix buckets, ONE ln per bucket round(9)ed into
+    // DECIMAL(20,9) so the per-doc sum is order-independent (the t20
+    // discipline); selection ties break on doc_id.
+    "p25_dsir_select" ->
+      """WITH toks0 AS (SELECT doc_id, lang = 'en' AS tgt,
+        |   unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+        |toks AS (SELECT doc_id, tgt, substr(md5(tok), 1, 2) AS bucket FROM toks0),
+        |bt AS (SELECT bucket, COUNT(*) AS cr,
+        |   CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct
+        |  FROM toks GROUP BY bucket),
+        |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr, CAST(SUM(ct) AS BIGINT) AS nt FROM bt),
+        |lr AS (SELECT bucket,
+        |   CAST(round(ln(CAST(ct + 1 AS DOUBLE) * CAST(nr + 256 AS DOUBLE)
+        |     / (CAST(cr + 1 AS DOUBLE) * CAST(nt + 256 AS DOUBLE))), 9) AS DECIMAL(20,9)) AS term
+        |  FROM bt CROSS JOIN tot),
+        |scored AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(term) AS lw
+        |  FROM toks JOIN lr ON toks.bucket = lr.bucket GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, CAST(lw AS DOUBLE) AS log_weight
+        |FROM scored ORDER BY log_weight DESC, doc_id ASC LIMIT 25""".stripMargin,
     // the golden twin m6's analytic oracle lost (ADVICE r8): DuckDB
     // re-derives the stub 64-sample aHash with the same IEEE/int ops
     // (floor-scaled hex sampling, integer mean via >>6, bits 0–62)

@@ -192,6 +192,39 @@ object Multimodal {
           .otherwise(col("z.__cr"))).as("crossings"))
   }
 
+  /** Energy-threshold activity segmentation over REALLY decoded PCM —
+    * the clip-splitting stage an audio-training pipeline runs before
+    * transcription/packing (VAD with an energy gate): fixed-size
+    * windows are active when their mean square power clears
+    * `minMeanSquare`, and maximal runs of active windows become
+    * segments (start/end window, length, total energy). The run
+    * grouping is the R33 gaps-and-islands trick (win − row_number is
+    * constant within a run), so segments need one bounded per-clip
+    * window function, never a sequential scan.
+    *
+    * Determinism: the gate is the ALL-INTEGER comparison
+    * energy > minMeanSquare · n_samples (never a divided mean), and
+    * every output is an exact integer — hash-exact on any engine.
+    * Scale: [[audioWindowStats]]'s widen → decode → posexplode →
+    * hash-aggregate plan plus ONE clip-keyed exchange; per-key state is
+    * that clip's window count (bounded by clip length), the q26
+    * argument — corpora grow by adding clips.
+    */
+  def activitySegments(df: DataFrame, binCol: String, idCol: String,
+      window: Int, minMeanSquare: Long, maxSamples: Int = 1 << 20): DataFrame = {
+    require(minMeanSquare > 0, s"minMeanSquare must be positive: $minMeanSquare")
+    val w = audioWindowStats(df, binCol, idCol, window, maxSamples)
+    val active = w.filter(col("energy") > lit(minMeanSquare) * col("n_samples"))
+    val isl = active.withColumn("g", col("win") -
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("win"))))
+    isl.groupBy(col("doc_id"), col("g"))
+      .agg(min(col("win")).as("seg_start"), max(col("win")).as("seg_end"),
+        count(lit(1)).as("n_windows"), sum(col("energy")).as("seg_energy"))
+      .select(col("doc_id"), col("seg_start"), col("seg_end"),
+        col("n_windows"), col("seg_energy"))
+  }
+
   /** Perceptual hash (aHash) over the STUB decode — the image near-dup
     * signature: 64 "pixels" sampled evenly through the payload bytes
     * (what a real 8×8 grayscale resize does to an image, minus the

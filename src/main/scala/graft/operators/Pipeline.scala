@@ -1467,6 +1467,149 @@ object Pipeline {
     * complement of [[temperatureMixSample]]'s row sampling: weights
     * reshape the LOSS, sampling reshapes the DATA.
     */
+  /** DSIR — Data Selection via Importance Resampling (Xie et al.,
+    * NeurIPS 2023): score every raw document by how much more likely a
+    * TARGET-slice hashed-unigram LM makes its tokens than the raw-pool
+    * LM, then keep the top-k. The published cheap proxy for
+    * "quality-classifier" selection: both LMs are add-1-smoothed
+    * histograms over a FIXED hashed feature space (here 16^hexChars
+    * md5-prefix buckets — the only string hash Spark and DuckDB share
+    * bit-for-bit), so the model is two count vectors, never a trained
+    * net. log w(x) = Σ_tokens [ln p_target(b) − ln p_raw(b)].
+    *
+    * Determinism (the t20 KL discipline): the per-BUCKET log-ratio is
+    * ONE ln over one ratio of exact-integer products, round(9)ed and
+    * quantized to DECIMAL(20,9) — so the per-doc sum is exactly
+    * order-independent (and the DECIMAL→DOUBLE final cast is
+    * engine-identical while the unscaled sum stays < 2^53: |term| ≤
+    * ln(max count product) ≈ 30, docs ≤ ~10^4 tokens ⇒ ≪ 2^53).
+    * Selection ties break on doc id.
+    *
+    * Scale: two straight explode→hash-aggregate passes over the corpus
+    * (fit, then score) — the fit frame is ≤ 16^hexChars rows and rides
+    * a BROADCAST into the scoring scan, so the only exchanges are the
+    * two map-side-combined aggregates (bucket grain, then doc grain)
+    * and the final top-k is TakeOrderedAndProject (bounded), never a
+    * global sort. Nothing here is corpus-quadratic and the feature
+    * space is FIXED — the same property that lets the published method
+    * run on full CommonCrawl.
+    */
+  def dsirSelect(docs: DataFrame, isTarget: Column, k: Int,
+      textCol: String = "text", idCol: String = "doc_id",
+      hexChars: Int = 2): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    dsirScores(docs, isTarget, textCol, idCol, hexChars)
+      .orderBy(col("log_weight").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Every document's DSIR importance weight — the pre-selection frame
+    * [[dsirSelect]] (rank selection) and [[dsirResample]] (the paper's
+    * Gumbel-top-k sampling) both rank.
+    */
+  def dsirScores(docs: DataFrame, isTarget: Column,
+      textCol: String = "text", idCol: String = "doc_id",
+      hexChars: Int = 2): DataFrame = {
+    val model = dsirModel(docs, isTarget, textCol, hexChars)
+    docs.select(col(idCol).as("did"),
+        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .withColumn("bucket", substring(md5(col("tok")), 1, hexChars))
+      .join(broadcast(model), Seq("bucket"))
+      .groupBy(col("did"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("term")).as("lw"))
+      .select(col("did").as(idCol), col("n_tokens"),
+        col("lw").cast("double").as("log_weight"))
+  }
+
+  /** DSIR importance RESAMPLING proper — the published method's actual
+    * sampling step (Xie et al. 2023 sample without replacement ∝ w(x);
+    * [[dsirSelect]]'s rank selection is the deterministic degenerate
+    * case): Gumbel-top-k. key = log w(x) + Gumbel(doc), and the top-k
+    * keys are a weighted sample without replacement — the standard
+    * Gumbel-max coupling, with the noise DERIVED rather than drawn:
+    * u = (h + 0.5) / 2^52 from the first 13 md5 hex chars of the doc
+    * id (EXACT double — 2^52 is a binary power, h + 0.5 needs ≤ 53
+    * bits), g = −ln(−ln u). The same corpus always resamples the same
+    * k docs on any engine/cluster — seeded reproducibility the paper's
+    * RNG sampling can't give.
+    *
+    * Determinism: u is exact, the nested lns round(9) ONCE at the end
+    * (a generic double — the t34 midpoint lesson), the key is one
+    * double addition. Scale: [[dsirScores]]'s two aggregate passes plus
+    * a per-row key projection; selection is TakeOrderedAndProject.
+    */
+  def dsirResample(docs: DataFrame, isTarget: Column, k: Int,
+      textCol: String = "text", idCol: String = "doc_id",
+      hexChars: Int = 2, seed: String = "gum"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val h = conv(substring(md5(concat(lit(s"$seed:"),
+      col(idCol).cast("string"))), 1, 13), 16, 10).cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    val g = round(-log(-log(u)), 9)
+    dsirScores(docs, isTarget, textCol, idCol, hexChars)
+      .withColumn("gumbel_key", col("log_weight") + g)
+      .orderBy(col("gumbel_key").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** The [[dsirSelect]] per-bucket model as a reusable frame —
+    * (bucket, term DECIMAL(20,9)) — for gates that score documents
+    * AGAINST a fitted model instead of re-fitting (the streaming
+    * ST35 face). Because terms are quantized decimals, ANY summation
+    * order gives the identical per-doc log-weight, which is what makes
+    * the streaming per-row fold and the batch hash-aggregate agree
+    * bit-for-bit.
+    */
+  def dsirModel(docs: DataFrame, isTarget: Column,
+      textCol: String = "text", hexChars: Int = 2): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 6, s"hexChars out of range: $hexChars")
+    val nBuckets = 1L << (4 * hexChars)
+    val toks = docs.select(isTarget.as("tgt"),
+        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .withColumn("bucket", substring(md5(col("tok")), 1, hexChars))
+    val stats = toks.groupBy(col("bucket")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
+    val tot = stats.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val term = round(log(
+        (col("ct") + lit(1L)).cast("double") * (col("nr") + lit(nBuckets)).cast("double")
+          / ((col("cr") + lit(1L)).cast("double") * (col("nt") + lit(nBuckets)).cast("double"))),
+      9).cast("decimal(20,9)").as("term")
+    stats.crossJoin(broadcast(tot)).select(col("bucket"), term)
+  }
+
+  /** [[dsirModel]] collapsed to a driver map of NANO-LONG terms
+    * (the DECIMAL(20,9) unscaled values, exact): the broadcastable form
+    * a per-ROW scorer needs. 16^hexChars entries — bounded by the fixed
+    * feature space, never by the corpus.
+    */
+  def dsirModelNanos(model: DataFrame): Map[String, Long] =
+    model.collect().map { r =>
+      r.getString(0) -> r.getDecimal(1).unscaledValue().longValueExact()
+    }.toMap
+
+  /** Score ONE row's text against a fitted DSIR model without any
+    * aggregate — the shape a streaming gate needs (no shuffle, no
+    * state): tokens → md5 buckets → keep the buckets the model knows →
+    * fold their nano-long terms (exact integer addition, so ANY
+    * fold/aggregation order gives the identical sum the batch
+    * DECIMAL(20,9) hash-aggregate computes) → one double division by
+    * 1e9, the same single rounding as the batch DECIMAL→DOUBLE cast.
+    * Returns (n_tokens, log_weight) columns; [[dsirSelect]] over the
+    * fit corpus and this scorer agree bit-for-bit (spec-pinned).
+    */
+  def dsirRowScore(text: Column, modelNanos: Map[String, Long],
+      hexChars: Int = 2): (Column, Column) = {
+    require(hexChars >= 1 && hexChars <= 6, s"hexChars out of range: $hexChars")
+    val m = typedLit(modelNanos)
+    val known = filter(
+      transform(split(trim(text), "\\s+"), t => substring(md5(t), 1, hexChars)),
+      b => element_at(m, b).isNotNull)
+    val nanos = aggregate(known, lit(0L), (acc, b) => acc + element_at(m, b))
+    (size(known).cast("long").as("n_tokens"),
+      (nanos.cast("double") / lit(1.0e9)).as("log_weight"))
+  }
+
   def importanceReweight(docs: DataFrame, keyCol: String,
       cap: Double): DataFrame = {
     require(cap > 0, s"cap must be positive: $cap")

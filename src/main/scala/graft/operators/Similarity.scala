@@ -24,6 +24,46 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Johnson–Lindenstrauss sign random projection: embed `inDims`
+    * dimensions into `outDims` via a FIXED ±1 matrix (Achlioptas 2001
+    * — the database-friendly JL construction), preserving pairwise
+    * distances to within 1±ε with outDims = O(ln N / ε²). The
+    * dimensionality lever MRL truncation (s11) needs trained models
+    * for, available on ANY embedding: retrieval runs inDims/outDims×
+    * cheaper per pair, with recall measured by the s10 harness.
+    *
+    * The matrix is derived, not stored: sign(j,i) = +1 iff the first
+    * hex char of md5("seed:j:i") < '8' — the one hash both engines
+    * share — materialized ONCE on the driver into literal arrays (as a
+    * real deployment materializes its projection matrix) and applied
+    * as `outDims` codegen'd [[dot]] folds per row. Norm scaling
+    * (1/√outDims) is deliberately omitted: cosine is scale-invariant,
+    * which is what retrieval compares.
+    *
+    * Determinism: each projected coordinate is the same 0.0-init left
+    * fold of exact ±x_i terms in i order on both engines (float→double
+    * widening exact, ±1 products exact) — bit-identical, no rounding
+    * anywhere. Scale: a pure projection — no shuffle, no state; at
+    * 100 TB this runs inside the scan stage and SHRINKS everything
+    * downstream by inDims/outDims.
+    */
+  def jlProject(vectors: DataFrame, inDims: Int, outDims: Int,
+      seed: String = "jl", embCol: String = "embedding",
+      projCol: String = "proj"): DataFrame = {
+    require(inDims >= 1 && outDims >= 1 && outDims <= 256,
+      s"bad JL dims: $inDims -> $outDims")
+    val mdInst = java.security.MessageDigest.getInstance("MD5")
+    def signOf(j: Int, i: Int): Double = {
+      val h = mdInst.digest(s"$seed:$j:$i".getBytes("UTF-8"))
+      // first hex char < '8' <=> high nibble of byte 0 < 8
+      if (((h(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+    }
+    val signs = Array.tabulate(outDims, inDims)((j, i) => signOf(j, i))
+    val v = toDoubleVec(col(embCol))
+    vectors.withColumn(projCol,
+      array((0 until outDims).map(j => dot(v, lit(signs(j)))): _*))
+  }
+
   /** Brute-force top-k: every query vector against the full corpus.
     * The query set is broadcast (small); the corpus side streams — one
     * pass, no shuffle until the per-query top-k window.
@@ -127,6 +167,71 @@ object Similarity {
           x => when(col("scale") > 0,
             floor(x / col("scale") * 127.0 + 0.5).cast("int")).otherwise(0))
           .as("q"))
+  }
+
+  /** Two-stage SQ8 retrieval — the FAISS-SQ serving pattern: a COARSE
+    * scan over int8-quantized vectors (4× less memory traffic, exact
+    * integer dot products) nominates `candidates` per query through the
+    * TopKPerKey bounded-heap operator, then ONLY those re-rank with
+    * exact float cosine. The int8 coarse score needs no dequantization:
+    * per-vector scales cancel in the cosine ratio, so
+    * score = int_dot / (√q_selfdot · √v_selfdot) ranks quantized cosine
+    * directly — one division and two IEEE sqrts per pair, every product
+    * an exact long.
+    *
+    * Determinism: quantization is per-row IEEE (floor(x/s·127+0.5)),
+    * integer dots exact, coarse/final ties break on vec_id, the exact
+    * re-rank is s1's formula verbatim — hash-exact, no rounding.
+    * All-zero vectors (scale 0 ⇒ self-dot 0) are filtered on both
+    * sides, never a 0/0 NaN whose ordering engines disagree on.
+    *
+    * Scale: the corpus streams ONCE in int8; the candidate list
+    * (queries × candidates) broadcasts back into the float scan for
+    * re-ranking, so full-precision vectors are touched only for
+    * ~candidates rows per query — the memory-bandwidth story that makes
+    * SQ8 the default first stage at 100 TB.
+    */
+  def sq8RerankTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+      candidates: Int, embCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1 && candidates >= k, s"bad k/candidates: $k/$candidates")
+    def selfDotInt(q: Column) =
+      aggregate(q, lit(0L), (a, x) => a + x.cast("long") * x.cast("long"))
+    def quant(v: Column): Column = {
+      val scale = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x)))
+      transform(v, x => when(scale > 0,
+        floor(x / scale * 127.0 + 0.5).cast("int")).otherwise(0))
+    }
+    val corpus8 = quantizeInt8(vectors, embCol, idCol)
+      .withColumn("vdot", selfDotInt(col("q")))
+      .filter(col("vdot") > 0L)
+    val q8 = queries.select(col("qid"), col("qv"))
+      .withColumn("qq", quant(col("qv")))
+      .withColumn("qdot", selfDotInt(col("qq")))
+      .filter(col("qdot") > 0L)
+      .select(col("qid"), col("qq"), col("qdot"))
+    val coarse = broadcast(q8).as("q")
+      .join(corpus8.as("v"), col("q.qid") =!= col(s"v.$idCol"))
+      .select(col("q.qid"), col(s"v.$idCol").as("vec_id"),
+        (aggregate(zip_with(col("q.qq"), col("v.q"),
+            (a, b) => a.cast("long") * b.cast("long")), lit(0L), (s0, x) => s0 + x)
+          .cast("double")
+          / (sqrt(col("q.qdot").cast("double")) * sqrt(col("vdot").cast("double"))))
+          .as("approx"))
+    val cand = TopK.perKey(coarse, keys = Seq("qid"),
+      orderBy = Seq(TopK.desc("approx"), TopK.asc("vec_id")), k = candidates)
+    val v = vectors.select(col(idCol).as("vec_id"), toDoubleVec(col(embCol)).as("v"))
+      .withColumn("vn", norm(col("v")))
+    val qv = queries.select(col("qid"), col("qv")).withColumn("qn", norm(col("qv")))
+    val exact = broadcast(cand.select(col("qid"), col("vec_id")))
+      .join(v, Seq("vec_id"))
+      .join(broadcast(qv), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("vn"))).as("cosine"))
+    exact.withColumn("rank",
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
   }
 
   /** Dequantize back to doubles: q_i * scale / 127. */

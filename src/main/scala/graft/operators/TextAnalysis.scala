@@ -1460,4 +1460,103 @@ object TextAnalysis {
       }
       .toDF("doc_id", "pos", "word", "pieces", "n_pieces")
   }
+
+  /** Trained model-based quality classifier — full-batch logistic
+    * regression by gradient descent, the distributed shape MLlib's own
+    * LogisticRegression runs (k rounds × ONE aggregate scan): the
+    * fastText/DCLM-style "train a cheap classifier, gate the corpus
+    * with it" stage expressed inside the engine. Features per document
+    * are one-division exact ratios off a single (doc, token)-grain
+    * aggregate — type-token ratio, max-token-frequency ratio, mean
+    * token length — then STANDARDIZED ((x−μ)/σ, what makes plain GD
+    * converge instead of bouncing on badly-conditioned raw scales);
+    * label = any Boolean `isPositive` column.
+    *
+    * Determinism (the d20/t20 discipline, applied to GD): μ and σ come
+    * from round(9)/DECIMAL(20,9) power sums (order-independent), σ via
+    * IEEE sqrt (correctly rounded, engine-identical); per-row gradient
+    * terms (sigmoid−y)·x_j are round(9)ed into DECIMAL(20,9) so each
+    * round's gradient sum is exact; the weight update w − lr·(g/n) is
+    * the same three double ops on the driver as in the oracle's SQL.
+    * The sigmoid itself is deliberately NOT pre-rounded: rounding it to
+    * the 1e-9 grid and then rounding grid-multiples again at the term
+    * scale lands EXACTLY on decimal midpoints, where Spark's
+    * shortest-repr HALF_UP and DuckDB's double-arithmetic round
+    * disagree (~5% of rows — measured). Raw sigmoid keeps every term
+    * generic, so the single round(9) decides identically; the residual
+    * exp-ulp risk needs a libm disagreement to COINCIDE with a 5e-10
+    * rounding boundary (JVM and C libm exp agreed on every tested
+    * input; multiplicatively rare). Accuracy is an integer count at
+    * the round's INPUT weights (round 1: all-zero weights ⇒ sigmoid
+    * exactly 0.5 ⇒ all predicted positive — boundary-deterministic).
+    *
+    * Scale: one (doc, token) aggregate + one doc-grain aggregate build
+    * features; standardization is a 1-row broadcast; each GD round is
+    * one map-side-combined aggregate over the localCheckpoint-pinned
+    * feature frame returning four decimal sums — rounds × one pass,
+    * driver state is the 4-double weight vector. No shuffle grows with
+    * rounds or corpus width.
+    */
+  def trainQualityClassifier(docs: DataFrame, isPositive: Column,
+      textCol: String = "text", idCol: String = "doc_id",
+      rounds: Int = 4, lrate: Double = 2.0): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"rounds out of range: $rounds")
+    val spark = docs.sparkSession
+    val tokc = docs.select(col(idCol).as("did"),
+        when(isPositive, lit(1.0)).otherwise(lit(0.0)).as("y"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("did"), col("y"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("tl", length(col("tok")).cast("long"))
+    val raw = tokc.groupBy(col("did"), col("y"))
+      .agg((count(lit(1)).cast("double") / sum(col("c")).cast("double")).as("r1"),
+        (max(col("c")).cast("double") / sum(col("c")).cast("double")).as("r2"),
+        (sum(col("c") * col("tl")).cast("double")
+          / sum(col("c")).cast("double")).as("r3"))
+    def s1s2(c: Column) = Seq(
+      sum(round(c, 9).cast("decimal(20,9)")),
+      sum(round(c * c, 9).cast("decimal(20,9)")))
+    val st = raw.agg(count(lit(1)).as("n"),
+      s1s2(col("r1"))(0).as("a1"), s1s2(col("r1"))(1).as("b1"),
+      s1s2(col("r2"))(0).as("a2"), s1s2(col("r2"))(1).as("b2"),
+      s1s2(col("r3"))(0).as("a3"), s1s2(col("r3"))(1).as("b3"))
+      .collect()(0)
+    val nD = st.getLong(0).toDouble
+    // μ = S1/n, σ = sqrt(S2/n − μ²) — mirrored verbatim in the oracle
+    val mu = Array.tabulate(3)(j => st.getDecimal(1 + 2 * j).doubleValue / nD)
+    val sd = Array.tabulate(3)(j =>
+      math.sqrt(st.getDecimal(2 + 2 * j).doubleValue / nD - mu(j) * mu(j)))
+    require(sd.forall(s => s > 0 && !s.isNaN),
+      s"degenerate feature (zero variance): ${sd.mkString(",")}")
+    val feats = raw.select(col("did"), col("y"),
+        ((col("r1") - lit(mu(0))) / lit(sd(0))).as("x1"),
+        ((col("r2") - lit(mu(1))) / lit(sd(1))).as("x2"),
+        ((col("r3") - lit(mu(2))) / lit(sd(2))).as("x3"))
+      .localCheckpoint()
+    var w = Array(0.0, 0.0, 0.0, 0.0)
+    val trace = Seq.newBuilder[(Int, Long, Double, Double, Double, Double)]
+    for (r <- 1 to rounds) {
+      val z = lit(w(0)) + lit(w(1)) * col("x1") +
+        lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+      // Fence pins the sigmoid to ONE evaluation per row — without it
+      // CollapseProject inlines the exp into all five aggregates
+      val scored = feats.withColumn("ph",
+        graft.functions.Fence(lit(1.0) / (lit(1.0) + exp(-z))))
+      val resid = col("ph") - col("y")
+      def g(x: Column) = sum(round(resid * x, 9).cast("decimal(20,9)"))
+      val row = scored.agg(
+        g(lit(1.0)).as("g0"), g(col("x1")).as("g1"),
+        g(col("x2")).as("g2"), g(col("x3")).as("g3"),
+        sum(when((col("ph") >= lit(0.5)) === (col("y") === lit(1.0)), 1L)
+          .otherwise(0L)).as("nc")).collect()(0)
+      val gs = (0 to 3).map(i => row.getDecimal(i).doubleValue)
+      w = Array.tabulate(4)(j => w(j) - lrate * (gs(j) / nD))
+      trace += ((r, row.getLong(4), w(0), w(1), w(2), w(3)))
+    }
+    import spark.implicits._
+    trace.result().toDF("round", "n_correct", "w0", "w1", "w2", "w3")
+      .select(col("round").cast("long").as("round"), col("n_correct"),
+        col("w0"), col("w1"), col("w2"), col("w3"))
+      .orderBy(col("round"))
+  }
 }

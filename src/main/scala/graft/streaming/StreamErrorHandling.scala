@@ -750,6 +750,53 @@ object StreamErrorHandling {
     ()
   }
 
+  /** One trigger of the ST35 DSIR gate — factored out so the spec can
+    * drive it batch-for-batch. Per-row scoring only (the nano-long
+    * fold, no aggregate/state); ONE pass per trigger: the scored frame
+    * is pinned, then split by the threshold into kept/rejected stores.
+    * Overwrite-by-batch_id: a crash-replayed trigger rewrites its own
+    * partition, never re-appends (the e12/epoch-store discipline).
+    */
+  def processDsirTrigger(batch: DataFrame, batchId: Long,
+      modelNanos: Map[String, Long], minLogWeight: Double,
+      keptPath: String, rejectedPath: String,
+      textCol: String = "text", hexChars: Int = 2): Unit = {
+    val (nTok, lw) = graft.operators.Pipeline
+      .dsirRowScore(col(textCol), modelNanos, hexChars)
+    val scored = batch.withColumn("n_tokens", nTok)
+      .withColumn("log_weight", lw).localCheckpoint()
+    scored.filter(col("log_weight") >= lit(minLogWeight))
+      .write.mode("overwrite").parquet(s"$keptPath/batch_id=$batchId")
+    scored.filter(col("log_weight") < lit(minLogWeight)
+        || col("log_weight").isNull)
+      .write.mode("overwrite").parquet(s"$rejectedPath/batch_id=$batchId")
+    ()
+  }
+
+  /** Streaming DSIR quality gate (ST35): the p25 importance scorer as
+    * a live ingest filter — every arriving document scored against the
+    * FITTED target/raw bucket model per trigger, kept or rejected by a
+    * log-weight threshold. The model is the dsirModelNanos driver map
+    * (≤ 16^hexChars entries — fixed feature space), embedded as a
+    * literal map column: per-row fold, no shuffle, no state, nothing
+    * grows with the stream. Because the nano-long fold is
+    * order-independent EXACT integer addition, each row's score is
+    * bit-identical to the batch dsirSelect hash-aggregate over the
+    * same corpus (StreamingBatchEquivalenceSpec pins row-for-row
+    * equality against the oracle-verified p25 values).
+    */
+  def dsirGate(stream: DataFrame, modelNanos: Map[String, Long],
+      minLogWeight: Double, keptPath: String, rejectedPath: String,
+      checkpointPath: String, textCol: String = "text",
+      hexChars: Int = 2): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        processDsirTrigger(batch.toDF(), batchId, modelNanos, minLogWeight,
+          keptPath, rejectedPath, textCol, hexChars)
+      }
+      .start()
+
   /** Streaming benchmark-contamination gate (ST30): a live ingest
     * pipeline checks every arriving document against the eval suite's
     * n-grams PER TRIGGER instead of waiting for the next batch sweep —

@@ -1266,4 +1266,153 @@ class OperatorsSpec extends SparkSpec {
         assert(gaps1(p.toInt - 1) <= 1L * sec, s"gap $p in burst is short"))
     }
   }
+
+  test("dsirSelect ranks target-vocabulary docs first; row scorer is bit-equal") {
+    import graft.operators.Pipeline
+    // target slice speaks alpha/beta/gamma; raw pool speaks noiseN.
+    // Candidate docs in target vocabulary must outscore noise docs.
+    val corpus = (
+      (0L until 6L).map(i => (i, "alpha beta gamma alpha beta", true)) ++
+      (6L until 20L).map(i => (i, s"noise$i junk$i filler$i padding$i extra$i", false)) ++
+      Seq((20L, "alpha beta gamma beta alpha", false),   // target-like, in raw
+          (21L, "noise1 junk2 filler3 padding4 extra5", false))
+    ).toDF("doc_id", "text", "tgt")
+    val top = Pipeline.dsirSelect(corpus, isTarget = col("tgt"), k = 8)
+      .select($"doc_id", $"n_tokens", $"log_weight")
+      .as[(Long, Long, Double)].collect()
+    assert(top.length == 8)
+    // the 6 target docs + the target-like raw doc fill the top 7
+    assert(top.take(7).map(_._1).toSet === (0L until 6L).toSet + 20L)
+    assert(top.head._3 > top.last._3)
+    // per-row scorer: bit-identical to the batch aggregate on every doc
+    val model = Pipeline.dsirModel(corpus, isTarget = col("tgt"))
+    val nanos = Pipeline.dsirModelNanos(model)
+    assert(nanos.size <= 256 && nanos.nonEmpty)
+    val (nTok, lw) = Pipeline.dsirRowScore(col("text"), nanos)
+    val rowScores = corpus.select($"doc_id", nTok, lw)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    top.foreach { case (did, n, w) =>
+      assert(rowScores(did) === ((n, w)), s"doc $did scorer diverged")
+    }
+  }
+
+  test("dsirResample: a weighted sample — reproducible, weight-biased, ≠ rank selection") {
+    import graft.operators.Pipeline
+    val corpus = (
+      (0L until 10L).map(i => (i, "alpha beta gamma alpha beta", true)) ++
+      (10L until 60L).map(i => (i, s"noise$i junk$i filler$i pad$i", false))
+    ).toDF("doc_id", "text", "tgt")
+    def run() = Pipeline.dsirResample(corpus, isTarget = col("tgt"), k = 20)
+      .select($"doc_id").as[Long].collect().toSeq
+    val a = run()
+    assert(a == run(), "resample not reproducible")
+    // weight bias: every high-weight target doc is sampled (their
+    // log-weight gap to the noise docs dwarfs the Gumbel spread here)
+    assert((0L until 10L).forall(a.contains), s"target docs missing: $a")
+    // and it is a SAMPLE, not the rank selection: order differs from
+    // dsirSelect's pure weight ranking for the noise tail
+    val sel = Pipeline.dsirSelect(corpus, isTarget = col("tgt"), k = 20)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(a != sel, "gumbel noise changed nothing — suspicious")
+  }
+
+  test("sq8RerankTopK: equals exact brute force when every vector is a candidate") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 40L).map(i => (i, Array.fill(32)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    val queries = broadcast(vecs.filter($"vec_id" < 6L)
+      .select($"vec_id".as("qid"), Similarity.toDoubleVec($"embedding").as("qv")))
+    // candidates = corpus: the coarse stage cannot lose the true top-k,
+    // so the result must EQUAL s1's exact brute force, cosines included
+    val got = Similarity.sq8RerankTopK(vecs, queries, k = 5, candidates = 40)
+      .select($"qid", $"rank", $"vec_id", $"cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val want = Similarity.bruteForceTopK(vecs, queries, k = 5)
+      .select($"qid", $"rank", $"vec_id", $"cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(got === want)
+    // and a tight candidate budget still finds the planted twin as top-1
+    val v0 = vecs.filter($"vec_id" === 0L).select($"embedding")
+      .as[Array[Float]].head()
+    val twin = vecs.union(Seq((100L, v0)).toDF("vec_id", "embedding"))
+    val top1 = Similarity.sq8RerankTopK(twin,
+        broadcast(twin.filter($"vec_id" === 100L)
+          .select($"vec_id".as("qid"), Similarity.toDoubleVec($"embedding").as("qv"))),
+        k = 1, candidates = 4)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect()
+    assert(top1.toSeq == Seq((100L, 0L)), "identical twin must be coarse+exact top-1")
+  }
+
+  test("jlProject: deterministic ±1 matrix, planted near-pair survives projection") {
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
+    val near = base.clone(); near(0) += 0.01f
+    val vecs = Seq((0L, base), (1L, near)) ++
+      (2L until 30L).map(i => (i, Array.fill(64)(rnd.nextFloat() * 2f - 1f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val p1 = Similarity.jlProject(df, inDims = 64, outDims = 16)
+      .select($"vec_id", $"proj").as[(Long, Array[Double])].collect().toMap
+    val p2 = Similarity.jlProject(df, inDims = 64, outDims = 16)
+      .select($"vec_id", $"proj").as[(Long, Array[Double])].collect().toMap
+    assert(p1(0L).length == 16)
+    assert(p1.forall { case (k, v) => v.sameElements(p2(k)) }, "not deterministic")
+    // the cosine-0.9999 planted pair stays each other's top-1 in the
+    // 16-dim projected space (the JL guarantee at this gap)
+    val proj = Similarity.jlProject(df, inDims = 64, outDims = 16)
+      .select($"vec_id", $"proj".as("embedding"))
+    val q = proj.filter($"vec_id" < 2L)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val top1 = Similarity.bruteForceTopK(proj, q, k = 1)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toMap
+    assert(top1(0L) == 1L && top1(1L) == 0L)
+  }
+
+  test("trainQualityClassifier: accuracy climbs monotonically to a near-perfect fit") {
+    // separable by construction: positives are repetitive (low TTR),
+    // negatives all-distinct tokens (TTR 1) — the features carry the
+    // label exactly, so GD must find it
+    val corpus = (
+      (0L until 20L).map(i => (i, ("dup dup dup word" + i + " ") * 8, 1)) ++
+      (20L until 40L).map(i =>
+        (i, (0 until 32).map(j => s"tok${i}_$j").mkString(" "), 0))
+    ).toDF("doc_id", "text", "cls")
+    val trace = TextAnalysis.trainQualityClassifier(corpus,
+        isPositive = col("cls") === 1, rounds = 4)
+      .select($"round", $"n_correct", $"w1")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(trace.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    val accs = trace.map(_._2)
+    assert(accs.zip(accs.tail).forall { case (a, b) => b >= a },
+      s"accuracy not monotone: ${accs.mkString(",")}")
+    assert(accs.last == 40L, s"separable corpus must fit: ${accs.mkString(",")}")
+    // low TTR predicts positive -> negative weight on standardized TTR
+    assert(trace.last._3 < 0, "TTR weight sign wrong for repetitive positives")
+  }
+
+  test("activitySegments: hand-built PCM splits into the exact expected islands") {
+    // 16 samples, window 4: [loud, silent, loud, loud] -> segments
+    // [0,0] and [2,3]; threshold mean-square 100
+    val samples: Array[Int] = Array(
+      20, -20, 20, -20,   // win 0: energy 1600 > 400
+      1, 0, -1, 0,        // win 1: energy 2  <= 400
+      30, 30, -30, -30,   // win 2: energy 3600
+      15, -15, 15, 25)    // win 3: energy 1300
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(16000).putInt(32000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => bb.putShort(s.toShort))
+    val df = Seq((7L, bb.array())).toDF("doc_id", "payload")
+    val segs = Multimodal.activitySegments(df, "payload", "doc_id",
+        window = 4, minMeanSquare = 100L)
+      .select($"doc_id", $"seg_start", $"seg_end", $"n_windows", $"seg_energy")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(segs.toSeq == Seq((7L, 0L, 0L, 1L, 1600L), (7L, 2L, 3L, 2L, 4900L)))
+  }
 }

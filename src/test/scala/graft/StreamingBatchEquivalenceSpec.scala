@@ -396,4 +396,45 @@ class StreamingBatchEquivalenceSpec extends SparkSpec {
       .as[(Long, Long, Option[String])].collect().toSet
     assert(got.filter(r => r._2 % 10 == 1) == batch) // trigger-2 amounts end in 1
   }
+
+  test("ST35 dsirGate scores equal oracle-verified p25 bit-for-bit; " +
+      "threshold splits exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = Tables.load(spark, sf, "documents")
+    // fit batch-side on the full corpus (what p25 fits on)
+    val nanos = graft.operators.Pipeline.dsirModelNanos(
+      graft.operators.Pipeline.dsirModel(docs, isTarget = $"lang" === "en"))
+    val tmp = Files.createTempDirectory("graft-sbe-dsir").toString
+    val mem = MemoryStream[(Long, String)]
+    val thr = 0.05
+    val q = StreamErrorHandling.dsirGate(
+      mem.toDF().toDF("doc_id", "text"), nanos, minLogWeight = thr,
+      s"$tmp/kept", s"$tmp/rejected", s"$tmp/ckpt")
+    val rows = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toSeq
+    // two triggers, arbitrary split
+    val (t1, t2) = rows.partition(_._1 % 3 == 0)
+    mem.addData(t1); q.processAllAvailable()
+    mem.addData(t2); q.processAllAvailable()
+    q.stop()
+    val kept = spark.read.parquet(s"$tmp/kept")
+      .select($"doc_id", $"n_tokens", $"log_weight")
+      .as[(Long, Long, Double)].collect()
+    val rejected = spark.read.parquet(s"$tmp/rejected")
+      .select($"doc_id", $"n_tokens", $"log_weight")
+      .as[(Long, Long, Double)].collect()
+    assert(kept.nonEmpty && rejected.nonEmpty, "threshold must split")
+    assert(kept.forall(_._3 >= thr) && rejected.forall(_._3 < thr))
+    assert((kept ++ rejected).map(_._1).sorted.toSeq ==
+      rows.map(_._1).sorted.toSeq)
+    // BIT-FOR-BIT equality with the oracle-verified p25 top-25 values
+    val scores = (kept ++ rejected).map(r => r._1 -> ((r._2, r._3))).toMap
+    val p25 = SparkEntry.queries("p25_dsir_select")(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(p25.length == 25)
+    p25.foreach { case (did, n, w) =>
+      assert(scores(did) === ((n, w)), s"doc $did gate score != batch p25")
+    }
+  }
 }

@@ -68,6 +68,24 @@ class StreamingSpec extends SparkSpec {
       ("4", "graft.ContractViolation", "qty_small")))
   }
 
+  test("dsirGate (ST35): crash-replayed trigger rewrites its partition, never re-appends") {
+    val tmp = Files.createTempDirectory("graft-dsir-replay").toString
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val nanos = graft.operators.Pipeline.dsirModelNanos(
+      graft.operators.Pipeline.dsirModel(docs, isTarget = col("doc_id") === 1L))
+    def replay(): Unit = StreamErrorHandling.processDsirTrigger(
+      docs, batchId = 0L, nanos, minLogWeight = 0.0,
+      s"$tmp/kept", s"$tmp/rejected")
+    replay(); replay() // crash-replay: same trigger twice
+    val kept = spark.read.parquet(s"$tmp/kept")
+    val rej = spark.read.parquet(s"$tmp/rejected")
+    assert(kept.count() + rej.count() == 2L, "replay duplicated rows")
+    // the target-vocabulary doc scores above the noise doc
+    val k = kept.select($"doc_id").as[Long].collect().toSet
+    assert(k.contains(1L) && !k.contains(2L))
+  }
+
   test("contaminationGate (ST30): per-trigger verdicts equal the batch p4 verdict") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
