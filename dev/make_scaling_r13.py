@@ -42,38 +42,48 @@ def main():
     with open(os.path.join(REPO, "BENCH_SCALING_r12.json")) as f:
         r12 = json.load(f)
     sf01 = load("bench_out.json")
-    sf1 = load("bench_sf1_r13.json")
-    sf10 = load("bench_sf10_r13.json")
-    steady_path = os.path.join(REPO, "bench_sf10_r13_steady.json")
-    steady = {}
-    if os.path.exists(steady_path):
-        with open(steady_path) as f:
-            steady = json.load(f)["queries"]
+
+    def steady_of(name):
+        path = os.path.join(REPO, name)
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            return json.load(f)["queries"]
 
     queries = {}
     for q, v in r12["queries"].items():
         queries[q] = dict(v, measured_round=12)
-    for q in sorted(sf10):
-        if q not in sf01 or q not in sf1:
-            continue
-        t01, t1 = sf01[q], sf1[q]
-        t10 = min(sf10[q], steady[q]) if q in steady else sf10[q]
-        entry = {
-            "sf01": round(t01, 3),
-            "sf1": round(t1, 3),
-            "sf10": round(t10, 3),
-            "ratio_01_to_1": round(t1 / t01, 2),
-            "ratio_1_to_10": round(t10 / t1, 2),
-            "measured_round": 13,
-        }
-        if t01 >= MIN_SEC:
-            entry["exp_decade1"] = round(math.log10(t1 / t01), 3)
-        if t1 >= MIN_SEC:
-            entry["exp_decade2"] = round(math.log10(t10 / t1), 3)
-        if q in steady:
-            entry["sf10_first_run"] = round(sf10[q], 3)
-            entry["steady_state"] = True
-        queries[q] = entry
+
+    # two measurement waves this round, same recipe: the capacity twins
+    # (r13) and the second-wave new operators (r13b)
+    waves = [
+        (load("bench_sf1_r13.json"), load("bench_sf10_r13.json"),
+         steady_of("bench_sf10_r13_steady.json")),
+        (load("bench_sf1_r13b.json"), load("bench_sf10_r13b.json"),
+         steady_of("bench_sf10_r13b_steady.json")),
+    ]
+    for sf1, sf10, steady in waves:
+        for q in sorted(sf10):
+            if q not in sf01 or q not in sf1:
+                continue
+            t01, t1 = sf01[q], sf1[q]
+            t10 = min(sf10[q], steady[q]) if q in steady else sf10[q]
+            entry = {
+                "sf01": round(t01, 3),
+                "sf1": round(t1, 3),
+                "sf10": round(t10, 3),
+                "ratio_01_to_1": round(t1 / t01, 2),
+                "ratio_1_to_10": round(t10 / t1, 2),
+                "measured_round": 13,
+            }
+            if t01 >= MIN_SEC:
+                entry["exp_decade1"] = round(math.log10(t1 / t01), 3)
+            if t1 >= MIN_SEC:
+                entry["exp_decade2"] = round(math.log10(t10 / t1), 3)
+            if q in steady:
+                entry["sf10_first_run"] = round(sf10[q], 3)
+                entry["steady_state"] = True
+            queries[q] = entry
 
     flagged = sorted(q for q, v in queries.items()
                      if v.get("exp_decade2", 0) > 1.1)
