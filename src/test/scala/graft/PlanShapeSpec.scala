@@ -164,4 +164,66 @@ class PlanShapeSpec extends SparkSpec {
       .exists(_.isInstanceOf[ShuffledHashJoinExec]),
       "d34 band self-join lost its shuffle_hash hint")
   }
+
+  test("p25/p26: the DSIR model joins as a broadcast; no window, no cartesian") {
+    for (name <- Seq("p25_dsir_select", "p26_dsir_resample")) {
+      val ns = nodes(q(name))
+      assert(ns.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        s"$name scores through a non-broadcast model join")
+      assert(!ns.exists(_.isInstanceOf[WindowExec]), s"$name plans a window")
+      // the tiny model×totals cross join is the ONE sanctioned product
+      // (≤256 × 1 rows); a second would be a real pair blowup
+      assert(ns.count(n => n.isInstanceOf[CartesianProductExec] ||
+        n.isInstanceOf[org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec]) <= 1,
+        s"$name plans more than the 1-row totals product")
+      // selection is TakeOrderedAndProject, never a global sort+limit
+      assert(ns.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+        s"$name top-k is not TakeOrderedAndProject")
+    }
+  }
+
+  test("s16/s17: projection/coarse stages plan no window sort except the " +
+      "bounded per-query rank; s17 nominates through TopKPerKeyExec") {
+    // s16: the only window is the per-qid rank over broadcast-joined
+    // pairs — partitioned, bounded by the query set
+    val s16 = nodes(q("s16_jl_projection"))
+    assert(!s16.collect { case w: WindowExec => w }
+      .exists(_.partitionSpec.isEmpty), "s16 plans a global window")
+    // the qid =!= vec_id pair join is non-equi: the broadcast form is
+    // BroadcastNestedLoopJoin with the TINY query side broadcast (the
+    // s1 shape) — corpus must stream, never shuffle
+    assert(s16.exists(_.isInstanceOf[org.apache.spark.sql.execution
+      .joins.BroadcastNestedLoopJoinExec]),
+      "s16 query side is not broadcast")
+    val s17 = nodes(q("s17_sq8_rerank"))
+    assert(s17.exists(_.isInstanceOf[graft.plans.TopKPerKeyExec]),
+      "s17 coarse candidate stage lost TopKPerKeyExec")
+    assert(!s17.collect { case w: WindowExec => w }
+      .exists(_.partitionSpec.isEmpty), "s17 plans a global window")
+    assert(!s17.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "s17 plans a SortMergeJoin (re-rank joins must broadcast)")
+  }
+
+  test("t34: feature/GD aggregates plan no window, no join shuffle of the corpus") {
+    val ns = nodes(q("t34_quality_classifier"))
+    assert(!ns.exists(_.isInstanceOf[WindowExec]), "t34 plans a window")
+    assert(!ns.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "t34 plans a SortMergeJoin")
+    // the output is the 4-row driver trace: localRelation/parallelize,
+    // nothing corpus-sized survives into the final plan
+    assert(nodes(q("t34_quality_classifier")).length < 12,
+      "t34 final plan unexpectedly large — trace frame regressed")
+  }
+
+  test("m13: segmentation windows are clip-partitioned; decode pipeline unchanged") {
+    val ns = nodes(q("m13_activity_segments"))
+    val ws = ns.collect { case w: WindowExec => w }
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      "m13 islands window must be partitioned by clip")
+    assert(!ns.exists(_.isInstanceOf[SortMergeJoinExec]) &&
+      !ns.exists(_.isInstanceOf[CartesianProductExec]),
+      "m13 plans a join it should not have")
+  }
 }
