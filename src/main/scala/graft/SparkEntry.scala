@@ -2181,6 +2181,16 @@ object SparkEntry {
       .orderBy($"qid", $"rank")
   }
 
+  private def t35(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // TextRank extractive summarization: top-2 most central 10-token
+    // pseudo-sentences per document via 5 rounds of damped weighted
+    // PageRank over the within-doc overlap graph — d20's sorted-fold
+    // discipline, hash-exact.
+    operators.TextAnalysis.textRankSummary(t(s, dir, "documents"))
+      .orderBy($"doc_id", $"srank")
+  }
+
   private def m8(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // Golden cross-engine pin of the STUB hex-sampling aHash arithmetic
@@ -3542,6 +3552,7 @@ object SparkEntry {
     "m13_activity_segments" -> (m13 _),
     "p26_dsir_resample" -> (p26 _),
     "s17_sq8_rerank" -> (s17 _),
+    "t35_textrank" -> (t35 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5972,8 +5983,63 @@ object SparkEntry {
         |isl AS (SELECT *, win - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY win) AS g
         | FROM act)
         |SELECT doc_id, MIN(win) AS seg_start, MAX(win) AS seg_end,
-        | COUNT(*) AS n_windows, CAST(SUM(energy) AS BIGINT) AS seg_energy
+        | COUNT(*) AS n_windows, CAST(SUM(n_samples) AS BIGINT) AS seg_samples,
+        | CAST(SUM(energy) AS BIGINT) AS seg_energy
         |FROM isl GROUP BY doc_id, g ORDER BY doc_id, seg_start""".stripMargin,
+    // TextRank replayed: integer overlaps/sizes, round(9)ed lns, ONE
+    // division per weight and per factor, and every PageRank round a
+    // sorted list fold — the d20 discipline, weighted; isolated chunks
+    // keep the (1 − d) fixed point built from the same ops.
+    "t35_textrank" -> {
+      val base =
+        """WITH tk0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+          |tk AS (SELECT doc_id, CAST((i - 1) // 10 AS BIGINT) AS chunk,
+          |   CAST(i - 1 AS BIGINT) AS pos, toks[CAST(i AS INT)] AS tok
+          |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM tk0)),
+          |ct AS (SELECT doc_id, chunk,
+          |   array_to_string(list(tok ORDER BY pos), ' ') AS summary
+          |  FROM tk GROUP BY doc_id, chunk),
+          |dt AS (SELECT DISTINCT doc_id, chunk, tok FROM tk),
+          |ndt AS (SELECT doc_id, chunk, COUNT(*) AS nd FROM dt GROUP BY doc_id, chunk),
+          |ed AS (SELECT a.doc_id AS did, a.chunk AS ca, b.chunk AS cb, COUNT(*) AS ov
+          |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok = b.tok
+          |    AND a.chunk <> b.chunk
+          |  GROUP BY 1, 2, 3),
+          |wts AS (SELECT did, ca, cb, CAST(ov AS DOUBLE) /
+          |    (round(ln(CAST(na.nd + 1 AS DOUBLE)), 9)
+          |     + round(ln(CAST(nb.nd + 1 AS DOUBLE)), 9)) AS w
+          |  FROM ed JOIN ndt na ON na.doc_id = ed.did AND na.chunk = ed.ca
+          |       JOIN ndt nb ON nb.doc_id = ed.did AND nb.chunk = ed.cb),
+          |ws AS (SELECT did, ca, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          |    list_sort(list(w))), (a, b) -> a + b) AS wsum
+          |  FROM wts GROUP BY did, ca),
+          |fct AS (SELECT wts.did, wts.ca, wts.cb, w / wsum AS f
+          |  FROM wts JOIN ws ON ws.did = wts.did AND ws.ca = wts.ca),
+          |r0 AS (SELECT doc_id AS did, chunk AS v, CAST(1.0 AS DOUBLE) AS rank FROM ndt)""".stripMargin
+      val iters = (1 to 5).map { i =>
+        s""",
+           |r$i AS (SELECT fct.did, fct.cb AS v,
+           | (1 - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * list_reduce(
+           |   list_prepend(CAST(0 AS DOUBLE), list_sort(list(fct.f * r${i - 1}.rank))),
+           |   (a, b) -> a + b) AS rank
+           | FROM fct JOIN r${i - 1} ON r${i - 1}.did = fct.did AND r${i - 1}.v = fct.ca
+           | GROUP BY fct.did, fct.cb)""".stripMargin
+      }.mkString
+      val tail =
+        """,
+          |fin AS (SELECT ndt.doc_id, ndt.chunk,
+          |   COALESCE(r5.rank, 1 - CAST(0.85 AS DOUBLE)) AS rank
+          |  FROM ndt LEFT JOIN r5 ON r5.did = ndt.doc_id AND r5.v = ndt.chunk),
+          |rk AS (SELECT doc_id, chunk, rank,
+          |   CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+          |     ORDER BY rank DESC, chunk ASC) AS BIGINT) AS srank
+          |  FROM fin)
+          |SELECT rk.doc_id, srank, rk.chunk, rank, ct.summary
+          |FROM rk JOIN ct ON ct.doc_id = rk.doc_id AND ct.chunk = rk.chunk
+          |WHERE srank <= 2
+          |ORDER BY rk.doc_id, srank""".stripMargin
+      base + iters + tail
+    },
     // p25's scoring CTEs, then the Gumbel key: u exact from 13 md5 hex
     // chars over 2^52, nested lns round(9)ed ONCE (generic double),
     // one addition; ties on doc_id.

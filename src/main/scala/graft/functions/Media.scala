@@ -470,3 +470,46 @@ object EncodeWavPcm16 {
     ColumnBridge.column(EncodeWavPcm16(ColumnBridge.expression(nSamples),
       ColumnBridge.expression(seed), sampleRate))
 }
+
+/** Wrap raw 16-bit mono PCM bytes in a canonical 44-byte RIFF/WAVE
+  * header — the clip-extraction counterpart of [[EncodeWavPcm16]]'s
+  * synthesis: a byte slice cut out of a decoded payload becomes a
+  * STANDALONE valid WAV any reader (including [[DecodeMedia]]) parses.
+  * Odd trailing bytes are truncated to whole samples.
+  */
+case class WavWrap(pcmExpr: Expression, rateExpr: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = pcmExpr
+  override def right: Expression = rateExpr
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "wav_wrap"
+
+  override protected def nullSafeEval(pcm: Any, rate: Any): Any = {
+    val body0 = pcm.asInstanceOf[Array[Byte]]
+    val sampleRate = rate.asInstanceOf[Int]
+    if (sampleRate <= 0) return null
+    val dataLen = body0.length - (body0.length % 2)
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // blockAlign, bits
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    out.put(body0, 0, dataLen)
+    out.array()
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): WavWrap =
+    copy(pcmExpr = newLeft, rateExpr = newRight)
+}
+
+object WavWrap {
+  def apply(pcm: Column, sampleRate: Column): Column =
+    ColumnBridge.column(WavWrap(ColumnBridge.expression(pcm),
+      ColumnBridge.expression(sampleRate)))
+}

@@ -220,9 +220,49 @@ object Multimodal {
         .partitionBy(col("doc_id")).orderBy(col("win"))))
     isl.groupBy(col("doc_id"), col("g"))
       .agg(min(col("win")).as("seg_start"), max(col("win")).as("seg_end"),
-        count(lit(1)).as("n_windows"), sum(col("energy")).as("seg_energy"))
+        count(lit(1)).as("n_windows"), sum(col("n_samples")).as("seg_samples"),
+        sum(col("energy")).as("seg_energy"))
       .select(col("doc_id"), col("seg_start"), col("seg_end"),
-        col("n_windows"), col("seg_energy"))
+        col("n_windows"), col("seg_samples"), col("seg_energy"))
+  }
+
+  /** Cut each detected activity segment out of its clip as a
+    * STANDALONE valid WAV (M14 — the extraction stage after M13's
+    * detection, what actually feeds a transcription/packing queue):
+    * the segment's sample bytes are sliced straight out of the
+    * original payload at the REALLY-decoded data_offset (never
+    * re-synthesized) and re-wrapped in a canonical RIFF header by
+    * [[graft.functions.WavWrap]], so decode∘extract == the original
+    * slice — spec-pinned: the extracted payload re-decodes as 16-bit
+    * PCM with exactly seg_samples samples EQUAL to the source clip's
+    * sample range. Plan: the segment frame (tiny — one row per
+    * detected segment) joins the widened payload scan once; the slice
+    * is one codegen'd substr, the wrap one expression — payload bytes
+    * cross no extra shuffle.
+    */
+  def extractSegments(df: DataFrame, binCol: String, idCol: String,
+      window: Int, minMeanSquare: Long, maxSamples: Int = 1 << 20): DataFrame = {
+    val segs = activitySegments(df, binCol, idCol, window, minMeanSquare,
+      maxSamples)
+    val meta = Dedup.widen(df)
+      .select(col(idCol).as("doc_id"), col(binCol).as("__bin"),
+        graft.functions.Fence(
+          graft.functions.DecodeMedia(col(binCol))).as("__m"))
+      .filter(col("__m.format") === "wav" && col("__m.bits") === 16 &&
+        col("__m.channels") === 1)
+      .select(col("doc_id"), col("__bin"),
+        col("__m.data_offset").as("__off"),
+        col("__m.sample_rate").as("__rate"),
+        col("__m.block_align").cast("long").as("__ba"))
+    segs.join(meta, Seq("doc_id"))
+      .select(col("doc_id"), col("seg_start"), col("seg_end"),
+        col("seg_samples"), col("seg_energy"),
+        graft.functions.WavWrap(
+          col("__bin").substr(
+            (col("__off") + col("seg_start") * window * col("__ba")
+              + lit(1L)).cast("int"),
+            (col("seg_samples") * col("__ba")).cast("int")),
+          col("__rate")).as("payload"))
   }
 
   /** Perceptual hash (aHash) over the STUB decode — the image near-dup

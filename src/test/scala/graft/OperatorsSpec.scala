@@ -1390,6 +1390,34 @@ class OperatorsSpec extends SparkSpec {
     assert(trace.last._3 < 0, "TTR weight sign wrong for repetitive positives")
   }
 
+  test("textRankSummary: central chunk wins, isolated docs keep the fixed point, " +
+      "summary text reconstructs in order") {
+    import graft.operators.TextAnalysis
+    // doc 0: three chunks of 4 tokens — chunk 1 shares vocabulary with
+    // BOTH neighbors (the hub), chunks 0 and 2 share nothing with each
+    // other => chunk 1 is the most central and must rank first.
+    // doc 1: a single chunk — no edges, rank = 1 - 0.85.
+    val docs = Seq(
+      (0L, "apple bear cloud dust " +      // chunk 0
+           "apple bear echo fog " +        // chunk 1 (hub)
+           "echo fog grape hill",          // chunk 2
+        ""),
+      (1L, "lonely little chunk here", "")).toDF("doc_id", "text", "x")
+    val out = TextAnalysis.textRankSummary(docs, chunkTokens = 4, topK = 3)
+      .select($"doc_id", $"srank", $"chunk", $"rank", $"summary")
+      .as[(Long, Long, Long, Double, String)].collect()
+      .sortBy(r => (r._1, r._2))
+    val d0 = out.filter(_._1 == 0L)
+    assert(d0.head._3 == 1L, s"hub chunk must rank first: ${d0.mkString(",")}")
+    assert(d0.head._4 > d0(1)._4, "hub rank must strictly exceed the spokes")
+    assert(d0.map(_._5).toSet.contains("apple bear echo fog"),
+      "summary text must reconstruct the chunk in token order")
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.length == 1 && d1.head._4 == (1.0 - 0.85),
+      s"isolated chunk must keep the (1-d) fixed point: ${d1.toSeq}")
+    assert(d1.head._5 == "lonely little chunk here")
+  }
+
   test("activitySegments: hand-built PCM splits into the exact expected islands") {
     // 16 samples, window 4: [loud, silent, loud, loud] -> segments
     // [0,0] and [2,3]; threshold mean-square 100
@@ -1411,8 +1439,30 @@ class OperatorsSpec extends SparkSpec {
     val df = Seq((7L, bb.array())).toDF("doc_id", "payload")
     val segs = Multimodal.activitySegments(df, "payload", "doc_id",
         window = 4, minMeanSquare = 100L)
-      .select($"doc_id", $"seg_start", $"seg_end", $"n_windows", $"seg_energy")
-      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._2)
-    assert(segs.toSeq == Seq((7L, 0L, 0L, 1L, 1600L), (7L, 2L, 3L, 2L, 4900L)))
+      .select($"doc_id", $"seg_start", $"seg_end", $"n_windows",
+        $"seg_samples", $"seg_energy")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(segs.toSeq == Seq((7L, 0L, 0L, 1L, 4L, 1600L),
+      (7L, 2L, 3L, 2L, 8L, 4900L)))
+    // M14: the extracted segments are standalone VALID WAVs whose
+    // decoded samples EQUAL the source clip's sample range
+    val ext = Multimodal.extractSegments(df, "payload", "doc_id",
+        window = 4, minMeanSquare = 100L)
+      .select($"seg_start", $"seg_samples", $"payload")
+      .as[(Long, Long, Array[Byte])].collect().sortBy(_._1)
+    assert(ext.length == 2)
+    val orig = samples.map(_.toLong)
+    ext.foreach { case (s0, n, bytes) =>
+      val dfx = Seq(Tuple1(bytes)).toDF("p")
+      val m = dfx.select(
+        graft.functions.DecodeMedia($"p").getField("format"),
+        graft.functions.DecodeMedia($"p").getField("n_samples"),
+        graft.functions.WavSamples($"p", 1 << 20))
+        .as[(String, Long, Array[Int])].head()
+      assert(m._1 == "wav" && m._2 == n, s"segment at $s0 re-decodes wrong")
+      assert(m._3.map(_.toLong).toSeq ==
+        orig.slice((s0 * 4).toInt, (s0 * 4 + n).toInt).toSeq,
+        s"segment at $s0 samples differ from the source slice")
+    }
   }
 }

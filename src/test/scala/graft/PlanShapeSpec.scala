@@ -217,6 +217,23 @@ class PlanShapeSpec extends SparkSpec {
       "t34 final plan unexpectedly large — trace frame regressed")
   }
 
+  test("t35: corpus-grain joins stay shuffle_hash — no broadcast of chunk " +
+      "frames, no sort-merge, no global window") {
+    // the measured lesson: a generous autoBroadcastJoinThreshold
+    // promoted the per-round rank frame into a driver-built broadcast
+    // at sf1 (4x slower than sf10's shuffled plan); the hints make the
+    // scale-correct plan unconditional
+    val ns = nodes(q("t35_textrank"))
+    assert(ns.exists(_.isInstanceOf[ShuffledHashJoinExec]),
+      "t35 lost its shuffle_hash hints")
+    assert(!ns.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "t35 broadcasts a corpus-grain frame")
+    assert(!ns.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "t35 plans a SortMergeJoin")
+    assert(!ns.collect { case w: WindowExec => w }
+      .exists(_.partitionSpec.isEmpty), "t35 plans a global window")
+  }
+
   test("m13: segmentation windows are clip-partitioned; decode pipeline unchanged") {
     val ns = nodes(q("m13_activity_segments"))
     val ws = ns.collect { case w: WindowExec => w }
