@@ -1602,9 +1602,29 @@ object TextAnalysis {
     * driver state is the 4-double weight vector. No shuffle grows with
     * rounds or corpus width.
     */
+  /** The trained artifact [[trainQualityClassifier]] produces and a
+    * per-ROW scorer consumes: weights over (1, x1, x2, x3) plus the
+    * standardization constants — 10 doubles, the whole "model".
+    */
+  case class QualityModel(w: Array[Double], mu: Array[Double],
+      sd: Array[Double])
+
   def trainQualityClassifier(docs: DataFrame, isPositive: Column,
       textCol: String = "text", idCol: String = "doc_id",
-      rounds: Int = 4, lrate: Double = 2.0): DataFrame = {
+      rounds: Int = 4, lrate: Double = 2.0): DataFrame =
+    trainQuality(docs, isPositive, textCol, idCol, rounds, lrate)._1
+
+  /** [[trainQualityClassifier]]'s trained model — what a serving gate
+    * (ST36) scores against.
+    */
+  def trainQualityModel(docs: DataFrame, isPositive: Column,
+      textCol: String = "text", idCol: String = "doc_id",
+      rounds: Int = 4, lrate: Double = 2.0): QualityModel =
+    trainQuality(docs, isPositive, textCol, idCol, rounds, lrate)._2
+
+  private def trainQuality(docs: DataFrame, isPositive: Column,
+      textCol: String, idCol: String,
+      rounds: Int, lrate: Double): (DataFrame, QualityModel) = {
     require(rounds >= 1 && rounds <= 20, s"rounds out of range: $rounds")
     val spark = docs.sparkSession
     val tokc = docs.select(col(idCol).as("did"),
@@ -1659,9 +1679,44 @@ object TextAnalysis {
       trace += ((r, row.getLong(4), w(0), w(1), w(2), w(3)))
     }
     import spark.implicits._
-    trace.result().toDF("round", "n_correct", "w0", "w1", "w2", "w3")
+    val traceDf = trace.result()
+      .toDF("round", "n_correct", "w0", "w1", "w2", "w3")
       .select(col("round").cast("long").as("round"), col("n_correct"),
         col("w0"), col("w1"), col("w2"), col("w3"))
       .orderBy(col("round"))
+    (traceDf, QualityModel(w, mu, sd))
+  }
+
+  /** Score ONE row's text against a trained [[QualityModel]] without
+    * any aggregate — the shape a streaming gate needs (no shuffle, no
+    * state). The per-row feature folds produce the IDENTICAL integers
+    * the batch (doc, token) aggregate derives — token count, summed
+    * token length, distinct-token count, max token frequency (a run
+    * fold over the SORTED token array) — so the standardized features,
+    * the z fold and the sigmoid are bit-equal to scoring the same
+    * document batch-side (spec-pinned).
+    */
+  def qualityScore(text: Column, model: QualityModel): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (a, t) => a + length(t).cast("long"))
+    val nDistinct = size(array_distinct(toks)).cast("long")
+    // max run length in the sorted array == max token frequency
+    val maxFreq = aggregate(sort_array(toks),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (s, t) => {
+        val run = when(t === s.getField("prev"),
+          s.getField("run") + 1L).otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"),
+          greatest(s.getField("best"), run).as("best"))
+      },
+      s => s.getField("best"))
+    def std(r: Column, j: Int) = (r - lit(model.mu(j))) / lit(model.sd(j))
+    val x1 = std(nDistinct.cast("double") / n.cast("double"), 0)
+    val x2 = std(maxFreq.cast("double") / n.cast("double"), 1)
+    val x3 = std(sumLen.cast("double") / n.cast("double"), 2)
+    val z = lit(model.w(0)) + lit(model.w(1)) * x1 +
+      lit(model.w(2)) * x2 + lit(model.w(3)) * x3
+    lit(1.0) / (lit(1.0) + exp(-z))
   }
 }

@@ -797,6 +797,45 @@ object StreamErrorHandling {
       }
       .start()
 
+  /** One trigger of the ST36 classifier gate (the ST35 shape with the
+    * trained logistic model instead of the DSIR bucket LMs).
+    */
+  def processClassifierTrigger(batch: DataFrame, batchId: Long,
+      model: graft.operators.TextAnalysis.QualityModel, minScore: Double,
+      keptPath: String, rejectedPath: String,
+      textCol: String = "text"): Unit = {
+    val scored = batch.withColumn("quality_score",
+      graft.operators.TextAnalysis.qualityScore(col(textCol), model))
+      .localCheckpoint()
+    scored.filter(col("quality_score") >= lit(minScore))
+      .write.mode("overwrite").parquet(s"$keptPath/batch_id=$batchId")
+    scored.filter(col("quality_score") < lit(minScore)
+        || col("quality_score").isNull)
+      .write.mode("overwrite").parquet(s"$rejectedPath/batch_id=$batchId")
+    ()
+  }
+
+  /** Streaming trained-classifier quality gate (ST36): t34's live face
+    * — the model trains batch-side (`trainQualityModel`, 10 doubles)
+    * and every arriving document scores per-row through the HOF
+    * feature folds, bit-equal to batch scoring of the same document
+    * (the folds derive the identical feature integers — spec-pinned).
+    * No shuffle, no state, nothing grows with the stream; kept/rejected
+    * stores overwrite by batch_id, so a crash-replayed trigger rewrites
+    * rather than re-appends.
+    */
+  def classifierGate(stream: DataFrame,
+      model: graft.operators.TextAnalysis.QualityModel, minScore: Double,
+      keptPath: String, rejectedPath: String, checkpointPath: String,
+      textCol: String = "text"): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        processClassifierTrigger(batch.toDF(), batchId, model, minScore,
+          keptPath, rejectedPath, textCol)
+      }
+      .start()
+
   /** Streaming benchmark-contamination gate (ST30): a live ingest
     * pipeline checks every arriving document against the eval suite's
     * n-grams PER TRIGGER instead of waiting for the next batch sweep —

@@ -1418,6 +1418,43 @@ class OperatorsSpec extends SparkSpec {
     assert(d1.head._5 == "lonely little chunk here")
   }
 
+  test("qualityScore: per-row HOF features are bit-equal to the batch aggregate scoring") {
+    val corpus = (
+      (0L until 20L).map(i => (i, ("dup dup dup word" + i + " ") * 8, 1)) ++
+      (20L until 40L).map(i =>
+        (i, (0 until 32).map(j => s"tok${i}_$j").mkString(" "), 0))
+    ).toDF("doc_id", "text", "cls")
+    val model = TextAnalysis.trainQualityModel(corpus,
+      isPositive = col("cls") === 1, rounds = 4)
+    // per-row scorer
+    val perRow = corpus.select($"doc_id",
+        TextAnalysis.qualityScore($"text", model).as("s"))
+      .as[(Long, Double)].collect().toMap
+    // batch-side: the trainer's own (doc, token)-grain feature
+    // aggregates with the SAME literal model — must be bit-identical
+    val tokc = corpus.select($"doc_id",
+        explode(split(trim($"text"), "\\s+")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .withColumn("tl", length($"tok").cast("long"))
+    val raw = tokc.groupBy($"doc_id")
+      .agg((count(lit(1)).cast("double") / sum($"c").cast("double")).as("r1"),
+        (max($"c").cast("double") / sum($"c").cast("double")).as("r2"),
+        (sum($"c" * $"tl").cast("double") / sum($"c").cast("double")).as("r3"))
+    def std(r: org.apache.spark.sql.Column, j: Int) =
+      (r - lit(model.mu(j))) / lit(model.sd(j))
+    val z = lit(model.w(0)) + lit(model.w(1)) * std($"r1", 0) +
+      lit(model.w(2)) * std($"r2", 1) + lit(model.w(3)) * std($"r3", 2)
+    val batch = raw.select($"doc_id",
+        (lit(1.0) / (lit(1.0) + exp(-z))).as("s"))
+      .as[(Long, Double)].collect().toMap
+    assert(perRow.keySet == batch.keySet)
+    perRow.foreach { case (d, s) =>
+      assert(s == batch(d), s"doc $d per-row score != batch score") }
+    // and the trained model separates the constructed classes at 0.5
+    assert((0L until 20L).forall(d => perRow(d) >= 0.5))
+    assert((20L until 40L).forall(d => perRow(d) < 0.5))
+  }
+
   test("activitySegments: hand-built PCM splits into the exact expected islands") {
     // 16 samples, window 4: [loud, silent, loud, loud] -> segments
     // [0,0] and [2,3]; threshold mean-square 100

@@ -86,6 +86,45 @@ class StreamingSpec extends SparkSpec {
     assert(k.contains(1L) && !k.contains(2L))
   }
 
+  test("classifierGate (ST36): stream scores equal batch scoring; replay rewrites") {
+    implicit val sqlCtx = spark.sqlContext
+    val train = (
+      (0L until 10L).map(i => (i, ("rep rep rep w" + i + " ") * 6, 1)) ++
+      (10L until 20L).map(i =>
+        (i, (0 until 24).map(j => s"t${i}_$j").mkString(" "), 0))
+    ).toDF("doc_id", "text", "cls")
+    val model = graft.operators.TextAnalysis.trainQualityModel(train,
+      isPositive = col("cls") === 1, rounds = 4)
+    val tmp = Files.createTempDirectory("graft-clf-gate").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamErrorHandling.classifierGate(
+      mem.toDF().toDF("doc_id", "text"), model, minScore = 0.5,
+      s"$tmp/kept", s"$tmp/rejected", s"$tmp/ckpt")
+    val rows = train.select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val (t1, t2) = rows.partition(_._1 % 2 == 0)
+    mem.addData(t1); q.processAllAvailable()
+    mem.addData(t2); q.processAllAvailable()
+    q.stop()
+    val kept = spark.read.parquet(s"$tmp/kept")
+      .select($"doc_id", $"quality_score").as[(Long, Double)].collect()
+    val rej = spark.read.parquet(s"$tmp/rejected")
+      .select($"doc_id", $"quality_score").as[(Long, Double)].collect()
+    assert(kept.map(_._1).sorted.toSeq == (0L until 10L),
+      s"repetitive docs must pass the gate: ${kept.toSeq}")
+    assert(rej.map(_._1).sorted.toSeq == (10L until 20L))
+    // scores bit-equal the batch scorer over the same rows
+    val batch = train.select($"doc_id",
+        graft.operators.TextAnalysis.qualityScore($"text", model).as("s"))
+      .as[(Long, Double)].collect().toMap
+    (kept ++ rej).foreach { case (d, s) => assert(s == batch(d)) }
+    // crash-replay: re-running trigger 0 rewrites its partition
+    StreamErrorHandling.processClassifierTrigger(
+      t1.toDF("doc_id", "text"), batchId = 0L, model, 0.5,
+      s"$tmp/kept", s"$tmp/rejected")
+    assert(spark.read.parquet(s"$tmp/kept").count() +
+      spark.read.parquet(s"$tmp/rejected").count() == 20L)
+  }
+
   test("contaminationGate (ST30): per-trigger verdicts equal the batch p4 verdict") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
