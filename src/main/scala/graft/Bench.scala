@@ -22,13 +22,24 @@ object Bench {
     *    provably misses a uniform 1.3× run (VERDICT r9 task 1); the
     *    median catches exactly that signature while staying blind to a
     *    few real regressions in an otherwise-quiet run.
-    *  3. Otherwise this run wins on overlap, prior fills the gaps — a
+    *  3. TAIL GATE (VERDICT r13 what's-wrong 1): even when the median
+    *    passes, a FULL-registry run must not replace a previously-quiet
+    *    key at >`tailGate`× its prior value — the r13 driver run passed
+    *    the median at 1.03× while merging x15_ks_drift at 5.5× (the
+    *    x-series runs last and caught the contention the median
+    *    missed). Such keys KEEP the prior value with a loud warning;
+    *    a genuine regression is accepted by re-measuring the key alone
+    *    (partial runs are deliberate isolated re-measures and bypass
+    *    this gate) or by listing it in `acceptDrift`
+    *    (SPARK_GRAFT_BENCH_ACCEPT_DRIFT, comma-separated or "all").
+    *  4. Otherwise this run wins on overlap, prior fills the gaps — a
     *    partial run can never shrink the baseline (ADVICE r8).
     *
     * @return (merged artifact, human-readable warnings)
     */
   def mergeRuns(prior: Map[String, Double], run: Map[String, Double],
-      registry: Set[String], medianGate: Double = 1.15)
+      registry: Set[String], medianGate: Double = 1.15,
+      tailGate: Double = 2.0, acceptDrift: Set[String] = Set.empty)
       : (Seq[(String, Double)], Seq[String]) = {
     val warnings = Seq.newBuilder[String]
     val stale = prior.keySet.diff(registry)
@@ -49,9 +60,24 @@ object Bench {
         "keeping prior baseline on overlap; re-measure on a quiet host"
       hit
     }
+    val acceptAll = acceptDrift.contains("all")
+    val gatedRun =
+      if (contended || !fullRegistryRun) run
+      else run.map { case (k, v) =>
+        livePrior.get(k) match {
+          case Some(p) if p > 0.05 && v > tailGate * p &&
+              !acceptAll && !acceptDrift(k) =>
+            warnings += f"TAIL OUTLIER $k: $v%.3f s is >${tailGate}%.1fx the " +
+              f"prior $p%.3f s in a median-clean full run - keeping the prior " +
+              "value; re-measure the key alone (partial runs merge freely) or " +
+              "set SPARK_GRAFT_BENCH_ACCEPT_DRIFT to accept"
+            k -> p
+          case _ => k -> v
+        }
+      }
     val merged =
-      if (contended) (run ++ livePrior).toSeq.sortBy(_._1) // prior wins
-      else (livePrior ++ run).toSeq.sortBy(_._1)           // run wins
+      if (contended) (gatedRun ++ livePrior).toSeq.sortBy(_._1) // prior wins
+      else (livePrior ++ gatedRun).toSeq.sortBy(_._1)           // run wins
     (merged, warnings.result())
   }
 
@@ -177,8 +203,12 @@ object Bench {
     // task 1): a partial run can't shrink the baseline, a uniformly
     // contended full run can't replace it, and renamed queries don't
     // haunt the total under their old names.
+    val acceptDrift = sys.env.get("SPARK_GRAFT_BENCH_ACCEPT_DRIFT")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val (merged, warnings) =
-      mergeRuns(prior, results.toMap, SparkEntry.queries.keySet)
+      mergeRuns(prior, results.toMap, SparkEntry.queries.keySet,
+        acceptDrift = acceptDrift)
     warnings.foreach(w => System.err.println(s"[bench] $w"))
     // plain-decimal, locale-pinned serialization: Double.toString uses
     // scientific notation under 1e-3, and %f under a comma-decimal

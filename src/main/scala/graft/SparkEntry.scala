@@ -2144,6 +2144,48 @@ object SparkEntry {
       isPositive = $"n_chars" > 400L)
   }
 
+  private def t36(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // T36: the quality classifier upgraded to hashed char-3-gram
+    // features over a TOPIC-PLANTED corpus: a label-independent 64-char
+    // prefix plus SIX equal-length topic tokens per class
+    // (zzgoodtopic / zzbadstopic), so the t34 stat features shift
+    // identically across classes (length/TTR-blind by construction —
+    // spec-pinned at exact chance on the balanced corpus) while the
+    // 64-bucket hashing-trick gram vector separates them (the d33/s15
+    // planted precedent; the repeat keeps the topic tf large enough to
+    // dominate finite-sample stat noise — accuracy climbs well past
+    // chance, unlike the t23 row this task replaces the lesson of).
+    // Trace output: 4 GD rounds, ONE aggregate scan per round.
+    val planted = t(s, dir, "documents").select($"doc_id",
+      concat(substring($"text", 1, 64),
+        when(pmod($"doc_id", lit(2L)) === 0L,
+          lit(" zzgoodtopic" * 6)).otherwise(lit(" zzbadstopic" * 6)))
+        .as("text"))
+    operators.TextAnalysis.trainQualityNgramClassifier(planted,
+      isPositive = pmod($"doc_id", lit(2L)) === 0L, n = 3, buckets = 64)
+  }
+
+  private def m15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // REAL ISO-BMFF box-walk over synthesized VALID MP4 containers
+    // (the m1/m3 decode∘encode == id trick): every field is an
+    // analytic function of doc_id, so the oracle PREDICTS what the
+    // parse must return; every 10th doc carries a non-MP4 payload and
+    // must degrade to format = 'unknown' with null fields.
+    val ts = pmod($"doc_id", lit(5L)) * 120L + 600L
+    val dur = (pmod($"doc_id", lit(97L)) + 1L) * 733L
+    val ntr = pmod($"doc_id", lit(3L)) + 1L
+    val w = (pmod($"doc_id", lit(8L)) + 1L) * 16L
+    val h = (pmod($"doc_id", lit(5L)) + 1L) * 16L
+    val withBin = t(s, dir, "documents").withColumn("payload",
+      when(pmod($"doc_id", lit(10L)) === 7L, $"text".cast("binary"))
+        .otherwise(graft.functions.EncodeMp4(ts, dur, ntr, w, h,
+          concat(lit("mp4:"), $"doc_id".cast("string")))))
+    operators.Multimodal.mp4Metadata(withBin, "payload", "doc_id")
+      .orderBy($"doc_id")
+  }
+
   private def s16(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // JL sign projection 64→16, then brute-force top-5 in the
@@ -2753,12 +2795,17 @@ object SparkEntry {
     // accuracy of the hash-n-gram classifier against the corpus labels
     // — the audit row that justifies replacing the stopword heuristic
     // (t1) for every per-language downstream stat (t7/t17/p11).
-    // NOTE the driver's synthetic corpus draws text from ONE shared
-    // vocabulary regardless of the lang label, so ~chance accuracy here
-    // is the CORRECT measurement (no classifier can beat it); the
-    // OperatorsSpec twin proves ≥95% held-out accuracy the moment the
-    // labels actually carry signal (disjoint vocabularies).
-    operators.TextAnalysis.langIdTrained(t(s, dir, "documents"))
+    // The driver's synthetic corpus draws text from ONE shared
+    // vocabulary regardless of the lang label (no classifier can beat
+    // chance on it), so the query PLANTS a per-label token suffix
+    // (' qq<lang>sig' ×4 — the d33/s15/t36 planted precedent, VERDICT
+    // r13 task 6): the oracle-checked held-out accuracy is now
+    // meaningfully >chance (spec-pinned floor), measuring
+    // DISCRIMINATION through the full hash-bucket/profile/argmax
+    // pipeline rather than plumbing alone.
+    val planted = t(s, dir, "documents").withColumn("text",
+      concat($"text", repeat(concat(lit(" qq"), $"lang", lit("sig")), 4)))
+    operators.TextAnalysis.langIdTrained(planted)
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(($"predicted" === $"lang").cast("long")).as("n_correct"))
@@ -3553,6 +3600,8 @@ object SparkEntry {
     "p26_dsir_resample" -> (p26 _),
     "s17_sq8_rerank" -> (s17 _),
     "t35_textrank" -> (t35 _),
+    "t36_quality_ngram" -> (t36 _),
+    "m15_mp4_meta" -> (m15 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4109,8 +4158,9 @@ object SparkEntry {
     // score = matched-count / language-total (ONE integer-ratio IEEE
     // division, engine-bit-exact), argmax with lexicographic tie-break
     "t23_langid_trained" ->
-      """WITH t AS (SELECT doc_id, lang, text AS t FROM documents
-        |  WHERE lang IS NOT NULL AND len(text) >= 3),
+      """WITH t AS (SELECT doc_id, lang,
+        |   text || repeat(' qq' || lang || 'sig', 4) AS t FROM documents
+        |  WHERE lang IS NOT NULL AND len(text || repeat(' qq' || lang || 'sig', 4)) >= 3),
         |g AS (SELECT doc_id, lang,
         |  unnest(list_transform(range(1, len(t) - 1), i -> substr(t, i, 3))) AS gram FROM t),
         |h AS (SELECT doc_id, lang,
@@ -5128,8 +5178,10 @@ object SparkEntry {
         |  list_reduce(list(CAST(CASE WHEN sgn > 0 THEN 1 ELSE 0 END AS BIGINT) ORDER BY b),
         |    (a, x) -> a * 2 + x) AS sig
         |  FROM contrib GROUP BY doc_id),
-        |banded AS (SELECT doc_id, sig, band, (sig >> CAST(32 - 8 * (band + 1) AS INT)) & 255 AS bval
+        |banded0 AS (SELECT doc_id, sig, band, (sig >> CAST(32 - 8 * (band + 1) AS INT)) & 255 AS bval
         |  FROM sig, (SELECT unnest(range(0, 4)) AS band) bs),
+        |ok AS (SELECT band, bval FROM banded0 GROUP BY band, bval HAVING COUNT(*) <= 10000),
+        |banded AS (SELECT banded0.* FROM banded0 JOIN ok USING (band, bval)),
         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.sig AS siga, b.sig AS sigb
         |  FROM banded a JOIN banded b
         |  ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
@@ -7202,12 +7254,10 @@ object SparkEntry {
     // 63-bit SimHash: bits 1-32 from md5(tok) digit parity (the d14
     // derivation), bits 33-63 from a SECOND digest md5(tok || '#') —
     // the same two-digest rule SimHashSig implements; 63 bits keep the
-    // folded BIGINT sign-clear on both engines. Cap caveat (the d14
-    // asymmetry, inherited): this oracle generates candidates with NO
-    // bucket-size cap while simHashNearDup anti-joins band buckets over
-    // maxBucket=10000 — sound while no 21-bit band bucket exceeds the
-    // cap at the checked SFs (OperatorsSpec pins the oversized set
-    // empty at sf0.01/sf0.1 magnitudes).
+    // folded BIGINT sign-clear on both engines. The maxBucket=10000
+    // anti-join is MIRRORED (the `ok` CTE) so oracle and Spark drop the
+    // same oversized band buckets at ANY SF (ADVICE r13 — previously
+    // uncapped, a latent divergence once a 21-bit bucket overflowed).
     "d34_simhash_wide" ->
       """WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents),
         |bits AS (SELECT unnest(range(1, 64)) AS b),
@@ -7221,9 +7271,11 @@ object SparkEntry {
         |  list_reduce(list(CAST(CASE WHEN sgn > 0 THEN 1 ELSE 0 END AS BIGINT) ORDER BY b),
         |    (a, x) -> a * 2 + x) AS sig
         |  FROM contrib GROUP BY doc_id),
-        |banded AS (SELECT doc_id, sig, band,
+        |banded0 AS (SELECT doc_id, sig, band,
         |   (sig >> CAST(63 - 21 * (band + 1) AS INT)) & 2097151 AS bval
         |  FROM sig, (SELECT unnest(range(0, 3)) AS band) bs),
+        |ok AS (SELECT band, bval FROM banded0 GROUP BY band, bval HAVING COUNT(*) <= 10000),
+        |banded AS (SELECT banded0.* FROM banded0 JOIN ok USING (band, bval)),
         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.sig AS siga, b.sig AS sigb
         |  FROM banded a JOIN banded b
         |  ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
@@ -7232,5 +7284,120 @@ object SparkEntry {
         |  MIN(db) AS first_db
         |FROM cand WHERE bit_count(xor(siga, sigb)) <= 2
         |GROUP BY da ORDER BY da""".stripMargin,
+    // t36: the t34 GD unroll EXTENDED with the 64-bucket hashed-gram
+    // feature list — bucket tf are integer-ratio divisions, the z
+    // bucket term is an index-ordered list fold from 0.0 (bit-equal to
+    // Spark's zip_with/aggregate left fold), bucket gradients are the
+    // same round(·,9) DECIMAL(20,9) sums GROUPed by bucket index, and
+    // each round's weight list rebuilds with list(… ORDER BY i). The
+    // planted equal-length topic tokens mirror the query's derivation.
+    "t36_quality_ngram" -> {
+      val header =
+        """WITH base AS (SELECT doc_id,
+          |   substr(text, 1, 64) || CASE WHEN doc_id % 2 = 0
+          |     THEN repeat(' zzgoodtopic', 6) ELSE repeat(' zzbadstopic', 6) END AS t,
+          |   CASE WHEN doc_id % 2 = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y
+          |  FROM documents),
+          |tk AS (SELECT doc_id, y,
+          |   unnest(regexp_split_to_array(trim(t), '\s+')) AS tok FROM base),
+          |tc AS (SELECT doc_id, y, tok, COUNT(*) AS c, len(tok) AS tl
+          |  FROM tk GROUP BY doc_id, y, tok),
+          |raw AS (SELECT doc_id, y,
+          |   CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS r1,
+          |   CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS r2,
+          |   CAST(SUM(c * tl) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS r3
+          |  FROM tc GROUP BY doc_id, y),
+          |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          |   SUM(CAST(round(r1, 9) AS DECIMAL(20,9))) AS sa1,
+          |   SUM(CAST(round(r1 * r1, 9) AS DECIMAL(20,9))) AS sb1,
+          |   SUM(CAST(round(r2, 9) AS DECIMAL(20,9))) AS sa2,
+          |   SUM(CAST(round(r2 * r2, 9) AS DECIMAL(20,9))) AS sb2,
+          |   SUM(CAST(round(r3, 9) AS DECIMAL(20,9))) AS sa3,
+          |   SUM(CAST(round(r3 * r3, 9) AS DECIMAL(20,9))) AS sb3
+          |  FROM raw),
+          |sdv AS (SELECT n,
+          |   CAST(sa1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+          |   CAST(sa2 AS DOUBLE) / CAST(n AS DOUBLE) AS m2,
+          |   CAST(sa3 AS DOUBLE) / CAST(n AS DOUBLE) AS m3,
+          |   sqrt(CAST(sb1 AS DOUBLE) / CAST(n AS DOUBLE)
+          |     - (CAST(sa1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sa1 AS DOUBLE) / CAST(n AS DOUBLE))) AS d1,
+          |   sqrt(CAST(sb2 AS DOUBLE) / CAST(n AS DOUBLE)
+          |     - (CAST(sa2 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sa2 AS DOUBLE) / CAST(n AS DOUBLE))) AS d2,
+          |   sqrt(CAST(sb3 AS DOUBLE) / CAST(n AS DOUBLE)
+          |     - (CAST(sa3 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sa3 AS DOUBLE) / CAST(n AS DOUBLE))) AS d3
+          |  FROM st),
+          |g3m AS (SELECT doc_id,
+          |   unnest(list_transform(range(1, len(t) - 1), i -> substr(t, i, 3))) AS gram FROM base),
+          |hb AS (SELECT doc_id, list_reduce(list_transform(range(1, 9),
+          |    i -> CAST(strpos('0123456789abcdef', substr(md5(gram), i, 1)) - 1 AS BIGINT)),
+          |    (x, y) -> x * 16 + y) % 64 AS b FROM g3m),
+          |bc AS (SELECT doc_id, b, COUNT(*) AS c FROM hb GROUP BY 1, 2),
+          |bm AS (SELECT doc_id, map(list(b ORDER BY b), list(c ORDER BY b)) AS m,
+          |   SUM(c) AS tot FROM bc GROUP BY doc_id),
+          |fx AS (SELECT doc_id, list_transform(range(0, 64), i ->
+          |    CAST(COALESCE(map_extract(m, i)[1], 0) AS DOUBLE) / CAST(tot AS DOUBLE)
+          |      * CAST(64 AS DOUBLE)) AS xb
+          |  FROM bm),
+          |f AS (SELECT r.doc_id, r.y,
+          |   (r1 - m1) / d1 AS x1, (r2 - m2) / d2 AS x2, (r3 - m3) / d3 AS x3,
+          |   COALESCE(fx.xb, list_transform(range(0, 64), i -> CAST(0 AS DOUBLE))) AS xb
+          |  FROM raw r CROSS JOIN sdv LEFT JOIN fx ON fx.doc_id = r.doc_id),
+          |u0 AS (SELECT CAST(0 AS DOUBLE) AS a0, CAST(0 AS DOUBLE) AS a1,
+          |   CAST(0 AS DOUBLE) AS a2, CAST(0 AS DOUBLE) AS a3),
+          |wv0 AS (SELECT list_transform(range(0, 64), i -> CAST(0 AS DOUBLE)) AS wb)""".stripMargin
+      def rnd(r: Int): String = {
+        val pu = if (r == 1) "u0" else s"u${r - 1}"
+        val pw = if (r == 1) "wv0" else s"wv${r - 1}"
+        s"""sg$r AS (SELECT y, x1, x2, x3, xb,
+           |   CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+           |     + exp(-(((((a0 + a1 * x1) + a2 * x2) + a3 * x3)
+           |       + list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |           list_transform(range(0, 64), i -> xb[i + 1] * wb[i + 1])),
+           |         (a, x) -> a + x))))) AS ph
+           |  FROM f CROSS JOIN $pu CROSS JOIN $pw),
+           |gr$r AS (SELECT
+           |   SUM(CAST(round(ph - y, 9) AS DECIMAL(20,9))) AS g0,
+           |   SUM(CAST(round((ph - y) * x1, 9) AS DECIMAL(20,9))) AS g1,
+           |   SUM(CAST(round((ph - y) * x2, 9) AS DECIMAL(20,9))) AS g2,
+           |   SUM(CAST(round((ph - y) * x3, 9) AS DECIMAL(20,9))) AS g3,
+           |   CAST(SUM(CASE WHEN (ph >= CAST(0.5 AS DOUBLE)) = (y = CAST(1 AS DOUBLE))
+           |     THEN 1 ELSE 0 END) AS BIGINT) AS nc FROM sg$r),
+           |gb$r AS (SELECT i,
+           |   SUM(CAST(round((ph - y) * xb[i + 1], 9) AS DECIMAL(20,9))) AS g
+           |  FROM sg$r, unnest(range(0, 64)) AS u(i) GROUP BY i),
+           |u$r AS (SELECT
+           |   a0 - CAST(2.0 AS DOUBLE) * (CAST(g0 AS DOUBLE) / CAST(n AS DOUBLE)) AS a0,
+           |   a1 - CAST(2.0 AS DOUBLE) * (CAST(g1 AS DOUBLE) / CAST(n AS DOUBLE)) AS a1,
+           |   a2 - CAST(2.0 AS DOUBLE) * (CAST(g2 AS DOUBLE) / CAST(n AS DOUBLE)) AS a2,
+           |   a3 - CAST(2.0 AS DOUBLE) * (CAST(g3 AS DOUBLE) / CAST(n AS DOUBLE)) AS a3
+           |  FROM gr$r CROSS JOIN $pu CROSS JOIN sdv),
+           |wv$r AS (SELECT list(CAST(p.wb[g.i + 1]
+           |     - CAST(2.0 AS DOUBLE) * (CAST(g.g AS DOUBLE) / CAST(sdv.n AS DOUBLE)) AS DOUBLE)
+           |   ORDER BY g.i) AS wb
+           |  FROM gb$r g CROSS JOIN $pw p CROSS JOIN sdv)""".stripMargin
+      }
+      def row(r: Int): String =
+        s"""SELECT CAST($r AS BIGINT) AS round, nc AS n_correct,
+           |  a0 AS w0, a1 AS w1, a2 AS w2, a3 AS w3,
+           |  list_reduce(list_prepend(CAST(0 AS DOUBLE), wb), (a, x) -> a + x) AS wb_sum
+           |FROM u$r CROSS JOIN wv$r CROSS JOIN gr$r""".stripMargin
+      header + ",\n" + (1 to 4).map(rnd).mkString(",\n") + "\n" +
+        (1 to 4).map(row).mkString("\nUNION ALL\n") + "\nORDER BY round"
+    },
+    // m15: every decoded field is an analytic function of doc_id (the
+    // m1/m3 pattern) — the oracle predicts the box walk's output; the
+    // %10==7 rows carry text payloads and must report unknown/null
+    "m15_mp4_meta" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 10 = 7 THEN 'unknown' ELSE 'mp4' END AS format,
+        | CASE WHEN doc_id % 10 = 7 THEN NULL ELSE 'isom' END AS major_brand,
+        | CASE WHEN doc_id % 10 = 7 THEN NULL ELSE doc_id % 5 * 120 + 600 END AS timescale,
+        | CASE WHEN doc_id % 10 = 7 THEN NULL ELSE (doc_id % 97 + 1) * 733 END AS duration,
+        | CASE WHEN doc_id % 10 = 7 THEN NULL ELSE doc_id % 3 + 1 END AS n_tracks,
+        | CASE WHEN doc_id % 10 = 7 THEN NULL ELSE (doc_id % 8 + 1) * 16 END AS width,
+        | CASE WHEN doc_id % 10 = 7 THEN NULL ELSE (doc_id % 5 + 1) * 16 END AS height,
+        | CASE WHEN doc_id % 10 = 7 THEN NULL
+        |   ELSE ((doc_id % 97 + 1) * 733) // (doc_id % 5 * 120 + 600) END AS duration_s
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -534,9 +534,34 @@ object Dedup {
     * concentrate in few buckets, and the verify stays cheap because it
     * is one xor per candidate pair, not a token join.
     */
-  def simHashNearDup(docs: DataFrame, nBits: Int = 32, bands: Int = 4,
+  def simHashNearDup(docs: DataFrame, nBits: Int = -1, bands: Int = -1,
       maxHamming: Int = 3, textCol: String = "text", idCol: String = "doc_id",
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000, targetLoad: Int = 16): DataFrame = {
+    // Default path DERIVES the banding from the corpus count (VERDICT
+    // r13 task 2 — the d14/m6 saturation lesson made load-bearing): a
+    // caller who does not pin (nBits, bands) explicitly CANNOT
+    // instantiate a saturated banding — [[autoHammingBanding]] sizes
+    // slices for the count and THROWS when the 63-bit budget cannot
+    // afford an unsaturated banding at this hamming bound (use the
+    // two-digest [[hammingNearDup2]] path, or pin constants explicitly
+    // to accept the quadratic as a labeled baseline). The count is one
+    // driver action over `docs` — pass a pinned/cheap frame or explicit
+    // parameters if the input is an expensive derivation.
+    if (nBits < 0 || bands < 0) {
+      require(nBits < 0 && bands < 0,
+        s"derive BOTH nBits and bands or pin both: nBits=$nBits bands=$bands")
+      val auto = autoHammingBanding(math.max(1L, docs.count()), maxHamming,
+        nBitsMax = 63, targetLoad = targetLoad)
+      require(!auto.saturated,
+        s"auto-sized banding is SATURATED: hamming<=$maxHamming needs " +
+          s"${auto.bands} bands and the 63-bit SimHash budget affords only " +
+          s"${auto.sliceBits}-bit slices (${1L << auto.sliceBits} buckets/band) " +
+          "for this corpus - widen the signature (hammingNearDup2 over a " +
+          "two-digest sig) or pass explicit (nBits, bands) to accept a " +
+          "saturated banding as a labeled baseline")
+      return simHashNearDup(docs, auto.nBits, auto.bands, maxHamming,
+        textCol, idCol, maxBucket, targetLoad)
+    }
     require(nBits >= 1 && nBits <= 63,
       s"nBits must be in [1, 63] (SimHashSig's two-digest md5-hex " +
         s"derivation; 63 keeps conv()'s long sign-bit-clear): $nBits")
@@ -642,10 +667,37 @@ object Dedup {
     * must be a 64-bit long; for nBits < 64 the signature's high bits
     * must be zero.
     */
-  def hammingNearDup(sigs: DataFrame, nBits: Int = 64, bands: Int = 4,
+  def hammingNearDup(sigs: DataFrame, nBits: Int = 64, bands: Int = -1,
       maxHamming: Int = 3, idCol: String = "doc_id", sigCol: String = "sig",
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000, targetLoad: Int = 16): DataFrame = {
     require(nBits >= 2 && nBits <= 64, s"nBits must be in [2, 64]: $nBits")
+    // Default path derives `bands` from the corpus count (VERDICT r13
+    // task 2): the tightest pigeonhole (smallest divisor of nBits
+    // >= maxHamming+1 — fewest bands = widest slices = most buckets)
+    // and a refusal to run saturated — if even the widest affordable
+    // slice expects > targetLoad docs/bucket, the SIGNATURE is too
+    // narrow for this corpus at this hamming bound (the m6 case):
+    // widen it ([[hammingNearDup2]]) or pin `bands` explicitly to
+    // accept the quadratic as a labeled baseline. One count() action
+    // over `sigs` — pass a pinned frame (the call sites localCheckpoint
+    // their signature frames already) or explicit bands.
+    if (bands < 0) {
+      val b = (maxHamming + 1 to nBits).find(nBits % _ == 0).getOrElse(
+        throw new IllegalArgumentException(
+          s"no band count in [${maxHamming + 1}, $nBits] divides nBits=$nBits"))
+      val w = nBits / b
+      val n = math.max(1L, sigs.count())
+      val need = math.max(1L, (n + targetLoad - 1) / targetLoad)
+      val wIdeal = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(need - 1))
+      require(w >= wIdeal,
+        s"auto-sized banding is SATURATED: hamming<=$maxHamming over a " +
+          s"$nBits-bit signature affords $w-bit slices (${1L << w} " +
+          s"buckets/band) but $n docs need ~2^$wIdeal buckets - widen the " +
+          "signature (hammingNearDup2) or pass explicit bands to accept a " +
+          "saturated banding as a labeled baseline")
+      return hammingNearDup(sigs, nBits, b, maxHamming, idCol, sigCol,
+        maxBucket, targetLoad)
+    }
     require(nBits % bands == 0, s"bands ($bands) must divide nBits ($nBits)")
     require(maxHamming < bands,
       s"detection is only guaranteed for hamming < bands: $maxHamming >= $bands")
@@ -691,12 +743,32 @@ object Dedup {
     * unchanged — only the slice arithmetic widens.
     */
   def hammingNearDup2(sigs: DataFrame, nBitsHi: Int = 63, nBitsLo: Int = 63,
-      bands: Int = 9, maxHamming: Int = 7, idCol: String = "doc_id",
+      bands: Int = -1, maxHamming: Int = 7, idCol: String = "doc_id",
       sigHiCol: String = "sig_hi", sigLoCol: String = "sig_lo",
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000, targetLoad: Int = 16): DataFrame = {
     require(nBitsHi >= 1 && nBitsHi <= 63, s"nBitsHi must be in [1, 63]: $nBitsHi")
     require(nBitsLo >= 1 && nBitsLo <= 63, s"nBitsLo must be in [1, 63]: $nBitsLo")
     val nBits = nBitsHi + nBitsLo
+    // count-derived default bands, same policy as [[hammingNearDup]];
+    // the slice-width ceiling here is 62 (sign-clear long band key)
+    if (bands < 0) {
+      val b = (maxHamming + 1 to nBits)
+        .find(c => nBits % c == 0 && nBits / c <= 62).getOrElse(
+          throw new IllegalArgumentException(
+            s"no band count >= ${maxHamming + 1} divides nBits=$nBits " +
+              "with slice width <= 62"))
+      val w = nBits / b
+      val n = math.max(1L, sigs.count())
+      val need = math.max(1L, (n + targetLoad - 1) / targetLoad)
+      val wIdeal = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(need - 1))
+      require(w >= wIdeal,
+        s"auto-sized banding is SATURATED: hamming<=$maxHamming over the " +
+          s"$nBits-bit two-long signature affords $w-bit slices but $n docs " +
+          s"need ~2^$wIdeal buckets - widen the signature or pass explicit " +
+          "bands to accept a saturated banding as a labeled baseline")
+      return hammingNearDup2(sigs, nBitsHi, nBitsLo, b, maxHamming, idCol,
+        sigHiCol, sigLoCol, maxBucket, targetLoad)
+    }
     require(nBits % bands == 0, s"bands ($bands) must divide nBits ($nBits)")
     require(maxHamming < bands,
       s"detection is only guaranteed for hamming < bands: $maxHamming >= $bands")

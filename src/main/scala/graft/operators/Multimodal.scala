@@ -235,16 +235,20 @@ object Multimodal {
     * [[graft.functions.WavWrap]], so decode∘extract == the original
     * slice — spec-pinned: the extracted payload re-decodes as 16-bit
     * PCM with exactly seg_samples samples EQUAL to the source clip's
-    * sample range. Plan: the segment frame (tiny — one row per
-    * detected segment) joins the widened payload scan once; the slice
-    * is one codegen'd substr, the wrap one expression — payload bytes
-    * cross no extra shuffle.
+    * sample range. Plan: the EXPENSIVE stage (widen → WavSamples full
+    * sample extraction, inside [[activitySegments]]) runs exactly
+    * once; the metadata/payload branch is a plain UN-widened second
+    * scan — a ~44-byte header parse plus one codegen'd substr per row,
+    * which neither needs the widen repartition nor re-extracts
+    * samples, so payload bytes cross NO shuffle on this branch at all
+    * (ADVICE r13: the previous shape widened and decode-planned the
+    * payload twice).
     */
   def extractSegments(df: DataFrame, binCol: String, idCol: String,
       window: Int, minMeanSquare: Long, maxSamples: Int = 1 << 20): DataFrame = {
     val segs = activitySegments(df, binCol, idCol, window, minMeanSquare,
       maxSamples)
-    val meta = Dedup.widen(df)
+    val meta = df
       .select(col(idCol).as("doc_id"), col(binCol).as("__bin"),
         graft.functions.Fence(
           graft.functions.DecodeMedia(col(binCol))).as("__m"))
@@ -263,6 +267,33 @@ object Multimodal {
               + lit(1L)).cast("int"),
             (col("seg_samples") * col("__ba")).cast("int")),
           col("__rate")).as("payload"))
+  }
+
+  /** MP4 / ISO-BMFF container metadata (M15 — VERDICT r13 task 4): the
+    * [[binaryMetadata]] pattern for video containers via the REAL
+    * [[graft.functions.Mp4Meta]] box walk — major brand, movie
+    * timescale/duration (what frame-sampling needs to plan strides),
+    * track count and the first track's presentation dims (what
+    * shape-bucketed batching consumes). One pinned decode per row, a
+    * plain scan-bound projection — no shuffle; non-MP4 payloads report
+    * format = "unknown" with null fields (the never-crash contract).
+    * Exact integer seconds-floor `duration_s` = duration div timescale
+    * rides along for human-grain filtering without a double division.
+    */
+  def mp4Metadata(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val dec = df.select(col(idCol).as("doc_id"),
+      graft.functions.Fence(graft.functions.Mp4Meta(col(binCol))).as("__m"))
+    dec.select(col("doc_id"),
+      col("__m.format").as("format"),
+      col("__m.major_brand").as("major_brand"),
+      col("__m.timescale").as("timescale"),
+      col("__m.duration").as("duration"),
+      col("__m.n_tracks").cast("long").as("n_tracks"),
+      col("__m.width").cast("long").as("width"),
+      col("__m.height").cast("long").as("height"))
+      .withColumn("duration_s",
+        when(col("timescale") > 0L, expr("duration div timescale"))
+          .otherwise(lit(null).cast("long")))
   }
 
   /** Perceptual hash (aHash) over the STUB decode — the image near-dup

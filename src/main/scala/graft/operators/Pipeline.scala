@@ -1602,10 +1602,17 @@ object Pipeline {
       hexChars: Int = 2): (Column, Column) = {
     require(hexChars >= 1 && hexChars <= 6, s"hexChars out of range: $hexChars")
     val m = typedLit(modelNanos)
+    // map_contains_key / try_element_at, NOT element_at: these sessions
+    // run ANSI mode, where element_at on an absent map key THROWS
+    // (MAP_KEY_DOES_NOT_EXIST) instead of returning NULL — and a live
+    // gate scoring unseen vocabulary hits absent buckets by design
+    // (guaranteed for hexChars >= 3, likely for any fit corpus that
+    // doesn't cover all 16^hexChars buckets). ADVICE r13 high.
     val known = filter(
       transform(split(trim(text), "\\s+"), t => substring(md5(t), 1, hexChars)),
-      b => element_at(m, b).isNotNull)
-    val nanos = aggregate(known, lit(0L), (acc, b) => acc + element_at(m, b))
+      b => map_contains_key(m, b))
+    val nanos = aggregate(known, lit(0L),
+      (acc, b) => acc + coalesce(try_element_at(m, b), lit(0L)))
     (size(known).cast("long").as("n_tokens"),
       (nanos.cast("double") / lit(1.0e9)).as("log_weight"))
   }

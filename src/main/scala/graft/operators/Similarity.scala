@@ -533,7 +533,15 @@ object Similarity {
     *
     * Returns the SURVIVORS as (vec_id, cluster_id).
     */
-  def semDedup(vectors: DataFrame, k: Int, threshold: Double): DataFrame = {
+  def semDedup(vectors: DataFrame, k: Int = -1, threshold: Double): DataFrame = {
+    // Default path derives k from the corpus count via the D37 law
+    // (k = max(4, ceil(N/250)) — [[semDedupScaled]]'s measured-linear
+    // sizing, VERDICT r13 task 2): a caller who does not pin k CANNOT
+    // instantiate the d16-style saturated clustering where Σ|cell|² =
+    // N²/k goes quadratic once the corpus outgrows k·targetCell.
+    // Explicit k stays available for labeled baselines (the d16
+    // registry row).
+    if (k < 0) return semDedupScaled(vectors, targetCell = 250, threshold)
     val assigned = kmeansAssign(vectors, k).select(col("vec_id"), col("cluster_id"))
     val clustered = vectors.join(assigned, "vec_id")
     val removed = nearDupPairs(clustered, "cluster_id", threshold)

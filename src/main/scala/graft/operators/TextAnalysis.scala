@@ -1495,13 +1495,37 @@ object TextAnalysis {
     */
   def textRankSummary(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", chunkTokens: Int = 10, topK: Int = 2,
-      damping: Double = 0.85, rounds: Int = 5): DataFrame = {
+      damping: Double = 0.85, rounds: Int = 5,
+      splitter: String = "fixed"): DataFrame = {
     require(chunkTokens >= 1 && topK >= 1 && rounds >= 1 &&
       damping > 0 && damping < 1, "bad textRank config")
+    require(splitter == "fixed" || splitter == "sentence",
+      s"splitter must be 'fixed' or 'sentence': $splitter")
     val base = lit(1.0) - lit(damping)
-    val tk = docs.select(col(idCol).as("did"),
-        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
-      .withColumn("chunk", (col("pos") / chunkTokens).cast("long"))
+    // Chunking strategies (VERDICT r13 task 7): "fixed" cuts the token
+    // stream every chunkTokens (the oracle row's shape — the driver
+    // corpus has no punctuation); "sentence" is the punctuation/length
+    // HYBRID — sentences split on [.!?]+whitespace become chunks, and a
+    // sentence longer than chunkTokens subdivides fixed-width (the cap
+    // keeps the within-doc pair graph bounded per chunk exactly as the
+    // fixed mode does). Chunk ids in sentence mode are composite
+    // (sidx·2²⁰ + piece) — TextRank needs distinct identities and a
+    // deterministic document-order tie-break, not density.
+    val tk = splitter match {
+      case "fixed" =>
+        docs.select(col(idCol).as("did"),
+            posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+          .withColumn("chunk", (col("pos") / chunkTokens).cast("long"))
+      case "sentence" =>
+        docs.select(col(idCol).as("did"),
+            posexplode(split(trim(col(textCol)), "(?<=[.!?])\\s+"))
+              .as(Seq("sidx", "sent")))
+          .select(col("did"), col("sidx"),
+            posexplode(tokens(col("sent"))).as(Seq("pos", "tok")))
+          .withColumn("chunk", col("sidx").cast("long") * lit(1L << 20) +
+            (col("pos") / chunkTokens).cast("long"))
+          .select(col("did"), col("pos"), col("tok"), col("chunk"))
+    }
     val chunkText = tk.groupBy(col("did"), col("chunk"))
       .agg(concat_ws(" ", transform(
         array_sort(collect_list(struct(col("pos"), col("tok")))),
@@ -1622,11 +1646,15 @@ object TextAnalysis {
       rounds: Int = 4, lrate: Double = 2.0): QualityModel =
     trainQuality(docs, isPositive, textCol, idCol, rounds, lrate)._2
 
-  private def trainQuality(docs: DataFrame, isPositive: Column,
-      textCol: String, idCol: String,
-      rounds: Int, lrate: Double): (DataFrame, QualityModel) = {
-    require(rounds >= 1 && rounds <= 20, s"rounds out of range: $rounds")
-    val spark = docs.sparkSession
+  /** Shared feature stage of [[trainQuality]] / [[trainQualityNgram]]:
+    * the corpus collapsed to per-doc distributional stats (TTR, max
+    * token frequency ratio, mean token length), standardized against
+    * exact decimal power sums. Returns the UNPINNED (did, y, x1, x2,
+    * x3) frame plus (n, μ, σ).
+    */
+  private def standardizedStats(docs: DataFrame, isPositive: Column,
+      textCol: String, idCol: String)
+      : (DataFrame, Long, Array[Double], Array[Double]) = {
     val tokc = docs.select(col(idCol).as("did"),
         when(isPositive, lit(1.0)).otherwise(lit(0.0)).as("y"),
         explode(tokens(col(textCol))).as("tok"))
@@ -1638,6 +1666,15 @@ object TextAnalysis {
         (max(col("c")).cast("double") / sum(col("c")).cast("double")).as("r2"),
         (sum(col("c") * col("tl")).cast("double")
           / sum(col("c")).cast("double")).as("r3"))
+    // SF bound (ADVICE r13, the t26 DECIMAL→DOUBLE cast budget): these
+    // scale-9 power sums stay engine-identical on the final cast only
+    // while |sum|·10⁹ < 2⁵³, i.e. ≲9·10⁶ summed magnitude. r1/r2 ∈
+    // (0,1] are safe to ~9M docs; r3 (mean token length, ~5–10) and
+    // r3² (~25–100) cross the budget first, around 10⁵–10⁶ docs —
+    // sf10-magnitude corpora. Past that the 1-ulp cast split can reach
+    // the intercept (the t26 lesson). Oracle-checked SFs (0.01/0.1)
+    // sit far inside the bound; re-scale BOTH sides to round(·,6)/
+    // DECIMAL(20,6) if a larger SF ever needs hash-exact oracle runs.
     def s1s2(c: Column) = Seq(
       sum(round(c, 9).cast("decimal(20,9)")),
       sum(round(c * c, 9).cast("decimal(20,9)")))
@@ -1657,7 +1694,17 @@ object TextAnalysis {
         ((col("r1") - lit(mu(0))) / lit(sd(0))).as("x1"),
         ((col("r2") - lit(mu(1))) / lit(sd(1))).as("x2"),
         ((col("r3") - lit(mu(2))) / lit(sd(2))).as("x3"))
-      .localCheckpoint()
+    (feats, st.getLong(0), mu, sd)
+  }
+
+  private def trainQuality(docs: DataFrame, isPositive: Column,
+      textCol: String, idCol: String,
+      rounds: Int, lrate: Double): (DataFrame, QualityModel) = {
+    require(rounds >= 1 && rounds <= 20, s"rounds out of range: $rounds")
+    val spark = docs.sparkSession
+    val (feats0, n, mu, sd) = standardizedStats(docs, isPositive, textCol, idCol)
+    val nD = n.toDouble
+    val feats = feats0.localCheckpoint()
     var w = Array(0.0, 0.0, 0.0, 0.0)
     val trace = Seq.newBuilder[(Int, Long, Double, Double, Double, Double)]
     for (r <- 1 to rounds) {
@@ -1685,6 +1732,166 @@ object TextAnalysis {
         col("w0"), col("w1"), col("w2"), col("w3"))
       .orderBy(col("round"))
     (traceDf, QualityModel(w, mu, sd))
+  }
+
+  /** A trained [[trainQualityNgram]] model: intercept+stat weights
+    * `w` (4), bucket weights `wb` (`buckets`), the standardization
+    * (μ, σ) and the gram config — buckets+10 driver doubles total,
+    * bounded by the FIXED feature space, never the corpus.
+    */
+  case class NgramQualityModel(w: Array[Double], wb: Array[Double],
+      mu: Array[Double], sd: Array[Double], n: Int, buckets: Int)
+
+  def trainQualityNgramClassifier(docs: DataFrame, isPositive: Column,
+      n: Int = 3, buckets: Int = 64, textCol: String = "text",
+      idCol: String = "doc_id", rounds: Int = 4,
+      lrate: Double = 2.0): DataFrame =
+    trainQualityNgram(docs, isPositive, n, buckets, textCol, idCol,
+      rounds, lrate)._1
+
+  def trainQualityNgramModel(docs: DataFrame, isPositive: Column,
+      n: Int = 3, buckets: Int = 64, textCol: String = "text",
+      idCol: String = "doc_id", rounds: Int = 4,
+      lrate: Double = 2.0): NgramQualityModel =
+    trainQualityNgram(docs, isPositive, n, buckets, textCol, idCol,
+      rounds, lrate)._2
+
+  /** T36 — [[trainQuality]] upgraded to fastText-class HASHED N-GRAM
+    * features (the published fastText/DCLM-style quality gate's actual
+    * feature family, VERDICT r13 task 3): the three distributional
+    * stats PLUS a `buckets`-wide hashed char-n-gram term-frequency
+    * vector per document ([[graft.functions.CharNGramBuckets]] — T23's
+    * hashing trick, so the feature space and the model stay FIXED at
+    * buckets+4 weights at any corpus size; that is what lets real
+    * quality signals — topic, boilerplate phrasing — reach a model the
+    * 4-stat gate is provably blind to, spec-pinned). Same full-batch
+    * logistic GD, same ONE-aggregate-per-round plan: the bucket
+    * gradients ride the SAME aggregate scan as the stat gradients
+    * (buckets+5 agg columns, map-side partial) — no second shuffle, no
+    * explode in the round loop.
+    *
+    * Exactness: bucket features are integer-ratio divisions
+    * (gram-count/total ∈ [0,1] — inside the DECIMAL cast budget at any
+    * corpus size, unlike r3); the z bucket contribution folds zip_with
+    * products in index order from 0.0 (left fold — DuckDB
+    * list_reduce(list_prepend(0.0, …)) mirrors bit-for-bit); gradients
+    * are round(·,9) DECIMAL(20,9) sums (the t34 discipline). Output
+    * trace per round: (round, n_correct, w0..w3, wb_sum) with wb_sum
+    * the index-ordered left fold of the bucket weights.
+    */
+  private def trainQualityNgram(docs: DataFrame, isPositive: Column,
+      n: Int, buckets: Int, textCol: String, idCol: String,
+      rounds: Int, lrate: Double): (DataFrame, NgramQualityModel) = {
+    require(rounds >= 1 && rounds <= 20, s"rounds out of range: $rounds")
+    require(buckets >= 2 && buckets <= 4096,
+      s"buckets out of range for the one-aggregate gradient plan: $buckets")
+    val spark = docs.sparkSession
+    val (stats, nDocs, mu, sd) = standardizedStats(docs, isPositive,
+      textCol, idCol)
+    val nD = nDocs.toDouble
+    // hashed-gram term frequencies, collapsed to (doc, bucket) grain
+    // then densified to a fixed-width array — the model join shape
+    val bc = Dedup.widen(docs.select(col(idCol).as("did"),
+        col(textCol).as("__t")))
+      .select(col("did"),
+        explode(graft.functions.CharNGramBuckets(col("__t"), n, buckets))
+          .as("b"))
+      .groupBy(col("did"), col("b")).agg(count(lit(1)).as("c"))
+    val dense = bc.groupBy(col("did"))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("c"))))
+          .as("__m"),
+        sum(col("c")).as("__tot"))
+      // tf × buckets ≈ unit scale under uniform hashing — the gram
+      // features must be commensurate with the standardized stats or
+      // GD chases stat noise for dozens of rounds (measured: unscaled
+      // tf ~0.05 left the planted registry corpus at 65% after 4
+      // rounds; scaled, it separates in 2). Exact ops: integer-ratio
+      // division then one multiply by the integer constant.
+      .select(col("did"), transform(sequence(lit(0L), lit(buckets - 1L)),
+        i => coalesce(try_element_at(col("__m"), i), lit(0L)).cast("double")
+          / col("__tot").cast("double") * lit(buckets.toDouble)).as("xb"))
+    val zeroVec = array_repeat(lit(0.0), buckets)
+    val feats = stats.join(dense, Seq("did"), "left")
+      .withColumn("xb", coalesce(col("xb"), zeroVec))
+      .localCheckpoint()
+    var w = Array(0.0, 0.0, 0.0, 0.0)
+    var wb = Array.fill(buckets)(0.0)
+    val trace = Seq.newBuilder[(Int, Long, Double, Double, Double, Double, Double)]
+    for (r <- 1 to rounds) {
+      val dot = aggregate(
+        zip_with(col("xb"), typedLit(wb.toSeq), (a, b) => a * b),
+        lit(0.0), (acc, v) => acc + v)
+      val z = lit(w(0)) + lit(w(1)) * col("x1") +
+        lit(w(2)) * col("x2") + lit(w(3)) * col("x3") + dot
+      val scored = feats.withColumn("ph",
+        graft.functions.Fence(lit(1.0) / (lit(1.0) + exp(-z))))
+      val resid = col("ph") - col("y")
+      def g(x: Column) = sum(round(resid * x, 9).cast("decimal(20,9)"))
+      val aggs =
+        Seq(g(lit(1.0)).as("g0"), g(col("x1")).as("g1"),
+          g(col("x2")).as("g2"), g(col("x3")).as("g3")) ++
+        (0 until buckets).map(b =>
+          g(element_at(col("xb"), b + 1)).as(s"gb$b")) :+
+        sum(when((col("ph") >= lit(0.5)) === (col("y") === lit(1.0)), 1L)
+          .otherwise(0L)).as("nc")
+      val row = scored.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val gs = (0 to 3).map(i => row.getDecimal(i).doubleValue)
+      w = Array.tabulate(4)(j => w(j) - lrate * (gs(j) / nD))
+      wb = Array.tabulate(buckets)(b =>
+        wb(b) - lrate * (row.getDecimal(4 + b).doubleValue / nD))
+      val wbSum = wb.foldLeft(0.0)(_ + _)
+      trace += ((r, row.getLong(4 + buckets), w(0), w(1), w(2), w(3), wbSum))
+    }
+    import spark.implicits._
+    val traceDf = trace.result()
+      .toDF("round", "n_correct", "w0", "w1", "w2", "w3", "wb_sum")
+      .select(col("round").cast("long").as("round"), col("n_correct"),
+        col("w0"), col("w1"), col("w2"), col("w3"), col("wb_sum"))
+      .orderBy(col("round"))
+    (traceDf, NgramQualityModel(w, wb, mu, sd, n, buckets))
+  }
+
+  /** Score ONE row's text against a trained [[NgramQualityModel]]
+    * without any aggregate exchange — the serving/gate shape: per-row
+    * stat folds ([[qualityScore]]'s), the same CharNGramBuckets gram
+    * pass, a bounded in-row bucket-count fold, and the identical
+    * index-ordered dot fold — bit-equal to batch scoring (spec-pinned).
+    */
+  def qualityScoreNgram(text: Column, model: NgramQualityModel): Column = {
+    val bks = graft.functions.CharNGramBuckets(text, model.n, model.buckets)
+    val counts = aggregate(bks,
+      array_repeat(lit(0L), model.buckets),
+      (acc, b) => transform(acc, (v, i) =>
+        when(i.cast("long") === b, v + 1L).otherwise(v)))
+    val tot = size(bks).cast("long")
+    // tot == 0 (text shorter than n code points) mirrors the batch
+    // left-join miss: an all-zero bucket vector, dot 0.0 — never NaN
+    val dot = when(tot > 0L, aggregate(
+      zip_with(counts, typedLit(model.wb.toSeq),
+        (c, wv) => c.cast("double") / tot.cast("double")
+          * lit(model.buckets.toDouble) * wv),
+      lit(0.0), (acc, v) => acc + v)).otherwise(lit(0.0))
+    val statZ = {
+      val toks = tokens(text)
+      val nTok = size(toks).cast("long")
+      val sumLen = aggregate(toks, lit(0L), (a, t) => a + length(t).cast("long"))
+      val nDistinct = size(array_distinct(toks)).cast("long")
+      val maxFreq = aggregate(sort_array(toks),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (s, t) => {
+          val run = when(t === s.getField("prev"),
+            s.getField("run") + 1L).otherwise(lit(1L))
+          struct(t.as("prev"), run.as("run"),
+            greatest(s.getField("best"), run).as("best"))
+        },
+        s => s.getField("best"))
+      def std(rv: Column, j: Int) = (rv - lit(model.mu(j))) / lit(model.sd(j))
+      lit(model.w(0)) +
+        lit(model.w(1)) * std(nDistinct.cast("double") / nTok.cast("double"), 0) +
+        lit(model.w(2)) * std(maxFreq.cast("double") / nTok.cast("double"), 1) +
+        lit(model.w(3)) * std(sumLen.cast("double") / nTok.cast("double"), 2)
+    }
+    lit(1.0) / (lit(1.0) + exp(-(statZ + dot)))
   }
 
   /** Score ONE row's text against a trained [[QualityModel]] without

@@ -38,15 +38,45 @@ class BenchMergeSpec extends AnyFunSuite {
     assert(!warnings.exists(_.contains("CONTENDED")))
   }
 
-  test("a few real regressions in a quiet run are NOT gated") {
-    // 5 genuine 3x regressions, 95 at parity: median 1.0 — must merge
-    // (the per-query >2x DRIFT stderr check flags them separately)
+  test("median-clean full run with a 5x tail CANNOT replace the tail keys") {
+    // the r13 driver run: median ratio 1.03 passed the contention gate
+    // while the late-running x-series merged at 3.7-5.5x their quiet
+    // prior values (x15_ks_drift 0.665 -> 3.632 s). The tail gate must
+    // keep the prior for those keys while the quiet bulk merges.
     val run = quiet.map { case (k, v) =>
-      k -> (if (k <= "q005") v * 3.0 else v)
+      k -> (if (k <= "q004") v * 5.0 else v * 1.03)
     }
     val (merged, warnings) = Bench.mergeRuns(quiet, run, registry)
-    assert(merged.toMap.apply("q001") === 3.0)
+    assert(merged.toMap.apply("q001") === 1.0, "tail outlier must keep prior")
+    assert(merged.toMap.apply("q004") === 1.0)
+    assert(merged.toMap.apply("q005") === 1.03, "quiet bulk must merge")
     assert(!warnings.exists(_.contains("CONTENDED")))
+    assert(warnings.count(_.contains("TAIL OUTLIER")) === 4,
+      warnings.mkString("; "))
+  }
+
+  test("tail outliers in a full run merge when explicitly accepted") {
+    val run = quiet.map { case (k, v) =>
+      k -> (if (k == "q001") v * 3.0 else v)
+    }
+    val (byKey, _) =
+      Bench.mergeRuns(quiet, run, registry, acceptDrift = Set("q001"))
+    assert(byKey.toMap.apply("q001") === 3.0)
+    val (byAll, _) =
+      Bench.mergeRuns(quiet, run, registry, acceptDrift = Set("all"))
+    assert(byAll.toMap.apply("q001") === 3.0)
+    val (gated, warnings) = Bench.mergeRuns(quiet, run, registry)
+    assert(gated.toMap.apply("q001") === 1.0)
+    assert(warnings.exists(_.contains("TAIL OUTLIER")))
+  }
+
+  test("partial isolated re-measure bypasses the tail gate") {
+    // re-running ONE key in isolation is the documented way to accept a
+    // genuine regression into the artifact — no env var needed
+    val partial = Map("q001" -> 3.0)
+    val (merged, warnings) = Bench.mergeRuns(quiet, partial, registry)
+    assert(merged.toMap.apply("q001") === 3.0)
+    assert(!warnings.exists(_.contains("TAIL OUTLIER")))
   }
 
   test("partial run merges over prior and can't shrink the baseline") {

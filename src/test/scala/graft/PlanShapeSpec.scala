@@ -34,6 +34,24 @@ class PlanShapeSpec extends SparkSpec {
   private def nodes(df: DataFrame): Seq[SparkPlan] =
     nodes(df.queryExecution.executedPlan)
 
+  /** True iff EVERY leaf of `p` sits beneath a row-bounding node
+    * (TakeOrderedAndProject / GlobalLimit / a local relation) — the
+    * only inputs a global window may sort without becoming a
+    * single-task corpus sort. A join of a TakeOrdered output with the
+    * corpus is NOT bounded: the ADVICE r13 scoping — the limit must
+    * bound every path into the window, not merely appear somewhere in
+    * its child subtree.
+    */
+  private def boundedInput(p: SparkPlan): Boolean = p match {
+    case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+    case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+    case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+    case a: AdaptiveSparkPlanExec => boundedInput(a.executedPlan)
+    case s: QueryStageExec => boundedInput(s.plan)
+    case l if l.children.isEmpty => false
+    case n => n.children.forall(boundedInput)
+  }
+
   /** The r8 scale-killer class: a WindowExec with an EMPTY partition
     * spec moves the whole input through one sort task. After the
     * Prefix.cumSums rewrite, every window in these plans must be
@@ -150,12 +168,11 @@ class PlanShapeSpec extends SparkSpec {
         case w: WindowExec => w.partitionSpec.isEmpty &&
           // d33's rank window rides the 12-row TakeOrdered limit — the
           // one bounded exception the t33 shape established. The
-          // exemption is SUBTREE-scoped (ADVICE r12): only a window
-          // whose own input is the TakeOrdered output is bounded; a
-          // TakeOrdered elsewhere in the plan must not excuse a genuine
-          // corpus-wide window added later.
-          !nodes(w.child).exists(_.isInstanceOf[
-            org.apache.spark.sql.execution.TakeOrderedAndProjectExec])
+          // exemption demands the limit bound EVERY input path
+          // (boundedInput), not merely appear somewhere in the child
+          // subtree (ADVICE r13: a TakeOrdered on one join branch must
+          // not excuse a corpus-wide window).
+          !boundedInput(w.child)
         case _ => false
       }, s"$name plans an unbounded global window above an unbounded input")
     }
@@ -163,6 +180,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(nodes(q("d34_simhash_wide"))
       .exists(_.isInstanceOf[ShuffledHashJoinExec]),
       "d34 band self-join lost its shuffle_hash hint")
+  }
+
+  test("boundedInput: a TakeOrdered on ONE join branch does not excuse a " +
+      "global window over the corpus (synthetic, ADVICE r13)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+    val top = docs.orderBy(col("doc_id")).limit(5)
+      .select(col("doc_id").as("top_id"))
+    // corpus ⋈ bounded-top, then a GLOBAL window: the old subtree test
+    // saw the TakeOrdered and excused it — the every-path walk must not
+    val bad = docs.join(broadcast(top),
+        pmod(col("doc_id"), lit(7L)) === pmod(col("top_id"), lit(7L)))
+      .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
+    val badWs = nodes(bad).collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(badWs.nonEmpty, "synthetic plan lost its global window")
+    assert(badWs.exists(w => !boundedInput(w.child)),
+      "a corpus-wide global window was excused by a TakeOrdered on a " +
+        "sibling join branch")
+    // and the genuinely bounded shape (window directly above the
+    // TakeOrdered output) stays exempt
+    val good = docs.orderBy(col("doc_id")).limit(5)
+      .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
+    val goodWs = nodes(good).collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(goodWs.nonEmpty && goodWs.forall(w => boundedInput(w.child)),
+      "the bounded d33-shape exemption regressed")
   }
 
   test("p25/p26: the DSIR model joins as a broadcast; no window, no cartesian") {
