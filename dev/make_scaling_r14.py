@@ -79,14 +79,21 @@ def main():
         "note": (
             "round-14 two-decade scaling: the r13 artifact carried "
             "forward plus fresh quiet-window best-of-2 measurements of "
-            "the round-14 queries (t36 hashed-n-gram classifier, m15 "
-            "MP4 box walk) and the re-derived t23 (planted per-label "
-            "suffix) over the same MakeSf1 10x/100x replication, "
-            "local[32], noop sink. exp = log10(time ratio) per decade, "
+            "every round-14 query (t36 hashed-n-gram classifier, m15 "
+            "MP4 box walk, the re-derived t23 planted-suffix row, and "
+            "the second wave: p27 doremi, t37 wordpiece, t38 gopher, "
+            "d36 chunk dedup, p28 ppl buckets, s18 filtered search, "
+            "t39 readability, m16 frame plan, p29 data-constrained "
+            "card, d37 blocked levenshtein) over the same MakeSf1 "
+            "10x/100x replication, local[32], noop sink. exp = "
+            "log10(time ratio) per decade, "
             f"suppressed under {MIN_SEC} s at the lower scale; "
             "flagged_over_1.1 queries are root-caused in SURVEY 4.1 "
             "(the persisting flags are the PINNED-capacity originals "
-            "whose closure the r12/r13 twins are)."
+            "whose closure the r12/r13 twins are). d37's block table "
+            "(customer) is a DIM table the replicator does not grow — "
+            "its flat curve is the honest shape, not evidence of "
+            "sublinearity."
         ),
         "capacity_twins": r13["capacity_twins"],
         "flagged_over_1.1": flagged,

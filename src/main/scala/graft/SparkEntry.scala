@@ -2186,6 +2186,164 @@ object SparkEntry {
       .orderBy($"doc_id")
   }
 
+  private def p27(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // DoReMi domain reweighting: per-domain loss proxy = ln(mean
+    // tokens per doc) from ONE map-side-combined aggregate (exact
+    // integer sums, one ln, round 9), then 5 multiplicative-weights
+    // rounds on DRIVER state of 20 domains. The oracle unrolls every
+    // round in CTEs with the normalizer as a sorted list_reduce fold.
+    val loss = t(s, dir, "documents")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("docs_d"),
+        sum(size(split(trim($"text"), "\\s+")).cast("long")).as("tok_d"))
+      .select($"source".as("domain"),
+        round(log($"tok_d".cast("double") / $"docs_d".cast("double")), 9)
+          .as("loss"))
+    operators.Pipeline.doremiWeights(loss, rounds = 5)
+      .orderBy($"round", $"domain")
+  }
+
+  private def t37q(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // WordPiece merge training: 4 rounds of likelihood-scored merges
+    // (count(xy)/(count(x)·count(y)) — exact BIGINTs, one double
+    // division) over the vocabulary-sized symbol histogram.
+    operators.TextAnalysis.wordPieceMerges(t(s, dir, "documents"), rounds = 4)
+      .orderBy($"rank")
+  }
+
+  private def t38(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Gopher rule-based filter: every ratio rule an exact integer
+    // cross-multiplication, one double (mean_word_len) emitted. The
+    // stopword screen uses the corpus's own function words (the
+    // synthetic vocabulary has no English stopwords beyond the/a —
+    // the t23 discriminative-row lesson: 317/183 split at sf0.01,
+    // not all-false), while the operator's default stays the
+    // published list.
+    operators.TextAnalysis.gopherQualityFlags(t(s, dir, "documents"),
+        stopwords = Seq("the", "a"))
+      .orderBy($"doc_id")
+  }
+
+  private def d36(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // C4-style cross-document span dedup at the 3-token-chunk grain:
+    // canonical = globally smallest (doc_id, idx) packed into one
+    // exact long; reassembly via sort_array over kept (idx, chunk)
+    // structs — '' (never NULL) when everything was trimmed.
+    operators.Dedup.chunkDedup(t(s, dir, "documents"), chunkTokens = 3)
+      .orderBy($"doc_id")
+  }
+
+  private def p28(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // CCNet tiering: t18's bigram perplexity cut at each LANGUAGE's
+    // own 1/3 and 2/3 interpolated percentiles (Quantiles distributed
+    // selection — no per-key sort) into head/middle/tail.
+    operators.TextAnalysis.perplexityBuckets(
+        t(s, dir, "documents"), trainFilter = pmod($"doc_id", lit(5)) =!= 0)
+      .orderBy($"doc_id")
+  }
+
+  private def s18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // FILTERED vector search: top-5 cosine neighbors among label%3=0
+    // vectors only (pre-filter semantics — every query still gets k
+    // rows); ranking via the bounded-heap TopKPerKey operator, rank
+    // re-derived by a window over the ≤ queries×k result rows.
+    val emb = t(s, dir, "embeddings")
+    val queries = broadcast(emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"),
+        operators.Similarity.toDoubleVec($"embedding").as("qv")))
+    operators.Similarity.filteredTopK(emb, queries,
+        pred = pmod($"label", lit(3)) === 0, k = 5)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"qid").orderBy($"cosine".desc, $"vec_id".asc)))
+      .select($"qid", $"rank", $"vec_id", $"cosine")
+      .orderBy($"qid", $"rank")
+  }
+
+  private def t39(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Flesch reading ease + FK grade: exact integer word/syllable/
+    // sentence counts, two divisions, CAST-literal constants — pure
+    // IEEE, no rounding discipline needed.
+    operators.TextAnalysis.fleschReadability(t(s, dir, "documents"))
+      .orderBy($"doc_id")
+  }
+
+  private def m16(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // frame-sampling plan from the m15 container walk: one frame per
+    // 10 s capped at 16/clip, all-integer timestamps; the every-10th
+    // non-MP4 doc plans zero frames.
+    val ts = pmod($"doc_id", lit(5L)) * 120L + 600L
+    val dur = (pmod($"doc_id", lit(97L)) + 1L) * 733L
+    val ntr = pmod($"doc_id", lit(3L)) + 1L
+    val w = (pmod($"doc_id", lit(8L)) + 1L) * 16L
+    val h = (pmod($"doc_id", lit(5L)) + 1L) * 16L
+    val withBin = t(s, dir, "documents").withColumn("payload",
+      when(pmod($"doc_id", lit(10L)) === 7L, $"text".cast("binary"))
+        .otherwise(graft.functions.EncodeMp4(ts, dur, ntr, w, h,
+          concat(lit("mp4:"), $"doc_id".cast("string")))))
+    operators.Multimodal.frameSamplePlan(withBin, "payload", "doc_id",
+        stepSeconds = 10L, maxFrames = 16)
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  private def p29(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // data-constrained scaling card: per-domain token masses at the
+    // budget-implied epoch count, valued through the published
+    // exponential repeat-decay law (one round(9)'d exp; everything
+    // else exact/IEEE).
+    val u = t(s, dir, "documents")
+      .groupBy($"source".as("key"))
+      .agg(sum(size(split(trim($"text"), "\\s+")).cast("long")).as("u_tokens"))
+    operators.Pipeline.dataConstrainedCard(u, budget = 1000000L)
+      .orderBy($"key")
+  }
+
+  private def d37(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // blocked Levenshtein linkage: customers sharing the first 7 of 9
+    // name digits form a block (≤100 rows); exact edit-distance ≤ 1
+    // verifies — ids differing in ONE of the last two digit positions.
+    operators.Dedup.blockedLevenshtein(
+        t(s, dir, "customer").select($"c_custkey", $"c_name"),
+        blockKey = substring($"c_name", 1, 16), maxDist = 1,
+        nameCol = "c_name", idCol = "c_custkey")
+      .select($"ida", $"idb", $"dist".cast("long").as("dist"))
+      .orderBy($"ida", $"idb")
+  }
+
+  private def x16q(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Pearson chi-square independence: lang × source contingency —
+    // exact integer margins, sorted-cell-order IEEE fold, no libm.
+    operators.Pipeline.chiSquare(t(s, dir, "documents"), "lang", "source")
+  }
+
+  private def m17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // REAL JPEG/Exif marker+IFD walk over synthesized VALID files
+    // (the m15 encode∘decode == id trick): orientation/make/byte order
+    // all analytic in doc_id; every 10th doc carries garbage and must
+    // degrade to 'unknown'. Byte order alternates II/MM so BOTH TIFF
+    // layouts execute in the oracle-checked path.
+    val orient = pmod($"doc_id", lit(8L)) + 1L
+    val mk = concat(lit("g"), pmod($"doc_id", lit(10L)).cast("string"))
+    val big = pmod($"doc_id", lit(2L)) === 1L
+    val withBin = t(s, dir, "documents").withColumn("payload",
+      when(pmod($"doc_id", lit(10L)) === 7L, $"text".cast("binary"))
+        .otherwise(graft.functions.EncodeExifJpeg(orient, mk, big)))
+    operators.Multimodal.exifMetadata(withBin, "payload", "doc_id")
+      .orderBy($"doc_id")
+  }
+
   private def s16(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // JL sign projection 64→16, then brute-force top-5 in the
@@ -3602,6 +3760,18 @@ object SparkEntry {
     "t35_textrank" -> (t35 _),
     "t36_quality_ngram" -> (t36 _),
     "m15_mp4_meta" -> (m15 _),
+    "p27_doremi" -> (p27 _),
+    "t37_wordpiece" -> (t37q _),
+    "t38_gopher_rules" -> (t38 _),
+    "d36_chunk_dedup" -> (d36 _),
+    "p28_ppl_buckets" -> (p28 _),
+    "s18_filtered_topk" -> (s18 _),
+    "t39_readability" -> (t39 _),
+    "m16_frame_plan" -> (m16 _),
+    "p29_data_constrained" -> (p29 _),
+    "d37_name_linkage" -> (d37 _),
+    "m17_exif_meta" -> (m17 _),
+    "x16_chi2" -> (x16q _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7399,5 +7569,330 @@ object SparkEntry {
         | CASE WHEN doc_id % 10 = 7 THEN NULL
         |   ELSE ((doc_id % 97 + 1) * 733) // (doc_id % 5 * 120 + 600) END AS duration_s
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // DoReMi: the 5 multiplicative-weights rounds unrolled in CTEs;
+    // the normalizer is a sorted-domain list_reduce fold (exactly the
+    // driver's foldLeft order), eta=0.5 and c=1/64 binary-exact, the
+    // only libm calls (ln of the loss proxy, exp of eta*excess)
+    // round(9)-quantized on both sides.
+    "p27_doremi" ->
+      """WITH dom AS (SELECT source AS domain, CAST(COUNT(*) AS BIGINT) AS docs_d,
+        |  CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tok_d
+        | FROM documents GROUP BY source),
+        |l AS (SELECT domain,
+        |  round(ln(CAST(tok_d AS DOUBLE) / CAST(docs_d AS DOUBLE)), 9) AS loss FROM dom),
+        |x AS (SELECT domain, loss - (SELECT MIN(loss) FROM l) AS excess FROM l),
+        |e AS (SELECT domain, excess,
+        |  round(exp(CAST(0.5 AS DOUBLE) * excess), 9) AS ew,
+        |  (SELECT CAST(1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) FROM l) AS u FROM x),
+        |r0 AS (SELECT domain, excess, ew, u, u AS w FROM e),
+        |r1 AS (SELECT domain, excess, ew, u,
+        |  (1 - CAST(0.015625 AS DOUBLE)) * (w * ew /
+        |    (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(w * ew ORDER BY domain)), (a, b) -> a + b) FROM r0))
+        |  + CAST(0.015625 AS DOUBLE) * u AS w FROM r0),
+        |r2 AS (SELECT domain, excess, ew, u,
+        |  (1 - CAST(0.015625 AS DOUBLE)) * (w * ew /
+        |    (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(w * ew ORDER BY domain)), (a, b) -> a + b) FROM r1))
+        |  + CAST(0.015625 AS DOUBLE) * u AS w FROM r1),
+        |r3 AS (SELECT domain, excess, ew, u,
+        |  (1 - CAST(0.015625 AS DOUBLE)) * (w * ew /
+        |    (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(w * ew ORDER BY domain)), (a, b) -> a + b) FROM r2))
+        |  + CAST(0.015625 AS DOUBLE) * u AS w FROM r2),
+        |r4 AS (SELECT domain, excess, ew, u,
+        |  (1 - CAST(0.015625 AS DOUBLE)) * (w * ew /
+        |    (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(w * ew ORDER BY domain)), (a, b) -> a + b) FROM r3))
+        |  + CAST(0.015625 AS DOUBLE) * u AS w FROM r3),
+        |r5 AS (SELECT domain, excess, ew, u,
+        |  (1 - CAST(0.015625 AS DOUBLE)) * (w * ew /
+        |    (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(w * ew ORDER BY domain)), (a, b) -> a + b) FROM r4))
+        |  + CAST(0.015625 AS DOUBLE) * u AS w FROM r4)
+        |SELECT round, domain, excess, weight FROM (
+        |  SELECT CAST(0 AS BIGINT) AS round, domain, excess, w AS weight FROM r0
+        |  UNION ALL SELECT CAST(1 AS BIGINT), domain, excess, w FROM r1
+        |  UNION ALL SELECT CAST(2 AS BIGINT), domain, excess, w FROM r2
+        |  UNION ALL SELECT CAST(3 AS BIGINT), domain, excess, w FROM r3
+        |  UNION ALL SELECT CAST(4 AS BIGINT), domain, excess, w FROM r4
+        |  UNION ALL SELECT CAST(5 AS BIGINT), domain, excess, w FROM r5)
+        |ORDER BY round, domain""".stripMargin,
+    // WordPiece: t12's merge-fold template with the likelihood score
+    // c/(cx*cy) — exact BIGINTs, ONE double division (BIGINT→DOUBLE
+    // cast is IEEE-identical), argmax ties broken lexicographically.
+    "t37_wordpiece" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents),
+        |w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY w),
+        |s0 AS (SELECT array_to_string(list_transform(range(1, length(w)+1),
+        |  i -> w[CAST(i AS INT)]), ' ') AS sym, n FROM w0),
+        |pc1 AS (SELECT x, y, CAST(SUM(n) AS BIGINT) AS c FROM (
+        |  SELECT n, a[i] AS x, a[i+1] AS y
+        |  FROM (SELECT n, string_split(sym, ' ') AS a FROM s0),
+        |       LATERAL (SELECT unnest(range(1, len(a))) AS i) t) GROUP BY x, y),
+        |sc1 AS (SELECT s, CAST(SUM(n) AS BIGINT) AS cs FROM (
+        |  SELECT n, unnest(string_split(sym, ' ')) AS s FROM s0) GROUP BY s),
+        |b1 AS (SELECT p.x, p.y, p.c, sx.cs AS cx, sy.cs AS cy,
+        |  CAST(p.c AS DOUBLE) / CAST(sx.cs * sy.cs AS DOUBLE) AS score
+        | FROM pc1 p JOIN sc1 sx ON p.x = sx.s JOIN sc1 sy ON p.y = sy.s
+        | ORDER BY score DESC, p.x, p.y LIMIT 1),
+        |s1 AS (SELECT n, list_reduce(string_split(sym, ' '), (acc, s) -> CASE
+        |  WHEN s = b.y AND acc = b.x THEN b.x || b.y
+        |  WHEN s = b.y AND ends_with(acc, ' ' || b.x)
+        |    THEN left(acc, length(acc) - length(b.x) - 1) || ' ' || b.x || b.y
+        |  ELSE acc || ' ' || s END) AS sym FROM s0, b1 b),
+        |pc2 AS (SELECT x, y, CAST(SUM(n) AS BIGINT) AS c FROM (
+        |  SELECT n, a[i] AS x, a[i+1] AS y
+        |  FROM (SELECT n, string_split(sym, ' ') AS a FROM s1),
+        |       LATERAL (SELECT unnest(range(1, len(a))) AS i) t) GROUP BY x, y),
+        |sc2 AS (SELECT s, CAST(SUM(n) AS BIGINT) AS cs FROM (
+        |  SELECT n, unnest(string_split(sym, ' ')) AS s FROM s1) GROUP BY s),
+        |b2 AS (SELECT p.x, p.y, p.c, sx.cs AS cx, sy.cs AS cy,
+        |  CAST(p.c AS DOUBLE) / CAST(sx.cs * sy.cs AS DOUBLE) AS score
+        | FROM pc2 p JOIN sc2 sx ON p.x = sx.s JOIN sc2 sy ON p.y = sy.s
+        | ORDER BY score DESC, p.x, p.y LIMIT 1),
+        |s2 AS (SELECT n, list_reduce(string_split(sym, ' '), (acc, s) -> CASE
+        |  WHEN s = b.y AND acc = b.x THEN b.x || b.y
+        |  WHEN s = b.y AND ends_with(acc, ' ' || b.x)
+        |    THEN left(acc, length(acc) - length(b.x) - 1) || ' ' || b.x || b.y
+        |  ELSE acc || ' ' || s END) AS sym FROM s1, b2 b),
+        |pc3 AS (SELECT x, y, CAST(SUM(n) AS BIGINT) AS c FROM (
+        |  SELECT n, a[i] AS x, a[i+1] AS y
+        |  FROM (SELECT n, string_split(sym, ' ') AS a FROM s2),
+        |       LATERAL (SELECT unnest(range(1, len(a))) AS i) t) GROUP BY x, y),
+        |sc3 AS (SELECT s, CAST(SUM(n) AS BIGINT) AS cs FROM (
+        |  SELECT n, unnest(string_split(sym, ' ')) AS s FROM s2) GROUP BY s),
+        |b3 AS (SELECT p.x, p.y, p.c, sx.cs AS cx, sy.cs AS cy,
+        |  CAST(p.c AS DOUBLE) / CAST(sx.cs * sy.cs AS DOUBLE) AS score
+        | FROM pc3 p JOIN sc3 sx ON p.x = sx.s JOIN sc3 sy ON p.y = sy.s
+        | ORDER BY score DESC, p.x, p.y LIMIT 1),
+        |s3 AS (SELECT n, list_reduce(string_split(sym, ' '), (acc, s) -> CASE
+        |  WHEN s = b.y AND acc = b.x THEN b.x || b.y
+        |  WHEN s = b.y AND ends_with(acc, ' ' || b.x)
+        |    THEN left(acc, length(acc) - length(b.x) - 1) || ' ' || b.x || b.y
+        |  ELSE acc || ' ' || s END) AS sym FROM s2, b3 b),
+        |pc4 AS (SELECT x, y, CAST(SUM(n) AS BIGINT) AS c FROM (
+        |  SELECT n, a[i] AS x, a[i+1] AS y
+        |  FROM (SELECT n, string_split(sym, ' ') AS a FROM s3),
+        |       LATERAL (SELECT unnest(range(1, len(a))) AS i) t) GROUP BY x, y),
+        |sc4 AS (SELECT s, CAST(SUM(n) AS BIGINT) AS cs FROM (
+        |  SELECT n, unnest(string_split(sym, ' ')) AS s FROM s3) GROUP BY s),
+        |b4 AS (SELECT p.x, p.y, p.c, sx.cs AS cx, sy.cs AS cy,
+        |  CAST(p.c AS DOUBLE) / CAST(sx.cs * sy.cs AS DOUBLE) AS score
+        | FROM pc4 p JOIN sc4 sx ON p.x = sx.s JOIN sc4 sy ON p.y = sy.s
+        | ORDER BY score DESC, p.x, p.y LIMIT 1)
+        |SELECT rank, x, y, c, cx, cy, score FROM (
+        |  SELECT CAST(1 AS BIGINT) AS rank, x, y, c, cx, cy, score FROM b1
+        |  UNION ALL SELECT CAST(2 AS BIGINT), x, y, c, cx, cy, score FROM b2
+        |  UNION ALL SELECT CAST(3 AS BIGINT), x, y, c, cx, cy, score FROM b3
+        |  UNION ALL SELECT CAST(4 AS BIGINT), x, y, c, cx, cy, score FROM b4)
+        |ORDER BY rank""".stripMargin,
+    // Gopher rules: every ratio stated as integer cross-multiplication
+    // (engine-bit-exact booleans); the sole double is one division.
+    "t38_gopher_rules" ->
+      """WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(length(w)) AS BIGINT) AS sum_len,
+        |  CAST(SUM(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+        |  CAST(SUM(CASE WHEN w IN ('#', '...', '…') THEN 1 ELSE 0 END) AS BIGINT) AS n_sym,
+        |  CAST(COUNT(DISTINCT CASE WHEN w IN ('the', 'a')
+        |    THEN w END) AS BIGINT) AS n_stop
+        | FROM w GROUP BY doc_id),
+        |li AS (SELECT doc_id,
+        |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+        |  CAST(len(list_filter(string_split(text, chr(10)), l ->
+        |    starts_with(l, '- ') OR starts_with(l, '* ') OR starts_with(l, '•'))) AS BIGINT) AS n_bullet,
+        |  CAST(len(list_filter(string_split(text, chr(10)), l ->
+        |    ends_with(l, '...') OR ends_with(l, '…'))) AS BIGINT) AS n_ellipsis
+        | FROM documents)
+        |SELECT doc_id, n_words, mean_word_len, f_word_count, f_mean_len, f_symbol,
+        |  f_alpha, f_stopwords, f_bullet, f_ellipsis,
+        |  (f_word_count AND f_mean_len AND f_symbol AND f_alpha AND f_stopwords
+        |    AND f_bullet AND f_ellipsis) AS keep
+        |FROM (SELECT a.doc_id,
+        |  n_words,
+        |  CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+        |  (n_words >= 50 AND n_words <= 100000) AS f_word_count,
+        |  (sum_len >= 3 * n_words AND sum_len <= 10 * n_words) AS f_mean_len,
+        |  (10 * n_sym <= n_words) AS f_symbol,
+        |  (5 * n_alpha >= 4 * n_words) AS f_alpha,
+        |  (n_stop >= 2) AS f_stopwords,
+        |  (10 * n_bullet <= 9 * n_lines) AS f_bullet,
+        |  (10 * n_ellipsis <= 3 * n_lines) AS f_ellipsis
+        | FROM agg a JOIN li ON a.doc_id = li.doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // chunk dedup: canonical = MIN over the packed (doc_id, idx) long;
+    // kept chunks reassemble via ORDER BY idx inside the list agg
+    // (Spark: sort_array over structs); COALESCE because DuckDB
+    // array_to_string([]) is NULL while Spark concat_ws is '' (d32).
+    "d36_chunk_dedup" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a FROM documents),
+        |c AS (SELECT doc_id, i AS idx,
+        |   array_to_string(list_slice(a, CAST(i*3+1 AS BIGINT), CAST(i*3+3 AS BIGINT)), ' ') AS chunk
+        | FROM d, LATERAL (SELECT unnest(range(0, GREATEST(
+        |   CAST(ceil(CAST(len(a) AS DOUBLE) / CAST(3 AS DOUBLE)) AS BIGINT), 1))) AS i) t),
+        |k AS (SELECT chunk, MIN(doc_id * 1048576 + idx) AS canon FROM c GROUP BY chunk),
+        |j AS (SELECT c.doc_id, c.idx, c.chunk,
+        |   (c.doc_id * 1048576 + c.idx = k.canon) AS keep
+        | FROM c JOIN k USING (chunk))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        | CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | COALESCE(array_to_string(list(chunk ORDER BY idx) FILTER (WHERE keep), ' '), '') AS new_text
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // CCNet buckets: t18's perplexity CTEs + per-language interpolated
+    // terciles via the q48/q49 ROW_NUMBER construction, every
+    // interpolation op mirrored.
+    "p28_ppl_buckets" ->
+      """WITH ts AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |bg AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM (
+        |  SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z FROM ts)),
+        |bi AS (SELECT w1, w2, COUNT(*) AS c FROM bg WHERE doc_id % 5 <> 0 GROUP BY w1, w2),
+        |ctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c_ctx FROM bi GROUP BY w1),
+        |lm AS (SELECT bi.w1, bi.w2,
+        |  ln(CAST(bi.c AS DOUBLE) / CAST(ctx.c_ctx AS DOUBLE)) AS lnp
+        | FROM bi JOIN ctx ON bi.w1 = ctx.w1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_train FROM bi),
+        |sc AS (SELECT bg.doc_id,
+        |  COALESCE(lm.lnp, -ln(CAST(tot.n_train + 1 AS DOUBLE))) AS lnp_eff
+        | FROM bg LEFT JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2 CROSS JOIN tot),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(list(lnp_eff))),
+        |   (a, b) -> a + b) AS s
+        | FROM sc GROUP BY doc_id),
+        |h AS (SELECT doc_id,
+        |  round(greatest(CAST(0 AS DOUBLE),
+        |    (CAST(0 AS DOUBLE) - s) / CAST(n_bigrams AS DOUBLE)), 6) AS cross_entropy
+        | FROM agg),
+        |pl AS (SELECT h.doc_id, d.lang, round(exp(h.cross_entropy), 6) AS perplexity
+        | FROM h JOIN documents d ON h.doc_id = d.doc_id),
+        |r1 AS (SELECT lang, doc_id, perplexity,
+        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY perplexity) - 1 AS rn,
+        |  COUNT(*) OVER (PARTITION BY lang) AS n FROM pl),
+        |m1 AS (SELECT lang,
+        |  MAX(CASE WHEN rn = floor(CAST(1 AS DOUBLE)/CAST(3 AS DOUBLE) * (n-1)) THEN perplexity END) AS lo1,
+        |  MAX(CASE WHEN rn = ceil(CAST(1 AS DOUBLE)/CAST(3 AS DOUBLE) * (n-1)) THEN perplexity END) AS hi1,
+        |  MAX(CAST(1 AS DOUBLE)/CAST(3 AS DOUBLE) * (n-1)) AS pos1,
+        |  MAX(CASE WHEN rn = floor(CAST(2 AS DOUBLE)/CAST(3 AS DOUBLE) * (n-1)) THEN perplexity END) AS lo2,
+        |  MAX(CASE WHEN rn = ceil(CAST(2 AS DOUBLE)/CAST(3 AS DOUBLE) * (n-1)) THEN perplexity END) AS hi2,
+        |  MAX(CAST(2 AS DOUBLE)/CAST(3 AS DOUBLE) * (n-1)) AS pos2
+        | FROM r1 GROUP BY lang),
+        |th AS (SELECT lang, lo1 + (hi1 - lo1) * (pos1 - floor(pos1)) AS t1,
+        |  lo2 + (hi2 - lo2) * (pos2 - floor(pos2)) AS t2 FROM m1)
+        |SELECT pl.doc_id, pl.lang, pl.perplexity,
+        | CASE WHEN pl.perplexity <= th.t1 THEN 'head'
+        |      WHEN pl.perplexity <= th.t2 THEN 'middle'
+        |      ELSE 'tail' END AS bucket
+        |FROM pl JOIN th ON pl.lang = th.lang ORDER BY pl.doc_id""".stripMargin,
+    // filtered search: the oracle is exact brute force over the
+    // PRE-filtered corpus — same candidate set the operator ranks.
+    "s18_filtered_topk" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |c AS (SELECT vec_id, v FROM e WHERE label % 3 = 0),
+        |scored AS (
+        | SELECT qid, vec_id,
+        |  list_reduce(list_transform(range(1, len(qv)+1), i -> qv[i]*v[i]), (x,y) -> x+y) /
+        |   (sqrt(list_reduce(list_transform(qv, x -> x*x), (x,y) -> x+y)) *
+        |    sqrt(list_reduce(list_transform(v, x -> x*x), (x,y) -> x+y))) AS cosine
+        | FROM q JOIN c ON qid <> vec_id),
+        |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank FROM scored)
+        |SELECT qid, rank, vec_id, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+    // Flesch: exact integer counts, two divisions, CAST-literal
+    // constants, left-assoc arithmetic mirrored — no libm, no round().
+    "t39_readability" ->
+      """WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents),
+        |a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(len(regexp_extract_all(lower(w), '[aeiouy]+'))) AS BIGINT) AS raw_syl,
+        |  CAST(SUM(CASE WHEN len(regexp_extract_all(lower(w), '[aeiouy]+')) = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS no_vowel
+        | FROM w GROUP BY doc_id),
+        |st AS (SELECT doc_id,
+        |  CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences
+        | FROM documents)
+        |SELECT a.doc_id, n_words, n_sentences,
+        |  raw_syl + no_vowel AS n_syllables,
+        |  CAST(206.835 AS DOUBLE)
+        |    - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |    - CAST(84.6 AS DOUBLE) * (CAST(raw_syl + no_vowel AS DOUBLE) / CAST(n_words AS DOUBLE)) AS reading_ease,
+        |  CAST(0.39 AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |    + CAST(11.8 AS DOUBLE) * (CAST(raw_syl + no_vowel AS DOUBLE) / CAST(n_words AS DOUBLE))
+        |    - CAST(15.59 AS DOUBLE) AS fk_grade
+        |FROM a JOIN st ON a.doc_id = st.doc_id ORDER BY a.doc_id""".stripMargin,
+    // frame plan: every field analytic in doc_id (the m15 synthesizer),
+    // all-integer timestamps, non-MP4 docs plan zero rows.
+    "m16_frame_plan" ->
+      """WITH v AS (SELECT doc_id,
+        |   doc_id % 5 * 120 + 600 AS timescale,
+        |   ((doc_id % 97 + 1) * 733) // (doc_id % 5 * 120 + 600) AS duration_s
+        | FROM documents WHERE doc_id % 10 <> 7),
+        |n AS (SELECT doc_id, timescale,
+        |   LEAST(duration_s // 10 + 1, 16) AS n_frames FROM v)
+        |SELECT doc_id, i AS frame_idx, i * 10 AS t_seconds,
+        |  i * 10 * timescale AS t_units
+        |FROM n, LATERAL (SELECT unnest(range(0, n_frames)) AS i) t
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    // data-constrained card: exact longs, one exp round(9)'d, every
+    // other op pinned-order IEEE; budget and R* CAST-literal mirrored.
+    "p29_data_constrained" ->
+      """WITH u AS (SELECT source AS key,
+        |  CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS u_tokens
+        | FROM documents GROUP BY source),
+        |t_ AS (SELECT CAST(SUM(u_tokens) AS BIGINT) AS u_total FROM u),
+        |c AS (SELECT key, u_tokens,
+        |  CAST(1000000 AS DOUBLE) / CAST(u_total AS DOUBLE) AS epochs FROM u, t_),
+        |d AS (SELECT key, u_tokens, epochs,
+        |  round(exp((CAST(1 AS DOUBLE) - epochs) / CAST(15.4 AS DOUBLE)), 9) AS decay FROM c)
+        |SELECT key, u_tokens, epochs,
+        |  CAST(u_tokens AS DOUBLE) * epochs AS trained_tokens,
+        |  CAST(u_tokens AS DOUBLE) + CAST(u_tokens AS DOUBLE) * CAST(15.4 AS DOUBLE)
+        |    * (CAST(1 AS DOUBLE) - decay) AS effective_tokens,
+        |  (CAST(u_tokens AS DOUBLE) + CAST(u_tokens AS DOUBLE) * CAST(15.4 AS DOUBLE)
+        |    * (CAST(1 AS DOUBLE) - decay))
+        |   / (CAST(u_tokens AS DOUBLE) * epochs) AS efficiency
+        |FROM d ORDER BY key""".stripMargin,
+    // blocked linkage: the oracle mirrors the block-size cap (the d34
+    // asymmetry lesson) and the exact levenshtein verify.
+    "d37_name_linkage" ->
+      """WITH b AS (SELECT c_custkey AS id, c_name AS nm,
+        |  substring(c_name, 1, 16) AS blk FROM customer),
+        |sz AS (SELECT blk FROM (SELECT blk, COUNT(*) AS n FROM b GROUP BY blk)
+        |  WHERE n <= 10000),
+        |kept AS (SELECT b.* FROM b JOIN sz USING (blk))
+        |SELECT a.id AS ida, c.id AS idb, CAST(levenshtein(a.nm, c.nm) AS BIGINT) AS dist
+        |FROM kept a JOIN kept c ON a.blk = c.blk AND a.id < c.id
+        |WHERE levenshtein(a.nm, c.nm) <= 1
+        |ORDER BY ida, idb""".stripMargin,
+    // Exif: every field analytic in doc_id (the m17 synthesizer);
+    // byte order alternates so both TIFF layouts are oracle-checked.
+    "m17_exif_meta" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 10 = 7 THEN 'unknown' ELSE 'jpeg-exif' END AS format,
+        | CASE WHEN doc_id % 10 = 7 THEN NULL
+        |   WHEN doc_id % 2 = 1 THEN 'MM' ELSE 'II' END AS byte_order,
+        | CASE WHEN doc_id % 10 = 7 THEN NULL ELSE doc_id % 8 + 1 END AS orientation,
+        | CASE WHEN doc_id % 10 = 7 THEN NULL
+        |   ELSE 'g' || CAST(doc_id % 10 AS VARCHAR) END AS make,
+        | CASE WHEN doc_id % 10 = 7 THEN NULL ELSE CAST(2 AS BIGINT) END AS n_entries
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // chi-square: every double op mirrored; the fold order is the
+    // sorted (a,b) cell order on both sides.
+    "x16_chi2" ->
+      """WITH cells AS (SELECT lang AS a, source AS b, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY lang, source),
+        |rm AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM cells GROUP BY a),
+        |cm AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM cells GROUP BY b),
+        |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+        |terms AS (SELECT a, b,
+        |  (CAST(o AS DOUBLE) - CAST(ra * cb AS DOUBLE) / CAST(n AS DOUBLE))
+        |  * (CAST(o AS DOUBLE) - CAST(ra * cb AS DOUBLE) / CAST(n AS DOUBLE))
+        |  / (CAST(ra * cb AS DOUBLE) / CAST(n AS DOUBLE)) AS term
+        | FROM cells JOIN rm USING (a) JOIN cm USING (b) CROSS JOIN tot)
+        |SELECT
+        | (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list(term ORDER BY a, b)), (x, y) -> x + y) FROM terms) AS chi2,
+        | (SELECT CAST(COUNT(*) AS BIGINT) FROM terms) AS n_cells,
+        | (SELECT CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS BIGINT)
+        |    FROM cells) AS dof""".stripMargin,
   )
 }

@@ -1404,4 +1404,106 @@ object Dedup {
       it.filter(r => !r.isNullAt(idx) && local.mightContain(r.get(idx)))
     }(org.apache.spark.sql.Encoders.row(schema))
   }
+
+  /** Blocked Levenshtein record linkage (D40) — the classic entity-
+    * resolution shape (Fellegi–Sunter blocking + edit-distance verify):
+    * candidate pairs come ONLY from equal blocking keys (a cheap
+    * deterministic function of the record — sort key prefix, phonetic
+    * code, length bucket), then each candidate pair is verified with
+    * the exact Levenshtein distance ≤ `maxDist`. Complements D35's
+    * symmetric-delete miner: that one guarantees distance-1 recall
+    * with no pair join; this one takes an ARBITRARY caller-designed
+    * block and an arbitrary distance budget, the general workhorse.
+    *
+    * Determinism: `levenshtein` is the textbook DP — identical exact
+    * integers on any engine — and pairs order as (ida < idb).
+    *
+    * Scale: ONE shuffle on the block key, within-block pair join only
+    * — cost Σ_b |b|² , controlled by the caller's key design; blocks
+    * over `maxBlock` rows are DROPPED (the d2/d34 LSH cap discipline
+    * — a degenerate key must not detonate a task) and surface via the
+    * companion accounting query, never silently.
+    */
+  def blockedLevenshtein(df: DataFrame, blockKey: Column, maxDist: Int,
+      nameCol: String = "name", idCol: String = "id",
+      maxBlock: Long = 10000L): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
+    val b = df.select(col(idCol).as("id"), col(nameCol).as("nm"),
+      blockKey.as("blk"))
+    val sizes = b.groupBy(col("blk")).agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBlock)
+    val kept = b.join(sizes.select(col("blk")).hint("shuffle_hash"), Seq("blk"))
+    kept.as("a")
+      .join(kept.as("b").hint("shuffle_hash"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"),
+        col("a.nm").as("name_a"), col("b.nm").as("name_b"),
+        // banded DP: the threshold variant costs O(len·maxDist) per
+        // pair instead of O(len²) and returns −1 over budget (exact
+        // distance otherwise — the emitted dist is unchanged for every
+        // surviving pair). Fence: the filter below would otherwise
+        // inline the DP into a pushed-down predicate AND keep it in
+        // the projection — the e7/d2 duplication trap, 2 evals/pair.
+        graft.functions.Fence(
+          levenshtein(col("a.nm"), col("b.nm"), maxDist)).as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+  }
+
+  /** Cross-document CHUNK-grain exact dedup with reassembly — the
+    * C4-style "remove duplicated spans across documents" cleanup
+    * (Raffel et al. 2020 deduplicate at the three-sentence-span grain;
+    * here the span is a fixed `chunkTokens`-token block, the t35
+    * pseudo-sentence convention for this punctuation-free corpus).
+    *
+    * Each document splits into consecutive `chunkTokens`-token chunks
+    * (last chunk may be short). A chunk's CANONICAL occurrence is the
+    * globally smallest (doc_id, chunk_idx) holding its text; every
+    * other occurrence is removed and the document reassembled from its
+    * surviving chunks in order. Returns one row per input document:
+    * (doc_id, n_chunks, n_kept, new_text) — new_text is '' when every
+    * chunk was trimmed (never NULL).
+    *
+    * Scale: chunk rows = corpus tokens / chunkTokens; ONE md5-keyed
+    * hash aggregate finds canonicals (map-side combined), ONE
+    * shuffle_hash join back (both sides corpus-sized — never a
+    * broadcast, the t35 lesson), ONE doc-grain aggregate reassembles.
+    * The canonical key packs (doc_id, idx) into a single long —
+    * `doc_id · maxChunksPerDoc + idx` — so the argmin is a plain MIN
+    * (exact integers, engine-bit-exact); `maxChunksPerDoc` bounds the
+    * longest document (require-checked, default 2^20 tokens/chunkTokens).
+    */
+  def chunkDedup(docs: DataFrame, chunkTokens: Int = 8,
+      maxChunksPerDoc: Long = 1L << 20, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1: $chunkTokens")
+    val a = split(trim(col(textCol)), "\\s+")
+    val nCh = ceil(size(a).cast("double") / lit(chunkTokens.toDouble)).cast("int")
+    val chunkList = transform(sequence(lit(0), greatest(nCh - 1, lit(0))),
+      i => concat_ws(" ", slice(a, i * chunkTokens + 1, lit(chunkTokens))))
+    val chunks = docs
+      .select(col(idCol).cast("long").as("did"),
+        posexplode(chunkList).as(Seq("idx", "chunk")))
+      .select(col("did"), col("idx").cast("long").as("idx"), col("chunk"),
+        md5(col("chunk")).as("h"),
+        (col("did") * maxChunksPerDoc
+          + when(col("idx") < maxChunksPerDoc, col("idx").cast("long"))
+            .otherwise(raise_error(concat(lit("chunkDedup: doc "),
+              col("did").cast("string"),
+              lit(s" exceeds maxChunksPerDoc=$maxChunksPerDoc"))))).as("occ"))
+    val canon = chunks.groupBy(col("h")).agg(min(col("occ")).as("canon_occ"))
+    chunks.as("c")
+      .join(canon.as("k").hint("shuffle_hash"), col("c.h") === col("k.h"))
+      .select(col("c.did").as("did"), col("c.idx").as("idx"),
+        col("c.chunk").as("chunk"),
+        (col("c.occ") === col("k.canon_occ")).as("keep"))
+      .groupBy(col("did"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(when(col("keep"),
+            struct(col("idx"), col("chunk"))))),
+          s => s.getField("chunk"))).as("new_text"))
+      .select(col("did").as(idCol), col("n_chunks"), col("n_kept"),
+        col("new_text"))
+  }
 }

@@ -296,6 +296,63 @@ object Multimodal {
           .otherwise(lit(null).cast("long")))
   }
 
+  /** JPEG/Exif metadata (M17) — [[graft.functions.ExifMeta]]'s marker
+    * walk as a frame operator: byte order, Orientation (1–8, the flag
+    * an image pipeline must honor before any resize — dropped
+    * orientation is silently-rotated training data), Make, IFD0 entry
+    * count; malformed payloads degrade to format = "unknown" with
+    * null fields. Scan-bound projection, no shuffle — the M1/M15
+    * class.
+    */
+  def exifMetadata(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val dec = df.select(col(idCol).as("doc_id"),
+      graft.functions.Fence(graft.functions.ExifMeta(col(binCol))).as("__m"))
+    dec.select(col("doc_id"),
+      col("__m.format").as("format"),
+      col("__m.byte_order").as("byte_order"),
+      col("__m.orientation").cast("long").as("orientation"),
+      col("__m.make").as("make"),
+      col("__m.n_entries").cast("long").as("n_entries"))
+  }
+
+  /** Frame-sampling PLAN from container metadata (M16) — the step
+    * between M15's box walk and an actual decoder: every valid video
+    * gets a deterministic list of sample timestamps — one frame every
+    * `stepSeconds`, capped at `maxFrames` per clip (uniform temporal
+    * sampling, the standard pretraining-corpus frame-selection rule;
+    * the cap bounds downstream decode work per clip so one 10-hour
+    * video cannot dominate a batch). Emits one row per planned frame:
+    * (doc_id, frame_idx, t_seconds, t_units) — t_units = t_seconds ·
+    * timescale is what a real demuxer seeks to.
+    *
+    * All-integer arithmetic: n_frames = min(maxFrames,
+    * duration_s div step + 1), timestamps are exact multiples —
+    * engine-bit-exact with no double anywhere. Invalid/unknown
+    * containers plan ZERO frames (no row), so the plan frame can feed
+    * a decode stage unguarded.
+    *
+    * Scale: metadata-only — the payload column is read for the header
+    * walk, the plan explode is bounded by maxFrames per clip, and no
+    * shuffle happens at all (scan-stage projection + generate).
+    */
+  def frameSamplePlan(df: DataFrame, binCol: String, idCol: String,
+      stepSeconds: Long = 10L, maxFrames: Int = 16): DataFrame = {
+    require(stepSeconds >= 1 && maxFrames >= 1,
+      s"bad sampling params: step=$stepSeconds maxFrames=$maxFrames")
+    val meta = mp4Metadata(df, binCol, idCol)
+    meta
+      .filter(col("format") === "mp4" && col("duration_s").isNotNull
+        && col("timescale") > 0L)
+      .withColumn("n_frames",
+        least(expr(s"duration_s div $stepSeconds") + 1L, lit(maxFrames.toLong)))
+      .select(col("doc_id"), col("timescale"),
+        posexplode(sequence(lit(0L), col("n_frames") - 1L))
+          .as(Seq("frame_idx", "k")))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        (col("k") * stepSeconds).as("t_seconds"),
+        (col("k") * stepSeconds * col("timescale")).as("t_units"))
+  }
+
   /** Perceptual hash (aHash) over the STUB decode — the image near-dup
     * signature: 64 "pixels" sampled evenly through the payload bytes
     * (what a real 8×8 grayscale resize does to an image, minus the

@@ -1641,4 +1641,172 @@ object Pipeline {
         col("eff_docs"),
         (col("eff_docs") / col("total_eff")).as("weighted_frac"))
   }
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns (X28) — the classic contingency-table screen (feature/
+    * label dependence, slice-vs-slice drift where X21's PSI and X27's
+    * KS cover numeric columns): χ² = Σ_cells (O−E)²/E with E =
+    * row_total·col_total/N, plus degrees of freedom (r−1)(c−1) and
+    * the cell count. The statistic is emitted with its dof — the
+    * caller compares against their chosen critical value (no
+    * incomplete-gamma p-value: keeping libm out keeps the output
+    * hash-exact).
+    *
+    * Determinism: O and the margins are exact longs; E is one
+    * division of exact products (< 2^63 up to ~3·10⁹ rows per
+    * margin pair); each cell term is plain IEEE and the total folds
+    * the terms in SORTED (a,b) cell order — the d20 discipline, so
+    * the oracle's list_reduce states the identical sum.
+    *
+    * Scale: ONE (a,b) hash aggregate over the corpus (map-side
+    * combined); margins re-aggregate the CELL frame (cells = |A|·|B|,
+    * report-dimension-sized), and the fold runs on collected cell
+    * rows only. Nothing corpus-quadratic.
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint() // margins AND the fold read it
+    val rm = cells.groupBy(col("a")).agg(sum(col("o")).as("ra"))
+    val cm = cells.groupBy(col("b")).agg(sum(col("o")).as("cb"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    val terms = cells.join(broadcast(rm), "a").join(broadcast(cm), "b")
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"),
+        ((col("o").cast("double")
+          - (col("ra") * col("cb")).cast("double") / col("n").cast("double"))
+          * (col("o").cast("double")
+          - (col("ra") * col("cb")).cast("double") / col("n").cast("double"))
+          / ((col("ra") * col("cb")).cast("double") / col("n").cast("double")))
+          .as("term"))
+    val folded = terms
+      .agg(aggregate(sort_array(collect_list(struct(col("a"), col("b"),
+          col("term")))), lit(0.0d),
+        (acc, s) => acc + s.getField("term")).as("chi2"),
+        count(lit(1)).as("n_cells"))
+    val dims = cells.agg(
+      count_distinct(col("a")).as("ka"), count_distinct(col("b")).as("kb"))
+    folded.crossJoin(broadcast(dims))
+      .select(col("chi2"), col("n_cells"),
+        ((col("ka") - 1L) * (col("kb") - 1L)).as("dof"))
+  }
+
+  /** Data-constrained scaling accounting (Muennighoff et al., NeurIPS
+    * 2023 "Scaling Data-Constrained Language Models"): when the token
+    * budget exceeds the unique corpus, data REPEATS — and repeated
+    * tokens decay in value with the paper's fitted exponential law.
+    * Effective unique-token yield of training R epochs over U unique
+    * tokens:
+    *
+    *   D'(U, R) = U + U · R*· (1 − exp(−(R−1)/R*))
+    *
+    * (R* the fitted decay constant ≈ 15.4 in the paper: the first
+    * epoch is full value, each repeat is worth e^{-(r-1)/R*} of a
+    * fresh pass; ~4 epochs are near-free, ~15+ approach the ceiling
+    * U·(1+R*).) Given a per-key unique-token frame and a total
+    * budget, this emits the per-key card at the budget-implied epoch
+    * count R = budget / Σ U: epochs, trained tokens, effective
+    * tokens, and efficiency = D'/(U·R) — the fraction of compute
+    * doing non-redundant work, THE number a data-constrained run is
+    * planned around.
+    *
+    * Determinism: U and budget are exact longs; R is ONE division of
+    * exact doubles; the single libm call exp(−(R−1)/R*) is round(9)-
+    * quantized per the repo discipline (generic input, midpoint-free
+    * almost surely), then every downstream op is pinned-order IEEE
+    * mirrored in the oracle. R* enters as 1/R* and R*·(…) with
+    * CAST-literal mirroring.
+    *
+    * Scale: the input frame is key-grain (an aggregate the caller
+    * already ran); this is a pure projection over it plus one 1-row
+    * total — broadcast, never a corpus touch.
+    */
+  def dataConstrainedCard(uniqueTokens: DataFrame, budget: Long,
+      rStar: Double = 15.4, keyCol: String = "key",
+      tokCol: String = "u_tokens"): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(rStar > 0, s"rStar must be positive: $rStar")
+    val tot = uniqueTokens.agg(sum(col(tokCol)).as("u_total"))
+    uniqueTokens.crossJoin(broadcast(tot))
+      .select(col(keyCol), col(tokCol).cast("long").as("u_tokens"),
+        col("u_total").cast("long").as("u_total"))
+      .withColumn("epochs",
+        lit(budget.toDouble) / col("u_total").cast("double"))
+      .withColumn("decay",
+        round(exp((lit(1.0) - col("epochs")) / lit(rStar)), 9))
+      .select(col(keyCol), col("u_tokens"), col("epochs"),
+        (col("u_tokens").cast("double") * col("epochs")).as("trained_tokens"),
+        (col("u_tokens").cast("double")
+          + col("u_tokens").cast("double") * lit(rStar)
+            * (lit(1.0) - col("decay"))).as("effective_tokens"))
+      .withColumn("efficiency",
+        col("effective_tokens") / col("trained_tokens"))
+  }
+
+  /** DoReMi domain reweighting (Xie et al., NeurIPS 2023): the
+    * published multiplicative-weights update that turns per-domain
+    * EXCESS LOSS into a training mixture — domains where the proxy
+    * model lags the reference get up-weighted, with uniform smoothing
+    * so no domain ever starves. Per round:
+    *
+    *   α'_d  = α_d · exp(η · excess_d)
+    *   α_{t+1,d} = (1−c) · α'_d / Σ α'  +  c · (1/D)
+    *
+    * `domainLoss` is one row per domain: (domain, loss DOUBLE) — the
+    * proxy's per-domain loss from ANY scorer (the paper trains a small
+    * proxy LM; the registry row derives a deterministic corpus proxy).
+    * The reference loss is the per-domain minimum (best-case domain),
+    * so excess_d = loss_d − min(loss) ≥ 0 — a stated simplification of
+    * the paper's trained reference model.
+    *
+    * Determinism (oracle-bit-exact, the d20 discipline): the ONE libm
+    * call per domain — exp(η·excess) — is round(9)-quantized; every
+    * other op is plain IEEE +/×/÷ evaluated in a pinned order, with
+    * the normalizer folded in SORTED domain order (exact-equal on any
+    * engine stating the same fold). η and c default to binary-exact
+    * literals (0.5, 1/64) so scaling introduces no parse-vs-subtract
+    * double split.
+    *
+    * Scale: the loop runs on DRIVER state of D rows (domain count —
+    * metadata-scale, the bpeMerges precedent); the corpus is never
+    * touched here. Callers aggregate the corpus ONCE to build
+    * `domainLoss` — at 100 TB that is one map-side-combined aggregate
+    * to tens of rows, and the MW loop costs microseconds regardless of
+    * corpus size. Returns the full trace: (round, domain, excess,
+    * weight), round 0 = uniform.
+    */
+  def doremiWeights(domainLoss: DataFrame, rounds: Int = 5,
+      eta: Double = 0.5, smoothing: Double = 0.015625,
+      domainCol: String = "domain", lossCol: String = "loss"): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    require(smoothing >= 0.0 && smoothing < 1.0, s"bad smoothing: $smoothing")
+    val spark = domainLoss.sparkSession
+    import spark.implicits._
+    def r9(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    val rows = domainLoss
+      .select(col(domainCol).cast("string"), col(lossCol).cast("double"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .sortBy(_._1)
+    require(rows.nonEmpty, "domainLoss is empty")
+    val d = rows.length
+    val minLoss = rows.map(_._2).min
+    val excess = rows.map(_._2 - minLoss)
+    val ew = excess.map(x => r9(math.exp(eta * x)))
+    val u = 1.0 / d.toDouble
+    val trace = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Double, Double)]
+    var alpha = Array.fill(d)(u)
+    for (i <- 0 until d) trace += ((0L, rows(i)._1, excess(i), alpha(i)))
+    var t = 1
+    while (t <= rounds) {
+      val m = Array.tabulate(d)(i => alpha(i) * ew(i))
+      val s = m.foldLeft(0.0)(_ + _) // SORTED domain order — pinned fold
+      alpha = Array.tabulate(d)(i =>
+        (1.0 - smoothing) * (m(i) / s) + smoothing * u)
+      for (i <- 0 until d) trace += ((t.toLong, rows(i)._1, excess(i), alpha(i)))
+      t += 1
+    }
+    trace.toSeq.toDF("round", "domain", "excess", "weight")
+  }
 }

@@ -96,6 +96,29 @@ object Similarity {
       keys = Seq("qid"),
       orderBy = Seq(TopK.desc("cosine"), TopK.asc("vec_id")), k = k)
 
+  /** FILTERED vector search — top-k under a metadata predicate, the
+    * first-class vector-database operation ("nearest English documents
+    * published this year"). Semantics are PRE-filtering: the predicate
+    * restricts the candidate set BEFORE ranking, so every query gets k
+    * results whenever k matching vectors exist — post-filtering (rank
+    * first, filter the top-k after) silently returns < k rows whenever
+    * the true neighbors fail the predicate, which is exactly the
+    * recall bug the published engines (e.g. the IVF filtered-search
+    * literature) warn about; the spec pins the two apart.
+    *
+    * Scale: the predicate lands IN the corpus scan (Catalyst pushes it
+    * into the file source — `PushedFilters` for source-backed columns),
+    * so a selective filter shrinks every downstream pair; ranking is
+    * the custom TopKPerKey bounded-heap operator — ≤ k rows per query
+    * per partition cross the exchange, never a window sort over the
+    * scored pairs.
+    */
+  def filteredTopK(vectors: DataFrame, queries: DataFrame, pred: Column,
+      k: Int): DataFrame =
+    TopK.perKey(scoredPairs(vectors.filter(pred), queries),
+      keys = Seq("qid"),
+      orderBy = Seq(TopK.desc("cosine"), TopK.asc("vec_id")), k = k)
+
   /** IVF-style partitioned top-k: candidates restricted to the query's
     * coarse partition (here: a precomputed cluster/label column). At
     * scale this is the "probe one inverted list" path — the join key is

@@ -447,6 +447,126 @@ object TextAnalysis {
       .withColumn("n_symbols", size(col("symbols")).cast("long"))
   }
 
+  /** WordPiece merge training (Schuster & Nakajima 2012; the BERT
+    * tokenizer's training rule): identical loop shape to [[bpeMerges]]
+    * — vocabulary-sized symbol histogram, one pair aggregate + 1-row
+    * argmax per round — but the merge SCORE is the likelihood gain
+    *   score(x,y) = count(x,y) / (count(x) · count(y))
+    * instead of raw pair count: a pair merges when it co-occurs more
+    * than its parts' frequencies predict, which prefers coherent
+    * subwords over merely frequent ones (the published contrast with
+    * BPE).
+    *
+    * Determinism: count(x,y), count(x), count(y) are exact BIGINTs;
+    * the score is ONE double division of the exact pair count by the
+    * exact product (≤ corpusTokens², < 2^63 — and the BIGINT→DOUBLE
+    * cast is IEEE round-to-nearest on any engine), so the argmax
+    * (score desc, then pair lexicographic) is engine-bit-exact — the
+    * PMI exact-ratio discipline. Merge application within words is the
+    * same left-to-right non-cascading fold as BPE.
+    *
+    * Scale: each round is TWO vocabulary-sized hash aggregates (pair
+    * counts + symbol counts, both map-side combined) and a 1-row
+    * TakeOrdered; driver state = one merge per round. The token stream
+    * is touched ONCE to build the initial word histogram.
+    *
+    * Returns the merge trace: (rank, x, y, c, cx, cy, score).
+    */
+  def wordPieceMerges(docs: DataFrame, rounds: Int,
+      textCol: String = "text"): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1: $rounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = bpeBaseHistogram(docs, textCol).persist()
+    val trace = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long, Long, Long, Double)]
+    try {
+      var sym = base
+      var r = 0
+      var exhausted = false
+      while (r < rounds && !exhausted) {
+        val a = split(col("sym"), " ")
+        val pc = sym.select(col("n"),
+            explode(zip_with(
+              slice(a, lit(1), size(a) - 1), slice(a, lit(2), size(a) - 1),
+              (x, y) => struct(x.as("x"), y.as("y")))).as("p"))
+          .select(col("n"), col("p.x").as("x"), col("p.y").as("y"))
+          .groupBy(col("x"), col("y")).agg(sum(col("n")).as("c"))
+        val sc = sym.select(col("n"), explode(split(col("sym"), " ")).as("s"))
+          .groupBy(col("s")).agg(sum(col("n")).as("cs"))
+        val scored = pc
+          .join(sc.select(col("s").as("x"), col("cs").as("cx")), Seq("x"))
+          .join(sc.select(col("s").as("y"), col("cs").as("cy")), Seq("y"))
+          .select(col("x"), col("y"), col("c"), col("cx"), col("cy"),
+            (col("c").cast("double")
+              / (col("cx") * col("cy")).cast("double")).as("score"))
+        val best = scored
+          .orderBy(col("score").desc, col("x").asc, col("y").asc)
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val b = best.head
+          val (bx, by) = (b.getString(0), b.getString(1))
+          trace += (((r + 1).toLong, bx, by, b.getLong(2), b.getLong(3),
+            b.getLong(4), b.getDouble(5)))
+          sym = sym.withColumn("sym",
+            aggregate(split(col("sym"), " "), lit(""), (acc, s) =>
+              when(acc === lit(""), s)
+                .when(s === lit(by) && acc === lit(bx), lit(bx + by))
+                .when(s === lit(by) && acc.endsWith(lit(" " + bx)),
+                  concat(acc.substr(lit(1), length(acc) - lit(bx.length + 1)),
+                    lit(" " + bx + by)))
+                .otherwise(concat(acc, lit(" "), s))))
+        }
+        r += 1
+      }
+    } finally { base.unpersist(); () }
+    trace.toSeq.toDF("rank", "x", "y", "c", "cx", "cy", "score")
+  }
+
+  /** WordPiece ENCODING — greedy longest-match-first against a trained
+    * vocabulary (the BERT runtime algorithm, NOT merge application):
+    * each word is segmented by repeatedly taking the LONGEST vocab
+    * piece that prefixes the remainder, continuation pieces carrying
+    * the `##` prefix; a word with an unmatchable remainder becomes
+    * `[UNK]`. Vocabulary broadcast (vocab-sized driver state); the
+    * encode is one scan-bound mapPartitions pass, O(len²) per word
+    * worst-case — the reference implementation's own bound.
+    */
+  def wordPieceEncode(docs: DataFrame, vocab: Seq[String],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(vocab.toSet)
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "word")))
+      .select(col("doc_id"), col("pos").cast("int").as("pos"), col("word"))
+      .as[(Long, Int, String)]
+      .mapPartitions { it =>
+        val v = bc.value
+        it.map { case (d, p, w) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var start = 0
+          var bad = false
+          while (start < w.length && !bad) {
+            var end = w.length
+            var hit: String = null
+            while (end > start && hit == null) {
+              val raw = w.substring(start, end)
+              val piece = if (start == 0) raw else "##" + raw
+              if (v.contains(piece)) hit = piece else end -= 1
+            }
+            if (hit == null) bad = true
+            else { out += hit; start = end }
+          }
+          val pieces = if (bad) Seq("[UNK]") else out.toSeq
+          (d, p, w, pieces)
+        }
+      }
+      .toDF("doc_id", "pos", "word", "pieces")
+      .withColumn("n_pieces", size(col("pieces")).cast("long"))
+  }
+
   /** Bigram language-model training: the corpus-wide conditional-
     * probability table P(w2 | w1) = c(w1,w2) / c(w1,·), thinned to the
     * top `topPerContext` transitions per context with at least
@@ -626,6 +746,143 @@ object TextAnalysis {
       // separate projection: CollapseProject never inlines the fold
       // into exp (multi-referenced non-cheap expressions stay pinned)
       .withColumn("perplexity", round(exp(col("cross_entropy")), 6))
+  }
+
+  /** CCNet perplexity bucketing (Wenzek et al., LREC 2020): score every
+    * document with the [[bigramPerplexity]] LM and cut each LANGUAGE's
+    * distribution into head / middle / tail at its own ⅓ and ⅔
+    * interpolated percentiles — the published language-aware quality
+    * tiering (a fixed global threshold would misrank low-resource
+    * languages whose LMs are weaker everywhere).
+    *
+    * Determinism: perplexities are [[bigramPerplexity]]'s round(6)
+    * values (order-independent sorted-fold sums); the two thresholds
+    * come from the exact distributed-selection quantile (no per-key
+    * sort — `Quantiles.interpolated`, the q48 machinery) with the
+    * interpolation arithmetic `lo + (hi−lo)·(pos−floor(pos))` stated
+    * identically in the oracle; bucket compares are on identical
+    * doubles.
+    *
+    * Scale: perplexity is two corpus passes (LM fit + score);
+    * thresholds are two aggregate passes + bucket-local sorts
+    * (`Quantiles`); the per-language threshold frame (langs × 2 rows)
+    * BROADCASTS into the labeling projection. The lang re-attach is an
+    * explicit shuffle_hash doc-grain join (both sides corpus-sized,
+    * the t35 no-silent-broadcast lesson), and the scored frame is
+    * localCheckpoint-pinned because thresholds and labeling both read
+    * it (two-branch rule).
+    */
+  def perplexityBuckets(docs: DataFrame, trainFilter: Column,
+      langCol: String = "lang", textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val ppl = bigramPerplexity(docs, trainFilter, textCol, idCol)
+    val withLang = ppl.as("p").hint("shuffle_hash")
+      .join(docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"))
+        .as("d").hint("shuffle_hash"), Seq("doc_id"))
+    val cached = withLang.localCheckpoint()
+    val th = Quantiles.interpolated(cached, "lang", "perplexity",
+        Seq(1.0 / 3.0, 2.0 / 3.0))
+      .groupBy(col("lang"))
+      .agg(min(when(col("q") < 0.5, col("pct"))).as("t1"),
+        max(when(col("q") >= 0.5, col("pct"))).as("t2"))
+    cached.join(broadcast(th), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("perplexity"),
+        when(col("perplexity") <= col("t1"), lit("head"))
+          .when(col("perplexity") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  /** Per-ROW Gopher verdict — [[gopherQualityFlags]]'s serving twin
+    * for streams (the ST36 qualityScore precedent): the same exact
+    * integer counts derived by in-row array folds instead of the
+    * explode aggregate (token count, summed length via a long fold,
+    * alphabetic/symbol counts via filter sizes, distinct stopwords via
+    * array_intersect∘array_distinct, line stats on the split), so the
+    * boolean verdict is BIT-EQUAL to the batch operator's `keep` for
+    * the same document (integers all the way — spec-pinned). No
+    * shuffle, no state: the live-gate shape.
+    */
+  def gopherKeepRow(text: Column, minWords: Long = 50L,
+      maxWords: Long = 100000L,
+      stopwords: Seq[String] = GopherStopwords): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (a, t) => a + length(t).cast("long"))
+    val nAlpha = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val nSym = size(filter(toks,
+      t => t === "#" || t === "..." || t === "…")).cast("long")
+    val nStop = size(array_intersect(array_distinct(toks),
+      array(stopwords.map(lit): _*))).cast("long")
+    val lines = split(text, "\n")
+    val nl = size(lines).cast("long")
+    val nb = size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("•"))).cast("long")
+    val ne = size(filter(lines, l =>
+      l.endsWith("...") || l.endsWith("…"))).cast("long")
+    (n >= minWords && n <= maxWords) &&
+      (sumLen >= lit(3L) * n && sumLen <= lit(10L) * n) &&
+      (lit(10L) * nSym <= n) &&
+      (lit(5L) * nAlpha >= lit(4L) * n) &&
+      (nStop >= 2L) &&
+      (lit(10L) * nb <= lit(9L) * nl) &&
+      (lit(10L) * ne <= lit(3L) * nl)
+  }
+
+  /** Flesch readability scoring (Flesch 1948; Kincaid et al. 1975 —
+    * the reading-ease / grade-level pair educational-quality corpus
+    * filters still use): per document,
+    *
+    *   reading_ease = 206.835 − 1.015·(words/sentences)
+    *                          − 84.6·(syllables/words)
+    *   fk_grade     = 0.39·(words/sentences)
+    *                + 11.8·(syllables/words) − 15.59
+    *
+    * Syllables use the standard vowel-group heuristic — max(1, number
+    * of [aeiouy]+ runs per lowercased word) — stated identically on
+    * any engine as a regexp count (no dictionary, the published
+    * approximation). Sentences = terminal-punctuation runs [.!?]+,
+    * floored at 1 (a punctuation-free document is one sentence).
+    *
+    * Determinism: words/syllables/sentences are exact integers; the
+    * two rate terms are ONE double division each, and the formula
+    * constants are CAST-literal decimals mirrored in the oracle (the
+    * CLAUDE.md literal rule) — pure IEEE afterwards, no libm, no
+    * rounding discipline needed.
+    *
+    * Scale: one explode → doc-grain map-side-combined aggregate (the
+    * t38 shape); the sentence count rides the aggregate as MIN over a
+    * per-row constant. Join-free.
+    */
+  def fleschReadability(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val nSent = greatest(
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))), lit(1))
+      .cast("long")
+    val w = col("w")
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"), nSent.as("ns"),
+        explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(regexp_extract_all(lower(w), lit("[aeiouy]+"), lit(0)))
+          .cast("long")).as("raw_syl"),
+        sum(when(size(regexp_extract_all(lower(w), lit("[aeiouy]+"), lit(0)))
+          === 0, 1L).otherwise(0L)).as("no_vowel"),
+        min(col("ns")).as("n_sentences"))
+    // per-word floor at 1 syllable: total = raw runs + one per
+    // vowel-less word (exact integers, same floor the oracle states)
+    perDoc.select(col("doc_id"), col("n_words"), col("n_sentences"),
+        (col("raw_syl") + col("no_vowel")).as("n_syllables"))
+      .withColumn("wps",
+        col("n_words").cast("double") / col("n_sentences").cast("double"))
+      .withColumn("spw",
+        col("n_syllables").cast("double") / col("n_words").cast("double"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        (lit(206.835) - lit(1.015) * col("wps")
+          - lit(84.6) * col("spw")).as("reading_ease"),
+        (lit(0.39) * col("wps") + lit(11.8) * col("spw")
+          - lit(15.59)).as("fk_grade"))
   }
 
   /** Per-document token Shannon entropy (nats) — the information-density
@@ -1925,5 +2182,86 @@ object TextAnalysis {
     val z = lit(model.w(0)) + lit(model.w(1)) * x1 +
       lit(model.w(2)) * x2 + lit(model.w(3)) * x3
     lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** Gopher's published English stopword screen (Rae et al. 2021,
+    * appendix A1.1): a document must contain ≥ 2 distinct of these.
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher rule-based document filter (Rae et al. 2021, appendix
+    * A1.1 — the published heuristic gate MassiveWeb was cleaned with,
+    * since reused by C4-descendant corpora): per-document boolean
+    * verdicts for each rule plus the composite `keep`.
+    *
+    * Rules (document-level):
+    *  - word count within [minWords, maxWords];
+    *  - mean word length within [3, 10] characters;
+    *  - symbol-to-word ratio ("#" / "..." / "…" tokens) ≤ 0.1;
+    *  - ≥ 80% of words contain at least one alphabetic character;
+    *  - at least 2 DISTINCT stopwords from the Gopher list
+    *    (the "no natural English" screen);
+    *  - line-level: ≤ 90% of lines start with a bullet, ≤ 30% end in
+    *    an ellipsis.
+    *
+    * Determinism: every ratio rule is stated as an exact INTEGER
+    * cross-multiplication (5·n_alpha ≥ 4·n_words, not a double ≥ 0.8
+    * compare), so the verdicts are engine-bit-exact with no rounding
+    * discipline at all; the only double emitted is `mean_word_len`,
+    * ONE division of two exact longs.
+    *
+    * Scale: one explode → doc-grain hash aggregate (map-side combined;
+    * the line stats ride the same aggregate as MIN over a per-row
+    * constant, so the corpus is scanned ONCE and only doc-grain rows
+    * cross the exchange). The distinct-stopword count is a Spark
+    * distinct-aggregate rewrite (Expand over the tiny stopword branch).
+    *
+    * `stopwords` defaults to the paper's English list; a corpus in
+    * another language (or a synthetic one, like the registry row)
+    * passes its own common-word list — the rule's intent is "contains
+    * natural corpus-language", not those eight literals.
+    */
+  def gopherQualityFlags(docs: DataFrame, minWords: Long = 50L,
+      maxWords: Long = 100000L,
+      stopwords: Seq[String] = GopherStopwords, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("•"))).cast("long")
+    val nEllipsis = size(filter(lines, l =>
+      l.endsWith("...") || l.endsWith("…"))).cast("long")
+    val w = col("w")
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"), nLines.as("nl"), nBullet.as("nb"),
+        nEllipsis.as("ne"), explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length(w).cast("long")).as("sum_len"),
+        sum(when(w.rlike("[A-Za-z]"), 1L).otherwise(0L)).as("n_alpha"),
+        sum(when(w === "#" || w === "..." || w === "…", 1L)
+          .otherwise(0L)).as("n_sym"),
+        count_distinct(when(w.isin(stopwords: _*), w)).as("n_stop"),
+        min(col("nl")).as("n_lines"), min(col("nb")).as("n_bullet"),
+        min(col("ne")).as("n_ellipsis"))
+    perDoc.select(
+      col("doc_id"), col("n_words"),
+      (col("sum_len").cast("double") / col("n_words").cast("double"))
+        .as("mean_word_len"),
+      (col("n_words") >= minWords && col("n_words") <= maxWords)
+        .as("f_word_count"),
+      (col("sum_len") >= lit(3L) * col("n_words")
+        && col("sum_len") <= lit(10L) * col("n_words")).as("f_mean_len"),
+      (lit(10L) * col("n_sym") <= col("n_words")).as("f_symbol"),
+      (lit(5L) * col("n_alpha") >= lit(4L) * col("n_words")).as("f_alpha"),
+      (col("n_stop") >= 2L).as("f_stopwords"),
+      (lit(10L) * col("n_bullet") <= lit(9L) * col("n_lines")).as("f_bullet"),
+      (lit(10L) * col("n_ellipsis") <= lit(3L) * col("n_lines")).as("f_ellipsis"))
+      .withColumn("keep",
+        col("f_word_count") && col("f_mean_len") && col("f_symbol")
+          && col("f_alpha") && col("f_stopwords") && col("f_bullet")
+          && col("f_ellipsis"))
   }
 }

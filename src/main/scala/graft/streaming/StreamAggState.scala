@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, min, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit, min, when}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Streaming materialized-view maintenance — the streaming twin of
@@ -169,6 +169,90 @@ object StreamAggState {
       .write.mode("overwrite").parquet(s"$valuesPath/batch_id=$batchId")
     store.write.mode("overwrite").parquet(s"$statePath/epoch=$batchId")
     // epoch GC: only the newest epoch below batchId is replay-reachable
+    val old = StreamErrorHandling.pendingEpochs(spark, statePath)
+      .filter(_ < batchId)
+    if (old.size > 1) {
+      val p = new org.apache.hadoop.fs.Path(statePath)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      old.dropRight(1).foreach { e =>
+        fs.delete(new org.apache.hadoop.fs.Path(p, s"epoch=$e"), true); ()
+      }
+    }
+  }
+
+  /** Streaming per-domain document cap — P15's live face (ST37): the
+    * anti-domination gate applied AT INGEST so a crawl burst from one
+    * domain never floods the store. The maintained state is one
+    * (domain, n_admitted) row per domain seen — metadata-scale, the
+    * smallest store in the family. Per trigger: the batch's candidates
+    * are thinned per-domain through the bounded-heap TopKPerKey
+    * operator FIRST (at most k can ever be admitted, so ≤ k rows per
+    * domain per partition cross the exchange however large the
+    * trigger), then a row_number over that ≤ domains×k frame admits
+    * only while prior_count + rank ≤ k; admitted docs land in
+    * values/batch_id=N, over-cap docs in rejected/batch_id=N (the DLQ
+    * discipline — suppression is observable, never silent), and the
+    * incremented counts overwrite epoch=N.
+    *
+    * Batch-twin: when arrival order is doc-id order, the union of
+    * admitted outputs EQUALS batch [[graft.operators.Pipeline
+    * .capPerDomain]] of the full corpus (spec-pinned); crash-replay
+    * idempotence by StoreReplayPropertySpec membership (values before
+    * state, epochs < N untouched).
+    */
+  def maintainDomainCap(stream: DataFrame, domainCol: String, k: Int,
+      statePath: String, valuesPath: String, rejectedPath: String,
+      checkpointPath: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        processDomainCapTrigger(batch.toDF(), batchId, domainCol, k,
+          statePath, valuesPath, rejectedPath)
+      }
+      .start()
+
+  private[graft] def processDomainCapTrigger(batch: DataFrame, batchId: Long,
+      domainCol: String, k: Int, statePath: String, valuesPath: String,
+      rejectedPath: String): Unit = {
+    require(k >= 1, s"domain cap must be >= 1: $k")
+    val spark = batch.sparkSession
+    val prior = StreamErrorHandling
+      .readPendingBefore(spark, statePath, batchId).map(_._2)
+    val pinned = batch.localCheckpoint() // feeds candidates AND the reject diff
+    // bounded-heap thinning: nothing beyond k per domain can be
+    // admitted, so the window below never sees more than domains×k rows
+    val cand = graft.operators.TopK.perKey(pinned, Seq(domainCol),
+      Seq(graft.operators.TopK.asc("doc_id")), k)
+    val ranked = cand.withColumn("__rn",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(domainCol)).orderBy(col("doc_id").asc)))
+    val withPrior = ranked.join(
+      broadcast(prior.getOrElse(
+        spark.emptyDataset[(String, Long)](
+          org.apache.spark.sql.Encoders.product[(String, Long)])
+          .toDF(domainCol, "n_admitted"))),
+      Seq(domainCol), "left_outer")
+      .withColumn("__room", lit(k.toLong) - coalesce(col("n_admitted"), lit(0L)))
+      .localCheckpoint() // admitted values AND the count increment read it
+    val admitted = withPrior.filter(col("__rn") <= col("__room"))
+      .drop("__rn", "__room", "n_admitted")
+    // values/rejected BEFORE the state epoch (family crash contract)
+    admitted.write.mode("overwrite").parquet(s"$valuesPath/batch_id=$batchId")
+    pinned.join(admitted.select(col("doc_id").as("__adm")),
+        col("doc_id") === col("__adm"), "left_anti")
+      .write.mode("overwrite").parquet(s"$rejectedPath/batch_id=$batchId")
+    val increments = withPrior.filter(col("__rn") <= col("__room"))
+      .groupBy(col(domainCol)).agg(count(lit(1)).as("n_new"))
+    val store = prior.getOrElse(
+        spark.emptyDataset[(String, Long)](
+          org.apache.spark.sql.Encoders.product[(String, Long)])
+          .toDF(domainCol, "n_admitted"))
+      .join(increments, Seq(domainCol), "full_outer")
+      .select(col(domainCol),
+        (coalesce(col("n_admitted"), lit(0L))
+          + coalesce(col("n_new"), lit(0L))).as("n_admitted"))
+    store.write.mode("overwrite").parquet(s"$statePath/epoch=$batchId")
     val old = StreamErrorHandling.pendingEpochs(spark, statePath)
       .filter(_ < batchId)
     if (old.size > 1) {

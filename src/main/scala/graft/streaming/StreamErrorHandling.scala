@@ -815,6 +815,47 @@ object StreamErrorHandling {
     ()
   }
 
+  /** One trigger of the ST38 Gopher-rule gate: the per-row integer
+    * verdict (bit-equal to batch t38's `keep` — all-integer rules have
+    * no score threshold to drift), kept/rejected overwrite by batch_id.
+    */
+  def processGopherTrigger(batch: DataFrame, batchId: Long,
+      minWords: Long, maxWords: Long, stopwords: Seq[String],
+      keptPath: String, rejectedPath: String,
+      textCol: String = "text"): Unit = {
+    val flagged = batch.withColumn("gopher_keep",
+      graft.operators.TextAnalysis.gopherKeepRow(col(textCol), minWords,
+        maxWords, stopwords))
+      .localCheckpoint()
+    flagged.filter(col("gopher_keep"))
+      .write.mode("overwrite").parquet(s"$keptPath/batch_id=$batchId")
+    flagged.filter(!col("gopher_keep"))
+      .write.mode("overwrite").parquet(s"$rejectedPath/batch_id=$batchId")
+    ()
+  }
+
+  /** Streaming Gopher-rule quality gate (ST38): t38's live face — the
+    * published heuristic gate applied AT INGEST. Rules are exact
+    * integer cross-multiplications derived per-row
+    * ([[graft.operators.TextAnalysis.gopherKeepRow]]), so the stream
+    * verdict is BIT-EQUAL to batch [[graft.operators.TextAnalysis
+    * .gopherQualityFlags]] on the same documents — no model, no
+    * state, no shuffle; kept/rejected overwrite by batch_id (the
+    * family crash contract).
+    */
+  def gopherGate(stream: DataFrame, keptPath: String,
+      rejectedPath: String, checkpointPath: String,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      stopwords: Seq[String] = graft.operators.TextAnalysis.GopherStopwords,
+      textCol: String = "text"): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        processGopherTrigger(batch.toDF(), batchId, minWords, maxWords,
+          stopwords, keptPath, rejectedPath, textCol)
+      }
+      .start()
+
   /** Streaming trained-classifier quality gate (ST36): t34's live face
     * — the model trains batch-side (`trainQualityModel`, 10 doubles)
     * and every arriving document scores per-row through the HOF

@@ -1783,4 +1783,280 @@ class OperatorsSpec extends SparkSpec {
         s"segment at $s0 samples differ from the source slice")
     }
   }
+
+  test("chunkDedup: canonical-first survival, reassembly, '' on full trim") {
+    // chunks of 2: doc0 = [a b][c d][e f]; doc1 repeats doc0's first two
+    // chunks then adds its own; doc2 is doc0 verbatim (fully trimmed);
+    // doc3 has a 5-token text (short last chunk)
+    val d = Seq(
+      (0L, "a b c d e f"),
+      (1L, "a b c d x y"),
+      (2L, "a b c d e f"),
+      (3L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val r = Dedup.chunkDedup(d, chunkTokens = 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(r(0) == ((0L, 3L, 3L, "a b c d e f"))) // canonical keeps all
+    assert(r(1) == ((1L, 3L, 1L, "x y")))         // shared prefix trimmed
+    assert(r(2) == ((2L, 3L, 0L, "")))            // full duplicate -> ''
+    assert(r(3) == ((3L, 3L, 3L, "p q r s t")))   // short tail chunk kept
+  }
+
+  test("chunkDedup: maxChunksPerDoc guard raises instead of colliding") {
+    val d = Seq((1L, (1 to 8).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.chunkDedup(d, chunkTokens = 2, maxChunksPerDoc = 3L).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("gopherQualityFlags: each rule binds on a constructed offender") {
+    val good = ((1 to 30).map(i => s"word$i") ++
+      Seq("the", "of", "and", "with") ++ (1 to 20).map(i => s"extra$i"))
+      .mkString(" ") // 54 words, all alphabetic, 2+ stopwords
+    val d = Seq(
+      (0L, good),
+      (1L, (1 to 10).map(_ => "the of").mkString(" ")),        // too short
+      (2L, (1 to 60).map(_ => "xy").mkString(" ") + " the of"), // mean len < 3
+      (3L, (1 to 60).map(i => "# the of word").mkString(" ")),  // symbols > 10%
+      (4L, (1 to 60).map(i => "123 456 the of").mkString(" ")), // alpha < 80%
+      (5L, (1 to 60).map(i => s"word$i").mkString(" ")),        // no stopwords
+      (6L, (1 to 20).map(_ => "- the of bullet line x").mkString("\n")),
+      (7L, (1 to 20).map(_ => "the of trailing dots...").mkString("\n")))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.gopherQualityFlags(d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[Boolean]("keep"), "good doc must pass all rules")
+    assert(!r(1L).getAs[Boolean]("f_word_count"))
+    assert(!r(2L).getAs[Boolean]("f_mean_len"))
+    assert(!r(3L).getAs[Boolean]("f_symbol"))
+    assert(!r(4L).getAs[Boolean]("f_alpha"))
+    assert(!r(5L).getAs[Boolean]("f_stopwords"))
+    assert(!r(6L).getAs[Boolean]("f_bullet"))
+    assert(!r(7L).getAs[Boolean]("f_ellipsis"))
+    Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).foreach(i =>
+      assert(!r(i).getAs[Boolean]("keep"), s"doc $i must fail keep"))
+    // mean_word_len is the exact single division
+    val g = r(0L)
+    assert(g.getAs[Double]("mean_word_len") ==
+      good.split("\\s+").map(_.length).sum.toDouble / 54.0)
+  }
+
+  test("gopherKeepRow: per-row verdict bit-equals the batch keep on every offender") {
+    val d = Seq(
+      (0L, ((1 to 30).map(i => s"word$i") ++ Seq("the", "of", "and", "with")
+        ++ (1 to 20).map(i => s"extra$i")).mkString(" ")),
+      (1L, (1 to 10).map(_ => "the of").mkString(" ")),
+      (2L, (1 to 60).map(_ => "xy").mkString(" ") + " the of"),
+      (3L, (1 to 60).map(_ => "# the of word").mkString(" ")),
+      (4L, (1 to 60).map(_ => "123 456 the of").mkString(" ")),
+      (5L, (1 to 60).map(i => s"word$i").mkString(" ")),
+      (6L, (1 to 20).map(_ => "- the of bullet line x").mkString("\n")),
+      (7L, (1 to 20).map(_ => "the of trailing dots...").mkString("\n")))
+      .toDF("doc_id", "text")
+    val batch = TextAnalysis.gopherQualityFlags(d)
+      .select(col("doc_id"), col("keep")).as[(Long, Boolean)].collect().toMap
+    val row = d.select(col("doc_id"),
+        TextAnalysis.gopherKeepRow(col("text")).as("keep"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(row == batch, s"per-row $row vs batch $batch")
+    assert(row(0L) && !row(5L)) // the corpus genuinely splits
+  }
+
+  test("wordPieceMerges: likelihood score picks the exclusive pair BPE ignores") {
+    // (a,b) count 9 but a,b ubiquitous (score 9/(18*18)); (q,u) count 3,
+    // exclusive (score 3/(3*3)=1/3) -> WordPiece merges (q,u) first,
+    // BPE (count argmax, lexicographic tie) merges (a,b) first.
+    val words = Seq.fill(9)("ab") ++ Seq.fill(9)("ax") ++
+      Seq.fill(9)("by") ++ Seq.fill(3)("qu")
+    val d = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val wp = TextAnalysis.wordPieceMerges(d, rounds = 1)
+      .as[(Long, String, String, Long, Long, Long, Double)].head()
+    assert((wp._2, wp._3) == (("q", "u")), s"got $wp")
+    assert(wp._4 == 3L && wp._5 == 3L && wp._6 == 3L)
+    assert(wp._7 == 3.0 / 9.0)
+    val bpe = TextAnalysis.bpeMerges(d, rounds = 1).head
+    assert(bpe == (("a", "b")))
+  }
+
+  test("wordPieceEncode: greedy longest-match-first with ## continuations") {
+    val vocab = Seq("un", "##able", "##a", "##b", "##le", "a", "b", "u")
+    val d = Seq((0L, "unable ab zap")).toDF("doc_id", "text")
+    val r = TextAnalysis.wordPieceEncode(d, vocab)
+      .select(col("word"), col("pieces")).as[(String, Seq[String])]
+      .collect().toMap
+    assert(r("unable") == Seq("un", "##able")) // longest match, not un,##a,##b,##le
+    assert(r("ab") == Seq("a", "##b"))
+    assert(r("zap") == Seq("[UNK]")) // 'z' unmatchable
+    // roundtrip: stripping ## reproduces the word for non-UNK encodes
+    assert(r("unable").map(_.stripPrefix("##")).mkString == "unable")
+  }
+
+  test("perplexityBuckets: per-language terciles are ordered and language-local") {
+    // two languages with DISJOINT perplexity scales: thresholds must be
+    // per-language (a global cut would put all of lang B in tail)
+    val rnd = new scala.util.Random(7)
+    def doc(vocab: Seq[String], n: Int): String =
+      (1 to n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val en = (0L until 30L).map(i => (i, "en", doc(Seq("a", "b", "c"), 20)))
+    val de = (30L until 60L).map(i => (i, "de", doc((1 to 40).map("w" + _), 20)))
+    val d = (en ++ de).toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.perplexityBuckets(d, trainFilter = col("doc_id") % 2 === 0)
+      .as[(Long, String, Double, String)].collect()
+    assert(r.length == 60)
+    Seq("en", "de").foreach { l =>
+      val rows = r.filter(_._2 == l)
+      val head = rows.filter(_._4 == "head").map(_._3)
+      val mid = rows.filter(_._4 == "middle").map(_._3)
+      val tail = rows.filter(_._4 == "tail").map(_._3)
+      assert(head.nonEmpty && mid.nonEmpty && tail.nonEmpty, s"$l empty bucket")
+      assert(head.max <= mid.min && mid.max <= tail.min, s"$l buckets overlap")
+      // terciles: no bucket hogs the language
+      assert(head.length <= rows.length / 2 && tail.length <= rows.length / 2)
+    }
+    // language-locality: the simple-vocab language's tail can sit below
+    // the rich-vocab language's head on the raw scale
+    val enAll = r.filter(_._2 == "en").map(_._3)
+    val deAll = r.filter(_._2 == "de").map(_._3)
+    assert(enAll.max < deAll.min,
+      "constructed scales must be disjoint for the locality claim")
+  }
+
+  test("fleschReadability: exact counts on constructed text; floors bind") {
+    val d = Seq(
+      (0L, "The cat sat. It was flat! Done?"),
+      (1L, "hmm pfft zzz"), // vowel-less words floor at 1 syllable each
+      (2L, "plain words no punctuation here")) // sentence floor = 1
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.fleschReadability(d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[Long]("n_words") == 7L)
+    assert(r(0L).getAs[Long]("n_sentences") == 3L)
+    assert(r(0L).getAs[Long]("n_syllables") == 8L) // done -> 2 runs
+    val wps = 7.0 / 3.0; val spw = 8.0 / 7.0
+    assert(r(0L).getAs[Double]("reading_ease") ==
+      206.835 - 1.015 * wps - 84.6 * spw)
+    assert(r(0L).getAs[Double]("fk_grade") ==
+      0.39 * wps + 11.8 * spw - 15.59)
+    assert(r(1L).getAs[Long]("n_syllables") == 3L, "vowel-less floor")
+    assert(r(1L).getAs[Long]("n_sentences") == 1L)
+    assert(r(2L).getAs[Long]("n_sentences") == 1L)
+  }
+
+  test("frameSamplePlan: analytic timestamps, per-clip cap, invalid plans zero") {
+    import graft.functions.EncodeMp4
+    val d = Seq((1L, "x"), (2L, "y"), (3L, "garbage")).toDF("doc_id", "text")
+    val withBin = d.withColumn("payload",
+      when(col("doc_id") === 1L,
+        EncodeMp4(lit(600L), lit(600L * 25L), lit(1L), lit(64L), lit(64L),
+          lit("a"))) // 25 s -> frames at 0,10,20
+        .when(col("doc_id") === 2L,
+          EncodeMp4(lit(100L), lit(100L * 1000L), lit(1L), lit(32L), lit(32L),
+            lit("b"))) // 1000 s -> capped at 16 frames
+        .otherwise(col("text").cast("binary")))
+    val r = Multimodal.frameSamplePlan(withBin, "payload", "doc_id",
+        stepSeconds = 10L, maxFrames = 16)
+      .as[(Long, Long, Long, Long)].collect().sortBy(x => (x._1, x._2))
+    val c1 = r.filter(_._1 == 1L)
+    assert(c1.map(_._2).toSeq == Seq(0L, 1L, 2L))
+    assert(c1.map(_._3).toSeq == Seq(0L, 10L, 20L))
+    assert(c1.map(_._4).toSeq == Seq(0L, 6000L, 12000L)) // t*timescale
+    val c2 = r.filter(_._1 == 2L)
+    assert(c2.length == 16, "cap must bound the plan")
+    assert(c2.last._3 == 150L && c2.last._4 == 15000L)
+    assert(!r.exists(_._1 == 3L), "invalid container plans zero frames")
+  }
+
+  test("blockedLevenshtein: within-block verify, threshold, block cap") {
+    val d = Seq((1L, "aaa1"), (2L, "aaa2"), (3L, "aab1"), (4L, "zzz1"))
+      .toDF("id", "name")
+    val pairs = Dedup.blockedLevenshtein(d,
+        blockKey = substring(col("name"), 1, 2), maxDist = 1)
+      .select(col("ida"), col("idb"), col("dist"))
+      .as[(Long, Long, Int)].collect().toSet
+    // (1,2) and (1,3) at distance 1; (2,3) is distance 2; 4 blocks alone
+    assert(pairs == Set((1L, 2L, 1), (1L, 3L, 1)))
+    // cross-block pairs never form even at distance 1
+    val d2 = Seq((1L, "abc"), (2L, "bbc")).toDF("id", "name")
+    assert(Dedup.blockedLevenshtein(d2,
+      substring(col("name"), 1, 1), maxDist = 1).count() == 0)
+    // a block over maxBlock drops entirely (observable via accounting,
+    // never a silent task bomb)
+    assert(Dedup.blockedLevenshtein(d,
+      substring(col("name"), 1, 2), maxDist = 1, maxBlock = 2L).count() == 0)
+  }
+
+  test("ExifMeta: both byte orders roundtrip; truncation and garbage degrade") {
+    import graft.functions.{EncodeExifJpeg, ExifMeta}
+    val d = Seq((1L, false), (2L, true)).toDF("id", "big")
+      .withColumn("payload",
+        EncodeExifJpeg(lit(6L), lit("fu"), col("big")))
+    val r = d.select(col("id"), ExifMeta(col("payload")).as("m"))
+      .select(col("id"), col("m.format"), col("m.byte_order"),
+        col("m.orientation"), col("m.make"), col("m.n_entries"))
+      .as[(Long, String, String, Int, String, Int)].collect().sortBy(_._1)
+    assert(r(0) == ((1L, "jpeg-exif", "II", 6, "fu", 2)))
+    assert(r(1) == ((2L, "jpeg-exif", "MM", 6, "fu", 2)))
+    // truncated / garbage payloads degrade, never crash
+    val bytes = d.filter(col("id") === 1L)
+      .select(col("payload")).as[Array[Byte]].head()
+    val broken = Seq(
+      ("trunc", bytes.take(9)),
+      ("garbage", "not a jpeg at all".getBytes("UTF-8")),
+      ("soi-only", Array(0xff.toByte, 0xd8.toByte)),
+      ("badlen", { val c = bytes.clone(); c(4) = 0x7f.toByte; c }))
+      .toDF("k", "p")
+    val degraded = broken.select(col("k"), ExifMeta(col("p")).as("m"))
+      .select(col("k"), col("m.format")).as[(String, String)].collect()
+    degraded.foreach { case (k, f) => assert(f == "unknown", s"$k parsed as $f") }
+  }
+
+  test("chiSquare: hand-computed 2x2 statistic; independence gives zero") {
+    // contingency [[30, 10], [10, 30]]: chi2 = 80*... hand value:
+    // N=80, margins 40 each, E=20 per cell, term=(10)^2/20=5 -> chi2=20
+    val rows =
+      Seq.fill(30)(("x", "u")) ++ Seq.fill(10)(("x", "v")) ++
+      Seq.fill(10)(("y", "u")) ++ Seq.fill(30)(("y", "v"))
+    val r = graft.operators.Pipeline
+      .chiSquare(rows.toDF("a", "b"), "a", "b")
+      .as[(Double, Long, Long)].head()
+    assert(math.abs(r._1 - 20.0) < 1e-9 && r._2 == 4L && r._3 == 1L)
+    // perfectly independent table -> statistic exactly 0 per cell
+    val ind = Seq.fill(12)(("x", "u")) ++ Seq.fill(12)(("x", "v")) ++
+      Seq.fill(12)(("y", "u")) ++ Seq.fill(12)(("y", "v"))
+    val r2 = graft.operators.Pipeline
+      .chiSquare(ind.toDF("a", "b"), "a", "b")
+      .as[(Double, Long, Long)].head()
+    assert(r2._1 == 0.0)
+  }
+
+  test("filteredTopK: pre-filter keeps k results where post-filter starves") {
+    // corpus: qid 100's true top neighbors all carry label 1 (banned);
+    // allowed (label 0) vectors are farther but must still fill k rows
+    def vec(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val rows = Seq(
+      (100L, vec(1.0, 0.0), 0),   // the query itself
+      (1L, vec(0.999, 0.01), 1), (2L, vec(0.998, 0.02), 1),
+      (3L, vec(0.997, 0.03), 1), (4L, vec(0.996, 0.04), 1),
+      (10L, vec(0.8, 0.2), 0), (11L, vec(0.7, 0.3), 0),
+      (12L, vec(0.6, 0.4), 0), (13L, vec(0.5, 0.5), 0))
+      .toDF("vec_id", "embedding", "label")
+    val queries = broadcast(rows.filter($"vec_id" === 100L)
+      .select($"vec_id".as("qid"), Similarity.toDoubleVec($"embedding").as("qv")))
+    val pre = Similarity.filteredTopK(rows, queries, pred = $"label" === 0, k = 3)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(pre == Set(10L, 11L, 12L), s"pre-filter top-3 from allowed set: $pre")
+    // equals brute force over the pre-filtered corpus
+    val brute = Similarity.bruteForceTopK(rows.filter($"label" === 0), queries, k = 3)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(brute == pre)
+    // post-filtering the unfiltered top-3 starves: all top-3 are banned
+    val post = Similarity.bruteForceTopK(rows, queries, k = 3)
+      .join(rows.select($"vec_id", $"label"), "vec_id")
+      .filter($"label" === 0)
+      .collect()
+    assert(post.isEmpty, "post-filter must lose every result here")
+  }
 }

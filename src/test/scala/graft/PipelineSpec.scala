@@ -732,4 +732,55 @@ class PipelineSpec extends SparkSpec {
     assert(packed.sortBy(r => (r._1, r._2)).toSeq ===
       again.sortBy(r => (r._1, r._2)).toSeq)
   }
+
+  test("doremiWeights: multiplicative-weights trace — uniform start, " +
+    "excess-monotone ordering, smoothing floor, weights sum to 1") {
+    val loss = Seq(("web", 2.0), ("code", 3.5), ("books", 2.5))
+      .toDF("domain", "loss")
+    val c = 0.015625
+    val tr = Pipeline.doremiWeights(loss, rounds = 6, eta = 0.5, smoothing = c)
+      .as[(Long, String, Double, Double)].collect()
+    val byRound = tr.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(byRound.keySet == (0L to 6L).toSet)
+    // round 0 is uniform
+    byRound(0L).foreach(r => assert(math.abs(r._4 - 1.0 / 3) < 1e-12))
+    // excess is loss - min(loss), constant across rounds
+    val ex = byRound(0L).map(r => r._2 -> r._3).toMap
+    assert(ex("web") == 0.0 && math.abs(ex("code") - 1.5) < 1e-12
+      && math.abs(ex("books") - 0.5) < 1e-12)
+    (0L to 6L).foreach { r =>
+      val ws = byRound(r).map(_._4)
+      assert(math.abs(ws.sum - 1.0) < 1e-9, s"round $r weights sum ${ws.sum}")
+    }
+    // the high-excess domain strictly gains weight every round and
+    // dominates; the zero-excess domain decays but never below the
+    // smoothing floor c/D
+    val codeW = (0L to 6L).map(r => byRound(r).find(_._2 == "code").get._4)
+    assert(codeW.sliding(2).forall(p => p(1) > p(0)), s"not monotone: $codeW")
+    val webW = (0L to 6L).map(r => byRound(r).find(_._2 == "web").get._4)
+    assert(webW.last < webW.head)
+    assert(webW.forall(_ >= c / 3 - 1e-15))
+    assert(byRound(6L).maxBy(_._4)._2 == "code")
+  }
+
+  test("dataConstrainedCard: repeat-decay accounting at the budget-implied epochs") {
+    val u = Seq(("a", 100L), ("b", 300L)).toDF("key", "u_tokens")
+    val r = Pipeline.dataConstrainedCard(u, budget = 800L, rStar = 15.4)
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+      .map(x => x._1 -> x).toMap
+    // epochs = 800/400 = 2.0 exactly, for every key
+    assert(r("a")._3 == 2.0 && r("b")._3 == 2.0)
+    assert(r("a")._4 == 200.0 && r("b")._4 == 600.0) // trained = u * epochs
+    val decay = BigDecimal(math.exp((1.0 - 2.0) / 15.4))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r("a")._5 == 100.0 + 100.0 * 15.4 * (1.0 - decay))
+    // second-epoch value is high but < 1: efficiency strictly in (0.5, 1)
+    assert(r("a")._6 > 0.5 && r("a")._6 < 1.0)
+    // efficiency is key-independent at a global epoch count (u factors
+    // out mathematically; IEEE leaves a last-ulp difference)
+    assert(math.abs(r("a")._6 - r("b")._6) < 1e-12)
+    intercept[IllegalArgumentException] {
+      Pipeline.dataConstrainedCard(u, budget = 0L)
+    }
+  }
 }

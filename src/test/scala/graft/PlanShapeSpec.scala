@@ -280,6 +280,47 @@ class PlanShapeSpec extends SparkSpec {
       .exists(_.partitionSpec.isEmpty), "t35 plans a global window")
   }
 
+  test("d36: chunk-dedup joins stay shuffle_hash; reassembly plans no window") {
+    // both join sides are corpus-sized (chunk rows vs canonical map):
+    // a lost hint would let the 64MB bench threshold broadcast the
+    // canonical frame at small SF and OOM the driver at corpus scale
+    val ns = nodes(q("d36_chunk_dedup"))
+    assert(ns.exists(_.isInstanceOf[ShuffledHashJoinExec]),
+      "d36 lost its shuffle_hash hint")
+    assert(!ns.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "d36 broadcasts a corpus-grain frame")
+    assert(!ns.exists(_.isInstanceOf[WindowExec]),
+      "d36 reassembly must be a hash aggregate, not a window")
+  }
+
+  test("p28: no unpartitioned window; threshold frame broadcasts; " +
+      "no sort-merge join after the checkpoint") {
+    // the doc-grain shuffle_hash re-attach executes INSIDE the
+    // localCheckpoint materialization (two-branch pin), so the final
+    // plan reads the pinned frame: what must hold here is that the
+    // langs×2 threshold frame joins as a BROADCAST, nothing plans a
+    // sort-merge, and no window is global (Quantiles' bucket windows
+    // are (key, bucket)-partitioned)
+    val ns = nodes(q("p28_ppl_buckets"))
+    assert(ns.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "p28 threshold frame must broadcast")
+    assert(!ns.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "p28 plans a SortMergeJoin")
+    assert(!ns.collect { case w: WindowExec => w }
+      .exists(_.partitionSpec.isEmpty),
+      "p28 plans a global window — the Quantiles machinery regressed")
+  }
+
+  test("t38: one exploded aggregate, no joins, no window") {
+    val ns = nodes(q("t38_gopher_rules"))
+    assert(!ns.exists(_.isInstanceOf[WindowExec]), "t38 plans a window")
+    assert(!ns.exists(_.isInstanceOf[SortMergeJoinExec]) &&
+      !ns.exists(_.isInstanceOf[ShuffledHashJoinExec]) &&
+      !ns.exists(_.isInstanceOf[BroadcastHashJoinExec]) &&
+      !ns.exists(_.isInstanceOf[CartesianProductExec]),
+      "t38 must be join-free: line stats ride the doc aggregate as MIN")
+  }
+
   test("m13: segmentation windows are clip-partitioned; decode pipeline unchanged") {
     val ns = nodes(q("m13_activity_segments"))
     val ws = ns.collect { case w: WindowExec => w }

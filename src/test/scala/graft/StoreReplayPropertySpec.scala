@@ -228,6 +228,15 @@ class StoreReplayPropertySpec extends SparkSpec {
           s"$rt/state", s"$rt/values"),
         rt => tagged("state" -> latestState(s"$rt/state"),
           "values" -> canonPath(s"$rt/values"))),
+      Member("maintainDomainCap (ST37)", 3,
+        i => (0 until 6).map { j =>
+          ((i * 10 + j).toLong, s"s${j % 2}", s"txt$i$j")
+        }.toDF("doc_id", "source", "text"),
+        (b, id, rt) => A.processDomainCapTrigger(b, id, "source", 5,
+          s"$rt/state", s"$rt/values", s"$rt/rejected"),
+        rt => tagged("state" -> latestState(s"$rt/state"),
+          "values" -> canonPath(s"$rt/values"),
+          "rejected" -> canonPath(s"$rt/rejected"))),
       Member("maintainBurstEvents (ST34)", 3,
         i => (0 until 12).map { j =>
           // repeats across triggers: the (user, ts) distinct must

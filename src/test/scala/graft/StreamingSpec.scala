@@ -125,6 +125,41 @@ class StreamingSpec extends SparkSpec {
       spark.read.parquet(s"$tmp/rejected").count() == 20L)
   }
 
+  test("gopherGate (ST38): stream verdicts equal batch gopherQualityFlags; " +
+      "replay rewrites") {
+    implicit val sqlCtx = spark.sqlContext
+    val good = ((1 to 50).map(i => s"word$i") ++ Seq("the", "of", "with"))
+      .mkString(" ")
+    val bad = "too short the of"
+    val docs = Seq((1L, good), (2L, bad), (3L, good + " extra"),
+      (4L, (1 to 60).map(_ => "xy").mkString(" ") + " the of"))
+    val tmp = Files.createTempDirectory("graft-gopher-gate").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamErrorHandling.gopherGate(
+      mem.toDF().toDF("doc_id", "text"),
+      s"$tmp/kept", s"$tmp/rejected", s"$tmp/ckpt")
+    mem.addData(docs.take(2)); q.processAllAvailable()
+    mem.addData(docs.drop(2)); q.processAllAvailable()
+    q.stop()
+    val kept = spark.read.parquet(s"$tmp/kept")
+      .select($"doc_id").as[Long].collect().toSet
+    val rej = spark.read.parquet(s"$tmp/rejected")
+      .select($"doc_id").as[Long].collect().toSet
+    // verdicts equal the batch operator's keep on the same corpus
+    val batch = graft.operators.TextAnalysis
+      .gopherQualityFlags(docs.toDF("doc_id", "text"))
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    assert(kept == batch.filter(_._2).keySet && rej == batch.filterNot(_._2).keySet)
+    assert(kept == Set(1L, 3L) && rej == Set(2L, 4L))
+    // crash-replay: re-running trigger 0 rewrites, never re-appends
+    StreamErrorHandling.processGopherTrigger(
+      docs.take(2).toDF("doc_id", "text"), batchId = 0L, 50L, 100000L,
+      graft.operators.TextAnalysis.GopherStopwords, s"$tmp/kept",
+      s"$tmp/rejected")
+    assert(spark.read.parquet(s"$tmp/kept").count() +
+      spark.read.parquet(s"$tmp/rejected").count() == 4L)
+  }
+
   test("contaminationGate (ST30): per-trigger verdicts equal the batch p4 verdict") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
@@ -197,6 +232,39 @@ class StreamingSpec extends SparkSpec {
       .select($"doc_id", $"n_removed").as[(Long, Long)].collect().toMap
     assert(rem(1L) === 0L, "first occurrence is canonical")
     assert(rem(3L) >= 3L && rem(4L) >= 3L, s"clones must trim: $rem")
+  }
+
+  test("maintainDomainCap (ST37): admitted union equals batch capPerDomain; " +
+      "rejects observable; counts persist across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val tmp = Files.createTempDirectory("graft-domcap").toString
+    val q = graft.streaming.StreamAggState.maintainDomainCap(
+      mem.toDF().toDF("doc_id", "source", "text"), "source", k = 3,
+      s"$tmp/state", s"$tmp/values", s"$tmp/rejected", s"$tmp/ckpt")
+    // doc ids monotone with arrival; s0 overflows in trigger 2, s1 never
+    val triggers = Seq(
+      Seq((1L, "s0", "a"), (2L, "s0", "b"), (3L, "s1", "c")),
+      Seq((4L, "s0", "d"), (5L, "s0", "e"), (6L, "s1", "f")),
+      Seq((7L, "s0", "g"), (8L, "s1", "h")))
+    triggers.foreach { t => mem.addData(t); q.processAllAvailable() }
+    q.stop()
+    val want = graft.operators.Pipeline
+      .capPerDomain(triggers.flatten.toDF("doc_id", "source", "text"),
+        "source", k = 3)
+      .select($"doc_id").as[Long].collect().toSet
+    val got = spark.read.parquet(s"$tmp/values")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got === want, s"streaming admits $got vs batch twin $want")
+    assert(got === Set(1L, 2L, 4L, 3L, 6L, 8L))
+    // over-cap docs are observable, not silently dropped
+    val rej = spark.read.parquet(s"$tmp/rejected")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(rej === Set(5L, 7L), s"rejected $rej")
+    // the maintained counts saturate at k
+    val st = graft.streaming.StreamAggState.readState(spark, s"$tmp/state")
+      .get.as[(String, Long)].collect().toMap
+    assert(st === Map("s0" -> 3L, "s1" -> 3L))
   }
 
   test("maintainBm25 (ST33): per-trigger scores EQUAL the batch t33 twin") {
