@@ -1166,6 +1166,18 @@ object SparkEntry {
       .orderBy($"lang", $"q")
   }
 
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // SQL percentile_disc per group: the exact rank-based percentile —
+    // always a value FROM the data (p95-latency semantics), no
+    // interpolation; same bucketed distributed selection, no per-key
+    // sort. pct keeps the column's own exact type.
+    operators.Quantiles.discrete(
+      t(s, dir, "documents").select($"lang", $"n_chars"),
+      keyCol = "lang", valCol = "n_chars", qs = Seq(0.25, 0.5, 0.75, 0.95))
+      .orderBy($"lang", $"q")
+  }
+
   private def d28(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // exact GLOBAL similarity join (prefix filtering): every Jaccard ≥
@@ -3772,6 +3784,7 @@ object SparkEntry {
     "d37_name_linkage" -> (d37 _),
     "m17_exif_meta" -> (m17 _),
     "x16_chi2" -> (x16q _),
+    "q56_percentile_disc" -> (q56 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7894,5 +7907,19 @@ object SparkEntry {
         | (SELECT CAST(COUNT(*) AS BIGINT) FROM terms) AS n_cells,
         | (SELECT CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS BIGINT)
         |    FROM cells) AS dof""".stripMargin,
+    // percentile_disc: exact order statistic at max(0, ceil(q*n)-1) —
+    // value straight from the data, BIGINT both sides.
+    "q56_percentile_disc" ->
+      """WITH ranked AS (
+        | SELECT lang, n_chars AS v,
+        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) - 1 AS rn,
+        |  COUNT(*) OVER (PARTITION BY lang) AS n
+        | FROM documents),
+        |qs(q) AS (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+        |  (CAST(0.75 AS DOUBLE)), (CAST(0.95 AS DOUBLE)))
+        |SELECT lang, q,
+        | MAX(CASE WHEN rn = GREATEST(CAST(ceil(q * n) AS BIGINT) - 1, 0)
+        |   THEN v END) AS pct
+        |FROM ranked CROSS JOIN qs GROUP BY lang, q ORDER BY lang, q""".stripMargin,
   )
 }

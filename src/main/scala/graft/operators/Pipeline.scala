@@ -1663,9 +1663,17 @@ object Pipeline {
     * report-dimension-sized), and the fold runs on collected cell
     * rows only. Nothing corpus-quadratic.
     */
-  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
-      .agg(count(lit(1)).as("o"))
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    chiSquareFromCells(df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o")))
+
+  /** [[chiSquare]] from a pre-aggregated (a, b, o) contingency frame —
+    * what an incremental store maintains (ST39): same statistic, same
+    * sorted-cell fold, no corpus touch.
+    */
+  def chiSquareFromCells(cellsIn: DataFrame): DataFrame = {
+    val cells = cellsIn
+      .select(col("a"), col("b"), col("o").cast("long").as("o"))
       .localCheckpoint() // margins AND the fold read it
     val rm = cells.groupBy(col("a")).agg(sum(col("o")).as("ra"))
     val cm = cells.groupBy(col("b")).agg(sum(col("o")).as("cb"))

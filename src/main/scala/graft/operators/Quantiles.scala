@@ -54,6 +54,58 @@ object Quantiles {
     val stats = df.groupBy(col("__k"))
       .agg(count(lit(1)).as("__n"), min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
 
+    // requested global indices: floor/ceil of q*(n-1) per key
+    val targets = stats
+      .select(col("__k"), col("__n"), explode(array(qs.map(lit): _*)).as("__q"))
+      .withColumn("__pos", col("__q") * (col("__n") - 1))
+    val idx = targets.select(col("__k"), col("__q"),
+        floor(col("__pos")).cast("long").as("__idx"), lit("lo").as("__role"))
+      .union(targets.select(col("__k"), col("__q"),
+        ceil(col("__pos")).cast("long").as("__idx"), lit("hi").as("__role")))
+
+    selectRows(df, stats, idx, buckets)
+      .groupBy(col("__k"), col("__q"))
+      .agg(max(when(col("__role") === "lo", col("__v"))).as("lo"),
+        max(when(col("__role") === "hi", col("__v"))).as("hi"))
+      .join(broadcast(stats.select(col("__k"), col("__n"))), "__k")
+      .select(col("__k").as(keyCol), col("__q").as("q"),
+        col("lo"), col("hi"), col("__n").as("n"))
+  }
+
+  /** SQL `percentile_disc`: the EXACT rank-based percentile — the
+    * smallest value whose cumulative fraction reaches q, i.e. the
+    * 0-based order statistic at max(0, ceil(q·n) − 1). No
+    * interpolation, so the result is always a VALUE FROM THE DATA
+    * (what "p95 latency" dashboards mean); arithmetic is one double
+    * product + ceil, mirrored in the oracle. Same distributed
+    * selection as [[boundaries]] — no per-key sort at any scale.
+    */
+  def discrete(df0: DataFrame, keyCol: String, valCol: String,
+      qs: Seq[Double], buckets: Int = 1024): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0,1]: $qs")
+    val df = df0.select(col(keyCol).as("__k"), col(valCol).as("__v"))
+      .filter(col("__v").isNotNull)
+    val stats = df.groupBy(col("__k"))
+      .agg(count(lit(1)).as("__n"), min(col("__v")).as("__mn"),
+        max(col("__v")).as("__mx"))
+    val idx = stats
+      .select(col("__k"), col("__n"), explode(array(qs.map(lit): _*)).as("__q"))
+      .select(col("__k"), col("__q"),
+        greatest(ceil(col("__q") * col("__n")).cast("long") - 1L, lit(0L))
+          .as("__idx"),
+        lit("v").as("__role"))
+    selectRows(df, stats, idx, buckets)
+      .select(col("__k").as(keyCol), col("__q").as("q"), col("__v").as("pct"))
+  }
+
+  /** Shared selection core: given per-(key, q, role) 0-based global
+    * indices into the per-key value order, return the exact rows —
+    * cumulative range-bucket counts locate each index's bucket, only
+    * target buckets sort. Emits (__k, __q, __role, __idx, __v).
+    */
+  private def selectRows(df: DataFrame, stats: DataFrame, idx: DataFrame,
+      buckets: Int): DataFrame = {
     // bucket index: monotone in __v given (mn, mx), so per-bucket ranges
     // are contiguous runs of the per-key value order
     def bucketOf(v: Column, mn: Column, mx: Column): Column =
@@ -70,15 +122,6 @@ object Quantiles {
     val cum = counts.withColumn("__before",
       coalesce(sum(col("__c")).over(Window.partitionBy(col("__k")).orderBy(col("__b"))
         .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-
-    // requested global indices: floor/ceil of q*(n-1) per key
-    val targets = stats
-      .select(col("__k"), col("__n"), explode(array(qs.map(lit): _*)).as("__q"))
-      .withColumn("__pos", col("__q") * (col("__n") - 1))
-    val idx = targets.select(col("__k"), col("__q"),
-        floor(col("__pos")).cast("long").as("__idx"), lit("lo").as("__role"))
-      .union(targets.select(col("__k"), col("__q"),
-        ceil(col("__pos")).cast("long").as("__idx"), lit("hi").as("__role")))
 
     // locate the bucket holding each index (tiny × tiny range join)
     val located = idx.as("i")
@@ -104,13 +147,7 @@ object Quantiles {
           && col("p.__rn") + col("l.__before") === col("l.__idx"))
       .select(col("p.__k").as("__k"), col("l.__q").as("__q"),
         col("l.__role").as("__role"), col("p.__v").as("__v"))
-
-    values.groupBy(col("__k"), col("__q"))
-      .agg(max(when(col("__role") === "lo", col("__v"))).as("lo"),
-        max(when(col("__role") === "hi", col("__v"))).as("hi"))
-      .join(broadcast(stats.select(col("__k"), col("__n"))), "__k")
-      .select(col("__k").as(keyCol), col("__q").as("q"),
-        col("lo"), col("hi"), col("__n").as("n"))
+    values
   }
 
   /** SQL `percentile_cont`: the linear interpolation between

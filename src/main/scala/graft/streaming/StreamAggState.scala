@@ -264,6 +264,56 @@ object StreamAggState {
     }
   }
 
+  /** Streaming chi-square drift monitor (ST39) — X28's live face: the
+    * maintained state is the (a, b, o) CONTINGENCY TABLE itself
+    * (report-dimension-sized — |A|·|B| rows however large the stream),
+    * folded per trigger by one cell-grain merge; the current
+    * independence statistic is re-derived from the store by the
+    * UNCHANGED batch operator (`Pipeline.chiSquareFromCells`) and
+    * written to stats/batch_id=N — so trigger N's statistic is
+    * BIT-EQUAL to batch `chiSquare` over everything ingested through
+    * trigger N (same cells, same sorted fold; StreamingSpec pins it).
+    * Stats before state (family crash contract); epoch GC.
+    */
+  def maintainChiSquare(stream: DataFrame, aCol: String, bCol: String,
+      statePath: String, statsPath: String,
+      checkpointPath: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        processChiSquareTrigger(batch.toDF(), batchId, aCol, bCol,
+          statePath, statsPath)
+      }
+      .start()
+
+  private[graft] def processChiSquareTrigger(batch: DataFrame, batchId: Long,
+      aCol: String, bCol: String, statePath: String,
+      statsPath: String): Unit = {
+    val spark = batch.sparkSession
+    val prior = StreamErrorHandling
+      .readPendingBefore(spark, statePath, batchId).map(_._2)
+    val batchCells = batch
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val store = prior
+      .map(_.unionByName(batchCells).groupBy(col("a"), col("b"))
+        .agg(org.apache.spark.sql.functions.sum(col("o")).as("o")))
+      .getOrElse(batchCells)
+      .localCheckpoint() // stats derivation AND the epoch write
+    graft.operators.Pipeline.chiSquareFromCells(store)
+      .write.mode("overwrite").parquet(s"$statsPath/batch_id=$batchId")
+    store.write.mode("overwrite").parquet(s"$statePath/epoch=$batchId")
+    val old = StreamErrorHandling.pendingEpochs(spark, statePath)
+      .filter(_ < batchId)
+    if (old.size > 1) {
+      val p = new org.apache.hadoop.fs.Path(statePath)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      old.dropRight(1).foreach { e =>
+        fs.delete(new org.apache.hadoop.fs.Path(p, s"epoch=$e"), true); ()
+      }
+    }
+  }
+
   def maintainLshDedup(stream: DataFrame, numHashes: Int, rowsPerBand: Int,
       shingleSize: Int, threshold: Double, statePath: String,
       pairsPath: String, checkpointPath: String): StreamingQuery =

@@ -2013,6 +2013,29 @@ class OperatorsSpec extends SparkSpec {
     degraded.foreach { case (k, f) => assert(f == "unknown", s"$k parsed as $f") }
   }
 
+  test("Quantiles.discrete: exact order statistics, q=0 floor, duplicates") {
+    // key k1: values 10,20,30,40,50 (n=5): q=0 -> idx 0 -> 10;
+    // q=0.5 -> ceil(2.5)-1 = 2 -> 30; q=0.6 -> ceil(3.0)-1 = 2 -> 30;
+    // q=0.61 -> ceil(3.05)-1 = 3 -> 40; q=1 -> idx 4 -> 50
+    val d = Seq(("k1", 10L), ("k1", 20L), ("k1", 30L), ("k1", 40L),
+      ("k1", 50L), ("k2", 7L), ("k2", 7L), ("k2", 9L))
+      .toDF("k", "v")
+    val r = graft.operators.Quantiles
+      .discrete(d, "k", "v", Seq(0.0, 0.5, 0.6, 0.61, 1.0))
+      .as[(String, Double, Long)].collect()
+      .map(x => (x._1, x._2) -> x._3).toMap
+    assert(r(("k1", 0.0)) == 10L)
+    assert(r(("k1", 0.5)) == 30L)
+    assert(r(("k1", 0.6)) == 30L)
+    assert(r(("k1", 0.61)) == 40L)
+    assert(r(("k1", 1.0)) == 50L)
+    // duplicates: k2 = [7,7,9]; q=0.5 -> ceil(1.5)-1 = 1 -> 7 (the dup)
+    assert(r(("k2", 0.5)) == 7L && r(("k2", 1.0)) == 9L)
+    // result is always a value from the data (type preserved, no
+    // interpolation midpoints)
+    r.values.foreach(v => assert(Set(7L, 9L, 10L, 20L, 30L, 40L, 50L)(v)))
+  }
+
   test("chiSquare: hand-computed 2x2 statistic; independence gives zero") {
     // contingency [[30, 10], [10, 30]]: chi2 = 80*... hand value:
     // N=80, margins 40 each, E=20 per cell, term=(10)^2/20=5 -> chi2=20

@@ -228,6 +228,14 @@ class StoreReplayPropertySpec extends SparkSpec {
           s"$rt/state", s"$rt/values"),
         rt => tagged("state" -> latestState(s"$rt/state"),
           "values" -> canonPath(s"$rt/values"))),
+      Member("maintainChiSquare (ST39)", 3,
+        i => (0 until 10).map { j =>
+          (s"a${(i + j) % 2}", s"b${j % 3}")
+        }.toDF("a", "b"),
+        (b, id, rt) => A.processChiSquareTrigger(b, id, "a", "b",
+          s"$rt/state", s"$rt/stats"),
+        rt => tagged("state" -> latestState(s"$rt/state"),
+          "stats" -> canonPath(s"$rt/stats"))),
       Member("maintainDomainCap (ST37)", 3,
         i => (0 until 6).map { j =>
           ((i * 10 + j).toLong, s"s${j % 2}", s"txt$i$j")

@@ -267,6 +267,37 @@ class StreamingSpec extends SparkSpec {
     assert(st === Map("s0" -> 3L, "s1" -> 3L))
   }
 
+  test("maintainChiSquare (ST39): per-trigger statistic equals batch x16 twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val tmp = Files.createTempDirectory("graft-chi2").toString
+    val q = graft.streaming.StreamAggState.maintainChiSquare(
+      mem.toDF().toDF("a", "b"), "a", "b",
+      s"$tmp/state", s"$tmp/stats", s"$tmp/ckpt")
+    val triggers = Seq(
+      Seq.fill(12)(("x", "u")) ++ Seq.fill(4)(("x", "v")) ++ Seq.fill(4)(("y", "u")),
+      Seq.fill(8)(("y", "v")) ++ Seq.fill(2)(("x", "u")),
+      Seq.fill(6)(("y", "u")) ++ Seq.fill(6)(("x", "v")))
+    var seen = Seq.empty[(String, String)]
+    triggers.zipWithIndex.foreach { case (t, i) =>
+      mem.addData(t); q.processAllAvailable()
+      seen ++= t
+      val want = graft.operators.Pipeline
+        .chiSquare(seen.toDF("a", "b"), "a", "b")
+        .as[(Double, Long, Long)].head()
+      val got = spark.read.parquet(s"$tmp/stats/batch_id=$i")
+        .as[(Double, Long, Long)].head()
+      assert(got == want, s"trigger $i statistic $got != batch twin $want")
+    }
+    q.stop()
+    // the maintained store IS the contingency table of everything seen
+    val st = graft.streaming.StreamAggState.readState(spark, s"$tmp/state")
+      .get.as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val wantCells = seen.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(st == wantCells, s"store $st != $wantCells")
+  }
+
   test("maintainBm25 (ST33): per-trigger scores EQUAL the batch t33 twin") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
