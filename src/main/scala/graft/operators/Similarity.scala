@@ -119,6 +119,139 @@ object Similarity {
       keys = Seq("qid"),
       orderBy = Seq(TopK.desc("cosine"), TopK.asc("vec_id")), k = k)
 
+  /** IVF index MAINTENANCE with a cell-load capacity law (S19) — the
+    * retrieval-side analog of D38's banding auto-sizing: a served IVF
+    * degrades as ingest concentrates vectors into hot cells (scan cost
+    * per probe ∝ cell size), so cells over `targetLoad` SPLIT — local
+    * 2-means over the hot cell's own members, children replacing the
+    * parent in the centroid list — until every cell fits or
+    * `maxRounds` passes; cells that cannot split (duplicate-heavy
+    * content where 2-means cannot separate) come back in `saturated`,
+    * the D38 honesty contract: a degenerate index is REPORTED, never
+    * silent.
+    *
+    * Scale shape: the initial assignment is the caller's (this
+    * operator never rescans cool cells — their ids and members are
+    * untouched, the incremental claim); per split round, ALL hot
+    * cells split together in ONE pass — per-cell child seeds from one
+    * min/max-id aggregate, `splitIters` Lloyd rounds where each
+    * member chooses between ITS OWN cell's two children via codegen'd
+    * VectorDot distance algebra (|v−c|² = v·v − 2 v·c + c·c), child
+    * means from one (cell, child, position) aggregate. Driver state =
+    * the centroid list (cells × dim — the broadcast-join bound);
+    * per-round cost ∝ Σ hot-cell sizes, never the corpus.
+    *
+    * Returns (new centroid list, reassignment of hot-cell members
+    * (vec_id, cluster_id), saturated cell ids). New child ids are
+    * allocated above the current max id — cool-cell ids never change.
+    */
+  def ivfMaintain(centroids: Seq[(Long, Seq[Double])], assigned0: DataFrame,
+      targetLoad: Long, maxRounds: Int = 4, splitIters: Int = 3)
+      : (Seq[(Long, Seq[Double])], DataFrame, Seq[Long]) = {
+    require(targetLoad >= 1, s"targetLoad must be >= 1: $targetLoad")
+    require(maxRounds >= 1 && splitIters >= 1,
+      s"bad rounds: $maxRounds/$splitIters")
+    val spark = assigned0.sparkSession
+    import spark.implicits._
+    var cents = scala.collection.mutable.LinkedHashMap(centroids: _*)
+    var nextId = (centroids.map(_._1) :+ 0L).max + 1L
+    var assigned = assigned0
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("cluster_id").cast("long").as("cluster_id"),
+        toDoubleVec(col("v")).as("v"))
+      .localCheckpoint() // iterated self-consumption — pin lineage
+    var round = 0
+    var hot: Seq[Long] = Nil
+    def loads(): Map[Long, Long] = assigned
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    var done = false
+    while (round < maxRounds && !done) {
+      hot = loads().filter(_._2 > targetLoad).keys.toSeq.sorted
+      if (hot.isEmpty) done = true
+      else {
+        val hotSet = hot.toSet
+        val members = assigned.filter(col("cluster_id").isin(hot: _*))
+          .localCheckpoint() // iterated by the Lloyd loop below
+        // child seeds: each hot cell's min-id and max-id members (two
+        // distinct rows whenever the cell has >= 2 distinct ids)
+        val seedRows = members.groupBy(col("cluster_id"))
+          .agg(min_by(col("v"), col("vec_id")).as("c0"),
+            max_by(col("v"), col("vec_id")).as("c1"))
+          .as[(Long, Seq[Double], Seq[Double])].collect()
+        var children: Map[Long, (Seq[Double], Seq[Double])] =
+          seedRows.map(r => r._1 -> (r._2, r._3)).toMap
+        var it = 0
+        while (it < splitIters) {
+          // children embed as a literal map (cells × 2 × dim — the
+          // broadcast-join bound); element_at never misses: members
+          // are pre-filtered to hot cells, all present as keys
+          val cellMap = typedLit(children.map { case (c, (a, b)) =>
+            c -> Seq(a, b) })
+          val chosen = members
+            .withColumn("__cs", element_at(cellMap, col("cluster_id")))
+            .withColumn("__c0", col("__cs").getItem(0))
+            .withColumn("__c1", col("__cs").getItem(1))
+            .withColumn("__child",
+              when(dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("__c0"))
+                + dot(col("__c0"), col("__c0"))
+                <= dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("__c1"))
+                + dot(col("__c1"), col("__c1")), lit(0)).otherwise(lit(1)))
+          val means = chosen
+            .select(col("cluster_id"), col("__child"),
+              posexplode(col("v")).as(Seq("pos", "x")))
+            .groupBy(col("cluster_id"), col("__child"), col("pos"))
+            .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+            .groupBy(col("cluster_id"), col("__child"))
+            .agg(map_from_entries(sort_array(collect_list(
+              struct(col("pos"), col("sx") / col("cnt").cast("double")))))
+              .as("m"))
+            .as[(Long, Int, Map[Int, Double])].collect()
+          val byCell = means.groupBy(_._1)
+          children = children.map { case (c, (a, b)) =>
+            val m = byCell.getOrElse(c, Array.empty).map(x => x._2 -> x._3).toMap
+            def vecOf(side: Int, prev: Seq[Double]): Seq[Double] =
+              m.get(side).map(mm => prev.indices.map(i => mm(i)).toSeq)
+                .getOrElse(prev)
+            c -> (vecOf(0, a), vecOf(1, b))
+          }
+          it += 1
+        }
+        // relabel hot-cell members; allocate child ids deterministically
+        val idOf: Map[Long, (Long, Long)] = hot.map { c =>
+          val ids = (nextId, nextId + 1L); nextId += 2L; c -> ids
+        }.toMap
+        val cellMap = typedLit(children.map { case (c, (a, b)) =>
+          c -> Seq(a, b) })
+        val idMap = typedLit(idOf.map { case (c, (i0, i1)) => c -> Seq(i0, i1) })
+        val relabeled = assigned.filter(col("cluster_id").isin(hot: _*))
+          .withColumn("__cs", element_at(cellMap, col("cluster_id")))
+          .withColumn("__c0", col("__cs").getItem(0))
+          .withColumn("__c1", col("__cs").getItem(1))
+          .withColumn("__child",
+            when(dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("__c0"))
+              + dot(col("__c0"), col("__c0"))
+              <= dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("__c1"))
+              + dot(col("__c1"), col("__c1")), lit(0)).otherwise(lit(1)))
+          .select(col("vec_id"),
+            element_at(idMap, col("cluster_id"))
+              .getItem(col("__child")).as("cluster_id"), col("v"))
+        assigned = assigned.filter(!col("cluster_id").isin(hot: _*))
+          .unionByName(relabeled)
+          .localCheckpoint() // next round's loads/members re-consume it
+        cents = cents.filterNot(kv => hotSet(kv._1))
+        idOf.toSeq.sortBy(_._1).foreach { case (c, (i0, i1)) =>
+          val (a, b) = children(c)
+          cents += (i0 -> a); cents += (i1 -> b)
+        }
+        round += 1
+      }
+    }
+    val saturated =
+      if (done) Nil else loads().filter(_._2 > targetLoad).keys.toSeq.sorted
+    (cents.toSeq, assigned.select(col("vec_id"), col("cluster_id")), saturated)
+  }
+
   /** IVF-style partitioned top-k: candidates restricted to the query's
     * coarse partition (here: a precomputed cluster/label column). At
     * scale this is the "probe one inverted list" path — the join key is

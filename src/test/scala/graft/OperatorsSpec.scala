@@ -2055,6 +2055,54 @@ class OperatorsSpec extends SparkSpec {
     assert(r2._1 == 0.0)
   }
 
+  test("ivfMaintain: hot cells split to the load cap, cool cells untouched") {
+    // cell 1 holds three tight 40-vector groups (A at x=0 ids 0-39,
+    // B at x=40 ids 100-139, C at x=100 ids 200-239 — B off the exact
+    // A/C midpoint so the 2-means split is well-posed); cell 2 is cool.
+    def grp(x: Double, base: Long) =
+      (0 until 40).map(i => (base + i, 1L, Seq(x, i.toDouble / 1000)))
+    val rows = grp(0.0, 0L) ++ grp(40.0, 100L) ++ grp(100.0, 200L) ++
+      (0 until 10).map(i => (900L + i, 2L, Seq(1000.0, i.toDouble)))
+    val assigned0 = rows.toDF("vec_id", "cluster_id", "v")
+    val cents = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(1000.0, 0.0)))
+    val (newCents, reassigned, saturated) = Similarity.ivfMaintain(
+      cents, assigned0, targetLoad = 50L)
+    assert(saturated.isEmpty, s"splittable cells must not saturate: $saturated")
+    val loads = reassigned.groupBy(col("cluster_id")).count()
+      .as[(Long, Long)].collect().toMap
+    assert(loads.values.forall(_ <= 50L), s"loads over cap: $loads")
+    // nothing lost, nothing duplicated
+    assert(loads.values.sum == 130L)
+    assert(reassigned.select(col("vec_id")).distinct().count() == 130L)
+    // the cool cell keeps its id and exact membership
+    val cool = reassigned.filter(col("cluster_id") === 2L)
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(cool == (900L until 910L).toSet)
+    assert(newCents.exists(_._1 == 2L) && !newCents.exists(_._1 == 1L))
+    // each original tight group lands WHOLE in one final cell
+    Seq(0L, 100L, 200L).foreach { base =>
+      val cellsOf = reassigned
+        .filter(col("vec_id") >= base && col("vec_id") < base + 40L)
+        .select(col("cluster_id")).distinct().as[Long].collect()
+      assert(cellsOf.length == 1, s"group at $base split across $cellsOf")
+    }
+    // determinism
+    val again = Similarity.ivfMaintain(cents, assigned0, targetLoad = 50L)
+    assert(again._2.collect().map(_.toString).sorted.toSeq ==
+      reassigned.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("ivfMaintain: an unsplittable duplicate-heavy cell is REPORTED saturated") {
+    val rows = (0 until 60).map(i => (i.toLong, 1L, Seq(5.0, 5.0)))
+    val (_, reassigned, saturated) = Similarity.ivfMaintain(
+      Seq((1L, Seq(5.0, 5.0))), rows.toDF("vec_id", "cluster_id", "v"),
+      targetLoad = 50L, maxRounds = 3)
+    assert(saturated.nonEmpty, "identical vectors cannot split — must report")
+    // every vector still assigned exactly once
+    assert(reassigned.count() == 60L)
+    assert(reassigned.select(col("vec_id")).distinct().count() == 60L)
+  }
+
   test("filteredTopK: pre-filter keeps k results where post-filter starves") {
     // corpus: qid 100's true top neighbors all carry label 1 (banned);
     // allowed (label 0) vectors are farther but must still fill k rows
