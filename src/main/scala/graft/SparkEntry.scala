@@ -3002,6 +3002,16 @@ object SparkEntry {
       .orderBy($"w1", $"c".desc, $"w2")
   }
 
+  private def t40(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // interpolated Kneser–Ney TRIGRAM LM: three-level recursion with
+    // continuation-count lower orders, all from integer roll-ups of
+    // one trigram table; D = 0.75 binary-exact, per-row IEEE only.
+    operators.TextAnalysis.trigramKneserNey(t(s, dir, "documents"),
+        topPerContext = 3, minContext = 5)
+      .orderBy($"w1", $"w2", $"c".desc, $"w3")
+  }
+
   private def t27(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // top-30 PMI collocations with count floor 5 — ranked by the exact
@@ -3785,6 +3795,7 @@ object SparkEntry {
     "m17_exif_meta" -> (m17 _),
     "x16_chi2" -> (x16q _),
     "q56_percentile_disc" -> (q56 _),
+    "t40_trigram_kn" -> (t40 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7921,5 +7932,43 @@ object SparkEntry {
         | MAX(CASE WHEN rn = GREATEST(CAST(ceil(q * n) AS BIGINT) - 1, 0)
         |   THEN v END) AS pct
         |FROM ranked CROSS JOIN qs GROUP BY lang, q ORDER BY lang, q""".stripMargin,
+    // trigram KN: t25's template one order up — lower orders from
+    // continuation (type) counts, every double op mirrored, D binary-
+    // exact; the GREATEST slice guard keeps 1-token docs off DuckDB's
+    // negative-index slicing.
+    "t40_trigram_kn" ->
+      """WITH ts AS (SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |tg AS (SELECT z[1] AS w1, z[2] AS w2, z[3] AS w3 FROM (
+        |  SELECT unnest(list_zip(t[1:GREATEST(len(t)-2, 0)], t[2:len(t)-1],
+        |    t[3:len(t)])) AS z FROM ts)),
+        |tri AS (SELECT w1, w2, w3, COUNT(*) AS c FROM tg GROUP BY w1, w2, w3),
+        |ctx12 AS (SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS c12, COUNT(*) AS nf12
+        |  FROM tri GROUP BY w1, w2 HAVING SUM(c) >= 5),
+        |cstar AS (SELECT w2, w3, COUNT(*) AS cp FROM tri GROUP BY w2, w3),
+        |ctx2 AS (SELECT w2, CAST(SUM(cp) AS BIGINT) AS cpt, COUNT(*) AS nf2
+        |  FROM cstar GROUP BY w2),
+        |cont3 AS (SELECT w3, COUNT(*) AS np3 FROM cstar GROUP BY w3),
+        |tot AS (SELECT COUNT(*) AS n_types FROM cstar),
+        |sc AS (SELECT tri.w1, tri.w2, tri.w3, tri.c, ctx12.c12, ctx12.nf12,
+        |  cstar.cp, ctx2.cpt, ctx2.nf2, cont3.np3,
+        |  greatest(CAST(tri.c AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+        |      / CAST(ctx12.c12 AS DOUBLE)
+        |    + ((CAST(0.75 AS DOUBLE) * CAST(ctx12.nf12 AS DOUBLE))
+        |      / CAST(ctx12.c12 AS DOUBLE))
+        |      * (greatest(CAST(cstar.cp AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+        |          / CAST(ctx2.cpt AS DOUBLE)
+        |        + ((CAST(0.75 AS DOUBLE) * CAST(ctx2.nf2 AS DOUBLE))
+        |          / CAST(ctx2.cpt AS DOUBLE))
+        |          * (CAST(cont3.np3 AS DOUBLE) / CAST(tot.n_types AS DOUBLE))) AS p_kn,
+        |  ROW_NUMBER() OVER (PARTITION BY tri.w1, tri.w2
+        |    ORDER BY tri.c DESC, tri.w3 ASC) AS rn
+        | FROM tri JOIN ctx12 ON tri.w1 = ctx12.w1 AND tri.w2 = ctx12.w2
+        |  JOIN cstar ON tri.w2 = cstar.w2 AND tri.w3 = cstar.w3
+        |  JOIN ctx2 ON tri.w2 = ctx2.w2
+        |  JOIN cont3 ON tri.w3 = cont3.w3
+        | CROSS JOIN tot)
+        |SELECT w1, w2, w3, c, c12, nf12, cp, cpt, nf2, np3, p_kn
+        |FROM sc WHERE rn <= 3
+        |ORDER BY w1, w2, c DESC, w3""".stripMargin,
   )
 }

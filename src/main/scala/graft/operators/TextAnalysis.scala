@@ -687,6 +687,69 @@ object TextAnalysis {
       Seq(TopK.desc("c"), TopK.asc("w2")), topPerContext)
   }
 
+  /** Interpolated Kneser–Ney TRIGRAM LM (T40) — [[bigramKneserNey]]
+    * extended one order, the textbook three-level recursion
+    * (Chen & Goodman 1999):
+    *
+    *   P(w3|w1w2) = max(c(w123)−D,0)/c(w12·)
+    *              + [D·N1+(w12·)/c(w12·)] · P(w3|w2)
+    *   P(w3|w2)   = max(c'(w2w3)−D,0)/c'(w2·)
+    *              + [D·N1+(w2·)/c'(w2·)] · P_cont(w3)
+    *   P_cont(w3) = N1+(·w3)/N1+(··)
+    *
+    * with the LOWER orders built from CONTINUATION (type) counts, not
+    * raw counts — c'(w2w3) = distinct w1 preceding (w2,w3) — the
+    * property that makes KN the strong baseline: a bigram frequent in
+    * ONE trigram context stops leaking mass into all of them.
+    *
+    * Everything derives from integer roll-ups of ONE trigram table
+    * (rows are distinct (w1,w2,w3), so COUNT(*) grouped by (w2,w3) IS
+    * the distinct-predecessor count): probabilities are per-row double
+    * arithmetic from exact BIGINTs, D = 0.75 binary-exact, ops
+    * mirrored verbatim in the oracle — no float aggregate anywhere.
+    * Plan: one explode → (w1,w2,w3) hash aggregate (pinned — five
+    * consumers), three vocab-bounded roll-ups, one 1-row type total
+    * broadcast, bounded-heap TopK per (w1,w2) context.
+    */
+  def trigramKneserNey(docs: DataFrame, topPerContext: Int,
+      minContext: Long, textCol: String = "text"): DataFrame = {
+    val d = lit(0.75).cast("double")
+    val ts = split(trim(col(textCol)), "\\s+")
+    val n2 = greatest(size(ts) - 2, lit(0))
+    val triples = arrays_zip(
+      slice(ts, lit(1), n2).as("w1"), slice(ts, lit(2), n2).as("w2"),
+      slice(ts, lit(3), n2).as("w3"))
+    val tri = docs.select(explode(triples).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"), col("p.w3").as("w3"))
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // five consumers — one explode pass, ever
+    val ctx12 = tri.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c")).as("c12"), count(lit(1)).as("nf12"))
+      .filter(col("c12") >= minContext)
+    val cstar = tri.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("cp"))
+      .localCheckpoint() // three consumers of the type table
+    val ctx2 = cstar.groupBy(col("w2"))
+      .agg(sum(col("cp")).as("cpt"), count(lit(1)).as("nf2"))
+    val cont3 = cstar.groupBy(col("w3")).agg(count(lit(1)).as("np3"))
+    val tot = cstar.agg(count(lit(1)).as("n_types"))
+    val pmid = greatest(col("cp").cast("double") - d, lit(0.0)) /
+        col("cpt").cast("double") +
+      ((d * col("nf2").cast("double")) / col("cpt").cast("double")) *
+        (col("np3").cast("double") / col("n_types").cast("double"))
+    val ptop = greatest(col("c").cast("double") - d, lit(0.0)) /
+        col("c12").cast("double") +
+      ((d * col("nf12").cast("double")) / col("c12").cast("double")) * pmid
+    val scored = tri.join(ctx12, Seq("w1", "w2"))
+      .join(cstar, Seq("w2", "w3")).join(ctx2, Seq("w2"))
+      .join(cont3, Seq("w3")).crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("w3"), col("c"), col("c12"),
+        col("nf12"), col("cp"), col("cpt"), col("nf2"), col("np3"),
+        ptop.as("p_kn"))
+    TopK.perKey(scored, Seq("w1", "w2"),
+      Seq(TopK.desc("c"), TopK.asc("w3")), topPerContext)
+  }
+
   /** Bigram-LM perplexity scoring — the CCNet-style quality filter:
     * documents are scored by how surprising they are under a bigram
     * language model trained on a (deterministic) train split of the

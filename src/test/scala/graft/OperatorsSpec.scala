@@ -2036,6 +2036,49 @@ class OperatorsSpec extends SparkSpec {
     r.values.foreach(v => assert(Set(7L, 9L, 10L, 20L, 30L, 40L, 50L)(v)))
   }
 
+  test("trigramKneserNey: formula wiring exact; continuation counts " +
+    "reward many-context words") {
+    // x ends trigrams under SIX distinct middle words; y ends the same
+    // raw count of trigrams under ONE — the continuation-count
+    // asymmetry KN exists for
+    val docs = (
+      (0 until 6).map(i => (i.toLong, s"p$i b$i x tail")) ++
+      (0 until 6).map(i => (100L + i, "q r y tail"))
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.trigramKneserNey(docs, topPerContext = 100,
+        minContext = 1).collect()
+    val nTypes = ntypes(docs)
+    // independent Scala recomputation of p_kn from the integer columns
+    r.foreach { row =>
+      val d = 0.75
+      val c = row.getAs[Long]("c").toDouble
+      val c12 = row.getAs[Long]("c12").toDouble
+      val nf12 = row.getAs[Long]("nf12").toDouble
+      val cp = row.getAs[Long]("cp").toDouble
+      val cpt = row.getAs[Long]("cpt").toDouble
+      val nf2 = row.getAs[Long]("nf2").toDouble
+      val np3 = row.getAs[Long]("np3").toDouble
+      val pmid = math.max(cp - d, 0.0) / cpt +
+        ((d * nf2) / cpt) * (np3 / nTypes)
+      val want = math.max(c - d, 0.0) / c12 + ((d * nf12) / c12) * pmid
+      assert(row.getAs[Double]("p_kn") == want, s"p_kn mismatch on $row")
+      assert(want > 0.0 && want <= 1.0)
+    }
+    // np3 = distinct middle-word predecessors of w3 at the TYPE level
+    val byW3 = r.map(x => x.getAs[String]("w3") -> x.getAs[Long]("np3")).toMap
+    assert(byW3("x") == 6L && byW3("y") == 1L,
+      s"continuation asymmetry lost: $byW3")
+  }
+
+  private def ntypes(docs: org.apache.spark.sql.DataFrame): Double = {
+    val ts = split(trim(col("text")), "\\s+")
+    val n2 = greatest(size(ts) - 2, lit(0))
+    docs.select(explode(arrays_zip(
+        slice(ts, lit(1), n2).as("w1"), slice(ts, lit(2), n2).as("w2"),
+        slice(ts, lit(3), n2).as("w3"))).as("p"))
+      .select(col("p.w2"), col("p.w3")).distinct().count().toDouble
+  }
+
   test("chiSquare: hand-computed 2x2 statistic; independence gives zero") {
     // contingency [[30, 10], [10, 30]]: chi2 = 80*... hand value:
     // N=80, margins 40 each, E=20 per cell, term=(10)^2/20=5 -> chi2=20
