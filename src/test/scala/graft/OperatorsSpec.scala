@@ -2068,6 +2068,38 @@ class OperatorsSpec extends SparkSpec {
     val byW3 = r.map(x => x.getAs[String]("w3") -> x.getAs[Long]("np3")).toMap
     assert(byW3("x") == 6L && byW3("y") == 1L,
       s"continuation asymmetry lost: $byW3")
+    // exact interpolation normalization: for every context, summing the
+    // recursion over ALL trigram-ending words (seen AND unseen in that
+    // context, each unseen one still receiving its backoff share)
+    // yields exactly 1 — derived analytically from the same counts
+    val d = 0.75
+    val trigrams = docs.as[(Long, String)].collect().flatMap { case (_, t) =>
+      t.split("\\s+").toSeq.sliding(3).filter(_.size == 3)
+        .map(s => (s(0), s(1), s(2))).toSeq
+    }
+    val tri = trigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c12m = tri.groupBy { case ((a, b, _), _) => (a, b) }
+      .map { case (k, m) => k -> (m.values.sum, m.size.toLong) }
+    val cpm = tri.keys.map { case (_, b, c) => (b, c) }.toSeq
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ctx2m = cpm.groupBy(_._1._1)
+      .map { case (k, m) => k -> (m.values.sum, m.size.toLong) }
+    val np3m = cpm.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong)
+      .toMap
+    val nT = cpm.size.toDouble
+    val ends = np3m.keys.toSeq
+    c12m.foreach { case ((w1, w2), (c12, nf12)) =>
+      val total = ends.map { w3 =>
+        val c = tri.getOrElse((w1, w2, w3), 0L).toDouble
+        val cp = cpm.getOrElse((w2, w3), 0L).toDouble
+        val (cpt, nf2) = ctx2m(w2)
+        val pmid = math.max(cp - d, 0.0) / cpt +
+          ((d * nf2) / cpt) * (np3m(w3) / nT)
+        math.max(c - d, 0.0) / c12 + ((d * nf12) / c12) * pmid
+      }.sum
+      assert(math.abs(total - 1.0) < 1e-12,
+        s"context ($w1,$w2) mass $total != 1")
+    }
   }
 
   private def ntypes(docs: org.apache.spark.sql.DataFrame): Double = {
