@@ -1476,13 +1476,17 @@ object Dedup {
       maxChunksPerDoc: Long = 1L << 20, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(chunkTokens >= 1, s"chunkTokens must be >= 1: $chunkTokens")
-    val a = split(trim(col(textCol)), "\\s+")
+    // Fence the token array: size() (the sequence bound) and slice()
+    // (the chunk builder) would otherwise each inline their own
+    // split() — the t30 duplication class, 2 tokenizations per doc
+    val a = col("__a")
     val nCh = ceil(size(a).cast("double") / lit(chunkTokens.toDouble)).cast("int")
     val chunkList = transform(sequence(lit(0), greatest(nCh - 1, lit(0))),
       i => concat_ws(" ", slice(a, i * chunkTokens + 1, lit(chunkTokens))))
     val chunks = docs
       .select(col(idCol).cast("long").as("did"),
-        posexplode(chunkList).as(Seq("idx", "chunk")))
+        graft.functions.Fence(split(trim(col(textCol)), "\\s+")).as("__a"))
+      .select(col("did"), posexplode(chunkList).as(Seq("idx", "chunk")))
       .select(col("did"), col("idx").cast("long").as("idx"), col("chunk"),
         md5(col("chunk")).as("h"),
         (col("did") * maxChunksPerDoc
@@ -1490,6 +1494,9 @@ object Dedup {
             .otherwise(raise_error(concat(lit("chunkDedup: doc "),
               col("did").cast("string"),
               lit(s" exceeds maxChunksPerDoc=$maxChunksPerDoc"))))).as("occ"))
+      // canon aggregate AND the join-back both consume the chunk frame:
+      // unpinned, the scan+tokenize+explode pipeline plans TWICE
+      .localCheckpoint()
     val canon = chunks.groupBy(col("h")).agg(min(col("occ")).as("canon_occ"))
     chunks.as("c")
       .join(canon.as("k").hint("shuffle_hash"), col("c.h") === col("k.h"))
