@@ -1972,12 +1972,23 @@ object TextAnalysis {
     * exact decimal power sums. Returns the UNPINNED (did, y, x1, x2,
     * x3) frame plus (n, μ, σ).
     */
-  private def standardizedStats(docs: DataFrame, isPositive: Column,
-      textCol: String, idCol: String)
+  /** The (did, y, __t) projection both trainers tokenize/hash: widened
+    * BEFORE the CPU-heavy explode stages so a single-row-group parquet
+    * scan doesn't pin tokenization + gram hashing to one core (the
+    * measured t30/m9 idiom; a no-op at real scale). Both the stat and
+    * the gram branch read the SAME widened subtree, so the exchange is
+    * planned once and reused (one scan, one repartition).
+    */
+  private def qualityBase(docs: DataFrame, isPositive: Column,
+      textCol: String, idCol: String): DataFrame =
+    Dedup.widen(docs.select(col(idCol).as("did"),
+      when(isPositive, lit(1.0)).otherwise(lit(0.0)).as("y"),
+      col(textCol).as("__t")))
+
+  private def standardizedStats(base: DataFrame)
       : (DataFrame, Long, Array[Double], Array[Double]) = {
-    val tokc = docs.select(col(idCol).as("did"),
-        when(isPositive, lit(1.0)).otherwise(lit(0.0)).as("y"),
-        explode(tokens(col(textCol))).as("tok"))
+    val tokc = base.select(col("did"), col("y"),
+        explode(tokens(col("__t"))).as("tok"))
       .groupBy(col("did"), col("y"), col("tok"))
       .agg(count(lit(1)).as("c"))
       .withColumn("tl", length(col("tok")).cast("long"))
@@ -2022,8 +2033,15 @@ object TextAnalysis {
       rounds: Int, lrate: Double): (DataFrame, QualityModel) = {
     require(rounds >= 1 && rounds <= 20, s"rounds out of range: $rounds")
     val spark = docs.sparkSession
-    val (feats0, n, mu, sd) = standardizedStats(docs, isPositive, textCol, idCol)
+    val (feats0, n, mu, sd) =
+      standardizedStats(qualityBase(docs, isPositive, textCol, idCol))
     val nD = n.toDouble
+    // NO pre-checkpoint widen here, deliberately: this trainer's round
+    // aggregate is 5 columns (~0.3 core-s at the bench anchor), so the
+    // AQE-coalesced single partition costs less than the extra exchange
+    // + AQE stage barriers would (measured: widening t34 cost +0.5 s
+    // net). trainQualityNgram's buckets+5-column round IS widened —
+    // see there.
     val feats = feats0.localCheckpoint()
     var w = Array(0.0, 0.0, 0.0, 0.0)
     val trace = Seq.newBuilder[(Int, Long, Double, Double, Double, Double)]
@@ -2106,18 +2124,27 @@ object TextAnalysis {
     require(buckets >= 2 && buckets <= 4096,
       s"buckets out of range for the one-aggregate gradient plan: $buckets")
     val spark = docs.sparkSession
-    val (stats, nDocs, mu, sd) = standardizedStats(docs, isPositive,
-      textCol, idCol)
+    val base = qualityBase(docs, isPositive, textCol, idCol)
+    val (stats, nDocs, mu, sd) = standardizedStats(base)
     val nD = nDocs.toDouble
     // hashed-gram term frequencies, collapsed to (doc, bucket) grain
-    // then densified to a fixed-width array — the model join shape
-    val bc = Dedup.widen(docs.select(col(idCol).as("did"),
-        col(textCol).as("__t")))
+    // then densified to a fixed-width array — the model join shape.
+    // Reads the SAME widened base subtree as the stat branch: one scan,
+    // one repartition, exchange reused. The explicit did-hash exchange
+    // before the densify keeps the map-building + 64-slot transform at
+    // cluster width (groupBy(did) reuses the partitioning — no second
+    // exchange); AQE otherwise coalesced this tiny-byte CPU-dense stage
+    // to ONE partition (measured 0.7 s single-task). A buckets-wide
+    // conditional-sum single aggregate was measured SLOWER (O(buckets)
+    // per gram row instead of O(1)): 5.1 s vs 3.6 s whole-query.
+    val bc = base
       .select(col("did"),
         explode(graft.functions.CharNGramBuckets(col("__t"), n, buckets))
           .as("b"))
       .groupBy(col("did"), col("b")).agg(count(lit(1)).as("c"))
-    val dense = bc.groupBy(col("did"))
+    val dense = bc
+      .repartition(spark.sparkContext.defaultParallelism, col("did"))
+      .groupBy(col("did"))
       .agg(map_from_entries(collect_list(struct(col("b"), col("c"))))
           .as("__m"),
         sum(col("c")).as("__tot"))
@@ -2131,8 +2158,13 @@ object TextAnalysis {
         i => coalesce(try_element_at(col("__m"), i), lit(0L)).cast("double")
           / col("__tot").cast("double") * lit(buckets.toDouble)).as("xb"))
     val zeroVec = array_repeat(lit(0.0), buckets)
+    // same single-task pin as trainQuality (see there): widen to the
+    // cluster before the checkpoint so the `rounds` gradient scans —
+    // interpreted zip_with dot + buckets+5 decimal aggregates per row —
+    // run at cluster width instead of on one AQE-coalesced partition
     val feats = stats.join(dense, Seq("did"), "left")
       .withColumn("xb", coalesce(col("xb"), zeroVec))
+      .repartition(spark.sparkContext.defaultParallelism, col("did"))
       .localCheckpoint()
     var w = Array(0.0, 0.0, 0.0, 0.0)
     var wb = Array.fill(buckets)(0.0)
