@@ -12,13 +12,18 @@ object Scratch {
     val q = if (args.nonEmpty) args(0) else "t36_quality_ngram"
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val runs = if (args.length > 2) args(2).toInt else 2
-    val spark = SparkSession.builder()
+    val b0 = SparkSession.builder()
+    sys.env.get("SCRATCH_LOCALDIR").foreach(d => b0.config("spark.local.dir", d))
+    val spark = b0
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SCRATCH_PFIRST", "false"))
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SCRATCH_MINPART", "1MB"))
       .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

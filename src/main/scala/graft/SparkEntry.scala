@@ -303,7 +303,11 @@ object SparkEntry {
   private def eventsCaptured(s: SparkSession, dir: String,
       stackTraces: Boolean = true): ErrorFrame = {
     import s.implicits._
-    val ev = t(s, dir, "events")
+    // widen: capture on the ~14% error rows throws + renders a stack
+    // trace per row — the scan's CPU; the 1-split bench events file
+    // would pin it to one core (measured ~0.8 s single-task; a no-op
+    // at real scale)
+    val ev = operators.Dedup.widen(t(s, dir, "events"))
       .withColumn("k", regexp_extract($"props", "[0-9]+", 0).cast("int"))
     ErrorFrame.captureErrors(
       ev,

@@ -19,25 +19,55 @@ object Dedup {
     * whole signature computation to one core; at real scale inputs have
     * ≥ defaultParallelism partitions and this is a no-op.
     */
-  private[operators] def widen(df: DataFrame): DataFrame = {
+  /** Split-count estimate used by [[widen]]/[[widenBy]]: file leaves
+    * from the file index (bytes / maxPartitionBytes — no physical
+    * planning just for a partition count), checkpoint/RDD leaves from
+    * their (already materialized, free) RDD partition count, local test
+    * relations as 1; anything else is assumed already wide.
+    */
+  private def leafSplits(df: DataFrame): Long = {
     val spark = df.sparkSession
     val p = spark.sparkContext.defaultParallelism
-    // Estimate the scan's split count from the file index (bytes /
-    // maxPartitionBytes) instead of df.rdd.getNumPartitions — reading the
-    // RDD would force physical planning + DAG construction just for a
-    // partition count. Non-file leaves (in-memory test frames) are assumed
-    // already wide.
     val maxSplit = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
-    val splits = df.queryExecution.optimizedPlan.collectLeaves().map {
+    df.queryExecution.optimizedPlan.collectLeaves().map {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         l.relation match {
           case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
             h.location.sizeInBytes / maxSplit + 1
           case _ => p.toLong
         }
-      case _ => p.toLong
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        math.max(1L, r.rdd.getNumPartitions.toLong)
+      case _ => p.toLong // incl. LocalRelation: in-memory test frames
+                         // keep widen() a no-op (spec plan stability)
     }.sum
-    if (splits < p) df.repartition(p) else df
+  }
+
+  /** Fan a narrow input out to the cluster's parallelism before
+    * CPU-heavy per-row stages (hashing/shingling). A single-row-group
+    * parquet file arrives as ONE partition and would otherwise pin the
+    * whole signature computation to one core; at real scale inputs have
+    * ≥ defaultParallelism partitions and this is a no-op.
+    */
+  private[graft] def widen(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (leafSplits(df) < p) df.repartition(p) else df
+  }
+
+  /** [[widen]]'s key-clustered sibling: fan a narrow input out to the
+    * cluster BY `keys`, so every downstream operator clustered on those
+    * keys (joins, groupBys on `keys` or a superset) reuses this ONE
+    * exchange at full width instead of having its own exchange
+    * AQE-coalesced to a single tiny-byte partition (which pins the
+    * CPU-dense reducer side — pair verification, per-group folds — to
+    * one core; measured on d37: two ~1.9 s single-task stages, 4.1 →
+    * 1.1 s whole-query after). Same leaf-size heuristic as [[widen]]: a
+    * no-op at real scale, where the scan already arrives ≥
+    * defaultParallelism splits and AQE sizes the exchange itself.
+    */
+  private[graft] def widenBy(df: DataFrame, keys: Column*): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (leafSplits(df) < p) df.repartition(p, keys: _*) else df
   }
 
   /** Exact dedup: hash-groupBy on content. One shuffle on md5(text). */
@@ -621,7 +651,13 @@ object Dedup {
     val hashes = transform(sequence(lit(1), size(col("__t")) - (k - 1)),
       i => conv(substring(md5(concat_ws(" ", slice(col("__t"), i, lit(k)))), 1, 8),
         16, 10).cast("long"))
-    docs.select(col(idCol).as("doc_id"), toks.as("__t"))
+    // widen: the md5 gram pipeline is the operator's CPU (measured
+    // 1.15 s single-task on the 1-split bench scan); Fence pins the
+    // token array to one evaluation — pushdown otherwise inlines the
+    // split() into the size() filter AND keeps it in the projection
+    // (the t30 duplication class)
+    widen(docs.select(col(idCol).as("doc_id"),
+        graft.functions.Fence(toks).as("__t")))
       .filter(size(col("__t")) >= k)
       .select(col("doc_id"), hashes.as("__h"))
       .select(col("doc_id"), explode(array_distinct(
@@ -643,7 +679,14 @@ object Dedup {
   def winnowMatches(docs: DataFrame, k: Int = 3, w: Int = 4,
       maxDf: Int = 50, minShared: Long = 2,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val fps = winnowFingerprints(docs, k, w, textCol, idCol).localCheckpoint()
+    // pin the fingerprint frame ALREADY CLUSTERED on fp at cluster
+    // width: the df-count aggregate and both self-join sides are
+    // keyed on fp, so they read the checkpoint's partitioning directly
+    // — zero post-checkpoint exchanges (previously the join's implicit
+    // exchange was AQE-coalesced to one partition, single-tasking the
+    // pair probe)
+    val fps = widenBy(winnowFingerprints(docs, k, w, textCol, idCol),
+      col("fp")).localCheckpoint()
     val common = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("fp"))
     val pruned = fps.join(broadcast(common), Seq("fp"), "left_anti")
@@ -898,8 +941,14 @@ object Dedup {
     // joins against the aggregated pair list save — measured ≈10% on
     // d4/d8/d9/d10; the extra linear shingle scan for `sizes` is noise
     // next to the quadratic join.
-    val toks = grams.select(col("doc_id"), col("blk"), explode(col("ts")).as("g"))
-      .select(col("doc_id"), xxhash64(col("blk"), col("g")).as("tok"))
+    // widenBy(tok): the self-join's exchange, made explicit at cluster
+    // width — both sides reuse it (one exchange either way); implicit,
+    // AQE coalesced it to one partition and the Σ m² probe ran
+    // single-task (measured: a 1.0 s one-task stage at the bench anchor)
+    val toks = widenBy(
+      grams.select(col("doc_id"), col("blk"), explode(col("ts")).as("g"))
+        .select(col("doc_id"), xxhash64(col("blk"), col("g")).as("tok")),
+      col("tok"))
     val sizes = grams.select(col("doc_id"), size(col("ts")).as("n"))
     // same shuffle-hash forcing as verifyJaccard: never broadcast the
     // exploded gram table on a misleading size estimate
@@ -1428,8 +1477,14 @@ object Dedup {
       nameCol: String = "name", idCol: String = "id",
       maxBlock: Long = 10000L): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
-    val b = df.select(col(idCol).as("id"), col(nameCol).as("nm"),
-      blockKey.as("blk"))
+    // widenBy(blk): every operator below — the size aggregate, the
+    // size-cap join and the pair self-join — is clustered on blk, so
+    // this ONE explicit exchange serves them all at cluster width; left
+    // implicit, AQE coalesced the tiny-byte shuffle to one partition
+    // and the pair-verify DP ran single-task (measured: 2×~1.9 s
+    // one-task stages at the bench anchor, the whole query 4.1 s).
+    val b = widenBy(df.select(col(idCol).as("id"), col(nameCol).as("nm"),
+      blockKey.as("blk")), col("blk"))
     val sizes = b.groupBy(col("blk")).agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") <= maxBlock)
     val kept = b.join(sizes.select(col("blk")).hint("shuffle_hash"), Seq("blk"))
