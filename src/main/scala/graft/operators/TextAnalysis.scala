@@ -1777,8 +1777,13 @@ object TextAnalysis {
       .collect().toMap
     val bc = spark.sparkContext.broadcast(scores)
     val L = maxPieceLen
-    docs.select(col(idCol).cast("long").as("doc_id"),
-        posexplode(tokens(col(textCol))).as(Seq("pos", "word")))
+    // widen: the compiled per-word Viterbi is the operator's CPU and a
+    // 1-split scan would pin it (and the tokenize/explode) to one core
+    // (measured ~0.9 s single-task at the bench anchor; no-op at scale)
+    Dedup.widen(docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("__t")))
+      .select(col("doc_id"),
+        posexplode(tokens(col("__t"))).as(Seq("pos", "word")))
       .select(col("doc_id"), col("pos").cast("int").as("pos"), col("word"))
       .as[(Long, Int, String)]
       .mapPartitions { it =>
