@@ -375,6 +375,13 @@ object Multimodal {
     */
   private def grayPixels(df: DataFrame, binCol: String, idCol: String): DataFrame = {
     val b = col(binCol)
+    // NO widen here, deliberately (A/B-measured): round-robin
+    // repartitioning would move the PAYLOAD BYTES (plus the
+    // sort-before-repartition pass over binary rows) just to
+    // parallelize a decode that costs less than the exchange —
+    // m6/m8/m12 measured 1.5-2x SLOWER with a widen in this spot.
+    // The guide §8 rule in miniature: don't shuffle heavy opaque
+    // payloads to save light per-row work.
     val step0 = df.select(col(idCol).as("doc_id"), b.as("__b"),
       graft.functions.Fence(graft.functions.DecodeMedia(b)).as("__m"))
     val step1 = step0.select(col("doc_id"), col("__m"),
