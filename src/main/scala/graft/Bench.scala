@@ -81,10 +81,77 @@ object Bench {
     (merged, warnings.result())
   }
 
+  val defaultSfDir = "/root/testdata/sf0.1"
+  val defaultCpus = "32"
+
+  /** Artifact path for a run — pure, spec-pinned (VERDICT r14 task 2):
+    * a run at a foreign SF *or a foreign core count* with no explicit
+    * SPARK_GRAFT_BENCH_OUT must NOT overwrite the committed default
+    * artifact. The r14 driver's 8-core scaling run merged into the same
+    * bench_out.json as the 32-core run (mergeRuns guarded cross-SF but
+    * not cross-CPU), silently replacing the full 32-core per-query
+    * record with 8-core times. Foreign runs divert to a suffixed
+    * sibling (bench_out.<sf>.json / bench_out.c<cpus>.json).
+    */
+  def artifactPath(explicitOut: Option[String], sfDir: String,
+      cpus: String): (String, Option[String]) =
+    explicitOut match {
+      case Some(p) => (p, None)
+      case None =>
+        val sfPart =
+          if (sfDir != defaultSfDir) "." + sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+          else ""
+        val cpuPart = if (cpus != defaultCpus) s".c$cpus" else ""
+        if (sfPart.nonEmpty || cpuPart.nonEmpty) {
+          val p = s"bench_out$sfPart$cpuPart.json"
+          (p, Some(s"foreign run (sf=$sfDir cpus=$cpus) and " +
+            s"SPARK_GRAFT_BENCH_OUT unset - redirecting the artifact to $p " +
+            "so bench_out.json keeps the committed default baseline"))
+        } else ("bench_out.json", None)
+    }
+
+  /** Parse a prior artifact into the merge/drift baseline — pure,
+    * spec-pinned. An artifact measured at a different SF *or core
+    * count* must not serve as the baseline: cross-SF would trip the
+    * gate on ~10x ratios and then relabel old-SF times (review finding
+    * r10); cross-CPU would grade a 32-core run against 8-core times
+    * (VERDICT r14 what's-wrong 2). A prior with no "cpus" field
+    * (pre-r15 artifact) is accepted with a warning — it cannot be
+    * distinguished, and rejecting it would let a partial run shrink
+    * the baseline.
+    */
+  def parsePrior(ref: String, sfDir: String, cpus: String)
+      : (Map[String, Double], Seq[String]) = {
+    val priorSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(ref).map(_.group(1))
+    val priorCpus = """"cpus":"?([0-9]+)"?""".r.findFirstMatchIn(ref).map(_.group(1))
+    if (priorSf.exists(_ != sfDir))
+      (Map.empty, Seq(s"prior artifact measured sf '${priorSf.get}' != " +
+        s"current '$sfDir' - ignoring it (no merge, no drift compare); " +
+        "set SPARK_GRAFT_BENCH_REF for cross-SF runs"))
+    else if (priorCpus.exists(_ != cpus))
+      (Map.empty, Seq(s"prior artifact measured at ${priorCpus.get} cpus != " +
+        s"current $cpus - ignoring it (no merge, no drift compare); " +
+        "set SPARK_GRAFT_BENCH_REF to compare across core counts"))
+    else {
+      // exponent-aware: a sub-millisecond time serialized as 9.5E-4
+      // must not parse as 9.5 — since the r9 merge a mis-parse would
+      // be written BACK into the artifact as a permanently inflated
+      // drift baseline (values are also written in plain decimal now)
+      val kv = """"([a-z0-9_]+)":([0-9.]+(?:[eE][-+]?[0-9]+)?)""".r
+      val m = kv.findAllMatchIn(ref)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap - "value" - "cpus"
+      val warn =
+        if (priorCpus.isEmpty)
+          Seq("prior artifact has no cpus field (pre-r15) - assuming it " +
+            s"matches the current $cpus")
+        else Seq.empty
+      (m, warn)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    val defaultSfDir = "/root/testdata/sf0.1"
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", defaultSfDir)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -130,27 +197,17 @@ object Bench {
       // with fail-times (review finding, round 10)
       if (failed) None else Some(name -> times.min)
     }
-    // A run at any SF other than the committed baseline's is FOREIGN —
-    // judged from the run itself (sfDir vs the SPARK_GRAFT_SF_DIR
-    // default), not from whatever prior file happened to load: a
-    // missing/unreadable bench_out.json must not let an sf10 sweep
-    // write itself into the sf0.1 artifact, and an explicitly-foreign
-    // SPARK_GRAFT_BENCH_REF must not redirect a legitimate default-SF
-    // run's output away from bench_out.json (ADVICE r11).
-    val foreignSf = sfDir != defaultSfDir
-    // A foreign-SF run with no explicit SPARK_GRAFT_BENCH_OUT must not
-    // erase the committed default artifact — redirect to an SF-suffixed
-    // sibling (ADVICE r10).
-    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse {
-      if (foreignSf) {
-        val suffix = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
-        val p = s"bench_out.$suffix.json"
-        System.err.println(s"[bench] foreign-SF run and SPARK_GRAFT_BENCH_OUT " +
-          s"unset - redirecting the artifact to $p so bench_out.json keeps " +
-          "the committed baseline")
-        p
-      } else "bench_out.json"
-    }
+    // A run at any SF or core count other than the committed baseline's
+    // is FOREIGN — judged from the run itself (env vs defaults), not
+    // from whatever prior file happened to load: a missing/unreadable
+    // bench_out.json must not let an sf10 sweep or the driver's 8-core
+    // scaling run write itself into the default artifact, and an
+    // explicitly-foreign SPARK_GRAFT_BENCH_REF must not redirect a
+    // legitimate default run's output away from bench_out.json
+    // (ADVICE r11, VERDICT r14 task 2).
+    val (outPath, pathWarn) =
+      artifactPath(sys.env.get("SPARK_GRAFT_BENCH_OUT"), sfDir, cpus)
+    pathWarn.foreach(w => System.err.println(s"[bench] $w"))
     // Drift self-check (VERDICT r7 task 5): the committed artifact is
     // what future rounds grade against, and a contended host can put a
     // 2-3× outlier into it silently (r7 shipped t23 at 7.09 s vs 3.29
@@ -163,26 +220,9 @@ object Bench {
     val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", outPath)
     val prior: Map[String, Double] = try {
       val ref = java.nio.file.Files.readString(java.nio.file.Paths.get(refPath))
-      // an artifact from a DIFFERENT scale factor must not serve as the
-      // drift/merge baseline: a forgotten SPARK_GRAFT_BENCH_REF on a
-      // foreign-SF sweep would trip the gate on ~10x ratios and then
-      // fill the new artifact's overlap with the OLD SF's times under
-      // the new "sf" label (review finding, round 10)
-      val priorSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(ref).map(_.group(1))
-      if (priorSf.exists(_ != sfDir)) {
-        System.err.println(s"[bench] prior $refPath measured sf " +
-          s"'${priorSf.get}' != current '$sfDir' - ignoring it (no merge, " +
-          "no drift compare); set SPARK_GRAFT_BENCH_REF for cross-SF runs")
-        Map.empty
-      } else {
-        // exponent-aware: a sub-millisecond time serialized as 9.5E-4
-        // must not parse as 9.5 — since the r9 merge a mis-parse would
-        // be written BACK into the artifact as a permanently inflated
-        // drift baseline (values are also written in plain decimal now)
-        val kv = """"([a-z0-9_]+)":([0-9.]+(?:[eE][-+]?[0-9]+)?)""".r
-        kv.findAllMatchIn(ref)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap - "value"
-      }
+      val (m, warns) = parsePrior(ref, sfDir, cpus)
+      warns.foreach(w => System.err.println(s"[bench] prior $refPath: $w"))
+      m
     } catch { case t: Throwable =>
       System.err.println(s"[bench] drift check skipped: $t"); Map.empty
     }
@@ -215,20 +255,27 @@ object Bench {
     // locale would write 0,6 — invalid JSON (ADVICE r9)
     def dec(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
-    val qs = merged.map { case (k, v) => "\"" + k + "\":" + dec(v) }
-      .mkString("{", ",", "}")
-    val total = merged.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":${dec(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // Durable copy: the driver captures only a stdout TAIL, which has
-    // truncated the per-query map in past rounds (BENCH_r06 lost 94/160
-    // times). Write the full JSON to a file so the evidence survives;
-    // SPARK_GRAFT_BENCH_OUT overrides the default repo-relative path
-    // (outPath chosen above, before the prior was read, so the merge
-    // prior and the overwrite target agree).
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    def jsonLine(m: Seq[(String, Double)]): String = {
+      val qs = m.map { case (k, v) => "\"" + k + "\":" + dec(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${dec(m.map(_._2).sum)},"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus}"""
+    }
+    // Durable copy FIRST: the driver captures only a stdout TAIL, which
+    // has truncated the per-query map in past rounds (BENCH_r06 lost
+    // 94/160 times). The FILE gets the gated merge (the drift baseline
+    // future rounds grade against); SPARK_GRAFT_BENCH_OUT overrides the
+    // default repo-relative path (outPath chosen above, before the
+    // prior was read, so the merge prior and the overwrite target
+    // agree).
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outPath), jsonLine(merged) + "\n")
     catch { case t: Throwable => System.err.println(s"[bench] write $outPath failed: $t") }
+    // The printed line is the RAW run, not the merge (VERDICT r14 task
+    // 2): the tail gate protects the committed artifact from contended
+    // outliers, but ground truth reported to the driver must never be
+    // rewritten to a historical value — a genuine >2x regression has to
+    // be visible in stdout. Printed LAST so a stdout tail keeps it.
+    println(jsonLine(results))
     spark.stop()
   }
 }

@@ -3,13 +3,18 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Dev-only: dump `.explain("formatted")` for named queries to files —
-  * the optimization-round evidence trail (plans/r14/<query>_before.txt /
+  * the optimization-round evidence trail (plans/r15/<query>_before.txt /
   * _after.txt). Uses the BENCH session config (local[32], 32 shuffle
-  * partitions, 64MB autoBroadcast) so the captured plan is the plan the
-  * bench actually times.
+  * partitions, 64MB autoBroadcast), and EXECUTES each query before
+  * dumping (ADVICE r14): an unexecuted QueryExecution prints the
+  * static planner output (isFinalPlan=false), while the before/after
+  * evidence the round argues about — AQE partition coalescing,
+  * ReusedExchange, runtime join rewrites — only appears in the final
+  * adaptive plan. Plans captured before r15 are static dumps; compare
+  * like with like.
   *
   * Usage: sbt "runMain graft.Plans <outDir> <suffix> <query> [query...]"
-  *   e.g. runMain graft.Plans plans/r14 before t35_textrank t36_quality_ngram
+  *   e.g. runMain graft.Plans plans/r15 before t35_textrank t36_quality_ngram
   */
 object Plans {
   def main(args: Array[String]): Unit = {
@@ -30,6 +35,9 @@ object Plans {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     names.foreach { q =>
       val df = SparkEntry.queries(q)(spark, sfDir)
+      // run the SAME QueryExecution to its final adaptive plan (a noop
+      // write would spawn a fresh one whose plan never executed)
+      df.queryExecution.toRdd.count()
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       val p = java.nio.file.Paths.get(outDir, s"${q}_$suffix.txt")

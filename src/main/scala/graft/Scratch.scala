@@ -52,12 +52,21 @@ object Scratch {
           nTasks.compute(jid, (_, v) => if (v == null) 1 else v + 1)
         }
       }
-      override def onJobEnd(je: SparkListenerJobEnd): Unit = if (record) {
-        val t0 = starts.getOrDefault(je.jobId, 0L)
-        val a = agg.getOrDefault(je.jobId, Array(0L, 0L, 0L))
-        println(f"[job ${je.jobId}%3d] wall ${(System.nanoTime() - t0) / 1e9}%7.3f s" +
-          f"  tasks ${nTasks.getOrDefault(je.jobId, 0)}%4d" +
-          f"  run ${a(0) / 1e3}%7.2f s  cpu ${a(1) / 1e3}%7.2f s  gc ${a(2) / 1e3}%6.2f s")
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        if (record) {
+          val t0 = starts.getOrDefault(je.jobId, 0L)
+          val a = agg.getOrDefault(je.jobId, Array(0L, 0L, 0L))
+          println(f"[job ${je.jobId}%3d] wall ${(System.nanoTime() - t0) / 1e9}%7.3f s" +
+            f"  tasks ${nTasks.getOrDefault(je.jobId, 0)}%4d" +
+            f"  run ${a(0) / 1e3}%7.2f s  cpu ${a(1) / 1e3}%7.2f s  gc ${a(2) / 1e3}%6.2f s")
+        }
+        // clear this job's stage→job mappings (ADVICE r14): a stage id
+        // registered by job N and then appearing in a LATER job's stage
+        // list (shared/reused stages) kept attributing that later job's
+        // task metrics to N — per-job numbers fed round evidence, so
+        // attribution follows the job whose registration is still live
+        val it = jobOfStage.entrySet().iterator()
+        while (it.hasNext) if (it.next().getValue == je.jobId) it.remove()
       }
     })
 

@@ -997,14 +997,13 @@ object TextAnalysis {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(stopwords.nonEmpty, "rake needs a stopword list")
-    // widenBy(doc_id): the island window, the phrase aggregate and the
-    // final per-doc top-k are all doc_id-clustered — one cluster-width
-    // exchange serves them; implicit, AQE coalesced it to one partition
-    // and the window+phrase stage ran single-task (measured 0.7-1.0 s)
-    val toks = Dedup.widenBy(
-      docs.select(col(idCol).as("doc_id"),
-        posexplode(tokens(col(textCol))).as(Seq("pos", "tok"))),
-      col("doc_id"))
+    // No widenBy here: the word stream below is consumed by TWO branches
+    // (word-stat build + score join), so a pre-repartition is planned
+    // once per branch and the (doc_id,phrase,phrase_pos) aggregates
+    // still add their own exchanges — measured 4 real exchanges -> 8 and
+    // 2.16 -> 3.18 s at 32c when tried (r14; reverted per VERDICT r14).
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val phrases = toks.filter(!col("tok").isInCollection(stopwords))
       .withColumn("isl", col("pos") - row_number().over(byDoc))
@@ -1013,12 +1012,8 @@ object TextAnalysis {
           .getField("tok")).as("phrase"),
         count(lit(1)).as("plen"),
         min(col("pos")).cast("long").as("phrase_pos"))
-    // widenBy(w): the word-stat aggregate AND the score join both
-    // cluster on w — one exchange, both consumers in place
-    val words = Dedup.widenBy(
-      phrases.select(col("doc_id"), col("phrase"), col("plen"),
-        col("phrase_pos"), explode(split(col("phrase"), " ")).as("w")),
-      col("w"))
+    val words = phrases.select(col("doc_id"), col("phrase"), col("plen"),
+      col("phrase_pos"), explode(split(col("phrase"), " ")).as("w"))
     val stats = words.groupBy(col("w"))
       .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
       .withColumn("wscore", col("deg").cast("double") / col("freq").cast("double"))
@@ -1889,28 +1884,75 @@ object TextAnalysis {
         (col("ov").cast("double")
           / (round(log((col("nda") + lit(1L)).cast("double")), 9)
             + round(log((col("ndb") + lit(1L)).cast("double")), 9))).as("w"))
-    val wsum = wts.groupBy(col("did"), col("ca"))
-      .agg(aggregate(sort_array(collect_list(col("w"))), lit(0.0),
-        (a, x) => a + x).as("wsum"))
-    val fac = wts.join(wsum, Seq("did", "ca"))
-      .select(col("did"), col("ca"), col("cb"), (col("w") / col("wsum")).as("f"))
-      .localCheckpoint()
-    // rank lineage is a linear CHAIN (each round consumes the previous
-    // once, against the PINNED factor frame) — not a self-join, so no
-    // multiplicative recomputation exists and the whole loop evaluates
-    // as ONE plan of `rounds` shuffles; a per-round localCheckpoint
-    // would add `rounds` materialization barriers for nothing
-    var rank = nd.select(col("did"), col("chunk").as("v"), lit(1.0).as("rank"))
-    for (_ <- 1 to rounds) {
-      rank = fac.join(rank.hint("shuffle_hash"),
-          fac("did") === rank("did") && fac("ca") === rank("v"))
-        .select(fac("did").as("did"), col("cb"), (col("f") * col("rank")).as("c"))
-        .groupBy(col("did"), col("cb").as("v"))
-        .agg((base + lit(damping) * aggregate(
-          sort_array(collect_list(col("c"))), lit(0.0), (a, x) => a + x))
-          .as("rank"))
-        .select(col("did"), col("v"), col("rank"))
+    // COMPILED per-document PageRank (VERDICT r14 task 4, the q55
+    // sequential-DP precedent, guide §2.4): the graph is WITHIN-document
+    // (bounded by a doc's own chunk count — corpora scale by adding
+    // documents), yet the declarative loop paid 2 corpus-wide exchanges
+    // PER ROUND (score join + rank aggregate: 10 exchanges at rounds=5)
+    // plus an interpreted sort_array/aggregate fold per group per round.
+    // Collapse the normalizer + all `rounds` rounds into ONE
+    // (did)-keyed collect and a compiled per-doc loop — exchange count
+    // for the whole iteration: 10+2 → 1. Arithmetic is bit-identical to
+    // the declarative form (the oracle replays it unchanged):
+    //  - wsum / per-round contribution sums: ASCENDING-sorted left
+    //    folds from 0.0 (java.util.Arrays.sort IS sort_array's double
+    //    order; += IS the HOF's `acc + x`);
+    //  - f = w / wsum, c = f·rank, rank' = base + damping·Σ — the same
+    //    single double ops in the same association order;
+    //  - round-r rank keys are the distinct TARGETS of edges whose
+    //    source held a round-(r−1) rank, exactly the join→groupBy
+    //    dataflow (symmetric edges make that every non-isolated chunk).
+    val perDoc = wts.groupBy(col("did"))
+      .agg(collect_list(struct(col("ca"), col("cb"), col("w"))).as("es"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      perDoc.schema("did"),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    def sortedFold(xs: Array[Double]): Double = {
+      java.util.Arrays.sort(xs)
+      var acc = 0.0
+      var i = 0
+      while (i < xs.length) { acc += xs(i); i += 1 }
+      acc
     }
+    val dampingL = damping; val roundsL = rounds
+    val rank = perDoc.flatMap { r =>
+      import scala.collection.mutable
+      val baseL = 1.0 - dampingL // same ops as lit(1.0) - lit(damping)
+      val es = r.getSeq[org.apache.spark.sql.Row](1)
+      val bySrc = mutable.LongMap.empty[mutable.ArrayBuffer[(Long, Double)]]
+      es.foreach { e =>
+        bySrc.getOrElseUpdate(e.getLong(0), mutable.ArrayBuffer.empty) +=
+          ((e.getLong(1), e.getDouble(2)))
+      }
+      // out-weight normalizer per source, then f = w/wsum per edge
+      val edges = bySrc.iterator.flatMap { case (ca, out) =>
+        val wsum = sortedFold(out.map(_._2).toArray)
+        out.iterator.map { case (cb, w) => (ca, cb, w / wsum) }
+      }.toArray
+      var rk = mutable.LongMap.empty[Double]
+      bySrc.keysIterator.foreach(ca => rk(ca) = 1.0)
+      for (_ <- 1 to roundsL) {
+        val contrib = mutable.LongMap.empty[mutable.ArrayBuffer[Double]]
+        edges.foreach { case (ca, cb, f) =>
+          rk.get(ca).foreach { rv =>
+            contrib.getOrElseUpdate(cb, mutable.ArrayBuffer.empty) += f * rv
+          }
+        }
+        val next = mutable.LongMap.empty[Double]
+        contrib.foreach { case (cb, cs) =>
+          next(cb) = baseL + dampingL * sortedFold(cs.toArray)
+        }
+        rk = next
+      }
+      val did = r.get(0)
+      rk.iterator.map { case (v, rv) =>
+        org.apache.spark.sql.Row(did, v, rv)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+      .toDF("did", "v", "rank")
     val fin = nd.select(col("did"), col("chunk"))
       .join(rank.withColumnRenamed("v", "chunk").hint("shuffle_hash"),
         Seq("did", "chunk"), "left_outer")
@@ -2157,8 +2199,11 @@ object TextAnalysis {
         explode(graft.functions.CharNGramBuckets(col("__t"), n, buckets))
           .as("b"))
       .groupBy(col("did"), col("b")).agg(count(lit(1)).as("c"))
-    val dense = bc
-      .repartition(spark.sparkContext.defaultParallelism, col("did"))
+    // widenBy, not a bare repartition (ADVICE r14): REPARTITION_BY_NUM
+    // is exempt from AQE resizing, so an unconditional fixed-width
+    // exchange would NARROW an AQE-sized plan at real scale; the
+    // leafSplits guard makes it a no-op once the scan arrives wide.
+    val dense = Dedup.widenBy(bc, col("did"))
       .groupBy(col("did"))
       .agg(map_from_entries(collect_list(struct(col("b"), col("c"))))
           .as("__m"),
@@ -2177,37 +2222,94 @@ object TextAnalysis {
     // cluster before the checkpoint so the `rounds` gradient scans —
     // interpreted zip_with dot + buckets+5 decimal aggregates per row —
     // run at cluster width instead of on one AQE-coalesced partition
-    val feats = stats.join(dense, Seq("did"), "left")
-      .withColumn("xb", coalesce(col("xb"), zeroVec))
-      .repartition(spark.sparkContext.defaultParallelism, col("did"))
+    val feats = Dedup.widenBy(stats.join(dense, Seq("did"), "left")
+        .withColumn("xb", coalesce(col("xb"), zeroVec)), col("did"))
       .localCheckpoint()
+    // COMPILED gradient rounds (VERDICT r14 task 3, the q55 precedent,
+    // guide §1.2 "per-task work"): the declarative round was ONE
+    // aggregate scan, but its per-row cost was an INTERPRETED
+    // zip_with/aggregate dot over `buckets` slots plus buckets+5
+    // round(·,9)→DECIMAL(20,9) aggregate columns — measured as the
+    // dominant task CPU of the 4 GD jobs. The mapPartitions pass below
+    // computes the identical numbers in compiled code:
+    //  - dot: index-ordered left fold of xb(i)·wb(i) from 0.0 — the
+    //    exact zip_with+aggregate association order;
+    //  - z/ph: the same double-op association as the Column expression
+    //    (((w0 + w1·x1) + w2·x2) + w3·x3) + dot; math.exp IS Catalyst's
+    //    Exp (java.lang.Math.exp);
+    //  - gradient terms: round(resid·x, 9) then the DECIMAL(20,9) cast,
+    //    both via BigDecimal.valueOf + HALF_UP — bit-for-bit Catalyst's
+    //    Round and Cast — summed as exact unscaled integers (the same
+    //    order-independent exact sum the decimal aggregate ran); a term
+    //    whose unscaled value exceeds Long is an ArithmeticException
+    //    here exactly where DECIMAL(20,9) would overflow in the agg.
+    // One job per round, map-side partials via mapPartitions+reduce, no
+    // shuffle — the same distributed shape, ~buckets× less per-row CPU.
+    val featRows = feats
+      .select(col("y"), col("x1"), col("x2"), col("x3"), col("xb"))
+      .queryExecution.toRdd
+    def r9u(v: Double): Long = {
+      val rd = java.math.BigDecimal.valueOf(v)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+      java.math.BigDecimal.valueOf(rd)
+        .setScale(9, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+    }
     var w = Array(0.0, 0.0, 0.0, 0.0)
     var wb = Array.fill(buckets)(0.0)
     val trace = Seq.newBuilder[(Int, Long, Double, Double, Double, Double, Double)]
     for (r <- 1 to rounds) {
-      val dot = aggregate(
-        zip_with(col("xb"), typedLit(wb.toSeq), (a, b) => a * b),
-        lit(0.0), (acc, v) => acc + v)
-      val z = lit(w(0)) + lit(w(1)) * col("x1") +
-        lit(w(2)) * col("x2") + lit(w(3)) * col("x3") + dot
-      val scored = feats.withColumn("ph",
-        graft.functions.Fence(lit(1.0) / (lit(1.0) + exp(-z))))
-      val resid = col("ph") - col("y")
-      def g(x: Column) = sum(round(resid * x, 9).cast("decimal(20,9)"))
-      val aggs =
-        Seq(g(lit(1.0)).as("g0"), g(col("x1")).as("g1"),
-          g(col("x2")).as("g2"), g(col("x3")).as("g3")) ++
-        (0 until buckets).map(b =>
-          g(element_at(col("xb"), b + 1)).as(s"gb$b")) :+
-        sum(when((col("ph") >= lit(0.5)) === (col("y") === lit(1.0)), 1L)
-          .otherwise(0L)).as("nc")
-      val row = scored.agg(aggs.head, aggs.tail: _*).collect()(0)
-      val gs = (0 to 3).map(i => row.getDecimal(i).doubleValue)
-      w = Array.tabulate(4)(j => w(j) - lrate * (gs(j) / nD))
-      wb = Array.tabulate(buckets)(b =>
-        wb(b) - lrate * (row.getDecimal(4 + b).doubleValue / nD))
+      val wL = w; val wbL = wb; val nSlots = buckets + 4
+      val (gs9, nc) = featRows.mapPartitions { it =>
+        // exact unscaled-integer accumulation: long fast path, spill to
+        // BigInteger on (astronomically rare) partition-sum overflow —
+        // the decimal aggregate's sum was exact at DECIMAL(30,9), so
+        // the compiled sum must not silently wrap either
+        val lo = new Array[Long](nSlots)
+        var big: Array[java.math.BigInteger] = null
+        def add(i: Int, v: Long): Unit = {
+          val s = lo(i) + v
+          if (((lo(i) ^ s) & (v ^ s)) < 0L) {
+            if (big == null) big = Array.fill(nSlots)(java.math.BigInteger.ZERO)
+            big(i) = big(i).add(java.math.BigInteger.valueOf(lo(i)))
+              .add(java.math.BigInteger.valueOf(v))
+            lo(i) = 0L
+          } else lo(i) = s
+        }
+        var ncAcc = 0L
+        while (it.hasNext) {
+          val row = it.next()
+          val y = row.getDouble(0)
+          val x1 = row.getDouble(1); val x2 = row.getDouble(2)
+          val x3 = row.getDouble(3)
+          val xb = row.getArray(4).toDoubleArray()
+          var dot = 0.0
+          var i = 0
+          while (i < buckets) { dot += xb(i) * wbL(i); i += 1 }
+          val z = wL(0) + wL(1) * x1 + wL(2) * x2 + wL(3) * x3 + dot
+          val ph = 1.0 / (1.0 + math.exp(-z))
+          val resid = ph - y
+          add(0, r9u(resid))
+          add(1, r9u(resid * x1)); add(2, r9u(resid * x2))
+          add(3, r9u(resid * x3))
+          i = 0
+          while (i < buckets) { add(4 + i, r9u(resid * xb(i))); i += 1 }
+          if ((ph >= 0.5) == (y == 1.0)) ncAcc += 1L
+        }
+        val tot = Array.tabulate(nSlots) { i =>
+          val l = java.math.BigInteger.valueOf(lo(i))
+          if (big == null) l else big(i).add(l)
+        }
+        Iterator.single((tot, ncAcc))
+      }.reduce { (a, b) =>
+        (Array.tabulate(nSlots)(i => a._1(i).add(b._1(i))), a._2 + b._2)
+      }
+      def gAt(i: Int): Double =
+        new java.math.BigDecimal(gs9(i), 9).doubleValue()
+      w = Array.tabulate(4)(j => w(j) - lrate * (gAt(j) / nD))
+      wb = Array.tabulate(buckets)(b => wb(b) - lrate * (gAt(4 + b) / nD))
       val wbSum = wb.foldLeft(0.0)(_ + _)
-      trace += ((r, row.getLong(4 + buckets), w(0), w(1), w(2), w(3), wbSum))
+      trace += ((r, nc, w(0), w(1), w(2), w(3), wbSum))
     }
     import spark.implicits._
     val traceDf = trace.result()

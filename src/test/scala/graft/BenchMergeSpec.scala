@@ -104,4 +104,62 @@ class BenchMergeSpec extends AnyFunSuite {
     assert(merged.toMap === run)
     assert(warnings.isEmpty)
   }
+
+  // --- artifact path + prior guards (VERDICT r14 task 2: the driver's
+  // 8-core scaling run merged into the 32-core bench_out.json, wiping
+  // the full 32-core per-query record; cross-CPU must divert exactly
+  // like cross-SF) ---
+
+  test("default run writes bench_out.json") {
+    val (p, warn) = Bench.artifactPath(None, Bench.defaultSfDir, "32")
+    assert(p === "bench_out.json")
+    assert(warn.isEmpty)
+  }
+
+  test("a simulated 8-core run leaves the 32-core artifact intact") {
+    val (p, warn) = Bench.artifactPath(None, Bench.defaultSfDir, "8")
+    assert(p === "bench_out.c8.json", "foreign-CPU run must divert")
+    assert(warn.nonEmpty)
+  }
+
+  test("foreign-SF run diverts to the SF-suffixed sibling") {
+    val (p, _) = Bench.artifactPath(None, "/root/testdata/sf1", "32")
+    assert(p === "bench_out._root_testdata_sf1.json")
+    val (p2, _) = Bench.artifactPath(None, "/root/testdata/sf1", "8")
+    assert(p2 === "bench_out._root_testdata_sf1.c8.json")
+  }
+
+  test("explicit SPARK_GRAFT_BENCH_OUT always wins") {
+    val (p, warn) = Bench.artifactPath(Some("/tmp/x.json"), "/root/testdata/sf1", "8")
+    assert(p === "/tmp/x.json")
+    assert(warn.isEmpty)
+  }
+
+  test("prior at a different core count is ignored as the baseline") {
+    val ref = """{"metric":"total","value":2.0,"unit":"sec","queries":{"q001":2.000000},"sf":"/root/testdata/sf0.1","cpus":8}"""
+    val (m, warns) = Bench.parsePrior(ref, Bench.defaultSfDir, "32")
+    assert(m.isEmpty)
+    assert(warns.exists(_.contains("8 cpus")))
+  }
+
+  test("prior at the same core count parses; cpus is not a query key") {
+    val ref = """{"metric":"total","value":2.0,"unit":"sec","queries":{"q001":2.000000},"sf":"/root/testdata/sf0.1","cpus":32}"""
+    val (m, warns) = Bench.parsePrior(ref, Bench.defaultSfDir, "32")
+    assert(m === Map("q001" -> 2.0))
+    assert(warns.isEmpty)
+  }
+
+  test("pre-r15 prior without a cpus field still serves, with a warning") {
+    val ref = """{"metric":"total","value":2.0,"unit":"sec","queries":{"q001":2.000000},"sf":"/root/testdata/sf0.1"}"""
+    val (m, warns) = Bench.parsePrior(ref, Bench.defaultSfDir, "32")
+    assert(m === Map("q001" -> 2.0))
+    assert(warns.exists(_.contains("no cpus field")))
+  }
+
+  test("prior at a different SF is ignored as the baseline") {
+    val ref = """{"metric":"total","value":2.0,"unit":"sec","queries":{"q001":2.000000},"sf":"/root/testdata/sf1","cpus":32}"""
+    val (m, warns) = Bench.parsePrior(ref, Bench.defaultSfDir, "32")
+    assert(m.isEmpty)
+    assert(warns.exists(_.contains("sf")))
+  }
 }
