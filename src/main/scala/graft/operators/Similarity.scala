@@ -965,11 +965,22 @@ object Similarity {
     // representatives (min vec_id per cell — a #cells-sized frame);
     // refinement rounds then REPLACE these arbitrary bridges with
     // genuinely near cross-cell neighbors found through them.
-    val repsW = org.apache.spark.sql.expressions.Window.orderBy(col("lbl"))
-    val reps = v.groupBy(col("lbl")).agg(min(col("vec_id")).as("rep"))
-      .select((row_number().over(repsW) - 1).cast("long").as("pick"),
-        col("rep")) // tiny (#cells rows) — the single-partition window is fine
-    val nCells = reps.count()
+    // reps is #cells rows and was already driver-collected by the
+    // broadcast join below — collect it ONCE (pick = lbl-ascending
+    // index, the same numbering the old row_number window produced)
+    // instead of paying a count() action PLUS a broadcast-build job
+    // that re-plans the aggregate (the s13 micro-job tax: the query is
+    // job-count-bound, not compute-bound)
+    val repAgg = v.groupBy(col("lbl")).agg(min(col("vec_id")).as("rep"))
+    val repRows = repAgg.orderBy(col("lbl")).select(col("rep")).collect()
+    val nCells = repRows.length.toLong
+    val reps = v.sparkSession.createDataFrame(
+      java.util.Arrays.asList(repRows.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(i.toLong, r.get(0)) }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pick",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        repAgg.schema("rep"))))
     val bridgePairs = v.select(col("vec_id").as("src"),
         explode(array((1 to bridges).map(j => lit(j)): _*)).as("j"))
       .select(col("src"),
@@ -1089,17 +1100,24 @@ object Similarity {
   def graphExpandTopK(vectors: DataFrame, queries: DataFrame,
       graph: DataFrame, hops: Int, k: Int): DataFrame = {
     require(hops >= 1 && k >= 1)
+    // No checkpoints here (the s13 job-count lesson): `v` is consumed
+    // exactly ONCE (the scoring join) so pinning it materialized the
+    // whole vector frame for nothing; `graph` arrives already pinned
+    // from knnGraph (and the hop count is a small constant, so even
+    // unpinned the re-planned frontier subtrees are `hops` shallow
+    // broadcast joins of q×g^hop-bounded id frames, not multiplying
+    // lineage) — the whole expansion now runs as ONE action instead
+    // of 1 (v pin) + 1 (edges pin) + hops (frontier pins).
     val v = vectors.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
-      .withColumn("vn", norm(col("v"))).localCheckpoint()
+      .withColumn("vn", norm(col("v")))
     val q = queries.select(col("qid"), col("qv"))
       .withColumn("qn", norm(col("qv")))
-    val edges = graph.select(col("src"), col("dst")).localCheckpoint()
+    val edges = graph.select(col("src"), col("dst"))
     var frontier = q.select(col("qid"), col("qid").as("vec_id"))
     var reached = frontier
     for (_ <- 1 to hops) {
       frontier = frontier.join(edges, frontier("vec_id") === edges("src"))
         .select(col("qid"), col("dst").as("vec_id")).distinct()
-        .localCheckpoint()
       reached = reached.union(frontier)
     }
     val cand = reached.distinct().filter(col("qid") =!= col("vec_id"))
