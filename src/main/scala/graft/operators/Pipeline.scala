@@ -1028,9 +1028,12 @@ object Pipeline {
     val dev = df.join(broadcast(med), keyCol)
       .select(col(keyCol), abs(v - col("median")).as("__dev"))
       .localCheckpoint()
+    // mad is consumed ONCE (the final broadcast join) — unlike med it
+    // needs no pin; pinning it was a pure extra driver action (the r15
+    // action-count lesson: at the bench anchor madOutliers is
+    // job-count-bound, and its selection passes all ride the pinned dev)
     val mad = Quantiles.interpolated(dev, keyCol, "__dev", Seq(0.5))
       .select(col(keyCol), col("pct").as("mad"))
-      .localCheckpoint()
     // final accounting off the PINNED dev frame — it already holds the
     // per-row |v−m| this aggregation compares, so no fresh source scan
     // and no recomputed deviation (one parquet pass saved, measured)
