@@ -52,6 +52,14 @@ object Scratch {
           nTasks.compute(jid, (_, v) => if (v == null) 1 else v + 1)
         }
       }
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        if (record && sys.env.contains("SCRATCH_STAGES")) {
+          val si = sc.stageInfo
+          println(f"  [stage ${si.stageId}%3d job ${jobOfStage.getOrDefault(si.stageId, -1)}%3d] " +
+            f"tasks ${si.numTasks}%4d  ${si.name.take(60)} | " +
+            si.rddInfos.map(r => s"${r.id}:${r.name}").mkString(" ").take(200))
+        }
+      }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         if (record) {
           val t0 = starts.getOrDefault(je.jobId, 0L)

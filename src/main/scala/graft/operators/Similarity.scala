@@ -351,14 +351,26 @@ object Similarity {
       candidates: Int, embCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
     require(k >= 1 && candidates >= k, s"bad k/candidates: $k/$candidates")
+    // exact integer self/pair dots via the codegen'd VectorDotLong —
+    // the coarse stage evaluates one dot per (query × vector) PAIR and
+    // the interpreted aggregate(zip_with(...)) fold was the whole scan
+    // CPU (measured: a 1.1 s single-task job at the bench anchor);
+    // sums of int×int products are exact in long, so the values are
+    // bit-identical. widen() fans the 1-split bench input out before
+    // that CPU-dense per-pair scan (no-op at real scale). Fence on the
+    // self-dots: `filter(vdot > 0)` pushdown INLINED the whole quant
+    // chain (transform∘transform + the scale fold — which the inlined
+    // form re-evaluates PER ELEMENT, dim² interpreted ops per row)
+    // into a Filter below the projections — the documented e7/d2
+    // duplication class, measured as a second ~1.3 s stage here.
     def selfDotInt(q: Column) =
-      aggregate(q, lit(0L), (a, x) => a + x.cast("long") * x.cast("long"))
+      graft.functions.Fence(graft.functions.VectorDotLong(q, q))
     def quant(v: Column): Column = {
       val scale = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x)))
       transform(v, x => when(scale > 0,
         floor(x / scale * 127.0 + 0.5).cast("int")).otherwise(0))
     }
-    val corpus8 = quantizeInt8(vectors, embCol, idCol)
+    val corpus8 = quantizeInt8(Dedup.widen(vectors), embCol, idCol)
       .withColumn("vdot", selfDotInt(col("q")))
       .filter(col("vdot") > 0L)
     val q8 = queries.select(col("qid"), col("qv"))
@@ -369,8 +381,7 @@ object Similarity {
     val coarse = broadcast(q8).as("q")
       .join(corpus8.as("v"), col("q.qid") =!= col(s"v.$idCol"))
       .select(col("q.qid"), col(s"v.$idCol").as("vec_id"),
-        (aggregate(zip_with(col("q.qq"), col("v.q"),
-            (a, b) => a.cast("long") * b.cast("long")), lit(0L), (s0, x) => s0 + x)
+        (graft.functions.VectorDotLong(col("q.qq"), col("v.q"))
           .cast("double")
           / (sqrt(col("q.qdot").cast("double")) * sqrt(col("vdot").cast("double"))))
           .as("approx"))

@@ -393,6 +393,27 @@ class OperatorsSpec extends SparkSpec {
     assert(r2.getSeq[Int](r2.fieldIndex("q")).forall(_ == 0))
   }
 
+  test("VectorDotLong equals the interpreted zip_with/aggregate fold (s17 coarse dot)") {
+    // the r15 codegen'd int-dot swap must be value-identical to the HOF
+    // it replaced, including nulls and the long-exactness of ±127 dims
+    val df = Seq(
+      (Some(Seq(127, -127, 5)), Some(Seq(127, 127, 3))),
+      (Some(Seq(0, 0, 0)), Some(Seq(1, 2, 3))),
+      (None: Option[Seq[Int]], Some(Seq(1, 2, 3))),
+      (Some(Seq(1, 2, 3)), None: Option[Seq[Int]])
+    ).toDF("a", "b")
+    val got = df.select(
+      graft.functions.VectorDotLong($"a", $"b").as("fast"),
+      aggregate(zip_with($"a", $"b",
+          (x, y) => x.cast("long") * y.cast("long")), lit(0L), (s0, x) => s0 + x)
+        .as("hof")).collect()
+    got.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1))
+    }
+    assert(got(0).getLong(0) == 127L * 127 - 127L * 127 + 15L)
+  }
+
   test("spanDedup: global first occurrence wins, docs reassemble in order") {
     val r = Dedup.spanDedup(docs, spanTokens = 3)
       .as[(Long, Long, Long, String)].collect().map(t => t._1 -> t).toMap
