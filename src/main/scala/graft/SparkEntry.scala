@@ -729,8 +729,18 @@ object SparkEntry {
       pairCache.computeIfAbsent(s,
           _ => scala.collection.mutable.Map.empty[String, DataFrame])
         .getOrElseUpdate(dir,
+          // repartition(da) before the pin: ngramJaccard's wide pair
+          // tail (r15) leaves the result in 32 near-empty partitions,
+          // and a checkpoint FREEZES that width into every iterative
+          // consumer (d8/d9/d20's CC and PageRank loops paid 32 tasks
+          // per round for a few-hundred-row frame — measured 0.34→0.91
+          // / 1.36→2.05 s). A keyed exchange is AQE-resizable, so the
+          // pinned frame is size-appropriate at ANY scale: ~1 partition
+          // here, many at 100 TB.
           operators.Dedup.ngramJaccard(t(s, dir, "documents"), n = 2,
-            blockCol = "source", threshold = 0.1).localCheckpoint())
+              blockCol = "source", threshold = 0.1)
+            .repartition(org.apache.spark.sql.functions.col("da"))
+            .localCheckpoint())
     }
 
   private def clusters(s: SparkSession, dir: String, driverSolveMaxEdges: Long): DataFrame = {
