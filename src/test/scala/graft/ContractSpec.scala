@@ -100,7 +100,8 @@ class ContractSpec extends AnyFunSuite {
       s"registered queries missing from bench_out.json: $unbenched " +
         "- run a partial graft.Bench for them before committing")
     val stale = keys -- SparkEntry.queries.keySet - "metric" - "unit" -
-      "queries" - "sf" - "value" - "total"
+      "queries" - "sf" - "value" - "total" - "cpus" // cpus: r15 metadata
+                                                    // (cross-CPU merge guard)
     assert(stale.isEmpty, s"bench_out.json holds stale keys: $stale")
   }
 
